@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational analytics — the reference's SQL query surface
+  * (filtered reads, joins to the dimension table, aggregated
+  * summaries; finanalyzer findatabase.py:118 `read_database` and the
+  * namesId joins) re-expressed as declarative Spark plans on the
+  * TPC-H-ish test schema.
+  *
+  * Scale notes: facts (`lineitem`, `orders`, `events`) are the only
+  * tables that grow to 100 TB; every dimension join below broadcasts
+  * (dims are ≤ millions of rows even at SF 100k), so no query
+  * shuffles a fact table for a join — only for its final
+  * aggregation, which partial-aggregates map-side first.
+  */
+object Analytics {
+
+  /** Full-scan aggregate with exact decimal arithmetic (TPC-H Q1
+    * shape). At scale: one pass, map-side partial agg on 4 tiny key
+    * groups — the shuffle moves O(groups × partitions) rows.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame = {
+    val one = lit(1).cast(DecimalType(12, 2))
+    // Downcast the exact 4-decimal product to (18,4) (lossless) so the
+    // second multiply stays inside DECIMAL(38) on every engine.
+    val disc  = (dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))).cast(DecimalType(18, 4))
+    val charge = disc * (one + dec2(col("l_tax")))
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+        sum(disc).as("sum_disc_price"),
+        sum(charge).as("sum_charge"),
+        avgExact(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Selective 3-way join + agg + top-N (TPC-H Q3 shape). Customer
+    * filter broadcasts; lineitem joins orders on the shuffle key both
+    * sides already need for the final groupBy.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cut = lit("1998-03-15")
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders.filter(col("o_orderdate") < cut), col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Star join across the full dimension chain (TPC-H Q5 shape) —
+    * region/nation/supplier/customer all broadcast; the two facts
+    * join on orderkey.
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val dims = broadcast(
+      region.filter(col("r_name") === "ASIA")
+        .join(nation, col("n_regionkey") === col("r_regionkey")))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Predicate + projection pushdown: both must reach the parquet
+    * scan (verified via explain in the test suite — PushedFilters +
+    * 3-column ReadSchema).
+    */
+  def filterProject(orders: DataFrame): DataFrame =
+    orders.filter(col("o_totalprice") > 400000.0 && col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("o_totalprice"))
+
+  /** Global order-by + limit — plans as TakeOrderedAndProject (per-
+    * partition top-k, no full sort shuffle).
+    */
+  def topkOrders(orders: DataFrame, k: Int = 25): DataFrame =
+    orders.select(col("o_orderkey"), dec2(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Distinct — partial-aggregate dedup (map-side combine before the
+    * shuffle; 5 distinct values move per partition).
+    */
+  def distinctSegments(customer: DataFrame): DataFrame =
+    customer.select(col("c_mktsegment")).distinct().orderBy(col("c_mktsegment"))
+
+  /** CASE WHEN bucketing + count — the reference's category-collapse
+    * (plot_cyclical_feature_engineering.py `replace(heavy_rain →
+    * rain)`) generalized to value-band bucketing.
+    */
+  def caseBucketing(orders: DataFrame): DataFrame =
+    orders.select(
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice") < 300000, "medium")
+          .otherwise("large").as("bucket"),
+        col("o_orderpriority"))
+      .groupBy(col("bucket"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"), col("o_orderpriority"))
+
+  /** UNION of two filtered scans + dedup — e.g. merging candidate
+    * ticker lists from two feeds (findatabase.py:154
+    * `set_database_names` skip-if-present semantics).
+    */
+  def unionDedup(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      .union(orders.filter(col("o_totalprice") > 450000.0).select(col("o_custkey")))
+      .distinct()
+      .orderBy(col("o_custkey"))
+}

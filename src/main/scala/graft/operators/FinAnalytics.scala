@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Financial time-series analytics — the derived metrics the
+  * reference stores in its `financialData` table (fiftyDayAverage,
+  * twoHundredDayAverage, fiftyTwoWeekHigh/Low, beta, earningsGrowth;
+  * sql/sqlrequests.sql:60) plus the cyclical feature engineering from
+  * regressors/to_review/plot_cyclical_feature_engineering.py —
+  * recomputed declaratively over the `events` series (user_id = the
+  * instrument key, value = the price).
+  *
+  * Every per-key computation shares ONE hash-partitioning on
+  * user_id: OHLC → window aggs → returns → moments all run in the
+  * same shuffle boundary, which is what keeps this linear at 100 TB.
+  * All moment sums use exact decimals (SURVEY §5) so results are
+  * independent of partition count.
+  */
+object FinAnalytics {
+
+  /** Per key/day OHLC bars from the raw tick stream. Open/close are
+    * selected by a total order (ts, event_id) so the result is
+    * deterministic even with duplicate timestamps.
+    */
+  def dailyOhlc(events: DataFrame): DataFrame = {
+    val day = date_trunc("day", col("ts")).cast("date").as("day")
+    val wAsc = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    events.select(col("user_id"), day, col("ts"), col("event_id"), col("value"))
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+           max(col("value")).as("high"),
+           min(col("value")).as("low"),
+           max(when(col("rn_d") === 1, col("value"))).as("close"),
+           count(lit(1)).as("n_ticks"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Close-price series per key/day (shared input for the window
+    * analytics below).
+    */
+  private def closes(events: DataFrame): DataFrame = {
+    val day = date_trunc("day", col("ts")).cast("date").as("day")
+    val wDesc = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts").desc, col("event_id").desc)
+    events.select(col("user_id"), day, col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("close"))
+  }
+
+  /** 5- and 20-row moving averages of the daily close — the
+    * fiftyDayAverage / twoHundredDayAverage analog. Exact decimal
+    * window sums / window counts, so the sliding-frame
+    * implementation (recompute vs segment tree) can't change the
+    * result.
+    */
+  def movingAvg(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w5 = ord.rowsBetween(-4, 0)
+    val w20 = ord.rowsBetween(-19, 0)
+    closes(events)
+      .withColumn("ma5", sum(dec2(col("close"))).over(w5).cast("double") / count(lit(1)).over(w5))
+      .withColumn("ma20", sum(dec2(col("close"))).over(w20).cast("double") / count(lit(1)).over(w20))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Rolling high/low over the trailing 10 bars — fiftyTwoWeekHigh /
+    * fiftyTwoWeekLow analog (max/min are order-independent, no
+    * decimal needed).
+    */
+  def rollingHiLo(events: DataFrame, bars: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-(bars - 1), 0)
+    closes(events)
+      .withColumn("rolling_high", max(col("close")).over(w))
+      .withColumn("rolling_low", min(col("close")).over(w))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Per-period simple returns close/lag(close) − 1 (the
+    * earningsGrowth / regularMarket change analog). Pure double
+    * scalar math on deterministic inputs.
+    */
+  def returns(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    closes(events)
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .filter(col("prev_close").isNotNull)
+      .withColumn("ret", col("close") / col("prev_close") - lit(1.0))
+      .select(col("user_id"), col("day"), col("close"), col("ret"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Sample stddev of per-key returns via exact decimal moment sums:
+    * var = (n·Σr² − (Σr)²) / (n·(n−1)) with the final combination in
+    * doubles over exact inputs — order-independent, engine-parity.
+    */
+  def volatility(events: DataFrame): DataFrame = {
+    val r = dec6(col("ret"))
+    returns(events)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(r).as("sr"), sum(r * r).as("sr2"))
+      .filter(col("n") > 1)
+      .select(col("user_id"), col("n"),
+        // round(…,6)+0.0: engines may differ in the last ulp when
+        // casting scale-12 decimals to double (see SURVEY §5).
+        (round(sqrt((col("n").cast("double") * col("sr2").cast("double")
+          - col("sr").cast("double") * col("sr").cast("double"))
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))), 6) + lit(0.0)).as("volatility"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-key beta vs the market: market value per day = exact sum of
+    * closes, beta = (n·Σ(r·m) − Σr·Σm) / (n·Σm² − (Σm)²) over
+    * matched daily returns. Market series is tiny (one row per day)
+    * → broadcast back to the per-key series.
+    */
+  def beta(events: DataFrame): DataFrame = {
+    val c = closes(events)
+    val market = c.groupBy(col("day")).agg(sum(dec2(col("close"))).as("mkt_value"))
+    val wm = Window.orderBy(col("day"))
+    val marketRet = market
+      .withColumn("prev", lag(col("mkt_value"), 1).over(wm))
+      .filter(col("prev").isNotNull)
+      .select(col("day"), (col("mkt_value").cast("double") / col("prev").cast("double") - lit(1.0)).as("mret"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val userRet = c
+      .withColumn("prev", lag(col("close"), 1).over(wu))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("day"), (col("close") / col("prev") - lit(1.0)).as("ret"))
+    val r = dec6(col("ret"))
+    val m = dec6(col("mret"))
+    userRet.join(broadcast(marketRet), "day")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(r).as("sr"), sum(m).as("sm"),
+           sum(r * m).as("srm"), sum(m * m).as("sm2"))
+      .filter(col("n") > 1)
+      .select(col("user_id"), col("n"),
+        (round((col("n").cast("double") * col("srm").cast("double")
+          - col("sr").cast("double") * col("sm").cast("double"))
+          / (col("n").cast("double") * col("sm2").cast("double")
+            - col("sm").cast("double") * col("sm").cast("double")), 6) + lit(0.0)).as("beta"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cyclical time features — sin/cos encodings of hour-of-day,
+    * day-of-week, month (plot_cyclical_feature_engineering.py's
+    * periodic encodings). Rounded to 6 decimals: inputs are discrete
+    * so the value set is small and verified equal across engines.
+    */
+  def cyclicalFeatures(events: DataFrame): DataFrame = {
+    // + 0.0 normalizes IEEE −0.0 to 0.0 so engines can't disagree on
+    // the sign of a rounded-to-zero value.
+    def enc(c: org.apache.spark.sql.Column, period: Int, name: String) = Seq(
+      (round(sin(c * (lit(2.0) * lit(math.Pi) / period)), 6) + lit(0.0)).as(s"${name}_sin"),
+      (round(cos(c * (lit(2.0) * lit(math.Pi) / period)), 6) + lit(0.0)).as(s"${name}_cos"))
+    events.select(
+      Seq(col("event_id"), hour(col("ts")).cast("long").as("hour"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          month(col("ts")).cast("long").as("month")) ++
+        enc(hour(col("ts")), 24, "hour") ++
+        enc(dayofweek(col("ts")) - 1, 7, "dow") ++
+        enc(month(col("ts")), 12, "month"): _*)
+      .orderBy(col("event_id"))
+  }
+
+  /** Fact ⋈ broadcast dimension — the namesId → namesCompanies join
+    * (findatabase.py `get_ticker_from_id` done set-wise).
+    */
+  def companyEnrich(events: DataFrame, customer: DataFrame): DataFrame =
+    events.join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"), col("value"))
+      .orderBy(col("event_id"))
+}

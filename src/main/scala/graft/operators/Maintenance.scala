@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators — the reference's ETL loop
+  * (findatabase.py): last-update checkpoints, window-function dedup
+  * (sql/redundancy.sql), trailing-window retention, and incremental
+  * delta selection (`update_database`).
+  *
+  * In a 100 TB lakehouse these are the compaction/upsert primitives:
+  * each shuffles at most once on the entity key, and the per-key
+  * aggregates they derive are tiny relative to the fact table.
+  */
+object Maintenance {
+
+  /** max(date) per key — findatabase.py:70 `check_last_update`. */
+  def lastUpdate(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).cast("date").as("last_order_date"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  /** Keep exactly one row per (key, day) — newest by (ts, event_id).
+    * Mirrors sql/redundancy.sql's `row_number() OVER (PARTITION BY
+    * dateValue, namesId) → delete n > 1`, with a deterministic
+    * ORDER BY the reference leaves unspecified.
+    */
+  def dedupLatest(events: DataFrame): DataFrame = {
+    val day = date_trunc("day", col("ts")).cast("date").as("day")
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.select(col("event_id"), col("user_id"), day, col("ts"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "ts")
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Trailing-window retention — findatabase.py:224 `DELETE WHERE
+    * dateAdded < start` as a filter against a second-aligned global
+    * cutoff (second-aligned so µs/ns timestamp precision can't flip
+    * boundary rows across engines).
+    */
+  def retentionWindow(events: DataFrame, days: Int = 7): DataFrame = {
+    val cutoff = events.agg(
+      (date_trunc("second", max(col("ts"))) - expr(s"INTERVAL $days DAYS")).as("cutoff"))
+    events.crossJoin(broadcast(cutoff))
+      .filter(col("ts") >= col("cutoff"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Incremental delta: rows newer than each key's checkpoint
+    * (per-key max(ts) − N days) — `update_database`'s fetch-only-
+    * newer-than-last-recorded-date, per key in one pass via a
+    * whole-partition window max instead of a self-join.
+    */
+  def incrementalDelta(events: DataFrame, days: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("cutoff",
+        date_trunc("second", max(col("ts")).over(w)) - expr(s"INTERVAL $days DAYS"))
+      .filter(col("ts") >= col("cutoff"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table catalog over a scale-factor directory.
+  *
+  * One accessor per testdata table; all reads go through [[table]] so
+  * scan options stay in one place. Readers return unexecuted
+  * DataFrames — Catalyst sees the whole downstream plan and pushes
+  * filters/projections into the parquet scan.
+  */
+final class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = table("region")
+  def nation: DataFrame = table("nation")
+  def customer: DataFrame = table("customer")
+  def supplier: DataFrame = table("supplier")
+  def part: DataFrame = table("part")
+  def orders: DataFrame = table("orders")
+  def lineitem: DataFrame = table("lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    * default. Read it as a raw nanosecond long and truncate to
+    * microseconds (integer DIV — a double division would lose
+    * precision above 2^53 ns). Truncation is monotone, so orderings
+    * and second-aligned cutoff comparisons agree with ns-native
+    * engines.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  /** Partitioned parquet writer — the shape we'd use for a curated
+    * 100 TB dataset: partition columns for pruning, one file per
+    * task.
+    */
+  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}
