@@ -37,7 +37,44 @@ object SparkEntry {
     "fin_beta"              -> ((s, d) => FinAnalytics.beta(Tables(s, d).events)),
     "fin_cyclical_features" -> ((s, d) => FinAnalytics.cyclicalFeatures(Tables(s, d).events)),
     "fin_company_enrich"    -> ((s, d) => { val t = Tables(s, d); FinAnalytics.companyEnrich(t.events, t.customer) }),
+    "dedup_exact"         -> ((s, d) => Dedup.exact(Tables(s, d).documents)),
+    "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(Tables(s, d).documents)),
+    "dedup_simhash"       -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables(s, d).documents)),
+    "dedup_embedding"     -> ((s, d) => Similarity.embeddingNearDup(Tables(s, d).embeddings)),
+    "ann_bruteforce"      -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
+    "ann_ivf"             -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
+    "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
+    "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
+    "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),
+    "text_fingerprint"    -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
+    "mm_binary_meta"      -> ((s, d) => Multimodal.binaryMeta(Tables(s, d).documents)),
+    "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
+    "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
+    "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
   )
+
+  /** DuckDB token/shingle building blocks shared by the text oracles. */
+  private val toksExpr = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> len(x) > 0)"
+  private def shinglesCte(w: Int): String =
+    s"""t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest([array_to_string(w[i:i+${w - 1}], ' ') FOR i IN range(1, greatest(len(w)-${w - 1}, 0) + 1)]) AS s
+       |  FROM t WHERE len(w) >= $w)""".stripMargin
+  private def jaccardOracle(w: Int, threshold: String): String =
+    s"""WITH ${shinglesCte(w)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT a, b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) + 0.0 AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) + 0.0 >= $threshold ORDER BY a, b""".stripMargin
+  /** Exact-decimal element product (engine-parity, see VectorFunctions.dec8). */
+  private def dec8(e: String): String = s"CAST(round(CAST($e AS DOUBLE), 8) AS DECIMAL(19,8))"
+  private val normsCte =
+    s"""norms AS (SELECT vec_id, sum(p) AS nrm FROM (
+       |  SELECT vec_id, unnest([${dec8("embedding[i]")} * ${dec8("embedding[i]")}
+       |    FOR i IN range(1, len(embedding) + 1)]) AS p FROM embeddings) GROUP BY vec_id)""".stripMargin
 
   // ---- oracle SQL (DuckDB dialect), mirroring each query's exact
   //      arithmetic: decimal casts, total-order tiebreaks, and
@@ -203,5 +240,137 @@ object SparkEntry {
     "fin_company_enrich" ->
       """SELECT event_id, user_id, c_name, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey ORDER BY event_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "dedup_minhash_lsh" -> jaccardOracle(3, "0.8"),
+    "dedup_ngram_jaccard" -> jaccardOracle(2, "0.5"),
+    "dedup_simhash" ->
+      (s"""WITH ${shinglesCte(3)},
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::UBIGINT AS h FROM sh),
+        |bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+        |         FROM h, generate_series(0, 59) g(i) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, bit_or(CASE WHEN sb > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS sig
+        |        FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 8 ORDER BY a, b""".stripMargin),
+    "dedup_embedding" ->
+      (s"""WITH $normsCte,
+        |dots AS (SELECT a, b, sum(p) AS dot FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |         unnest([${dec8("x.embedding[i]")} * ${dec8("y.embedding[i]")}
+        |           FOR i IN range(1, len(x.embedding) + 1)]) AS p
+        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) GROUP BY a, b)
+        |SELECT a, b, round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+        |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 >= 0.45
+        |ORDER BY a, b""".stripMargin),
+    "ann_bruteforce" ->
+      (s"""WITH $normsCte,
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+        |dots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |         unnest([${dec8("q.qe[i]")} * ${dec8("e.embedding[i]")}
+        |           FOR i IN range(1, len(q.qe) + 1)]) AS p
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id) GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dots.vec_id AS nvec,
+        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id)
+        |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
+        |  SELECT query_id, nvec, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_ivf" ->
+      (s"""WITH $normsCte,
+        |q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel FROM embeddings WHERE vec_id % 100 = 0),
+        |dots AS (SELECT query_id, qlabel, vec_id, sum(p) AS dot FROM (
+        |  SELECT q.query_id, q.qlabel, e.vec_id,
+        |         unnest([${dec8("q.qe[i]")} * ${dec8("e.embedding[i]")}
+        |           FOR i IN range(1, len(q.qe) + 1)]) AS p
+        |  FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> q.query_id) GROUP BY 1, 2, 3),
+        |scored AS (SELECT query_id, qlabel AS label, dots.vec_id AS nvec,
+        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id)
+        |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
+        |  SELECT query_id, label, nvec, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "text_langid" ->
+      (s"""WITH t AS (SELECT doc_id, lang, $toksExpr AS w FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, x -> x IN ('el','la','los','y','en','que','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(w, x -> x IN ('的','是','了','在','我'))) AS BIGINT) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin),
+    "text_quality" ->
+      (s"""WITH t AS (SELECT doc_id, text, $toksExpr AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_word_len,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_words, sum_word_len, n_punct, n_stop,
+        |  round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 AS avg_word_len,
+        |  round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 AS punct_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 AS stop_ratio,
+        |  (n_words >= 5 AND round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 <= 0.1
+        |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 >= 2.0
+        |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 <= 12.0) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin),
+    "text_tokens" ->
+      (s"""WITH t AS (SELECT doc_id, text, $toksExpr AS w FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(w) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+        |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) > 0
+        |       THEN round(CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS DOUBLE), 6) + 0.0
+        |  END AS chars_per_token
+        |FROM t ORDER BY doc_id""".stripMargin),
+    "text_fingerprint" ->
+      (s"""WITH t AS (SELECT doc_id, text, $toksExpr AS w FROM documents)
+        |SELECT doc_id,
+        |  coalesce(list_min([md5(array_to_string(w[i:i+4], ' ')) FOR i IN range(1, greatest(len(w)-4, 0) + 1)]),
+        |           md5(text)) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin),
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,
+        |  CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS height,
+        |  CAST(octet_length(encode(text)) % 4 + 1 AS BIGINT) AS channels,
+        |  CAST(ascii(substr(text, 1, 1)) * ascii(substr(text, 2, 1)) AS BIGINT) AS n_pixels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tsec FROM events),
+        |f AS (SELECT user_id, event_id, ts, tsec, value,
+        |        CASE WHEN prev IS NULL OR tsec > prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |      FROM (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events, min(tsec) AS start_ts, max(tsec) AS end_ts,
+        |       sum(CAST(value AS DECIMAL(12,2))) AS total_value
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_hourly_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "top_parts_revenue" ->
+      """SELECT p_brand, l_partkey, revenue, rank FROM (
+        |  SELECT p_brand, l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
+        |    CAST(dense_rank() OVER (PARTITION BY p_brand
+        |      ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) DESC,
+        |      l_partkey) AS BIGINT) AS rank
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, l_partkey)
+        |WHERE rank <= 3 ORDER BY p_brand, rank, l_partkey""".stripMargin,
   )
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.Hashing._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication — the LLM-training-pipeline operators
+  * (SURVEY §2 #21-24), generalizing the reference's key-based dedup
+  * (finanalyzer sql/redundancy.sql) to content-based near-dup
+  * detection.
+  *
+  * Scale design: every variant is candidate-generation (banding /
+  * pigeonhole chunks / prefix filtering — near-linear shuffles on
+  * derived keys) followed by exact verification ONLY on candidates.
+  * Nothing here is all-pairs; at 100 TB the candidate sets stay
+  * proportional to the true duplicate count, and the verify joins
+  * are hash joins on doc ids.
+  *
+  * All hashing is md5-based (engine-parity, SURVEY §5).
+  */
+object Dedup {
+
+  /** Exact dedup groups: md5(text) → keeper = min(doc_id), group
+    * size. One hash-partitioned aggregation; no sort.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("text_hash"))
+
+  /** Distinct w-token shingles, one row per (doc_id, shingle). */
+  private def shingleRows(documents: DataFrame, w: Int): DataFrame =
+    documents.select(col("doc_id"), explode(shingles(col("text"), w)).as("s")).distinct()
+
+  /** Exact Jaccard verification of candidate (a, b) pairs against the
+    * full shingle sets; emits pairs with round(j, 6) ≥ threshold.
+    */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("set"), count(lit(1)).as("n"))
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("set").as("sa"), col("n").as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("set").as("sb"), col("n").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6) + lit(0.0))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** MinHash + LSH near-dup pairs (w=3 shingles, 32 permutations,
+    * 16 bands × 2 rows, exact-Jaccard verify ≥ 0.8).
+    *
+    * Miss probability for a true pair at j = 0.8 is (1−j²)¹⁶ ≈ 9e−8,
+    * so the verified output equals the brute-force answer (the test
+    * suite asserts this); the oracle is the brute-force all-pairs
+    * query.
+    */
+  def minhashLsh(documents: DataFrame, numHashes: Int = 32, bands: Int = 16,
+                 threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val sh = shingleRows(documents, 3)
+    val sigs = sh.groupBy(col("doc_id")).agg(
+      min(hex60Seeded(0, col("s"))).as("h0"),
+      (1 until numHashes).map(i => min(hex60Seeded(i, col("s"))).as(s"h$i")): _*)
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band_id"),
+        md5(concat_ws("|", (0 until rows).map(r => col(s"h${j * rows + r}")): _*)).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.bh"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** SimHash near-dup pairs: 60-bit signature over w=3 shingles,
+    * candidate generation by pigeonhole chunking (9 chunks catch
+    * every pair with Hamming ≤ 8), exact Hamming verify.
+    */
+  def simhash(documents: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sh = shingleRows(documents, 3)
+    val h = sh.select(col("doc_id"), hex60(col("s")).as("h"))
+    // Per-bit balance: +1 when bit set, −1 otherwise, summed per doc.
+    val bitSums = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sig = h.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+    // Pigeonhole: split 60 bits into maxHamming+1 chunks; any pair
+    // within the Hamming budget must agree on at least one chunk.
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(c => c * 60 / nChunks)
+    val chunkCols = (0 until nChunks).map { c =>
+      val off = bounds(c); val width = bounds(c + 1) - bounds(c)
+      struct(lit(c).as("chunk_id"),
+        shiftright(col("sig"), off).bitwiseAND((1L << width) - 1).as("cv"))
+    }
+    val chunked = sig.select(col("doc_id"), col("sig"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("doc_id"), col("sig"), col("ch.chunk_id"), col("ch.cv"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Exact n-gram (w=2) Jaccard self-join with prefix filtering:
+    * order shingles by global frequency (rarest first), keep only the
+    * first n − ⌈t·n⌉ + 1 per doc as join keys — any pair with
+    * J ≥ t must collide on a prefix element (PPJoin bound), so the
+    * output is exactly the all-pairs answer without the all-pairs
+    * join.
+    */
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(documents, 2)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val ranked = sh.join(freq, "s")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val prefix = ranked.filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2 #32): treat media as opaque
+  * `binary` columns + typed metadata, with decode/feature-extract as
+  * distributed per-partition kernels.
+  *
+  * The decode kernel itself is STUBBED deterministically (no codec
+  * libraries in this container) — what's real and tested is the
+  * Spark-side shape: binary columns flowing through a scan, a typed
+  * `mapPartitions` over an `Encoder`-backed batch iterator (the
+  * Scala analog of `mapInPandas`: one kernel invocation per
+  * partition, streaming rows, no driver collect), and a stable
+  * output schema for downstream SQL.
+  */
+object Multimodal {
+
+  /** A "media file" row: opaque payload + metadata. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Extracted features (the decode-stub output schema). */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, digest: String,
+                             width: Long, height: Long, channels: Long)
+
+  /** Column-algebra metadata extraction — the oracle-checkable query:
+    * byte size, content digest, and a deterministic fake "header
+    * decode" (first two byte values as width/height, size mod 4 + 1
+    * as channels). Mirrors what a real header parse would produce,
+    * with arithmetic any engine can replay.
+    */
+  def binaryMeta(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("payload", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("width"),
+        ascii(substring(col("text"), 2, 1)).cast("long").as("height"),
+        (length(col("payload")) % 4 + 1).cast("long").as("channels"))
+      .withColumn("n_pixels", (col("width") * col("height")).cast("long"))
+      .orderBy(col("doc_id"))
+
+  /** The distributed decode pipeline: binary batches → per-partition
+    * kernel → typed rows. `decodeStub` stands in for an image/audio
+    * codec; everything around it (partitioning, iterator streaming,
+    * encoders, schema) is production-shaped. Covered by ScalaTest
+    * against [[binaryMeta]].
+    */
+  def decodePipeline(documents: DataFrame): Dataset[MediaMeta] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows => rows.map(decodeStub) }
+  }
+
+  /** Deterministic fake decoder — replace with a real codec call
+    * when the runtime ships one. Reads "header" bytes exactly like
+    * [[binaryMeta]]'s column expressions so the two paths agree.
+    */
+  private def decodeStub(m: MediaRow): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(m.payload).map("%02x".format(_)).mkString
+    MediaMeta(
+      doc_id = m.doc_id,
+      n_bytes = m.payload.length.toLong,
+      digest = digest,
+      width = if (m.payload.length > 0) m.payload(0).toLong & 0xff else 0L,
+      height = if (m.payload.length > 1) m.payload(1).toLong & 0xff else 0L,
+      channels = m.payload.length.toLong % 4 + 1)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.Hashing._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY §2
+  * #28-31): language scoring, quality features, token statistics,
+  * and content fingerprints. Everything is per-row Column algebra —
+  * no UDFs, no shuffles except the caller's, fully codegen'd — so
+  * these run at scan speed over 100 TB of documents.
+  */
+object TextOps {
+
+  /** Stopword marker sets per language (tiny, deliberately standard —
+    * the scoring method matters, not the lists).
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "y", "en", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private val langs = markers.keys.toSeq.sorted // de, en, es, fr, zh
+
+  /** Language ID by marker-token counting (with multiplicity),
+    * argmax with lexicographic tiebreak — deterministic n-gram
+    * profile scoring in miniature.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def score(l: String): Column =
+      size(filter(toks, t => t.isInCollection(markers(l)))).cast("long")
+    val scored = documents.select(
+      col("doc_id") +: col("lang") +: langs.map(l => score(l).as(s"s_$l")): _*)
+    // argmax, first-in-lexicographic-order wins ties
+    val pred =
+      when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_zh")), "de")
+        .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "en")
+        .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh")
+    scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+  }
+
+  /** Quality features: counts, ratios, and a keep flag — the
+    * classic length/punctuation/stopword heuristics.
+    */
+  def quality(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = markers("en")
+    documents.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v).as("sum_word_len"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
+        size(filter(toks, t => t.isInCollection(en))).cast("long").as("n_stop"))
+      .withColumn("avg_word_len",
+        round(col("sum_word_len").cast("double") / col("n_words").cast("double"), 6) + lit(0.0))
+      .withColumn("punct_ratio",
+        round(col("n_punct").cast("double") / col("n_chars").cast("double"), 6) + lit(0.0))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_words").cast("double"), 6) + lit(0.0))
+      .withColumn("keep",
+        col("n_words") >= 5 && col("punct_ratio") <= 0.1 &&
+          col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token statistics: whitespace tokens vs a BPE-ish pre-tokenizer
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
+      .withColumn("chars_per_token",
+        when(col("bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("bpe_tokens").cast("double"), 6) + lit(0.0)))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprint: minimum md5 over rolling 5-token shingles
+    * (min-hash winnowing); short docs fall back to whole-text md5.
+    * Grouping by fingerprint clusters near-identical prefixes cheaply.
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        coalesce(array_min(transform(shingles(col("text"), 5), s => md5(s))), md5(col("text")))
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+}
