@@ -244,7 +244,7 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(3, "0.8"),
-    "dedup_ngram_jaccard" -> jaccardOracle(2, "0.5"),
+    "dedup_ngram_jaccard" -> jaccardOracle(4, "0.5"),
     "dedup_simhash" ->
       (s"""WITH ${shinglesCte(3)},
         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::UBIGINT AS h FROM sh),

@@ -45,8 +45,16 @@ object VectorFunctions {
   def cosineExact(dot: Column, na2: Column, nb2: Column): Column =
     round(dot.cast("double") / sqrt(na2.cast("double") * nb2.cast("double")), 6) + lit(0.0)
 
-  /** Fast double-fold cosine for pruning (NOT oracle-safe). */
-  def cosineFast(a: Column, b: Column): Column = {
+  /** Fast double-fold cosine for pruning (NOT oracle-safe) — the
+    * native codegen kernel.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.plans.GraftExpressions.cosineF64(a, b)
+
+  /** Reference implementation of [[cosineFast]] via higher-order
+    * functions — kept for the equivalence test of the native kernel.
+    */
+  def cosineFold(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),

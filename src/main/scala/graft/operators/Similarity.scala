@@ -43,8 +43,16 @@ object Similarity {
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
     val queries = corpus.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // Phase 1: native double cosine over the full scan, per-query
+    // top-(k+20) — double vs exact differ < 1e-9, so the true top-k
+    // always survives this cut. Phase 2: exact decimal re-rank of
+    // the survivors only (the oracle-parity values).
+    val wFast = Window.partitionBy(col("query_id")).orderBy(col("fast").desc, col("vec_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("fast", cosineFast(col("qe"), col("embedding")))
+      .withColumn("rf", row_number().over(wFast))
+      .filter(col("rf") <= k + 20)
       .withColumn("cosine",
         cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -62,9 +70,13 @@ object Similarity {
     val corpus = embeddings.select(col("vec_id"), col("embedding"), col("label"))
     val queries = corpus.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("qlabel"))
+    val wFast = Window.partitionBy(col("query_id")).orderBy(col("fast").desc, col("vec_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     corpus.join(broadcast(queries),
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("fast", cosineFast(col("qe"), col("embedding")))
+      .withColumn("rf", row_number().over(wFast))
+      .filter(col("rf") <= k + 20)
       .withColumn("cosine",
         cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity of two
+  * `array<float>` columns, accumulated in doubles in index order.
+  *
+  * Semantically identical to the `zip_with`+`aggregate` double fold
+  * in [[graft.functions.VectorFunctions.cosineFast]], but whole-stage
+  * codegen emits a tight primitive loop (no per-element lambda
+  * dispatch or boxing) — this is the hot inner kernel of the
+  * all-pairs/top-k similarity scans, worth ~10× on a 100 TB corpus
+  * scan. Used for candidate pruning; exact-decimal math still
+  * produces every value that crosses the oracle boundary (SURVEY §5).
+  */
+case class CosineSimilarityF64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cosine_f64 expects two array<float> arguments, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_f64"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr1, arr2) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $arr1.getFloat($i);
+         |  double $yv = (double) $arr2.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftExpressions {
+  /** Column API for the native cosine kernel. */
+  def cosineF64(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarityF64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** SQL registration (`SELECT cosine_f64(a, b)`) via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`, or call
+  * [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineF64Descriptor)
+}
+
+object GraftExtensions {
+  private[graft] val cosineF64Descriptor =
+    (FunctionIdentifier("cosine_f64"),
+      new ExpressionInfo(classOf[CosineSimilarityF64].getName, "cosine_f64"),
+      (children: Seq[Expression]) => CosineSimilarityF64(children.head, children(1)): Expression)
+
+  /** Idempotent registration on an existing session (the round
+    * driver builds its own SparkSession without extensions).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      cosineF64Descriptor._1, cosineF64Descriptor._2, cosineF64Descriptor._3)
+}
