@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirrors of [[graft.operators.Events]]
+  * (SURVEY §2 #33/#34) — the incremental form of the reference's
+  * continuously-appended fact table (finanalyzer
+  * findatabase.py:196 `update_database` re-runs batch analytics
+  * after every append; here the analytics ARE the stream).
+  *
+  * Scale design: both jobs are keyed-state streaming — state is
+  * partitioned by group key across executors, watermarks bound state
+  * size, and output is append-only (safe for an exactly-once parquet
+  * or Kafka sink). Nothing buffers unbounded history.
+  */
+object EventsStream {
+
+  /** Input row for typed sessionization. `value` rides along for the
+    * session total.
+    */
+  case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+  /** Open-session state kept per user between micro-batches.
+    * Timestamps are epoch millis (second-truncated, matching the
+    * batch operator); the value total is accumulated in integer
+    * cents so state merge order can never change the result.
+    */
+  case class OpenSession(sessionId: Long, startMs: Long, endMs: Long,
+                         nEvents: Long, totalCents: Long)
+
+  /** Emitted closed session — same shape as the batch
+    * [[graft.operators.Events.sessionize]] output.
+    */
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+                     start_ts: Timestamp, end_ts: Timestamp, total_value: Double)
+
+  private def cents(v: Double): Long = math.round(v * 100)
+
+  private def toSession(userId: Long, s: OpenSession): Session =
+    Session(userId, s.sessionId, s.nEvents,
+      new Timestamp(s.startMs), new Timestamp(s.endMs), s.totalCents / 100.0)
+
+  /** Tumbling 1-hour rollup per event_type with a watermark — the
+    * streaming form of [[graft.operators.Events.hourlyRollup]].
+    *
+    * Differences forced by streaming semantics: `n_users` is
+    * `approx_count_distinct` (exact distinct would need unbounded
+    * per-window user sets in state), and a window only emits once the
+    * watermark passes its end (append mode). Partial aggregation
+    * still happens map-side per micro-batch; state per window×type is
+    * O(1).
+    */
+  def hourlyRollup(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("total_value"),
+        approx_count_distinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("total_value"), col("n_users"))
+
+  /** Gap-based sessionization with `flatMapGroupsWithState` — the
+    * streaming form of [[graft.operators.Events.sessionize]].
+    *
+    * Per user (the group key): events in each micro-batch are sorted
+    * by (ts, event_id), folded into the open session from state, and
+    * sessions close either when a later event exceeds the gap or when
+    * the event-time timeout fires (watermark passed end + gap, so no
+    * in-order event can extend the session anymore). Out-of-order
+    * events are handled within the watermark delay; later ones are
+    * dropped by the watermark, the same contract as any streaming
+    * aggregation.
+    *
+    * State per key is one fixed-size [[OpenSession]]; emitted rows
+    * are append-only closed sessions.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkDelay: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession(userId, _)).iterator
+            state.remove()
+            out
+          } else {
+            val evs = batch.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Vector.newBuilder[Session]
+            var open = state.getOption
+            evs.foreach { e =>
+              val tsec = math.floorDiv(e.ts.getTime, 1000L) * 1000L
+              open = open match {
+                case Some(s) if tsec <= s.endMs + gapMs =>
+                  Some(s.copy(endMs = math.max(s.endMs, tsec),
+                    nEvents = s.nEvents + 1, totalCents = s.totalCents + cents(e.value)))
+                case Some(s) =>
+                  closed += toSession(userId, s)
+                  Some(OpenSession(s.sessionId + 1, tsec, tsec, 1, cents(e.value)))
+                case None =>
+                  Some(OpenSession(1, tsec, tsec, 1, cents(e.value)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Timeout may not be <= current watermark; clamp up.
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** The native cosine_f64 Catalyst expression must be bit-identical to
+  * its higher-order-function reference (same index-order double
+  * accumulation), across interpreted eval and codegen.
+  */
+class CosineKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int): Seq[(Long, Array[Float], Array[Float])] = {
+    val rng = new scala.util.Random(42)
+    (0 until n).map { i =>
+      (i.toLong,
+        Array.fill(dim)(rng.nextFloat() * 2 - 1),
+        Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    }
+  }
+
+  test("native kernel equals the fold reference bit-for-bit") {
+    val df = randVecs(200, 64).toDF("id", "a", "b")
+    val bad = df
+      .withColumn("native", cosineFast(col("a"), col("b")))
+      .withColumn("ref", cosineFold(col("a"), col("b")))
+      .filter(col("native") =!= col("ref"))
+      .count()
+    assert(bad === 0)
+  }
+
+  test("null inputs yield null, not a crash") {
+    val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]])).toDF("a", "b")
+    val out = df.select(cosineFast(col("a"), col("b"))).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("self-cosine is 1.0") {
+    val df = randVecs(50, 16).toDF("id", "a", "b")
+    val bad = df.select(abs(cosineFast(col("a"), col("a")) - 1.0).as("d"))
+      .filter(col("d") > 1e-12).count()
+    assert(bad === 0)
+  }
+
+  test("SQL registration via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT cosine_f64(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c").collect()
+    assert(r.head.getDouble(0) === 0.0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.Dedup
+
+/** Sketch-based dedup operators are checked against an independent
+  * in-Scala brute-force implementation (different tokenizer code,
+  * different hash plumbing) on a corpus engineered to contain
+  * near-dupes at several similarity levels.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus: base docs from a seeded vocab + perturbed near-copies.
+  private val corpus: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    val bases = (0 until 12).map(_ => Vector.fill(30)(vocab(rng.nextInt(vocab.size))))
+    val docs = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+    bases.foreach { b =>
+      docs += b
+      if (rng.nextBoolean()) docs += b.updated(rng.nextInt(b.size), vocab(rng.nextInt(vocab.size))) // near-dup
+      if (rng.nextBoolean()) docs += b.drop(3) // prefix-shifted near-dup
+    }
+    docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+  }
+
+  private def shingleSet(text: String, w: Int): Set[String] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < w) Set.empty
+    else toks.sliding(w).map(_.mkString(" ")).toSet
+  }
+
+  /** Independent all-pairs Jaccard (the oracle the LSH/prefix-filter
+    * variants must reproduce exactly).
+    */
+  private def bruteJaccard(w: Int, t: Double): Set[(Long, Long, Double)] = {
+    val sets = corpus.map { case (id, txt) => id -> shingleSet(txt, w) }.toMap
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= t
+    } yield (a, b, j)).toSet
+  }
+
+  test("minhashLsh reproduces the brute-force Jaccard >= 0.8 pairs") {
+    val got = Dedup.minhashLsh(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === bruteJaccard(3, 0.8))
+    assert(got.nonEmpty, "corpus must actually contain near-dupes")
+  }
+
+  test("ngramJaccard (w=4 prefix filtering) reproduces brute force >= 0.5") {
+    val got = Dedup.ngramJaccard(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === bruteJaccard(4, 0.5))
+    assert(got.nonEmpty)
+  }
+
+  /** In-Scala 60-bit md5 hash — mirrors Hashing.hex60 independently. */
+  private def hex60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  private def simhashSig(text: String): Long = {
+    val hs = shingleSet(text, 3).map(hex60)
+    (0 until 60).foldLeft(0L) { (sig, i) =>
+      val bal = hs.toSeq.map(h => if (((h >> i) & 1L) == 1L) 1 else -1).sum
+      if (bal > 0) sig | (1L << i) else sig
+    }
+  }
+
+  test("simhash finds exactly the Hamming <= 8 signature pairs") {
+    val sigs = corpus.map { case (id, txt) => id -> simhashSig(txt) }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= 8
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhash(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("exact dedup groups identical texts only") {
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "different text")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L), (3L, 1L))) // (keep_id, n_dups)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Maintenance
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, 1L, ts("2026-01-01 10:00:00"), "a", 1.0),
+    (2L, 1L, ts("2026-01-01 12:00:00"), "b", 2.0), // same user/day, later -> kept by dedupLatest
+    (3L, 1L, ts("2026-01-05 10:00:00"), "c", 3.0),
+    (4L, 2L, ts("2026-01-09 10:00:00"), "d", 4.0),
+  ).toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  test("dedupLatest keeps the newest row per (user, day)") {
+    val kept = Maintenance.dedupLatest(events).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L))
+  }
+
+  test("retentionWindow keeps rows within N days of the global max ts") {
+    val kept = Maintenance.retentionWindow(events, days = 7).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L)) // cutoff = Jan 2 10:00
+  }
+
+  test("incrementalDelta keeps rows within N days of each user's max ts") {
+    val kept = Maintenance.incrementalDelta(events, days = 3).collect().map(_.getLong(0)).toSet
+    // user 1 checkpoint Jan 5 -> cutoff Jan 2 (drops ids 1,2); user 2 keeps its only row
+    assert(kept === Set(3L, 4L))
+  }
+
+  test("lastUpdate reports max date and count per key") {
+    val orders = Seq(
+      (10L, 1L, ts("2026-02-01 00:00:00")),
+      (11L, 1L, ts("2026-03-01 00:00:00")),
+      (12L, 2L, ts("2026-01-15 00:00:00")),
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = Maintenance.lastUpdate(orders).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2))).toSeq
+    assert(got === Seq((1L, "2026-03-01", 2L), (2L, "2026-01-15", 1L)))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Events
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming mirrors must agree with their batch counterparts once
+  * the watermark closes the windows/sessions.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // A far-future flush event advances the watermark so append-mode
+  // results (closed windows / timed-out sessions) are emitted.
+  private val flush = Event(999L, 9999L, ts("2026-06-01 00:00:00"), 0.0)
+
+  test("streaming sessionize matches batch sessionize after watermark passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventsStream.sessionize(input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val evs = Seq(
+        Event(1L, 1L, ts("2026-01-01 10:00:00"), 1.0),
+        Event(1L, 2L, ts("2026-01-01 10:20:00"), 2.0),
+        Event(1L, 3L, ts("2026-01-01 11:00:00"), 4.0),
+        Event(2L, 5L, ts("2026-01-01 09:30:00"), 8.0),
+        Event(2L, 4L, ts("2026-01-01 09:10:00"), 16.0))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      input.addData(flush) // watermark jumps past every session's end+gap
+      q.processAllAvailable()
+      input.addData(Event(999L, 10000L, ts("2026-12-01 00:00:00"), 0.0)) // fire timeouts
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out")
+        .filter(col("user_id") =!= 999L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3), r.getTimestamp(4), r.getDouble(5))).toSet
+
+      val batch = Events.sessionize(
+          evs.map(e => (e.event_id, e.user_id, e.ts, "t", e.value))
+            .toDF("event_id", "user_id", "ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3), r.getTimestamp(4), r.getDecimal(5).doubleValue())).toSet
+
+      assert(got === batch)
+      assert(got.size === 3)
+    } finally q.stop()
+  }
+
+  test("streaming hourlyRollup emits closed hourly windows matching batch counts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val rollup = EventsStream.hourlyRollup(
+      input.toDS().withColumn("event_type", lit("view")).toDF())
+    val q = rollup.writeStream.format("memory").queryName("rollup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, 1L, ts("2026-01-01 10:05:00"), 1.5),
+        Event(2L, 2L, ts("2026-01-01 10:55:00"), 2.5),
+        Event(1L, 3L, ts("2026-01-01 11:01:00"), 3.0))
+      q.processAllAvailable()
+      input.addData(flush)
+      q.processAllAvailable()
+
+      val got = spark.table("rollup_out")
+        .filter(col("bucket") < ts("2026-06-01 00:00:00"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(2), r.getDecimal(3).doubleValue())).toSet
+      assert(got === Set(
+        (ts("2026-01-01 10:00:00"), 2L, 4.0),
+        (ts("2026-01-01 11:00:00"), 1L, 3.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats: whitespace vs BPE-ish pre-tokenizer counts") {
+    val docs = Seq((1L, "Hello, world! abc123")).toDF("doc_id", "text")
+    val r = TextOps.tokenStats(docs).collect().head
+    assert(r.getLong(1) === 20L) // n_chars
+    assert(r.getLong(2) === 3L)  // ws tokens: "Hello,", "world!", "abc123"
+    // bpe: Hello , world ! abc 123 -> 6
+    assert(r.getLong(3) === 6L)
+  }
+
+  test("quality flags short or punctuation-heavy docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "!!! ??? ;;; ::: ..."),
+      (3L, "hi")).toDF("doc_id", "text")
+    val keep = TextOps.quality(docs).collect().map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("langId scores marker stopwords with multiplicity") {
+    val docs = Seq(
+      (1L, "the cat of the house is to be found in the garden"),
+      (2L, "el gato en la casa es que los perros y el sol"),
+      (3L, "der hund und die katze ist nicht ein vogel")).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("?"))
+    val got = TextOps.langId(docs).collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de"))
+  }
+
+  test("fingerprint is identical for identical token streams, and falls back on short docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a  b   c d e f g"), // same tokens, different whitespace
+      (3L, "tiny doc")).toDF("doc_id", "text")
+    val fps = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(3L).nonEmpty && fps(3L) != fps(1L))
+  }
+}
