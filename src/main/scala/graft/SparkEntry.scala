@@ -254,7 +254,7 @@ object SparkEntry {
         |        FROM bits GROUP BY 1)
         |SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 8 ORDER BY a, b""".stripMargin),
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY a, b""".stripMargin),
     "dedup_embedding" ->
       (s"""WITH $normsCte,
         |dots AS (SELECT a, b, sum(p) AS dot FROM (

@@ -33,14 +33,19 @@ object Hashing {
   /** Distinct sorted token set — the unit for Jaccard similarity. */
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
 
-  /** w-token shingles joined with a char that can't appear in tokens. */
+  /** w-token shingles joined with a char that can't appear in tokens.
+    * One `when` guard outside the transform (sequence(1, 0) would
+    * count DOWN, so short docs need the explicit empty-array branch);
+    * per-offset work is just slice + concat_ws. Higher-order
+    * functions evaluate interpreted, so keeping the per-element
+    * expression minimal matters on a 100 TB text scan.
+    */
   def shingles(text: Column, w: Int): Column = {
     val toks = tokens(text)
     val n = size(toks)
-    // sequence(0, n-w) enumerates shingle start offsets; slice is 1-based.
-    filter(
-      transform(sequence(lit(0), greatest(n - lit(w), lit(0))),
-        i => when(n >= w, concat_ws(" ", slice(toks, i + 1, lit(w))))),
-      s => s.isNotNull)
+    when(n >= w,
+      transform(sequence(lit(1), n - lit(w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+      .otherwise(array().cast("array<string>"))
   }
 }

@@ -28,9 +28,25 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("text_hash"))
 
-  /** Distinct w-token shingles, one row per (doc_id, shingle). */
-  private def shingleRows(documents: DataFrame, w: Int): DataFrame =
-    documents.select(col("doc_id"), explode(shingles(col("text"), w)).as("s")).distinct()
+  /** Distinct w-token shingles, one row per (doc_id, shingle).
+    *
+    * Dedup within a doc is `array_distinct` BEFORE the explode — a
+    * per-row operation, not a 260M-row global `distinct()` shuffle.
+    * The repartition on doc_id (a) parallelizes the explode even when
+    * the scan yields few input splits, and (b) establishes the hash
+    * partitioning that every downstream groupBy(doc_id) /
+    * Window(doc_id) in the sketch pipelines reuses shuffle-free —
+    * text moves once, pre-explosion, at ~1/5 the shingle volume.
+    */
+  private def shingleRows(documents: DataFrame, w: Int): DataFrame = {
+    // Explicit partition count: hashing/shingling is CPU-bound on
+    // narrow rows, and AQE's byte-based coalescing would shrink a
+    // small-byte shuffle to ~1 partition and serialize it. A
+    // user-numbered repartition is exempt from AQE coalescing.
+    val parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    documents.repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), w))).as("s"))
+  }
 
   /** Exact Jaccard verification of candidate (a, b) pairs against the
     * full shingle sets; emits pairs with round(j, 6) ≥ threshold.
@@ -85,10 +101,18 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 60-bit signature over w=3 shingles,
-    * candidate generation by pigeonhole chunking (9 chunks catch
-    * every pair with Hamming ≤ 8), exact Hamming verify.
+    * candidate generation by pigeonhole chunking, exact Hamming
+    * verify.
+    *
+    * Default budget is Hamming ≤ 3 → 4 chunks of 15 bits (the
+    * classic Manku-et-al configuration): each chunk key carries 15
+    * bits, so random-signature collisions are ~2⁻¹⁵ per chunk and
+    * the candidate join stays linear in the true near-dup count.
+    * (A loose budget like ≤ 8 forces 9 chunks of only 6-7 bits —
+    * 1/64-selective buckets whose candidate set grows ~N²/64: fine
+    * on thousands of docs, catastrophic at 100 TB.)
     */
-  def simhash(documents: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhash(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = shingleRows(documents, 3)
     val h = sh.select(col("doc_id"), hex60(col("s")).as("h"))
     // Per-bit balance: +1 when bit set, −1 otherwise, summed per doc.
@@ -133,10 +157,18 @@ object Dedup {
     // near-linear (w=2 on a 40-word vocab put hundreds of docs in
     // every bucket → a quadratic candidate join).
     val sh = shingleRows(documents, 4)
-    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    // Prefix ordering only has to be SOME consistent total order —
+    // the PPJoin bound holds for any — so exact global counts are
+    // only needed where they differ from 1. The repeated-shingle
+    // table (count ≥ 2) is bounded by the duplicate mass, not the
+    // corpus: broadcast it and default unseen shingles to f=1. This
+    // keeps sh's doc_id partitioning intact straight into the
+    // row_number window (no shuffle on s for the corpus side).
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f")).filter(col("f") >= 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
-    val ranked = sh.join(freq, "s")
+    val ranked = sh.join(broadcast(freq), Seq("s"), "left")
+      .withColumn("f", coalesce(col("f"), lit(1L)))
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))

@@ -76,12 +76,12 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("simhash finds exactly the Hamming <= 8 signature pairs") {
+  test("simhash finds exactly the Hamming <= 3 signature pairs") {
     val sigs = corpus.map { case (id, txt) => id -> simhashSig(txt) }
     val expected = (for {
       (a, sa) <- sigs; (b, sb) <- sigs if a < b
       h = java.lang.Long.bitCount(sa ^ sb)
-      if h <= 8
+      if h <= 3
     } yield (a, b, h.toLong)).toSet
     val got = Dedup.simhash(corpus.toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
