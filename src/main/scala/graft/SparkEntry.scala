@@ -52,6 +52,13 @@ object SparkEntry {
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
+    "curate_split"        -> ((s, d) => Curation.splitAssign(Tables(s, d).documents)),
+    "curate_sample"       -> ((s, d) => Curation.sampleStratified(Tables(s, d).documents)),
+    "curate_stats"        -> ((s, d) => Curation.corpusStats(Tables(s, d).documents)),
+    "salted_enrich"       -> ((s, d) => { val t = Tables(s, d); Skew.saltedEnrich(t.events, t.customer) }),
+    "events_type_pivot"   -> ((s, d) => Events.typePivot(Tables(s, d).events)),
+    "fin_quantiles"       -> ((s, d) => FinAnalytics.valueQuantiles(Tables(s, d).events)),
+    "maint_inactive"      -> ((s, d) => { val t = Tables(s, d); Maintenance.inactiveCustomers(t.customer, t.events) }),
   )
 
   /** DuckDB token/shingle building blocks shared by the text oracles. */
@@ -363,6 +370,50 @@ object SparkEntry {
         |  sum(CAST(value AS DECIMAL(12,2))) AS total_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "curate_split" ->
+      """SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 100 AS BIGINT) AS bucket
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "curate_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "curate_stats" ->
+      (s"""WITH t AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len($toksExpr) AS BIGINT) AS n_toks FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN n_toks >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) + 0.0 AS avg_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
+    "salted_enrich" ->
+      """SELECT event_id, user_id, c_name, c_mktsegment, value
+        |FROM events JOIN customer ON user_id = c_custkey ORDER BY event_id""".stripMargin,
+    "events_type_pivot" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "fin_quantiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM events)
+        |SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+        |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "maint_inactive" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT user_id FROM events) ORDER BY c_custkey""".stripMargin,
     "top_parts_revenue" ->
       """SELECT p_brand, l_partkey, revenue, rank FROM (
         |  SELECT p_brand, l_partkey,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.Hashing._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines (SURVEY §2
+  * #36-38): deterministic splits, stratified sampling, and corpus
+  * statistics.
+  *
+  * All randomness is content-hash derived (md5 of the stable id) —
+  * reproducible across runs, engines, partitionings, and cluster
+  * sizes, which is the property a 100 TB curation pipeline actually
+  * needs (a re-run must assign the same doc to the same split).
+  * Everything is one scan + one narrow aggregation or window; no
+  * operator materializes more than per-group constants.
+  */
+object Curation {
+
+  /** Deterministic 80/10/10 train/val/test assignment by id-hash
+    * bucket. Pure per-row math on the scan — no shuffle at all.
+    */
+  def splitAssign(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"), hex60Bucket(col("doc_id"), 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  /** id → md5 → 60-bit int → bucket in [0, n). */
+  private def hex60Bucket(id: org.apache.spark.sql.Column, n: Int) =
+    hex60(id.cast("string")) % n
+
+  /** Deterministic stratified sample: the k pseudo-random docs per
+    * stratum, chosen by md5-order within the stratum. One shuffle on
+    * the stratum key; the window only tracks a row counter.
+    */
+  def sampleStratified(documents: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Per-language corpus statistics: doc/char/token totals and the
+    * keep-rate under the [[TextOps.quality]] length gate. Map-side
+    * partial aggregation; the shuffle carries one row per language.
+    */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(col("lang"), col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(when(col("n_toks") >= 5, 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("avg_chars",
+        round(col("total_chars").cast("double") / col("n_docs").cast("double"), 6) + lit(0.0))
+      .orderBy(col("lang"))
+  }
+}

@@ -46,6 +46,20 @@ object Events {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("bucket"), col("event_type"))
 
+  /** Per-user event-type profile — the pivot/crosstab pattern as
+    * explicit conditional aggregation (deterministic column set; a
+    * dynamic `pivot` would scan for distinct values first). One
+    * hash aggregation on user_id.
+    */
+  def typePivot(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        types.map(t => sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+          sum(dec2(col("value"))).as("total_value"): _*)
+      .orderBy(col("user_id"))
+  }
+
   /** Revenue per part ranked within brand (dense_rank ≤ 3) — the
     * windowed top-N pattern; part dimension broadcasts.
     */

@@ -168,6 +168,28 @@ object FinAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Exact distributed quantiles (p50/p90/p99 of value per
+    * event_type) via rank selection: rank = ⌈q·n⌉ computed in
+    * integer arithmetic (no float q·n — engines disagree on
+    * ceil(0.9·n) when 0.9·n lands on an ulp boundary). One shuffle
+    * on the group key; the sort is per-group within partitions.
+    * The selected VALUE is tie-stable: permuting equal values never
+    * changes the element at a rank.
+    */
+  def valueQuantiles(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("value"))).as("p90"),
+        max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("value"))).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fact ⋈ broadcast dimension — the namesId → namesCompanies join
     * (findatabase.py `get_ticker_from_id` done set-wise).
     */

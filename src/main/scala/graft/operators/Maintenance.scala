@@ -51,6 +51,17 @@ object Maintenance {
       .orderBy(col("event_id"))
   }
 
+  /** Referential-integrity sweep: dimension rows with no facts —
+    * left_anti join, which Spark executes as a broadcast/shuffled
+    * hash anti-join with only the key column of the fact side read
+    * (column pruning reaches the scan).
+    */
+  def inactiveCustomers(customer: DataFrame, events: DataFrame): DataFrame =
+    customer.join(events.select(col("user_id")),
+        col("c_custkey") === col("user_id"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
   /** Incremental delta: rows newer than each key's checkpoint
     * (per-key max(ts) − N days) — `update_database`'s fetch-only-
     * newer-than-last-recorded-date, per key in one pass via a

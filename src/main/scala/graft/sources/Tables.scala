@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Parquet table catalog over a scale-factor directory.
   *
@@ -43,6 +44,25 @@ final class Tables(spark: SparkSession, dir: String) {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+}
+
+/** Non-parquet sources/sinks. Schemas are always EXPLICIT on read:
+  * inference needs an extra full pass over the data (ruinous at
+  * 100 TB) and can silently mistype columns; a declared schema makes
+  * the read one pass and the types a contract.
+  */
+object Formats {
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }
 
 object Tables {

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Curation, Skew, Multimodal}
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("splitAssign is deterministic, exhaustive, and ~80/10/10") {
+    val out = Curation.splitAssign(docs).cache()
+    assert(out.count() === docs.count())
+    val frac = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frac("train") > frac("val") && frac("train") > frac("test"))
+    // re-run gives identical assignment (content-hash, not rand())
+    val again = Curation.splitAssign(docs)
+    assert(out.join(again, Seq("doc_id"))
+      .filter(out("split") =!= again("split")).count() === 0)
+    out.unpersist()
+  }
+
+  test("sampleStratified returns k docs per stratum, stable across runs") {
+    val s1 = Curation.sampleStratified(docs, k = 5).collect().map(r => (r.getLong(0), r.getString(1)))
+    val s2 = Curation.sampleStratified(docs, k = 5).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.groupBy(_._2).forall(_._2.length == 5))
+  }
+
+  test("saltedEnrich equals the plain join") {
+    // events is a TIMESTAMP(NANOS) table: must go through the catalog reader
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val salted = Skew.saltedEnrich(t.events, t.customer).collect().map(_.toString).sorted
+    val plain = graft.operators.FinAnalytics.companyEnrich(t.events, t.customer)
+      .collect().map(_.toString).sorted
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("decodePipeline (mapPartitions kernel) agrees with binaryMeta column algebra") {
+    val viaKernel = Multimodal.decodePipeline(docs).collect()
+      .map(m => (m.doc_id, m.n_bytes, m.digest, m.width, m.height, m.channels)).toSet
+    val viaColumns = Multimodal.binaryMeta(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(viaKernel === viaColumns)
+  }
+
+  test("csv and json round-trips preserve data with explicit schemas") {
+    val df = Seq((1L, "a,b\"c", 1.5), (2L, "plain", -0.25)).toDF("id", "s", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    Formats.writeCsv(df, s"$dir/csv")
+    Formats.writeJsonLines(df, s"$dir/json")
+    val csvBack = Formats.readCsv(spark, s"$dir/csv", df.schema).collect().map(_.toString).sorted
+    val jsonBack = Formats.readJsonLines(spark, s"$dir/json", df.schema).collect().map(_.toString).sorted
+    val want = df.collect().map(_.toString).sorted
+    assert(csvBack.toSeq === want.toSeq)
+    assert(jsonBack.toSeq === want.toSeq)
+  }
+}
