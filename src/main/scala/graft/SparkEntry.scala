@@ -58,6 +58,8 @@ object SparkEntry {
     "salted_enrich"       -> ((s, d) => { val t = Tables(s, d); Skew.saltedEnrich(t.events, t.customer) }),
     "events_type_pivot"   -> ((s, d) => Events.typePivot(Tables(s, d).events)),
     "fin_quantiles"       -> ((s, d) => FinAnalytics.valueQuantiles(Tables(s, d).events)),
+    "fin_weekday_hour_mean" -> ((s, d) => FinAnalytics.weekdayHourMean(Tables(s, d).events)),
+    "fin_scale_values"    -> ((s, d) => FinAnalytics.scaleValues(Tables(s, d).events)),
     "maint_inactive"      -> ((s, d) => { val t = Tables(s, d); Maintenance.inactiveCustomers(t.customer, t.events) }),
   )
 
@@ -411,6 +413,17 @@ object SparkEntry {
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
         |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fin_weekday_hour_mean" ->
+      """SELECT date_part('dow', ts) AS dow, date_part('hour', ts) AS hour, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mean_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "fin_scale_values" ->
+      """SELECT event_id, user_id, value,
+        |  CASE WHEN vmax > vmin THEN round((value - vmin) / (vmax - vmin), 6) + 0.0 END AS scaled
+        |FROM (SELECT event_id, user_id, value,
+        |        min(value) OVER (PARTITION BY user_id) AS vmin,
+        |        max(value) OVER (PARTITION BY user_id) AS vmax
+        |      FROM events) ORDER BY event_id""".stripMargin,
     "maint_inactive" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT user_id FROM events) ORDER BY c_custkey""".stripMargin,

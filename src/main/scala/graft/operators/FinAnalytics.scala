@@ -168,6 +168,37 @@ object FinAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Group-mean over (weekday, hour) — the seasonality profile from
+    * plot_cyclical_feature_engineering.py's groupby-mean plots.
+    * Exact decimal sums; output is 7×24 rows regardless of input
+    * size (perfectly partial-aggregatable).
+    */
+  def weekdayHourMean(events: DataFrame): DataFrame =
+    events
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"), col("value"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), avgExact(col("value")).as("mean_value"))
+      .orderBy(col("dow"), col("hour"))
+
+  /** Per-key min-max scaling of value to [0, 1] — the reference's
+    * target-scaling step, distributed: one shuffle on the key, the
+    * extrema computed by whole-partition window (no self-join), null
+    * when the key is constant.
+    */
+  def scaleValues(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("vmin", min(col("value")).over(w))
+      .withColumn("vmax", max(col("value")).over(w))
+      .withColumn("scaled",
+        when(col("vmax") > col("vmin"),
+          round((col("value") - col("vmin")) / (col("vmax") - col("vmin")), 6) + lit(0.0)))
+      .select(col("event_id"), col("user_id"), col("value"), col("scaled"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact distributed quantiles (p50/p90/p99 of value per
     * event_type) via rank selection: rank = ⌈q·n⌉ computed in
     * integer arithmetic (no float q·n — engines disagree on
