@@ -60,6 +60,7 @@ object SparkEntry {
     "fin_quantiles"       -> ((s, d) => FinAnalytics.valueQuantiles(Tables(s, d).events)),
     "fin_weekday_hour_mean" -> ((s, d) => FinAnalytics.weekdayHourMean(Tables(s, d).events)),
     "fin_scale_values"    -> ((s, d) => FinAnalytics.scaleValues(Tables(s, d).events)),
+    "fin_asof_price"      -> ((s, d) => FinAnalytics.asofPrice(Tables(s, d).events)),
     "maint_inactive"      -> ((s, d) => { val t = Tables(s, d); Maintenance.inactiveCustomers(t.customer, t.events) }),
   )
 
@@ -413,6 +414,13 @@ object SparkEntry {
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
         |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fin_asof_price" -> (closesCte +
+      """
+        |, c AS (SELECT user_id, day, CAST(day AS TIMESTAMP) AS day_ts, close FROM closes)
+        |SELECT e.event_id, e.user_id, e.value, c.day AS close_day, c.close
+        |FROM events e ASOF LEFT JOIN c
+        |  ON e.user_id = c.user_id AND e.ts >= c.day_ts
+        |ORDER BY e.event_id""".stripMargin),
     "fin_weekday_hour_mean" ->
       """SELECT date_part('dow', ts) AS dow, date_part('hour', ts) AS hour, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mean_value

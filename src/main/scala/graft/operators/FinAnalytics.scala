@@ -221,6 +221,23 @@ object FinAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Each event tagged with the most recent daily close at-or-before
+    * its timestamp — a true AS-OF join, executed by the custom
+    * sort-merge operator in [[graft.plans.AsOfJoin]] (single shuffle
+    * per side, O(1) merge state). The set-wise form of the
+    * reference's max(dateValue)/ORDER BY DESC point lookups.
+    */
+  def asofPrice(events: DataFrame): DataFrame = {
+    val c = closes(events)
+      .select(col("user_id").as("c_user_id"), col("day"),
+        col("day").cast("timestamp").as("day_ts"), col("close"))
+    val e = events.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.AsOf.join(e, c, "user_id", "c_user_id", "ts", "day_ts")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("day").as("close_day"), col("close"))
+      .orderBy(col("event_id"))
+  }
+
   /** Fact ⋈ broadcast dimension — the namesId → namesCompanies join
     * (findatabase.py `get_ticker_from_id` done set-wise).
     */
