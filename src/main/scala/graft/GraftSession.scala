@@ -15,6 +15,8 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(master)
+      // graft extensions: cosine_f64 SQL function + AsOfJoin strategy
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
