@@ -62,6 +62,8 @@ object SparkEntry {
     "fin_scale_values"    -> ((s, d) => FinAnalytics.scaleValues(Tables(s, d).events)),
     "fin_asof_price"      -> ((s, d) => FinAnalytics.asofPrice(Tables(s, d).events)),
     "maint_inactive"      -> ((s, d) => { val t = Tables(s, d); Maintenance.inactiveCustomers(t.customer, t.events) }),
+    "maint_upsert"        -> ((s, d) => Maintenance.upsert(Tables(s, d).events)),
+    "text_vocab"          -> ((s, d) => TextOps.vocab(Tables(s, d).documents)),
   )
 
   /** DuckDB token/shingle building blocks shared by the text oracles. */
@@ -435,6 +437,17 @@ object SparkEntry {
     "maint_inactive" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT user_id FROM events) ORDER BY c_custkey""".stripMargin,
+    // The incremental upsert must equal the full batch recompute.
+    "maint_upsert" ->
+      """SELECT event_id, user_id, day, event_type, value FROM (
+        |  SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, day""".stripMargin,
+    "text_vocab" ->
+      (s"""WITH t AS (SELECT unnest($toksExpr) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM t GROUP BY token
+        |ORDER BY n DESC, token LIMIT 50""".stripMargin),
     "top_parts_revenue" ->
       """SELECT p_brand, l_partkey, revenue, rank FROM (
         |  SELECT p_brand, l_partkey,

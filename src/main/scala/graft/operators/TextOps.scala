@@ -83,6 +83,18 @@ object TextOps {
           round(col("n_chars").cast("double") / col("bpe_tokens").cast("double"), 6) + lit(0.0)))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary: global token frequencies, top-k by count.
+    * Explode → hash-aggregate (map-side partial combine collapses to
+    * the vocabulary size per partition) → TakeOrderedAndProject for
+    * the global top-k: no full sort, no window.
+    */
+  def vocab(documents: DataFrame, k: Int = 50): DataFrame =
+    documents.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Content fingerprint: minimum md5 over rolling 5-token shingles
     * (min-hash winnowing); short docs fall back to whole-text md5.
     * Grouping by fingerprint clusters near-identical prefixes cheaply.

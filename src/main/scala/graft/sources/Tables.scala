@@ -46,6 +46,19 @@ final class Tables(spark: SparkSession, dir: String) {
   }
 }
 
+/** Bucketed table writes — pre-shuffled storage. A table bucketed
+  * (and sorted) by its join/aggregation key lets every later
+  * equi-join or groupBy on that key run WITHOUT a shuffle: the scan
+  * itself reports hash partitioning. At 100 TB this turns the
+  * nightly fact⋈fact join from two full shuffles into zero.
+  */
+object Bucketed {
+  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table) // managed, under spark.sql.warehouse.dir
+}
+
 /** Non-parquet sources/sinks. Schemas are always EXPLICIT on read:
   * inference needs an extra full pass over the data (ruinous at
   * 100 TB) and can silently mistype columns; a declared schema makes
