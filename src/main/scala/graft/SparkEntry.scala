@@ -41,6 +41,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(Tables(s, d).documents)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables(s, d).documents)),
+    "dedup_components"    -> ((s, d) => Dedup.components(Tables(s, d).documents)),
     "dedup_embedding"     -> ((s, d) => Similarity.embeddingNearDup(Tables(s, d).embeddings)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
@@ -256,6 +257,20 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(3, "0.8"),
+    "dedup_components" ->
+      (s"""WITH RECURSIVE ${shinglesCte(3)},
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        |          WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) + 0.0 >= 0.8),
+        |edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b AS s, a AS d FROM pairs),
+        |gnodes AS (SELECT DISTINCT s AS node FROM edges),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM gnodes
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
+        |SELECT node, min(r) AS comp FROM reach GROUP BY node ORDER BY node""".stripMargin),
     "dedup_ngram_jaccard" -> jaccardOracle(4, "0.5"),
     "dedup_simhash" ->
       (s"""WITH ${shinglesCte(3)},

@@ -144,6 +144,41 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Duplicate-cluster resolution: connected components over the
+    * near-dup pair graph by min-label propagation, so every doc in a
+    * transitive dup cluster maps to one canonical keeper (the min
+    * doc_id). This is the step that turns pairwise dedup output into
+    * an actionable keep/drop list.
+    *
+    * Distributed CC the standard way: labels start as node ids; each
+    * round every node takes the min label among itself and its
+    * neighbors; converged when nothing changes. Rounds = component
+    * diameter — tiny for dup clusters (pairs are near-cliques), so
+    * the loop is 2-3 shuffle rounds of |E| rows. The driver only
+    * ever sees one change-count per round, never data.
+    */
+  def components(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(documents, threshold = threshold).select(col("a"), col("b"))
+    val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = labels.join(edges, col("node") === col("a"))
+        .groupBy(col("b")).agg(min(col("comp")).as("ncomp"))
+        .select(col("b").as("node"), col("ncomp"))
+      val next = labels.join(viaNeighbors, Seq("node"), "left")
+        .select(col("node"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .cache()
+      changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.orderBy(col("node"))
+  }
+
   /** Exact n-gram (w=4) Jaccard self-join with prefix filtering:
     * order shingles by global frequency (rarest first), keep only the
     * first n − ⌈t·n⌉ + 1 per doc as join keys — any pair with

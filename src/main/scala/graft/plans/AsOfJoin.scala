@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.internal.SQLConf
@@ -38,6 +39,32 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: a predicate that references only the LEFT KEY of
+  * an as-of join prunes BOTH sides — matches require key equality,
+  * so right rows whose (rewritten) key fails the predicate can never
+  * be picked. Catalyst's own pushdown rules don't know the node, so
+  * without this a `WHERE user_id = 42` above an as-of join scans the
+  * whole right table; with it, the predicate reaches both parquet
+  * scans (partition/row-group pruning at 100 TB).
+  */
+object AsOfJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(AttributeSet(Seq(aj.leftKey))))
+      if (pushable.isEmpty) f
+      else {
+        val leftCond = pushable.reduce(And)
+        val rightCond = leftCond.transform {
+          case a: AttributeReference if a.exprId == aj.leftKey.exprId => aj.rightKey
+        }
+        val pushed = aj.copy(left = Filter(leftCond, aj.left),
+          right = Filter(rightCond, aj.right))
+        rest.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
@@ -134,6 +161,9 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
     val lp = ColumnBridge.planOf(left)
     val rp = ColumnBridge.planOf(right)
     def attr(p: LogicalPlan, n: String): Attribute =

@@ -38,6 +38,20 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, None), (2L, Some(100.0)), (3L, Some(110.0)), (4L, Some(110.0)), (5L, None)))
   }
 
+  test("key filters push through the as-of join into both parquet scans") {
+    val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
+    val full = graft.operators.FinAnalytics.asofPrice(t.events)
+    val firstUser = full.select(min(col("user_id"))).collect().head.getLong(0)
+    val filtered = full.filter(col("user_id") === firstUser)
+    val plan = filtered.queryExecution.executedPlan.toString
+    val pushes = raw"PushedFilters: \[[^\]]*EqualTo\(user_id,$firstUser\)".r
+      .findAllIn(plan).size
+    assert(pushes >= 2, s"expected the key filter in both scans, got $pushes:\n$plan")
+    // and pushing didn't change the answer
+    val want = full.collect().filter(_.getLong(1) == firstUser).map(_.toString).sorted
+    assert(filtered.collect().map(_.toString).sorted.toSeq === want.toSeq)
+  }
+
   test("custom operator matches join+argmax brute force on testdata") {
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
     val events = t.events.select(col("event_id"), col("user_id"), col("ts"), col("value"))

@@ -89,6 +89,26 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("components assigns every near-dup cluster its min doc_id via union-find oracle") {
+    // Independent union-find over the brute-force pair set.
+    val pairs = bruteJaccard(3, 0.8).map(p => (p._1, p._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toList.map(n => n -> find(n)).toMap
+    val got = Dedup.components(corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    assert(got.values.toSet.size < got.size, "must contain a non-trivial cluster")
+  }
+
   test("exact dedup groups identical texts only") {
     val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "different text")).toDF("doc_id", "text")
     val got = Dedup.exact(docs).collect()
