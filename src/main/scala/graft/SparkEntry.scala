@@ -45,6 +45,8 @@ object SparkEntry {
     "dedup_embedding"     -> ((s, d) => Similarity.embeddingNearDup(Tables(s, d).embeddings)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
+    // approximate by design -> no oracle entry (rows-only gate)
+    "ann_lsh"             -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),

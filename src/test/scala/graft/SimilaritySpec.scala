@@ -37,6 +37,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("annLsh is deterministic and reaches >= 60% recall@5 vs the exact scan") {
+    val exact = exactTopK(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh1 = Similarity.annLsh(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val lsh2 = Similarity.annLsh(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(lsh1.toSeq === lsh2.toSeq, "seeded hyperplanes must be reproducible")
+    val byQ = lsh1.map(t => (t._1, t._2)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      byQ.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
   test("embeddingNearDup pairs are symmetric-free and above threshold") {
     val rows = Similarity.embeddingNearDup(embeddings, threshold = 0.45).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
