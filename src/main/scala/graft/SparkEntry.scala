@@ -207,14 +207,15 @@ object SparkEntry {
         |SELECT user_id, day, close, close / prev_close - 1.0 AS ret FROM (
         |  SELECT user_id, day, close,
         |         lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
-        |  FROM closes) WHERE prev_close IS NOT NULL ORDER BY user_id, day""".stripMargin),
+        |  FROM closes) WHERE prev_close IS NOT NULL AND prev_close <> 0
+        |ORDER BY user_id, day""".stripMargin),
     "fin_volatility" -> (closesCte +
       """
         |, rets AS (
         |  SELECT user_id, CAST(round(close / prev_close - 1.0, 6) AS DECIMAL(19,6)) AS r FROM (
         |    SELECT user_id, close,
         |           lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
-        |    FROM closes) WHERE prev_close IS NOT NULL)
+        |    FROM closes) WHERE prev_close IS NOT NULL AND prev_close <> 0)
         |SELECT user_id, n, round(sqrt((CAST(n AS DOUBLE) * CAST(sr2 AS DOUBLE)
         |  - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
         |  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) + 0.0 AS volatility
@@ -227,11 +228,11 @@ object SparkEntry {
         |mret AS (
         |  SELECT day, CAST(mkt_value AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0 AS mret FROM (
         |    SELECT day, mkt_value, lag(mkt_value, 1) OVER (ORDER BY day) AS prev FROM market)
-        |  WHERE prev IS NOT NULL),
+        |  WHERE prev IS NOT NULL AND prev <> 0),
         |uret AS (
         |  SELECT user_id, day, close / prev - 1.0 AS ret FROM (
         |    SELECT user_id, day, close, lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev
-        |    FROM closes) WHERE prev IS NOT NULL),
+        |    FROM closes) WHERE prev IS NOT NULL AND prev <> 0),
         |moments AS (
         |  SELECT user_id, count(*) AS n,
         |         sum(CAST(round(ret, 6) AS DECIMAL(19,6))) AS sr, sum(CAST(round(mret, 6) AS DECIMAL(19,6))) AS sm,
@@ -239,8 +240,10 @@ object SparkEntry {
         |         sum(CAST(round(mret, 6) AS DECIMAL(19,6)) * CAST(round(mret, 6) AS DECIMAL(19,6))) AS sm2
         |  FROM uret JOIN mret USING (day) GROUP BY user_id)
         |SELECT user_id, n,
-        |  round((CAST(n AS DOUBLE) * CAST(srm AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sm AS DOUBLE))
-        |  / (CAST(n AS DOUBLE) * CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6) + 0.0 AS beta
+        |  CASE WHEN CAST(n AS DOUBLE) * CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) <> 0
+        |       THEN round((CAST(n AS DOUBLE) * CAST(srm AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sm AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) * CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6) + 0.0
+        |  END AS beta
         |FROM moments WHERE n > 1 ORDER BY user_id""".stripMargin),
     "fin_cyclical_features" ->
       """SELECT event_id, date_part('hour', ts) AS hour, date_part('dow', ts) AS dow,
@@ -349,9 +352,9 @@ object SparkEntry {
         |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
         |  FROM t)
         |SELECT doc_id, n_chars, n_words, sum_word_len, n_punct, n_stop,
-        |  round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 AS avg_word_len,
-        |  round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 AS punct_ratio,
-        |  round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 AS stop_ratio,
+        |  CASE WHEN n_words > 0 THEN round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 END AS avg_word_len,
+        |  CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 END AS punct_ratio,
+        |  CASE WHEN n_words > 0 THEN round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 END AS stop_ratio,
         |  (n_words >= 5 AND round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 <= 0.1
         |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 >= 2.0
         |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 <= 12.0) AS keep

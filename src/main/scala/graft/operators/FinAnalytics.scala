@@ -89,7 +89,9 @@ object FinAnalytics {
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     closes(events)
       .withColumn("prev_close", lag(col("close"), 1).over(w))
-      .filter(col("prev_close").isNotNull)
+      // A zero close has no defined return (and ANSI mode turns the
+      // division into an error, not an Infinity) — drop those periods.
+      .filter(col("prev_close").isNotNull && col("prev_close") =!= 0.0)
       .withColumn("ret", col("close") / col("prev_close") - lit(1.0))
       .select(col("user_id"), col("day"), col("close"), col("ret"))
       .orderBy(col("user_id"), col("day"))
@@ -125,12 +127,12 @@ object FinAnalytics {
     val wm = Window.orderBy(col("day"))
     val marketRet = market
       .withColumn("prev", lag(col("mkt_value"), 1).over(wm))
-      .filter(col("prev").isNotNull)
+      .filter(col("prev").isNotNull && col("prev") =!= lit(0).cast("decimal(12,2)"))
       .select(col("day"), (col("mkt_value").cast("double") / col("prev").cast("double") - lit(1.0)).as("mret"))
     val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val userRet = c
       .withColumn("prev", lag(col("close"), 1).over(wu))
-      .filter(col("prev").isNotNull)
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
       .select(col("user_id"), col("day"), (col("close") / col("prev") - lit(1.0)).as("ret"))
     val r = dec6(col("ret"))
     val m = dec6(col("mret"))
@@ -139,11 +141,15 @@ object FinAnalytics {
       .agg(count(lit(1)).as("n"), sum(r).as("sr"), sum(m).as("sm"),
            sum(r * m).as("srm"), sum(m * m).as("sm2"))
       .filter(col("n") > 1)
-      .select(col("user_id"), col("n"),
-        (round((col("n").cast("double") * col("srm").cast("double")
-          - col("sr").cast("double") * col("sm").cast("double"))
-          / (col("n").cast("double") * col("sm2").cast("double")
-            - col("sm").cast("double") * col("sm").cast("double")), 6) + lit(0.0)).as("beta"))
+      .select(col("user_id"), col("n"), {
+        val den = col("n").cast("double") * col("sm2").cast("double") -
+          col("sm").cast("double") * col("sm").cast("double")
+        // zero market variance over the matched days → beta undefined
+        when(den =!= 0.0,
+          round((col("n").cast("double") * col("srm").cast("double")
+            - col("sr").cast("double") * col("sm").cast("double")) / den, 6) + lit(0.0))
+          .as("beta")
+      })
       .orderBy(col("user_id"))
   }
 

@@ -57,12 +57,13 @@ object TextOps {
         aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v).as("sum_word_len"),
         regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
         size(filter(toks, t => t.isInCollection(en))).cast("long").as("n_stop"))
-      .withColumn("avg_word_len",
-        round(col("sum_word_len").cast("double") / col("n_words").cast("double"), 6) + lit(0.0))
-      .withColumn("punct_ratio",
-        round(col("n_punct").cast("double") / col("n_chars").cast("double"), 6) + lit(0.0))
-      .withColumn("stop_ratio",
-        round(col("n_stop").cast("double") / col("n_words").cast("double"), 6) + lit(0.0))
+      // Guards: empty docs make these ANSI division errors, not NaNs.
+      .withColumn("avg_word_len", when(col("n_words") > 0,
+        round(col("sum_word_len").cast("double") / col("n_words").cast("double"), 6) + lit(0.0)))
+      .withColumn("punct_ratio", when(col("n_chars") > 0,
+        round(col("n_punct").cast("double") / col("n_chars").cast("double"), 6) + lit(0.0)))
+      .withColumn("stop_ratio", when(col("n_words") > 0,
+        round(col("n_stop").cast("double") / col("n_words").cast("double"), 6) + lit(0.0)))
       .withColumn("keep",
         col("n_words") >= 5 && col("punct_ratio") <= 0.1 &&
           col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0)

@@ -64,6 +64,23 @@ object EventsStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"), col("n_users"))
 
+  /** Gap-based sessionization via the built-in `session_window`
+    * aggregation — the declarative alternative to the
+    * flatMapGroupsWithState form below when only per-session
+    * aggregates (not custom state transitions) are needed. State
+    * merging, watermark eviction, and session merging are all
+    * engine-managed.
+    */
+  def sessionizeWindowed(events: DataFrame, gapMinutes: Int = 30,
+                         watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"), col("n_events"), col("total_value"))
+
   /** Gap-based sessionization with `flatMapGroupsWithState` — the
     * streaming form of [[graft.operators.Events.sessionize]].
     *

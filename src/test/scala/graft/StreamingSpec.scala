@@ -58,6 +58,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window variant agrees with flatMapGroupsWithState on session extents") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = EventsStream.sessionizeWindowed(
+      input.toDS().withColumn("event_type", lit("t")).toDF())
+    val q = out.writeStream.format("memory").queryName("sessw_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, 1L, ts("2026-01-01 10:00:00"), 1.0),
+        Event(1L, 2L, ts("2026-01-01 10:20:00"), 2.0),
+        Event(1L, 3L, ts("2026-01-01 11:00:00"), 4.0))
+      q.processAllAvailable()
+      input.addData(flush)
+      q.processAllAvailable()
+      val got = spark.table("sessw_out").filter(col("user_id") === 1L)
+        .collect()
+        .map(r => (r.getTimestamp(1), r.getLong(3), r.getDecimal(4).doubleValue())).toSet
+      // session_window's end = last event + gap; starts and aggregates
+      // must line up with the typed-state sessionizer
+      assert(got === Set(
+        (ts("2026-01-01 10:00:00"), 2L, 3.0),
+        (ts("2026-01-01 11:00:00"), 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("streaming hourlyRollup emits closed hourly windows matching batch counts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
