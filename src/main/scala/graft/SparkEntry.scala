@@ -52,6 +52,7 @@ object SparkEntry {
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),
     "text_fingerprint"    -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
     "mm_binary_meta"      -> ((s, d) => Multimodal.binaryMeta(Tables(s, d).documents)),
+    "mm_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables(s, d).documents)),
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
@@ -380,6 +381,13 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 4 + 1 AS BIGINT) AS channels,
         |  CAST(ascii(substr(text, 1, 1)) * ascii(substr(text, 2, 1)) AS BIGINT) AS n_pixels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(length(f) AS BIGINT) AS frame_chars, md5(f) AS digest
+        |FROM (SELECT doc_id, i, substr(text, CAST(i * 16 + 1 AS INT), 16) AS f FROM (
+        |  SELECT doc_id, text, unnest(range(0, (length(text) - 1) // 16 + 1)) AS i
+        |  FROM documents))
+        |WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, value, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tsec FROM events),
         |f AS (SELECT user_id, event_id, ts, tsec, value,

@@ -43,6 +43,27 @@ object Multimodal {
       .withColumn("n_pixels", (col("width") * col("height")).cast("long"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling over binary payloads: split each payload into
+    * fixed-size frames (a stand-in for video GOP/frame boundaries),
+    * keep every Nth, emit per-frame metadata. Pure Column algebra —
+    * `sequence`+`transform`+`posexplode` — so the fan-out happens
+    * executor-side at scan speed with no UDF; the frame list is never
+    * materialized per row beyond the generator.
+    */
+  def frameSample(documents: DataFrame, frameBytes: Int = 16, everyN: Int = 4): DataFrame = {
+    val n = length(col("text"))
+    val frames = transform(
+      sequence(lit(0), ((n - 1) / frameBytes).cast("int")),
+      i => col("text").substr(i * frameBytes + 1, lit(frameBytes)))
+    documents
+      .select(col("doc_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % everyN === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_chars"),
+        md5(col("frame")).as("digest"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** The distributed decode pipeline: binary batches → per-partition
     * kernel → typed rows. `decodeStub` stands in for an image/audio
     * codec; everything around it (partitioning, iterator streaming,

@@ -46,6 +46,14 @@ class CurationSpec extends SparkSpec {
     assert(viaKernel === viaColumns)
   }
 
+  test("frameSample chunks payloads and keeps every Nth frame") {
+    val docs = Seq((1L, "a" * 40), (2L, "xy")).toDF("doc_id", "text")
+    val got = Multimodal.frameSample(docs, frameBytes = 16, everyN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: 40 chars -> frames 0..2 (16,16,8); keep idx 0,2. doc 2: frame 0 only.
+    assert(got.toSeq === Seq((1L, 0L, 16L), (1L, 2L, 8L), (2L, 0L, 2L)))
+  }
+
   test("csv and json round-trips preserve data with explicit schemas") {
     val df = Seq((1L, "a,b\"c", 1.5), (2L, "plain", -0.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
