@@ -47,6 +47,7 @@ object SparkEntry {
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     // approximate by design -> no oracle entry (rows-only gate)
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
+    "ann_centroids"       -> ((s, d) => Similarity.labelCentroids(Tables(s, d).embeddings)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),
@@ -329,6 +330,14 @@ object SparkEntry {
         |  SELECT query_id, label, nvec, cosine,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_centroids" ->
+      """SELECT label, dim, count(*) AS n,
+        |  round(CAST(sum(c) AS DOUBLE) / count(*), 6) + 0.0 AS mean
+        |FROM (SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+        |        CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE), 8) AS DECIMAL(14,8)) AS c
+        |      FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |            FROM embeddings))
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "text_langid" ->
       (s"""WITH t AS (SELECT doc_id, lang, $toksExpr AS w FROM documents),
         |s AS (SELECT doc_id, lang,

@@ -61,6 +61,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-label centroids in long form (label, dim, mean) — the
+    * coarse-quantizer training step for [[annIvf]], and the general
+    * "cluster statistics over an embedding column" aggregation.
+    * posexplode fans each vector into (dim, component) rows that
+    * partial-aggregate map-side, so the shuffle carries only
+    * labels × dims rows regardless of corpus size; means are exact
+    * decimal sums divided in doubles (order-independent).
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val comp = round(col("c").cast("double"), 8).cast("decimal(14,8)")
+    embeddings
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")).as(Seq("dim", "c")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(comp).cast("double") / count(lit(1)), 6) + lit(0.0)).as("mean"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   /** LSH-bucketed ANN: 8 bands × 3 random hyperplanes. A vector's
     * band signature is the sign pattern of its projections; a
     * candidate is any corpus vector sharing ≥ 1 band bucket with the

@@ -33,6 +33,15 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Map(1L -> "en", 2L -> "es", 3L -> "de"))
   }
 
+  test("quality survives empty and whitespace-only docs (null ratios, keep=false)") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "normal text here ok fine")).toDF("doc_id", "text")
+    val rows = TextOps.quality(docs).collect().map(r => r.getLong(0) ->
+      (r.isNullAt(6), r.getBoolean(9))).toMap // (avg_word_len null?, keep)
+    assert(rows(1L) === ((true, false)))
+    assert(rows(2L) === ((true, false)))
+    assert(rows(3L)._2 === true)
+  }
+
   test("fingerprint is identical for identical token streams, and falls back on short docs") {
     val docs = Seq(
       (1L, "a b c d e f g"),
