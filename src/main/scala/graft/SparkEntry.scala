@@ -30,6 +30,8 @@ object SparkEntry {
     "fin_retention_window"  -> ((s, d) => Maintenance.retentionWindow(Tables(s, d).events)),
     "fin_incremental_delta" -> ((s, d) => Maintenance.incrementalDelta(Tables(s, d).events)),
     "fin_daily_ohlc"        -> ((s, d) => FinAnalytics.dailyOhlc(Tables(s, d).events)),
+    "fin_weekly_ohlc"       -> ((s, d) => FinAnalytics.ohlcBars(Tables(s, d).events, "week")),
+    "fin_drawdown"          -> ((s, d) => FinAnalytics.drawdown(Tables(s, d).events)),
     "fin_moving_avg"        -> ((s, d) => FinAnalytics.movingAvg(Tables(s, d).events)),
     "fin_rolling_hilo"      -> ((s, d) => FinAnalytics.rollingHiLo(Tables(s, d).events)),
     "fin_returns"           -> ((s, d) => FinAnalytics.returns(Tables(s, d).events)),
@@ -188,6 +190,29 @@ object SparkEntry {
         |                            ORDER BY ts DESC, event_id DESC) AS rn_d
         |  FROM events)
         |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
+    "fin_weekly_ohlc" ->
+      """SELECT user_id, week,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_ticks
+        |FROM (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week, value,
+        |         row_number() OVER (PARTITION BY user_id, CAST(date_trunc('week', ts) AS DATE)
+        |                            ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY user_id, CAST(date_trunc('week', ts) AS DATE)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |GROUP BY user_id, week ORDER BY user_id, week""".stripMargin,
+    "fin_drawdown" -> (closesCte +
+      """
+        |, dd AS (SELECT user_id,
+        |    CASE WHEN peak > 0 THEN round(1.0 - close / peak, 6) + 0.0 END AS dd
+        |  FROM (SELECT user_id, close,
+        |          max(close) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+        |        FROM closes))
+        |SELECT user_id, count(*) AS n_days, max(dd) AS max_drawdown
+        |FROM dd GROUP BY user_id ORDER BY user_id""".stripMargin),
     "fin_moving_avg" -> (closesCte +
       """
         |SELECT user_id, day, close,

@@ -25,20 +25,28 @@ object FinAnalytics {
     * selected by a total order (ts, event_id) so the result is
     * deterministic even with duplicate timestamps.
     */
-  def dailyOhlc(events: DataFrame): DataFrame = {
-    val day = date_trunc("day", col("ts")).cast("date").as("day")
-    val wAsc = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts"), col("event_id"))
-    val wDesc = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts").desc, col("event_id").desc)
-    events.select(col("user_id"), day, col("ts"), col("event_id"), col("value"))
+  def dailyOhlc(events: DataFrame): DataFrame = ohlcBars(events, "day")
+
+  /** OHLC resampling at any calendar unit — the reference's
+    * `receive_history(interval=…)` generalized (dataAcquisition.py:37).
+    * Open/close are selected by a total order (ts, event_id) so the
+    * result is deterministic even with duplicate timestamps.
+    */
+  def ohlcBars(events: DataFrame, unit: String): DataFrame = {
+    val bar = date_trunc(unit, col("ts")).cast("date").as("bar")
+    val wAsc = Window.partitionBy(col("user_id"), col("bar")).orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"), col("bar")).orderBy(col("ts").desc, col("event_id").desc)
+    events.select(col("user_id"), bar, col("ts"), col("event_id"), col("value"))
       .withColumn("rn_a", row_number().over(wAsc))
       .withColumn("rn_d", row_number().over(wDesc))
-      .groupBy(col("user_id"), col("day"))
+      .groupBy(col("user_id"), col("bar"))
       .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
            max(col("value")).as("high"),
            min(col("value")).as("low"),
            max(when(col("rn_d") === 1, col("value"))).as("close"),
            count(lit(1)).as("n_ticks"))
-      .orderBy(col("user_id"), col("day"))
+      .withColumnRenamed("bar", if (unit == "day") "day" else unit)
+      .orderBy(col("user_id"), col(if (unit == "day") "day" else unit))
   }
 
   /** Close-price series per key/day (shared input for the window
@@ -172,6 +180,23 @@ object FinAnalytics {
         enc(dayofweek(col("ts")) - 1, 7, "dow") ++
         enc(month(col("ts")), 12, "month"): _*)
       .orderBy(col("event_id"))
+  }
+
+  /** Maximum drawdown per key: largest peak-to-trough loss ratio of
+    * the daily close series (running peak via unbounded-preceding
+    * window max — one pass, no self-join). Zero/negative peaks have
+    * no defined drawdown (guarded, not an ANSI error).
+    */
+  def drawdown(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    closes(events)
+      .withColumn("peak", max(col("close")).over(w))
+      .withColumn("dd", when(col("peak") > 0,
+        round(lit(1.0) - col("close") / col("peak"), 6) + lit(0.0)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), max(col("dd")).as("max_drawdown"))
+      .orderBy(col("user_id"))
   }
 
   /** Group-mean over (weekday, hour) — the seasonality profile from
