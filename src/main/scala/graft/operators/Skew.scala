@@ -26,7 +26,12 @@ object Skew {
     val dim = customer
       .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("salt").as("dsalt"))
-    fact.join(broadcast(dim),
+    // No broadcast hint: salting only matters on the SHUFFLED join
+    // path (a broadcast join has no reducers to skew). Locally the
+    // planner still broadcasts the small dim; at scale, where the
+    // replicated dim exceeds the threshold, the shuffle partitions
+    // on (key, salt) and the hot key spreads across S reducers.
+    fact.join(dim,
         col("user_id") === col("c_custkey") && col("salt") === col("dsalt"))
       .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"), col("value"))
       .orderBy(col("event_id"))
