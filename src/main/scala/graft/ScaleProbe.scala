@@ -1,0 +1,84 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicate sf0.1 ~10× into /tmp and measure how the
+  * heavy pipelines scale. Replicas perturb identity columns (and
+  * append a replica token to document text) so per-key series grow
+  * 10× deep while duplicate structure stays linear — the honest
+  * scale-up, not a degenerate 100×-duplicates corpus.
+  *
+  * Dev tool — not part of the driver contract.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("scale-probe")
+    import spark.implicits._
+    val src = Tables(spark, "/root/testdata/sf0.1")
+    val base = "/tmp/graft_scale10"
+    val replicas = 10
+
+    def replicate(df: DataFrame, idCols: Seq[String], textCol: Option[String] = None): DataFrame = {
+      val r = df.crossJoin(spark.range(replicas).toDF("rep"))
+      val withIds = idCols.foldLeft(r) { (d, c) =>
+        d.withColumn(c, col(c) + col("rep") * 100000000L)
+      }
+      textCol.fold(withIds)(tc =>
+        withIds.withColumn(tc, concat(col(tc), lit(" r"), col("rep")))).drop("rep")
+    }
+
+    // events: same users (series get 10x deeper), new event ids
+    replicate(src.events, Seq("event_id")).write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/events10.parquet")
+    replicate(src.documents, Seq("doc_id"), Some("text")).write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/documents10.parquet")
+    replicate(src.lineitem, Seq("l_orderkey")).write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/lineitem10.parquet")
+
+    val events10 = spark.read.parquet(s"$base/events10.parquet")
+    val docs10 = spark.read.parquet(s"$base/documents10.parquet")
+    val li10 = spark.read.parquet(s"$base/lineitem10.parquet")
+    println(s"rows: events=${events10.count()} docs=${docs10.count()} lineitem=${li10.count()}")
+
+    def time(name: String)(f: => Long): Double = {
+      def once(): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      val t = math.min(once(), once())
+      println(f"$name%-22s $t%7.2f s")
+      t
+    }
+
+    // 1x baselines on the same session for a fair ratio
+    val e1 = src.events; val d1 = src.documents; val l1 = src.lineitem
+    println("== 1x (sf0.1) ==")
+    val b = Map(
+      "q1_pricing" -> time("q1_pricing")(operators.Analytics.pricingSummary(l1).count()),
+      "daily_ohlc" -> time("daily_ohlc")(operators.FinAnalytics.dailyOhlc(e1).count()),
+      "moving_avg" -> time("moving_avg")(operators.FinAnalytics.movingAvg(e1).count()),
+      "beta" -> time("beta")(operators.FinAnalytics.beta(e1).count()),
+      "asof" -> time("asof")(operators.FinAnalytics.asofPrice(e1).count()),
+      "sessionize" -> time("sessionize")(operators.Events.sessionize(e1).count()),
+      "minhash" -> time("minhash")(operators.Dedup.minhashLsh(d1).count()),
+      "simhash" -> time("simhash")(operators.Dedup.simhash(d1).count()),
+      "ngram" -> time("ngram")(operators.Dedup.ngramJaccard(d1).count()),
+      "exact_dedup" -> time("exact_dedup")(operators.Dedup.exact(d1).count()))
+    println("== 10x ==")
+    val s = Map(
+      "q1_pricing" -> time("q1_pricing")(operators.Analytics.pricingSummary(li10).count()),
+      "daily_ohlc" -> time("daily_ohlc")(operators.FinAnalytics.dailyOhlc(events10).count()),
+      "moving_avg" -> time("moving_avg")(operators.FinAnalytics.movingAvg(events10).count()),
+      "beta" -> time("beta")(operators.FinAnalytics.beta(events10).count()),
+      "asof" -> time("asof")(operators.FinAnalytics.asofPrice(events10).count()),
+      "sessionize" -> time("sessionize")(operators.Events.sessionize(events10).count()),
+      "minhash" -> time("minhash")(operators.Dedup.minhashLsh(docs10).count()),
+      "simhash" -> time("simhash")(operators.Dedup.simhash(docs10).count()),
+      "ngram" -> time("ngram")(operators.Dedup.ngramJaccard(docs10).count()),
+      "exact_dedup" -> time("exact_dedup")(operators.Dedup.exact(docs10).count()))
+    println("== scaling factor (10x data / 1x time; 10 = linear) ==")
+    b.keys.toSeq.sorted.foreach { k =>
+      println(f"$k%-22s ${s(k) / b(k)}%6.1f x")
+    }
+    spark.stop()
+  }
+}
