@@ -84,6 +84,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink persists closed sessions with a checkpoint") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionize(input.toDS())
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventsStream.Session], _: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    try {
+      input.addData(
+        Event(1L, 1L, ts("2026-01-01 10:00:00"), 1.0),
+        Event(1L, 2L, ts("2026-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      input.addData(flush)
+      q.processAllAvailable()
+      val persisted = spark.read.parquet(s"$dir/out")
+        .filter(col("user_id") === 1L).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(5)))
+      assert(persisted.toSeq === Seq((1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming hourlyRollup emits closed hourly windows matching batch counts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
