@@ -10,11 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val t = Tables(spark, "/root/testdata/sf0.001")
-    Analytics.regionRevenue(t.region, t.nation, t.customer, t.supplier, t.orders, t.lineitem)
-  }
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. As-of pricing: every event tagged with the most recent
+    * daily close — runs the custom AsOfJoin operator stack
+    * (logical node → pushdown rule → strategy → sort-merge exec) on
+    * whatever session the driver provides.
+    */
+  def entry(spark: SparkSession): DataFrame =
+    FinAnalytics.asofPrice(Tables(spark, "/root/testdata/sf0.001").events)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> ((s, d) => Analytics.pricingSummary(Tables(s, d).lineitem)),
