@@ -207,7 +207,12 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-    val prefix = ranked.filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+    // ceil over a double product can over-round (0.8*5 =
+    // 4.0000000000000002 → ceil 5) and shorten the prefix below the
+    // PPJoin bound, silently dropping true pairs. Subtracting an ulp
+    // margin before ceil only ever LENGTHENS the prefix — safe.
+    val prefix = ranked.filter(
+      col("rk") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()

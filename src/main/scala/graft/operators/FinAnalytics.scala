@@ -33,7 +33,11 @@ object FinAnalytics {
     * result is deterministic even with duplicate timestamps.
     */
   def ohlcBars(events: DataFrame, unit: String): DataFrame = {
-    val bar = date_trunc(unit, col("ts")).cast("date").as("bar")
+    // Sub-day units must keep the timestamp: casting "hour" bars to
+    // date would silently collapse them back to daily bars.
+    val calendarUnits = Set("day", "week", "month", "quarter", "year")
+    val truncated = date_trunc(unit, col("ts"))
+    val bar = (if (calendarUnits(unit.toLowerCase)) truncated.cast("date") else truncated).as("bar")
     val wAsc = Window.partitionBy(col("user_id"), col("bar")).orderBy(col("ts"), col("event_id"))
     val wDesc = Window.partitionBy(col("user_id"), col("bar")).orderBy(col("ts").desc, col("event_id").desc)
     events.select(col("user_id"), bar, col("ts"), col("event_id"), col("value"))

@@ -52,9 +52,15 @@ object Multimodal {
     */
   def frameSample(documents: DataFrame, frameBytes: Int = 16, everyN: Int = 4): DataFrame = {
     val n = length(col("text"))
-    val frames = transform(
-      sequence(lit(0), ((n - 1) / frameBytes).cast("int")),
-      i => col("text").substr(i * frameBytes + 1, lit(frameBytes)))
+    // (n-1)/frameBytes is DOUBLE division; for n=0 it truncates to 0
+    // and sequence(0,0) would fabricate one empty frame (and the
+    // oracle's floor division would not). Count frames with integer
+    // arithmetic and guard empty payloads to an empty array.
+    val nFrames = ((n + (frameBytes - 1)).cast("long") / frameBytes).cast("int")
+    val frames = when(n > 0,
+      transform(sequence(lit(0), nFrames - 1),
+        i => col("text").substr(i * frameBytes + 1, lit(frameBytes))))
+      .otherwise(array().cast("array<string>"))
     documents
       .select(col("doc_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % everyN === 0)

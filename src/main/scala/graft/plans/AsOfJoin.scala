@@ -52,8 +52,11 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 object AsOfJoinFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, aj: AsOfJoin) =>
+      // Non-deterministic predicates must evaluate exactly once above
+      // the join (cloning them would re-draw e.g. rand() per side).
       val (pushable, rest) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(AttributeSet(Seq(aj.leftKey))))
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(AttributeSet(Seq(aj.leftKey))))
       if (pushable.isEmpty) f
       else {
         val leftCond = pushable.reduce(And)
@@ -97,22 +100,30 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
     Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
 
-  private def longGetter(attr: Attribute, schema: Seq[Attribute]): (InternalRow => Long) = {
+  /** (null-check, value) accessors for a key/time column. */
+  private def getters(attr: Attribute, schema: Seq[Attribute]): (InternalRow => Boolean, InternalRow => Long) = {
     val i = schema.indexWhere(_.exprId == attr.exprId)
     require(i >= 0, s"$attr not found in $schema")
-    attr.dataType match {
+    val get: InternalRow => Long = attr.dataType match {
       case LongType | TimestampType => row => row.getLong(i)
       case DateType => row => row.getInt(i).toLong
       case dt => throw new IllegalArgumentException(
         s"as-of join key/time must be long/timestamp/date, got $dt")
     }
+    (row => row.isNullAt(i), get)
   }
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lKey = longGetter(leftKey, left.output)
-    val lTime = longGetter(leftTime, left.output)
-    val rKey = longGetter(rightKey, right.output)
-    val rTime = longGetter(rightTime, right.output)
+    // Mixed units would compare days-since-epoch to microseconds and
+    // silently match everything — reject at execution.
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+    require(leftTime.dataType == rightTime.dataType,
+      s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+    val (lKeyNull, lKey) = getters(leftKey, left.output)
+    val (lTimeNull, lTime) = getters(leftTime, left.output)
+    val (rKeyNull, rKey) = getters(rightKey, right.output)
+    val (rTimeNull, rTime) = getters(rightTime, right.output)
     val rightWidth = right.output.size
     val allOut = output
     // Bind the projection against the NULLABLE right schema — the
@@ -131,16 +142,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var lastMatch: InternalRow = null
       var lastMatchKey: Long = 0L
       lIter.map { l =>
-        val k = lKey(l); val t = lTime(l)
-        while (rNext != null &&
-          (rKey(rNext) < k || (rKey(rNext) == k && rTime(rNext) <= t))) {
-          if (rKey(rNext) == k) {
-            lastMatch = rNext.copy(); lastMatchKey = k
+        if (lKeyNull(l) || lTimeNull(l)) {
+          // SQL join semantics: a NULL key/time matches nothing.
+          // (NULLS FIRST ordering puts these before any valid key.)
+          proj(joined(l, nullRight))
+        } else {
+          val k = lKey(l); val t = lTime(l)
+          while (rNext != null && {
+            val rNull = rKeyNull(rNext) || rTimeNull(rNext)
+            rNull || rKey(rNext) < k || (rKey(rNext) == k && rTime(rNext) <= t)
+          }) {
+            if (!rKeyNull(rNext) && !rTimeNull(rNext) && rKey(rNext) == k) {
+              lastMatch = rNext.copy(); lastMatchKey = k
+            }
+            rNext = if (rIter.hasNext) rIter.next() else null
           }
-          rNext = if (rIter.hasNext) rIter.next() else null
+          val matched = lastMatch != null && lastMatchKey == k
+          proj(joined(l, if (matched) lastMatch else nullRight))
         }
-        val matched = lastMatch != null && lastMatchKey == k
-        proj(joined(l, if (matched) lastMatch else nullRight))
       }
     }
   }

@@ -32,6 +32,15 @@ object EventsStream {
   case class OpenSession(sessionId: Long, startMs: Long, endMs: Long,
                          nEvents: Long, totalCents: Long)
 
+  /** Full per-user state: the session counter survives session
+    * closure (a timeout must NOT reset numbering — the next session
+    * after a quiet period needs a fresh id, or the sink sees
+    * duplicate (user_id, session_id) keys). Post-timeout state is
+    * one long per user — O(keys), the same bound as any keyed
+    * streaming aggregation.
+    */
+  case class SessState(nextSessionId: Long, open: Option[OpenSession])
+
   /** Emitted closed session — same shape as the batch
     * [[graft.operators.Events.sessionize]] output.
     */
@@ -103,32 +112,49 @@ object EventsStream {
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[SessState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.map(toSession(userId, _)).iterator
-            state.remove()
-            out
+            val st = state.get
+            val out = st.open.map(toSession(userId, _)).toVector
+            // Keep only the counter; no new timeout needed (nothing
+            // left to flush, and the counter must survive).
+            state.update(SessState(st.nextSessionId, None))
+            out.iterator
           } else {
+            val st = state.getOption.getOrElse(SessState(1L, None))
+            var nextId = st.nextSessionId
+            var open = st.open
             val evs = batch.toVector.sortBy(e => (e.ts.getTime, e.event_id))
             val closed = Vector.newBuilder[Session]
-            var open = state.getOption
             evs.foreach { e =>
               val tsec = math.floorDiv(e.ts.getTime, 1000L) * 1000L
-              open = open match {
-                case Some(s) if tsec <= s.endMs + gapMs =>
-                  Some(s.copy(endMs = math.max(s.endMs, tsec),
+              open match {
+                case Some(s) if tsec >= s.startMs - gapMs && tsec <= s.endMs + gapMs =>
+                  // In-session (a late event may extend the START too).
+                  open = Some(s.copy(
+                    startMs = math.min(s.startMs, tsec), endMs = math.max(s.endMs, tsec),
                     nEvents = s.nEvents + 1, totalCents = s.totalCents + cents(e.value)))
+                case Some(s) if tsec < s.startMs - gapMs =>
+                  // Late-but-within-watermark event, disjoint BEFORE the
+                  // open session: emit it as its own session now. (Ids
+                  // are assigned in arrival order here — a batch rerun
+                  // over the same data would number it earlier.)
+                  closed += Session(userId, nextId, 1,
+                    new Timestamp(tsec), new Timestamp(tsec), cents(e.value) / 100.0)
+                  nextId += 1
                 case Some(s) =>
                   closed += toSession(userId, s)
-                  Some(OpenSession(s.sessionId + 1, tsec, tsec, 1, cents(e.value)))
+                  open = Some(OpenSession(nextId, tsec, tsec, 1, cents(e.value)))
+                  nextId += 1
                 case None =>
-                  Some(OpenSession(1, tsec, tsec, 1, cents(e.value)))
+                  open = Some(OpenSession(nextId, tsec, tsec, 1, cents(e.value)))
+                  nextId += 1
               }
             }
+            state.update(SessState(nextId, open))
             open.foreach { s =>
-              state.update(s)
               // Timeout may not be <= current watermark; clamp up.
               state.setTimeoutTimestamp(
                 math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))

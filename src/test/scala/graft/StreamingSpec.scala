@@ -58,6 +58,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session ids keep incrementing after a timeout closes a session") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventsStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_resume")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(7L, 1L, ts("2026-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(flush) // watermark passes end+gap -> arms/fires timeout
+      q.processAllAvailable()
+      input.addData(Event(999L, 2L, ts("2026-07-01 00:00:00"), 0.0)) // fire timeout
+      q.processAllAvailable()
+      // user 7 comes back after the quiet period (>= watermark)
+      input.addData(Event(7L, 3L, ts("2026-08-01 00:00:00"), 2.0))
+      q.processAllAvailable()
+      input.addData(Event(999L, 4L, ts("2027-01-01 00:00:00"), 0.0)) // flush again
+      q.processAllAvailable()
+      input.addData(Event(999L, 5L, ts("2027-06-01 00:00:00"), 0.0)) // fire 2nd timeout
+      q.processAllAvailable()
+
+      val ids = spark.table("sess_resume").filter(col("user_id") === 7L)
+        .collect().map(r => (r.getLong(1), r.getDouble(5))).sortBy(_._1)
+      assert(ids.toSeq === Seq((1L, 1.0), (2L, 2.0)), "second session must be id 2, not a duplicate id 1")
+    } finally q.stop()
+  }
+
   test("session_window variant agrees with flatMapGroupsWithState on session extents") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
