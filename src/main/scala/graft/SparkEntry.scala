@@ -53,6 +53,8 @@ object SparkEntry {
     // approximate by design -> no oracle entry (rows-only gate)
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "ann_centroids"       -> ((s, d) => Similarity.labelCentroids(Tables(s, d).embeddings)),
+    // iterative trainer -> rows-only gate (not one-shot SQL-expressible)
+    "ann_kmeans"          -> ((s, d) => Similarity.kmeans(Tables(s, d).embeddings)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),

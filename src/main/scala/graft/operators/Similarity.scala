@@ -61,6 +61,60 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * coarse-quantizer TRAINER for [[annIvf]] (label = trained
+    * cluster instead of a given one).
+    *
+    * Distributed shape: centroids are model parameters (k×dim
+    * doubles — kilobytes), so they live in plan literals broadcast
+    * with the closure; each iteration is ONE scan computing the
+    * argmin-distance assignment (k fold expressions, no join, no
+    * shuffle) plus one partial-aggregated per-cluster mean (shuffle
+    * carries k×dim rows). Init is the first k vectors in
+    * md5(vec_id) order — seeded, reproducible anywhere.
+    *
+    * Iterative and driver-coordinated by nature (like every
+    * production k-means) → rows-only gate; the spec asserts
+    * determinism and monotone objective.
+    */
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    def l2(centroid: Array[Double]): Column =
+      aggregate(zip_with(col("embedding"), lit(centroid),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v)
+    def assignTo(centroids: Seq[Array[Double]]): DataFrame = {
+      val ds = centroids.indices.map(i => l2(centroids(i).toArray).as(s"d$i"))
+      val scored = vecs.select(col("vec_id") +: col("embedding") +: ds: _*)
+      // argmin with lowest-cluster tiebreak (same chain shape as langId)
+      val cluster = centroids.indices.init.foldRight(lit(centroids.size - 1)) { (i, rest) =>
+        when(col(s"d$i") <= (i + 1 until centroids.size).map(j => col(s"d$j")).reduce(least(_, _)), i)
+          .otherwise(rest)
+      }
+      scored.withColumn("cluster", cluster.cast("long"))
+        .withColumn("dist", least(centroids.indices.map(i => col(s"d$i")): _*))
+    }
+    var centroids: Seq[Array[Double]] = vecs
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    var assigned = assignTo(centroids)
+    for (_ <- 1 to iters) {
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "c")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("c").cast("double")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cluster"), col("ms.m").as("centroid"))
+        .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+      assigned = assignTo(centroids)
+    }
+    assigned.select(col("vec_id"), col("cluster"),
+        (round(col("dist"), 6) + lit(0.0)).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroids in long form (label, dim, mean) — the
     * coarse-quantizer training step for [[annIvf]], and the general
     * "cluster statistics over an embedding column" aggregation.

@@ -53,6 +53,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("kmeans is deterministic, covers all vectors, and iterating improves the objective") {
+    val a1 = Similarity.kmeans(embeddings, k = 4, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val a2 = Similarity.kmeans(embeddings, k = 4, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a1.toSeq === a2.toSeq, "seeded init + deterministic folds must reproduce")
+    assert(a1.length === embeddings.count())
+    assert(a1.map(_._2).distinct.length <= 4)
+    val objAfter0 = Similarity.kmeans(embeddings, k = 4, iters = 0).collect().map(_.getDouble(2)).sum
+    val objAfter3 = a1.map(_._3).sum
+    assert(objAfter3 <= objAfter0 + 1e-6, s"objective must not increase: $objAfter0 -> $objAfter3")
+  }
+
   test("embeddingNearDup pairs are symmetric-free and above threshold") {
     val rows = Similarity.embeddingNearDup(embeddings, threshold = 0.45).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
