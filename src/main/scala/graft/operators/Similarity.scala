@@ -79,10 +79,9 @@ object Similarity {
     */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    // Native codegen kernel — k of these run per row per iteration.
     def l2(centroid: Array[Double]): Column =
-      aggregate(zip_with(col("embedding"), lit(centroid),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.plans.GraftExpressions.l2F64(col("embedding"), lit(centroid))
     def assignTo(centroids: Seq[Array[Double]]): DataFrame = {
       val ds = centroids.indices.map(i => l2(centroids(i).toArray).as(s"d$i"))
       val scored = vecs.select(col("vec_id") +: col("embedding") +: ds: _*)

@@ -68,10 +68,71 @@ case class CosineSimilarityF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over two `array<float>`-or-`array<double>`
+  * columns — same tight-loop codegen rationale as
+  * [[CosineSimilarityF64]]; the hot kernel of the k-means assignment
+  * scan (k evaluations per row per iteration).
+  */
+case class L2DistanceF64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"l2_f64 expects two array<float|double> arguments, got ${left.dataType} / ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_f64"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = (if (lf) x.getFloat(i).toDouble else x.getDouble(i)) -
+        (if (rf) y.getFloat(i).toDouble else y.getDouble(i))
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr1, arr2) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val getL = if (isFloat(left)) s"(double) $arr1.getFloat($i)" else s"$arr1.getDouble($i)"
+      val getR = if (isFloat(right)) s"(double) $arr2.getFloat($i)" else s"$arr2.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $getL - $getR;
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   /** Column API for the native cosine kernel. */
   def cosineF64(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarityF64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the native squared-L2 kernel. */
+  def l2F64(a: Column, b: Column): Column =
+    ColumnBridge.column(L2DistanceF64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** SQL registration (`SELECT cosine_f64(a, b)`) via
@@ -81,6 +142,7 @@ object GraftExpressions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineF64Descriptor)
+    ext.injectFunction(GraftExtensions.l2F64Descriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
   }
@@ -92,10 +154,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineSimilarityF64].getName, "cosine_f64"),
       (children: Seq[Expression]) => CosineSimilarityF64(children.head, children(1)): Expression)
 
+  private[graft] val l2F64Descriptor =
+    (FunctionIdentifier("l2_f64"),
+      new ExpressionInfo(classOf[L2DistanceF64].getName, "l2_f64"),
+      (children: Seq[Expression]) => L2DistanceF64(children.head, children(1)): Expression)
+
   /** Idempotent registration on an existing session (the round
     * driver builds its own SparkSession without extensions).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       cosineF64Descriptor._1, cosineF64Descriptor._2, cosineF64Descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      l2F64Descriptor._1, l2F64Descriptor._2, l2F64Descriptor._3)
+  }
 }

@@ -43,6 +43,23 @@ class CosineKernelSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("native L2 kernel equals the HOF fold bit-for-bit, incl. float-vs-double sides") {
+    import org.apache.spark.sql.functions.{aggregate, zip_with, lit => flit}
+    val df = randVecs(200, 64).toDF("id", "a", "b")
+      .withColumn("bd", org.apache.spark.sql.functions.transform(col("b"), _.cast("double")))
+    def foldL2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => (p.cast("double") - q.cast("double")) * (p.cast("double") - q.cast("double"))),
+        flit(0.0), (acc, v) => acc + v)
+    val bad = df
+      .withColumn("nat_ff", graft.plans.GraftExpressions.l2F64(col("a"), col("b")))
+      .withColumn("nat_fd", graft.plans.GraftExpressions.l2F64(col("a"), col("bd")))
+      .withColumn("ref_ff", foldL2(col("a"), col("b")))
+      .withColumn("ref_fd", foldL2(col("a"), col("bd")))
+      .filter(col("nat_ff") =!= col("ref_ff") || col("nat_fd") =!= col("ref_fd"))
+      .count()
+    assert(bad === 0)
+  }
+
   test("SQL registration via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT cosine_f64(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +

@@ -59,10 +59,13 @@ class CurationSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     Formats.writeCsv(df, s"$dir/csv")
     Formats.writeJsonLines(df, s"$dir/json")
+    Formats.writeOrc(df, s"$dir/orc")
     val csvBack = Formats.readCsv(spark, s"$dir/csv", df.schema).collect().map(_.toString).sorted
     val jsonBack = Formats.readJsonLines(spark, s"$dir/json", df.schema).collect().map(_.toString).sorted
+    val orcBack = Formats.readOrc(spark, s"$dir/orc", df.schema).collect().map(_.toString).sorted
     val want = df.collect().map(_.toString).sorted
     assert(csvBack.toSeq === want.toSeq)
     assert(jsonBack.toSeq === want.toSeq)
+    assert(orcBack.toSeq === want.toSeq)
   }
 }
