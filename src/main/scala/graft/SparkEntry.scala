@@ -59,6 +59,7 @@ object SparkEntry {
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),
     "text_fingerprint"    -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
+    "text_winnow"         -> ((s, d) => TextOps.winnow(Tables(s, d).documents)),
     "mm_binary_meta"      -> ((s, d) => Multimodal.binaryMeta(Tables(s, d).documents)),
     "mm_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables(s, d).documents)),
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
@@ -413,6 +414,18 @@ object SparkEntry {
         |  coalesce(list_min([md5(array_to_string(w[i:i+4], ' ')) FOR i IN range(1, greatest(len(w)-4, 0) + 1)]),
         |           md5(text)) AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin),
+    "text_winnow" ->
+      (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+        |h AS (SELECT doc_id,
+        |  [md5(array_to_string(w[i:i+2], ' ')) FOR i IN range(1, greatest(len(w)-2, 0) + 1)] AS hs
+        |  FROM t WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 4
+        |       THEN list_distinct([list_min(hs[i:i+3]) FOR i IN range(1, len(hs)-3 + 1)])
+        |       ELSE [list_min(hs)] END AS fps
+        |  FROM h)
+        |SELECT doc_id, unnest(fps) AS fingerprint FROM f
+        |ORDER BY doc_id, fingerprint""".stripMargin),
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,

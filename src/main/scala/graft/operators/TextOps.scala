@@ -96,6 +96,25 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Winnowing fingerprints (Schleimer et al.): hash every w-token
+    * shingle, slide a window of `window` hashes, keep each window's
+    * minimum, dedup. Guarantees any sufficiently long shared
+    * substring yields a shared fingerprint — the plagiarism/overlap
+    * detection primitive. Per-row array algebra; one row per
+    * selected fingerprint.
+    */
+  def winnow(documents: DataFrame, w: Int = 3, window: Int = 4): DataFrame = {
+    val hashes = transform(shingles(col("text"), w), s => md5(s))
+    val n = size(hashes)
+    val fps = when(n >= window,
+      array_distinct(transform(sequence(lit(1), n - lit(window - 1)),
+        i => array_min(slice(hashes, i, lit(window))))))
+      .otherwise(when(n > 0, array(array_min(hashes))).otherwise(array().cast("array<string>")))
+    documents
+      .select(col("doc_id"), explode(fps).as("fingerprint"))
+      .orderBy(col("doc_id"), col("fingerprint"))
+  }
+
   /** Content fingerprint: minimum md5 over rolling 5-token shingles
     * (min-hash winnowing); short docs fall back to whole-text md5.
     * Grouping by fingerprint clusters near-identical prefixes cheaply.

@@ -42,6 +42,19 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(3L)._2 === true)
   }
 
+  test("winnow: docs sharing a long substring share at least one fingerprint") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (1L, s"unique one two three $shared"),
+      (2L, s"$shared nine eight seven"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val fps = TextOps.winnow(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must yield a shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
+
   test("fingerprint is identical for identical token streams, and falls back on short docs") {
     val docs = Seq(
       (1L, "a b c d e f g"),
