@@ -33,19 +33,28 @@ object Hashing {
   /** Distinct sorted token set — the unit for Jaccard similarity. */
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
 
-  /** w-token shingles joined with a char that can't appear in tokens.
-    * One `when` guard outside the transform (sequence(1, 0) would
-    * count DOWN, so short docs need the explicit empty-array branch);
-    * per-offset work is just slice + concat_ws. Higher-order
-    * functions evaluate interpreted, so keeping the per-element
-    * expression minimal matters on a 100 TB text scan.
+  /** w-token shingles over an ALREADY-BOUND token-array column.
+    *
+    * The argument must be a plain column reference, not an inline
+    * expression: anything inlined here appears inside the transform
+    * lambda and is re-evaluated once PER SHINGLE OFFSET (an O(n²)
+    * blowup — callers project `tokens(text)` into its own column
+    * first; a multiply-referenced non-cheap alias survives
+    * CollapseProject). One `when` guard outside the transform
+    * (sequence(1, 0) would count DOWN, so short docs need the
+    * explicit empty-array branch).
     */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = tokens(text)
+  def shinglesOf(toks: Column, w: Int): Column = {
     val n = size(toks)
     when(n >= w,
       transform(sequence(lit(1), n - lit(w - 1)),
         i => concat_ws(" ", slice(toks, i, lit(w)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Convenience form — ONLY for one-shot expressions where the
+    * token array can't be projected first; prefer
+    * `select(tokens(text).as("toks"))` + [[shinglesOf]] in hot paths.
+    */
+  def shingles(text: Column, w: Int): Column = shinglesOf(tokens(text), w)
 }

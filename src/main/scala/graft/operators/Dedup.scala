@@ -45,7 +45,11 @@ object Dedup {
     // user-numbered repartition is exempt from AQE coalescing.
     val parallelism = documents.sparkSession.sparkContext.defaultParallelism
     documents.repartition(parallelism, col("doc_id"))
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), w))).as("s"))
+      // tokens projected into its own column so the shingle lambda
+      // references an attribute (inline, the regex split would rerun
+      // once per shingle offset — O(n²) per doc).
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(shinglesOf(col("toks"), w))).as("s"))
   }
 
   /** Exact Jaccard verification of candidate (a, b) pairs against the

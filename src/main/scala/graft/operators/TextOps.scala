@@ -109,8 +109,9 @@ object TextOps {
     // window index (O(n²) md5 calls per doc — measured 100× slower).
     // As a multiply-referenced non-cheap alias it survives
     // CollapseProject, so each row hashes its shingles exactly once.
-    val hashed = documents.select(col("doc_id"),
-      transform(shingles(col("text"), w), s => md5(s)).as("hs"))
+    val hashed = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(shinglesOf(col("toks"), w), s => md5(s)).as("hs"))
     val n = size(col("hs"))
     val fps = when(n >= window,
       array_distinct(transform(sequence(lit(1), n - lit(window - 1)),
@@ -126,8 +127,10 @@ object TextOps {
     * Grouping by fingerprint clusters near-identical prefixes cheaply.
     */
   def fingerprint(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
-        coalesce(array_min(transform(shingles(col("text"), 5), s => md5(s))), md5(col("text")))
+    documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        coalesce(array_min(transform(shinglesOf(col("toks"), 5), s => md5(s))), md5(col("text")))
           .as("fingerprint"))
       .orderBy(col("doc_id"))
 }
