@@ -29,4 +29,15 @@ object Exact {
 
   /** Order-independent average: exact decimal sum, double division. */
   def avgExact(c: Column): Column = sum(dec2(c)).cast("double") / count(lit(1))
+
+  /** Final-output form for exact-decimal results. Engines render
+    * DECIMAL asymmetrically (trailing zeros: `3599.70` vs `3599.7`),
+    * so no query may emit a raw DECIMAL column. Emit the value as a
+    * double instead, rounded AT THE DECIMAL'S OWN SCALE — a no-op on
+    * the value (there are no digits past scale `s` to round, so no
+    * engine can disagree at a half boundary) that exists only to pin
+    * the double through each engine's round(), with −0.0 normalized
+    * by the `+ 0.0`. Oracle mirror: `round(CAST(x AS DOUBLE), s) + 0.0`.
+    */
+  def outD(c: Column, s: Int): Column = round(c.cast("double"), s) + lit(0.0)
 }

@@ -39,6 +39,12 @@ object Analytics {
         sum(charge).as("sum_charge"),
         avgExact(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
+      // exact decimal sums internally; doubles at the output boundary
+      // (scale per column = the decimal's own scale, see Exact.outD)
+      .withColumn("sum_qty", outD(col("sum_qty"), 2))
+      .withColumn("sum_base_price", outD(col("sum_base_price"), 2))
+      .withColumn("sum_disc_price", outD(col("sum_disc_price"), 4))
+      .withColumn("sum_charge", outD(col("sum_charge"), 6))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -53,9 +59,12 @@ object Analytics {
       .join(lineitem.filter(col("l_shipdate") > cut), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
-      .select(col("l_orderkey"), col("revenue"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      // order + limit on the exact decimal (so the top-10 cut is
+      // engine-identical), THEN convert for output
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
+      .select(col("l_orderkey"), outD(col("revenue"), 4).as("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
   }
 
   /** Star join across the full dimension chain (TPC-H Q5 shape) —
@@ -75,6 +84,7 @@ object Analytics {
       .join(broadcast(customer), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
+      .withColumn("revenue", outD(col("revenue"), 4))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -84,13 +94,13 @@ object Analytics {
     */
   def filterProject(orders: DataFrame): DataFrame =
     orders.filter(col("o_totalprice") > 400000.0 && col("o_orderstatus") === "O")
-      .select(col("o_orderkey"), col("o_custkey"), dec2(col("o_totalprice")).as("o_totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"), outD(dec2(col("o_totalprice")), 2).as("o_totalprice"))
 
   /** Global order-by + limit — plans as TakeOrderedAndProject (per-
     * partition top-k, no full sort shuffle).
     */
   def topkOrders(orders: DataFrame, k: Int = 25): DataFrame =
-    orders.select(col("o_orderkey"), dec2(col("o_totalprice")).as("o_totalprice"))
+    orders.select(col("o_orderkey"), outD(dec2(col("o_totalprice")), 2).as("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(k)
 

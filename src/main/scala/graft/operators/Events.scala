@@ -30,6 +30,7 @@ object Events {
         min(col("tsec")).as("start_ts"),
         max(col("tsec")).as("end_ts"),
         sum(dec2(col("value"))).as("total_value"))
+      .withColumn("total_value", outD(col("total_value"), 2))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -44,6 +45,7 @@ object Events {
       .agg(count(lit(1)).as("n"),
         sum(dec2(col("value"))).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
+      .withColumn("total_value", outD(col("total_value"), 2))
       .orderBy(col("bucket"), col("event_type"))
 
   /** Per-user event-type profile — the pivot/crosstab pattern as
@@ -57,6 +59,7 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         types.map(t => sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
           sum(dec2(col("value"))).as("total_value"): _*)
+      .withColumn("total_value", outD(col("total_value"), 2))
       .orderBy(col("user_id"))
   }
 
@@ -70,6 +73,8 @@ object Events {
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
       .withColumn("rank", dense_rank().over(w).cast("long"))
       .filter(col("rank") <= 3)
+      // rank is computed over the exact decimal; output converts after
+      .withColumn("revenue", outD(col("revenue"), 4))
       .orderBy(col("p_brand"), col("rank"), col("l_partkey"))
   }
 }

@@ -85,18 +85,26 @@ object Multimodal {
   }
 
   /** Deterministic fake decoder — replace with a real codec call
-    * when the runtime ships one. Reads "header" bytes exactly like
-    * [[binaryMeta]]'s column expressions so the two paths agree.
+    * when the runtime ships one. The "header decode" must match
+    * [[binaryMeta]]'s `ascii(substring(text, n, 1))` exactly, and
+    * `ascii` is CODEPOINT-based — so decode the payload as UTF-8 and
+    * take the first two characters' code points (raw header BYTES
+    * would diverge on any document starting with a non-ASCII char,
+    * e.g. the zh corpus).
     */
   private def decodeStub(m: MediaRow): MediaMeta = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val digest = md.digest(m.payload).map("%02x".format(_)).mkString
+    val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+    val cp0 = if (text.isEmpty) 0L else text.codePointAt(0).toLong
+    val off1 = if (text.isEmpty) 0 else Character.charCount(text.codePointAt(0))
+    val cp1 = if (text.length > off1) text.codePointAt(off1).toLong else 0L
     MediaMeta(
       doc_id = m.doc_id,
       n_bytes = m.payload.length.toLong,
       digest = digest,
-      width = if (m.payload.length > 0) m.payload(0).toLong & 0xff else 0L,
-      height = if (m.payload.length > 1) m.payload(1).toLong & 0xff else 0L,
+      width = cp0,
+      height = cp1,
       channels = m.payload.length.toLong % 4 + 1)
   }
 }

@@ -30,8 +30,20 @@ final class Tables(spark: SparkSession, dir: String) {
     * engines.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // The legacy flag has no per-read option form (probed: a
+    // DataFrameReader option is ignored and the read throws), so set
+    // it only around the eager schema resolution and restore the
+    // caller's value after. Execution of the returned (lazy) frame is
+    // safe post-restore: the file schema was already resolved to LONG
+    // (probed on this Spark version — see VerifySpec round-trip).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")

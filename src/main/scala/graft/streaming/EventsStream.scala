@@ -47,7 +47,14 @@ object EventsStream {
   case class Session(user_id: Long, session_id: Long, n_events: Long,
                      start_ts: Timestamp, end_ts: Timestamp, total_value: Double)
 
-  private def cents(v: Double): Long = math.round(v * 100)
+  /** Cents with the same rounding as the batch path's
+    * `cast(value AS DECIMAL(12,2))` — HALF_UP (away from zero).
+    * `math.round` half-rounds toward +∞, which differs on negative
+    * exact half-cents (−1.005 → −100 vs the cast's −101).
+    */
+  private def cents(v: Double): Long =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.unscaledValue().longValueExact()
 
   private def toSession(userId: Long, s: OpenSession): Session =
     Session(userId, s.sessionId, s.nEvents,

@@ -22,7 +22,7 @@ class EventsSpec extends SparkSpec {
 
     val got = Events.sessionize(events).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getTimestamp(3), r.getTimestamp(4), r.getDecimal(5).doubleValue()))
+        r.getTimestamp(3), r.getTimestamp(4), r.getDouble(5)))
     assert(got.toSeq === Seq(
       (1L, 1L, 2L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:20:00"), 3.0),
       (1L, 2L, 1L, ts("2026-01-01 11:00:00"), ts("2026-01-01 11:00:00"), 4.0),
@@ -39,7 +39,7 @@ class EventsSpec extends SparkSpec {
 
     val got = Events.hourlyRollup(events).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
-        r.getDecimal(3).doubleValue(), r.getLong(4)))
+        r.getDouble(3), r.getLong(4)))
     assert(got.toSeq === Seq(
       (ts("2026-01-01 10:00:00"), "buy", 1L, 10.0, 1L),
       (ts("2026-01-01 10:00:00"), "view", 2L, 4.0, 2L),

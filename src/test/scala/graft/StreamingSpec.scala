@@ -51,7 +51,7 @@ class StreamingSpec extends SparkSpec {
             .toDF("event_id", "user_id", "ts", "event_type", "value"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getTimestamp(3), r.getTimestamp(4), r.getDecimal(5).doubleValue())).toSet
+          r.getTimestamp(3), r.getTimestamp(4), r.getDouble(5))).toSet
 
       assert(got === batch)
       assert(got.size === 3)
