@@ -50,7 +50,6 @@ object SparkEntry {
     "dedup_embedding"     -> ((s, d) => Similarity.embeddingNearDup(Tables(s, d).embeddings)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
-    // approximate by design -> no oracle entry (rows-only gate)
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "ann_centroids"       -> ((s, d) => Similarity.labelCentroids(Tables(s, d).embeddings)),
     // iterative trainer -> rows-only gate (not one-shot SQL-expressible)
@@ -96,6 +95,15 @@ object SparkEntry {
        |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) + 0.0 >= $threshold ORDER BY a, b""".stripMargin
   /** Exact-decimal element product (engine-parity, see VectorFunctions.dec8). */
   private def dec8(e: String): String = s"CAST(round(CAST($e AS DOUBLE), 8) AS DECIMAL(19,8))"
+
+  /** The ann_lsh hyperplanes as a DuckDB nested-list literal — the
+    * SAME fixed-point longs the Spark BandSignatures kernel uses
+    * (operators.LshPlanes), inlined so the oracle replays the exact
+    * integer signature arithmetic.
+    */
+  private def lshPlanesLiteral: String =
+    operators.LshPlanes.scaled.map(_.mkString("[", ", ", "]"))
+      .grouped(4).map(_.mkString(", ")).mkString("[\n", ",\n", "]")
   private val normsCte =
     s"""norms AS (SELECT vec_id, sum(p) AS nrm FROM (
        |  SELECT vec_id, unnest([${dec8("embedding[i]")} * ${dec8("embedding[i]")}
@@ -364,6 +372,39 @@ object SparkEntry {
         |  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id)
         |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
         |  SELECT query_id, label, nvec, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // Approximate ANN, but a deterministic computation: signatures are
+    // exact fixed-point integer dots (BandSignatures kernel), so the
+    // oracle re-derives them from the same inlined plane constants and
+    // must agree bit-for-bit, candidates and all.
+    "ann_lsh" ->
+      (s"""WITH pl AS (SELECT unnest(ll) AS arr, generate_subscripts(ll, 1) - 1 AS plane
+        |           FROM (SELECT $lshPlanesLiteral AS ll)),
+        |pw AS (SELECT plane, unnest(arr) AS w, generate_subscripts(arr, 1) - 1 AS dim FROM pl),
+        |sv AS (SELECT vec_id, CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 10000, 0) AS BIGINT) AS s,
+        |              CAST(i - 1 AS BIGINT) AS dim
+        |       FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+        |pdots AS (SELECT vec_id, plane // ${operators.LshPlanes.rowsPerBand} AS band,
+        |                 plane % ${operators.LshPlanes.rowsPerBand} AS bit, sum(s * w) AS dot
+        |          FROM sv JOIN pw ON sv.dim = pw.dim GROUP BY 1, 2, 3),
+        |sigs AS (SELECT vec_id, band, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig
+        |         FROM pdots GROUP BY 1, 2),
+        |qsig AS (SELECT vec_id AS query_id, band, sig FROM sigs WHERE vec_id % 100 = 0),
+        |cand AS (SELECT DISTINCT q.query_id, s.vec_id
+        |         FROM sigs s JOIN qsig q ON s.band = q.band AND s.sig = q.sig AND s.vec_id <> q.query_id),
+        |$normsCte,
+        |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+        |  SELECT c.query_id, c.vec_id,
+        |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+        |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2),
+        |scored AS (SELECT query_id, cdots.vec_id AS nvec,
+        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+        |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
+        |  SELECT query_id, nvec, cosine,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "ann_centroids" ->

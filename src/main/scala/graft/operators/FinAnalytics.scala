@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Exact._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -235,24 +235,65 @@ object FinAnalytics {
   }
 
   /** Exact distributed quantiles (p50/p90/p99 of value per
-    * event_type) via rank selection: rank = ⌈q·n⌉ computed in
-    * integer arithmetic (no float q·n — engines disagree on
-    * ceil(0.9·n) when 0.9·n lands on an ulp boundary). One shuffle
-    * on the group key; the sort is per-group within partitions.
-    * The selected VALUE is tie-stable: permuting equal values never
-    * changes the element at a rank.
+    * event_type) via two-pass histogram rank selection. Target ranks
+    * ⌈q·n⌉ use integer arithmetic (no float q·n — engines disagree on
+    * ceil(0.9·n) at ulp boundaries).
+    *
+    * Scale shape (this replaced a `Window.partitionBy(event_type)`
+    * global sort, which serialized the whole fact table into
+    * #event_types partitions):
+    *  - pass 1 histograms values into `histBuckets` per-type buckets —
+    *    a map-side-combined aggregation whose shuffle carries only
+    *    (types × non-empty buckets) rows, never the facts;
+    *  - cumulative bucket counts (tiny) locate the bucket holding
+    *    each target rank;
+    *  - pass 2 rescans, keeps only rows of the ≤ 3 located buckets
+    *    per type (≈ n/histBuckets of the data), and picks the row
+    *    whose within-bucket rank matches the target offset.
+    * No full-data shuffle at all: facts are scanned twice, sorted
+    * never. Selection is exact for any distribution because the
+    * bucket function is monotone in value and ties (equal values)
+    * land in one bucket: global rank = cum_before + in-bucket rank.
     */
-  def valueQuantiles(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    events
-      .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+  def valueQuantiles(events: DataFrame, histBuckets: Int = 8192): DataFrame = {
+    val base = events.select(col("event_type"), col("event_id"), col("value"))
+    val stats = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    // One shared bucket expression so both passes compute the exact
+    // same double arithmetic (and therefore the same bucket) per row.
+    def bucketCol: Column =
+      when(col("vmax") > col("vmin"),
+        least(floor((col("value") - col("vmin")) / ((col("vmax") - col("vmin")) / histBuckets)),
+          lit((histBuckets - 1).toLong)))
+        .otherwise(lit(0L))
+    val hist = base.join(broadcast(stats), "event_type")
+      .withColumn("bucket", bucketCol)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+    val targets = stats.select(col("event_type"),
+        explode(array(
+          struct(lit("p50").as("which"), expr("(n + 1) DIV 2").as("target")),
+          struct(lit("p90").as("which"), expr("(9 * n + 9) DIV 10").as("target")),
+          struct(lit("p99").as("which"), expr("(99 * n + 99) DIV 100").as("target")))).as("t"))
+      .select(col("event_type"), col("t.which").as("which"), col("t.target").as("target"))
+    val located = targets.join(cum, Seq("event_type"))
+      .filter(col("target") > col("cum_before") && col("target") <= col("cum_before") + col("cnt"))
+      .select(col("event_type"), col("which"), col("target"), col("bucket"), col("cum_before"))
+    val wIn = Window.partitionBy(col("event_type"), col("bucket"), col("which"))
+      .orderBy(col("value"), col("event_id"))
+    base.join(broadcast(stats), "event_type")
+      .withColumn("bucket", bucketCol)
+      .join(broadcast(located), Seq("event_type", "bucket"))
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .filter(col("rn") === col("target") - col("cum_before"))
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"),
-        max(when(col("rn") === expr("(n + 1) DIV 2"), col("value"))).as("p50"),
-        max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("value"))).as("p90"),
-        max(when(col("rn") === expr("(99 * n + 99) DIV 100"), col("value"))).as("p99"))
+        max(when(col("which") === "p50", col("value"))).as("p50"),
+        max(when(col("which") === "p90", col("value"))).as("p90"),
+        max(when(col("which") === "p99", col("value"))).as("p99"))
       .orderBy(col("event_type"))
   }
 

@@ -17,42 +17,99 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Near-duplicate pairs with exact-cosine ≥ threshold.
-    * Two-phase: double-cosine prefilter with a 1e-3 margin (≫ the
-    * ~1e-12 double-vs-exact error), then exact decimal verification —
-    * output is identical to brute-force exact, at prune-phase cost.
+  /** Default ANN/near-dup query set when the caller does not supply
+    * one: every 100th vector. Production callers pass an explicit
+    * (small) query DataFrame so the broadcast side is STRUCTURALLY
+    * bounded — `vec_id % 100` of a growing corpus is 1% of corpus
+    * bytes, which stops being broadcastable long before 100 TB.
     */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
+  private def defaultQueries(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id") % 100 === 0)
+
+  /** Value-based survivor cut for the two-phase (fast double prune →
+    * exact decimal re-rank) top-k scans: keep every row whose fast
+    * cosine ties the k-th fast value within 1e-6. A fixed rank margin
+    * (k+c) silently drops true neighbors when > c corpus vectors sit
+    * within double-vs-exact error of the k-th score (duplicate/near-
+    * identical vectors); the value cut is immune — double and exact
+    * cosine differ < 1e-9 ≪ 1e-6, so no true top-k member can fall
+    * below kth_fast − 1e-6. NULL kth_fast (fewer than k candidates)
+    * keeps everything.
+    */
+  private def keepFastSurvivors(df: DataFrame, k: Int): DataFrame = {
+    val wFast = Window.partitionBy(col("query_id")).orderBy(col("fast").desc, col("vec_id"))
+    val wAll = Window.partitionBy(col("query_id"))
+    df.withColumn("rf", row_number().over(wFast))
+      .withColumn("kth_fast", max(when(col("rf") === k, col("fast"))).over(wAll))
+      .filter(col("kth_fast").isNull || col("fast") >= col("kth_fast") - 1e-6)
+      .drop("rf", "kth_fast")
+  }
+
+  /** Near-duplicate pairs with exact-cosine ≥ threshold — the EXACT
+    * pair join, distributed as a block-pair triangle join.
+    *
+    * Every vector gets a hash block id in [0, blocks); side A carries
+    * each vector to every block pair (own, j ≥ own), side B to every
+    * (i ≤ own, own); the equi-join on (bi, bj) then meets each
+    * unordered pair in exactly one of the blocks(blocks+1)/2 shuffle
+    * groups (the `a < b` residual halves the diagonal). The plan is a
+    * plain shuffled equi-join — NO BroadcastNestedLoopJoin, no
+    * cartesian node — so the Θ(n²) pair evaluations spread evenly
+    * over ~blocks²/2 independent tasks instead of serializing behind
+    * a full-corpus broadcast. Replication cost is (blocks+1)× the
+    * corpus through one shuffle.
+    *
+    * Why not sketch-candidate generation (the sub-quadratic route):
+    * at this threshold it cannot reproduce the exact result. The
+    * corpus' true pairs sit at cosine 0.45-0.51 (measured) while
+    * random pairs center on 0; a hyperplane agrees with a 0.45-pair
+    * with p = 1 − acos(0.45)/π ≈ 0.65 vs 0.5 for noise — far too
+    * small a gap for any band scheme to reach ~1e-8 miss probability
+    * without admitting nearly all pairs as candidates. An exact
+    * threshold join on dense vectors is inherently Θ(n²) work; the
+    * sub-quadratic *approximate* companions are the sketch operators
+    * (#22/#23) and [[annLsh]]. Per-pair cost stays cheap: codegen
+    * double-cosine prefilter (1e-3 margin ≫ the ~1e-12 double-vs-
+    * exact error), exact decimal verification only on survivors.
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.45,
+                       blocks: Int = 16): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), col("a") < col("b"))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+    // Roles are BLOCK-ordered (side A = the lower block, side B = the
+    // higher): group (p, q), p < q, meets each cross-block pair once;
+    // only the diagonal (p = p) needs the id-order filter. Output ids
+    // are then normalized with least/greatest (cosine is symmetric).
+    val sideA = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("blk").as("bi"))
+      .withColumn("bj", explode(sequence(col("bi"), lit(blocks - 1))))
+    val sideB = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("blk").as("bj"))
+      .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+    sideA.join(sideB, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ia") < col("ib"))
       .filter(cosineFast(col("ea"), col("eb")) >= threshold - 1e-3)
-    pairs
       .withColumn("cosine",
         cosineExact(decDot(col("ea"), col("eb")), decNorm2(col("ea")), decNorm2(col("eb"))))
       .filter(col("cosine") >= threshold)
-      .select(col("a"), col("b"), col("cosine"))
+      .select(least(col("ia"), col("ib")).as("a"), greatest(col("ia"), col("ib")).as("b"), col("cosine"))
       .orderBy(col("a"), col("b"))
   }
 
-  /** Exact top-k cosine neighbors for the query set (vec_id ≡ 0 mod
-    * 100). Queries broadcast over one corpus scan; ranking uses the
-    * exact cosine with vec_id tiebreak so rank order is total.
+  /** Exact top-k cosine neighbors for the query set. Queries
+    * broadcast over one corpus scan; ranking uses the exact cosine
+    * with vec_id tiebreak so rank order is total.
     */
-  def annBruteForce(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def annBruteForce(embeddings: DataFrame, queries: Option[DataFrame] = None,
+                    k: Int = 5): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
-    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val qs = queries.getOrElse(defaultQueries(embeddings))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    // Phase 1: native double cosine over the full scan, per-query
-    // top-(k+20) — double vs exact differ < 1e-9, so the true top-k
-    // always survives this cut. Phase 2: exact decimal re-rank of
-    // the survivors only (the oracle-parity values).
-    val wFast = Window.partitionBy(col("query_id")).orderBy(col("fast").desc, col("vec_id"))
+    // Phase 1: native double cosine over the full scan, cut by VALUE
+    // at the k-th fast score (see keepFastSurvivors). Phase 2: exact
+    // decimal re-rank of the survivors only (the oracle-parity values).
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    val scanned = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
       .withColumn("fast", cosineFast(col("qe"), col("embedding")))
-      .withColumn("rf", row_number().over(wFast))
-      .filter(col("rf") <= k + 20)
+    keepFastSurvivors(scanned, k)
       .withColumn("cosine",
         cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -135,39 +192,34 @@ object Similarity {
   /** LSH-bucketed ANN: 8 bands × 3 random hyperplanes. A vector's
     * band signature is the sign pattern of its projections; a
     * candidate is any corpus vector sharing ≥ 1 band bucket with the
-    * query, then exact top-k re-ranks candidates only. Hyperplanes
-    * are seeded-deterministic, so results are reproducible across
-    * runs/clusters. For neighbor cosine ~0.5 the 3-plane band
-    * matches with p ≈ 0.3, so 8 bands give ~95% recall while
-    * scanning ~⅛ of the corpus per band bucket — the
-    * sublinear-candidate scale path (vs annBruteForce's full scan,
-    * annIvf's cell prune).
+    * query, then exact top-k re-ranks candidates only. For neighbor
+    * cosine ~0.5 the 3-plane band matches with p ≈ 0.3, so 8 bands
+    * give ~95% recall while scanning ~⅛ of the corpus per band
+    * bucket — the sublinear-candidate scale path (vs annBruteForce's
+    * full scan, annIvf's cell prune).
     *
-    * Approximate by design → no SQL oracle (rows-only gate); the
-    * spec asserts recall@k against the exact scan.
+    * Signatures come from ONE call to the native [[graft.plans.BandSignatures]]
+    * kernel per row (replacing 24 HOF dot-product lambdas), and its
+    * fixed-point integer arithmetic is engine-exact — so although the
+    * RESULT is approximate ANN, the COMPUTATION is deterministic and
+    * fully SQL-replayable: the DuckDB oracle inlines the same scaled
+    * plane constants and reproduces signatures, candidates, and exact
+    * re-rank bit-for-bit.
     */
-  def annLsh(embeddings: DataFrame, k: Int = 5, bands: Int = 8, rowsPerBand: Int = 3,
-             dim: Int = 64): DataFrame = {
-    val rng = new scala.util.Random(0xA55)
-    val planes = Array.fill(bands * rowsPerBand, dim)(rng.nextGaussian())
-    def bandSig(vec: Column, b: Int): Column =
-      (0 until rowsPerBand).map { r =>
-        val h = lit(planes(b * rowsPerBand + r))
-        when(aggregate(zip_with(vec, h, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v) >= 0, 1L << r).otherwise(0L)
-      }.reduce(_.bitwiseOR(_))
+  def annLsh(embeddings: DataFrame, queries: Option[DataFrame] = None,
+             k: Int = 5): DataFrame = {
+    import graft.plans.GraftExpressions.bandSigs
     def banded(df: DataFrame, idCol: String): DataFrame =
       df.select(col(idCol), col("embedding"),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"), bandSig(col("embedding"), b).as("sig"))): _*)).as("bb"))
-        .select(col(idCol), col("embedding"), col("bb.band"), col("bb.sig"))
+        posexplode(bandSigs(col("embedding"), LshPlanes.scaled, LshPlanes.rowsPerBand))
+          .as(Seq("band", "sig")))
     val corpus = banded(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
-    val queries = banded(
-      embeddings.filter(col("vec_id") % 100 === 0)
+    val qBanded = banded(
+      queries.getOrElse(defaultQueries(embeddings))
         .select(col("vec_id").as("query_id"), col("embedding")), "query_id")
       .withColumnRenamed("embedding", "qe")
       .withColumnRenamed("band", "qband").withColumnRenamed("sig", "qsig")
-    val cands = corpus.join(broadcast(queries),
+    val cands = corpus.join(broadcast(qBanded),
         col("band") === col("qband") && col("sig") === col("qsig") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qe"), col("vec_id"), col("embedding")).distinct()
@@ -186,22 +238,37 @@ object Similarity {
     * nearest-centroid id); search scans only the query's own cell —
     * the 1/nlist scan-pruning that makes ANN tractable at 100 TB.
     */
-  def annIvf(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  def annIvf(embeddings: DataFrame, queries: Option[DataFrame] = None,
+             k: Int = 5): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"), col("label"))
-    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val qs = queries.getOrElse(defaultQueries(embeddings))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("qlabel"))
-    val wFast = Window.partitionBy(col("query_id")).orderBy(col("fast").desc, col("vec_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    corpus.join(broadcast(queries),
+    val scanned = corpus.join(broadcast(qs),
         col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
       .withColumn("fast", cosineFast(col("qe"), col("embedding")))
-      .withColumn("rf", row_number().over(wFast))
-      .filter(col("rf") <= k + 20)
+    keepFastSurvivors(scanned, k)
       .withColumn("cosine",
         cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+}
+
+/** The ann_lsh hyperplane family — seeded, fixed-point (×1e4,
+  * HALF_UP), shared verbatim between the Spark kernel
+  * ([[graft.plans.BandSignatures]]) and the generated DuckDB oracle
+  * SQL in [[graft.SparkEntry.oracleSql]], which inlines these exact
+  * longs as literals. 8 bands × 3 rows over 64 dims.
+  */
+object LshPlanes {
+  val bands = 8
+  val rowsPerBand = 3
+  val dim = 64
+  lazy val scaled: Array[Array[Long]] = {
+    val rng = new scala.util.Random(0xA55)
+    Array.fill(bands * rowsPerBand, dim)(math.round(rng.nextGaussian() * 10000))
   }
 }

@@ -133,6 +133,12 @@ object GraftExpressions {
   /** Column API for the native squared-L2 kernel. */
   def l2F64(a: Column, b: Column): Column =
     ColumnBridge.column(L2DistanceF64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the one-pass exact fixed-point LSH band-signature
+    * kernel (see [[BandSignatures]]).
+    */
+  def bandSigs(vec: Column, planes: Array[Array[Long]], rowsPerBand: Int): Column =
+    ColumnBridge.column(BandSignatures(ColumnBridge.expression(vec), planes, rowsPerBand))
 }
 
 /** SQL registration (`SELECT cosine_f64(a, b)`) via

@@ -71,4 +71,57 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.45))
   }
+
+  /** The exact cosine as the operator defines it (dec8 components,
+    * exact decimal moments, round-6 double) — reimplemented locally
+    * for the brute-force oracle below.
+    */
+  private def exactCosine(a: Array[Float], b: Array[Float]): Double = {
+    def d8(x: Float): BigDecimal = BigDecimal(x.toDouble).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val dot = a.indices.map(i => d8(a(i)) * d8(b(i))).sum
+    val na = a.map(x => d8(x) * d8(x)).sum
+    val nb = b.map(x => d8(x) * d8(x)).sum
+    val c = dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+  }
+
+  test("embeddingNearDup block-pair join equals local brute force and plans no BNLJ/cartesian") {
+    val df = Similarity.embeddingNearDup(embeddings, threshold = 0.45)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "block-pair join must not plan a nested loop")
+    assert(!plan.contains("CartesianProduct"), "block-pair join must not plan a cartesian product")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vecs = embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val want = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      c = exactCosine(vecs(i)._2, vecs(j)._2) if c >= 0.45
+    } yield (vecs(i)._1, vecs(j)._1, c)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "testdata must contain at least one near-dup pair")
+  }
+
+  test("BandSignatures kernel matches a reference Scala fixed-point computation") {
+    import graft.operators.LshPlanes
+    val rows = embeddings.select(col("vec_id"), col("embedding"),
+        graft.plans.GraftExpressions.bandSigs(col("embedding"), LshPlanes.scaled, LshPlanes.rowsPerBand).as("sigs"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val got = r.getSeq[Long](2)
+      val scaled = v.map { x =>
+        val d = x.toDouble * 10000.0
+        if (d >= 0) math.round(d) else -math.round(-d)
+      }
+      val want = (0 until LshPlanes.bands).map { b =>
+        (0 until LshPlanes.rowsPerBand).foldLeft(0L) { (sig, rr) =>
+          val w = LshPlanes.scaled(b * LshPlanes.rowsPerBand + rr)
+          val dot = scaled.indices.map(i => scaled(i) * w(i)).sum
+          if (dot >= 0L) sig | (1L << rr) else sig
+        }
+      }
+      assert(got === want, s"vec ${r.getLong(0)}")
+    }
+  }
 }
