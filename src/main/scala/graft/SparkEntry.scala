@@ -42,6 +42,8 @@ object SparkEntry {
     "fin_beta"              -> ((s, d) => FinAnalytics.beta(Tables(s, d).events)),
     "fin_cyclical_features" -> ((s, d) => FinAnalytics.cyclicalFeatures(Tables(s, d).events)),
     "fin_company_enrich"    -> ((s, d) => { val t = Tables(s, d); FinAnalytics.companyEnrich(t.events, t.customer) }),
+    "fin_feature_snapshot"  -> ((s, d) => FinAnalytics.featureSnapshot(Tables(s, d).events)),
+    "fin_spline_features"   -> ((s, d) => FinAnalytics.splineFeatures(Tables(s, d).events)),
     "dedup_exact"         -> ((s, d) => Dedup.exact(Tables(s, d).documents)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(Tables(s, d).documents)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
@@ -104,6 +106,24 @@ object SparkEntry {
   private def lshPlanesLiteral: String =
     operators.LshPlanes.scaled.map(_.mkString("[", ", ", "]"))
       .grouped(4).map(_.mkString(", ")).mkString("[\n", ",\n", "]")
+
+  /** fin_spline_features oracle — generated with the IDENTICAL
+    * operation order as FinAnalytics.splineFeatures so every double
+    * matches bit-for-bit before the round(…,6) belt-and-braces.
+    */
+  private def splineOracle: String = {
+    val basis = (0 until 12).map { j =>
+      val u = s"(((date_part('hour', ts) / 2.0 - $j.0) % 12.0 + 12.0) % 12.0)"
+      s"""round(CASE WHEN $u < 1.0 THEN $u * $u * $u / 6.0
+         |    WHEN $u < 2.0 THEN (-3.0 * $u * $u * $u + 12.0 * $u * $u - 12.0 * $u + 4.0) / 6.0
+         |    WHEN $u < 3.0 THEN (3.0 * $u * $u * $u - 24.0 * $u * $u + 60.0 * $u - 44.0) / 6.0
+         |    WHEN $u < 4.0 THEN (4.0 - $u) * (4.0 - $u) * (4.0 - $u) / 6.0
+         |    ELSE 0.0 END, 6) + 0.0 AS spline_h${"%02d".format(j)}""".stripMargin
+    }
+    s"""SELECT event_id, date_part('hour', ts) AS hour,
+       |${basis.mkString(",\n")}
+       |FROM events ORDER BY event_id""".stripMargin
+  }
   private val normsCte =
     s"""norms AS (SELECT vec_id, sum(p) AS nrm FROM (
        |  SELECT vec_id, unnest([${dec8("embedding[i]")} * ${dec8("embedding[i]")}
@@ -291,6 +311,46 @@ object SparkEntry {
         |            / (CAST(n AS DOUBLE) * CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6) + 0.0
         |  END AS beta
         |FROM moments WHERE n > 1 ORDER BY user_id""".stripMargin),
+    "fin_feature_snapshot" -> (closesCte +
+      """
+        |, market AS (SELECT day, sum(CAST(close AS DECIMAL(12,2))) AS mkt_value FROM closes GROUP BY day),
+        |mret AS (SELECT day, CASE WHEN prev IS NOT NULL AND prev <> 0
+        |                          THEN CAST(mkt_value AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0 END AS mret
+        |         FROM (SELECT day, mkt_value, lag(mkt_value, 1) OVER (ORDER BY day) AS prev FROM market)),
+        |b1 AS (SELECT c.user_id, c.day, c.close, m.mret,
+        |              lag(c.close, 1) OVER (PARTITION BY c.user_id ORDER BY c.day) AS prev_close
+        |       FROM closes c JOIN mret m USING (day)),
+        |b2 AS (SELECT *, CASE WHEN prev_close IS NOT NULL AND prev_close <> 0
+        |                      THEN close / prev_close - 1.0 END AS ret FROM b1),
+        |b3 AS (SELECT *,
+        |         CASE WHEN ret IS NOT NULL THEN CAST(round(ret, 6) AS DECIMAL(19,6)) END AS r6,
+        |         CASE WHEN ret IS NOT NULL AND mret IS NOT NULL THEN CAST(round(ret, 6) AS DECIMAL(19,6)) END AS pr,
+        |         CASE WHEN ret IS NOT NULL AND mret IS NOT NULL THEN CAST(round(mret, 6) AS DECIMAL(19,6)) END AS pm
+        |       FROM b2),
+        |wins AS (SELECT user_id, day, close, ret,
+        |    CAST(sum(CAST(close AS DECIMAL(12,2))) OVER w5 AS DOUBLE) / count(*) OVER w5 AS ma5,
+        |    CAST(sum(CAST(close AS DECIMAL(12,2))) OVER w20 AS DOUBLE) / count(*) OVER w20 AS ma20,
+        |    max(close) OVER w10 AS hi10, min(close) OVER w10 AS lo10,
+        |    max(close) OVER wpk AS peak,
+        |    count(r6) OVER w20 AS nr, sum(r6) OVER w20 AS sr, sum(r6 * r6) OVER w20 AS sr2,
+        |    count(pr) OVER w20 AS np, sum(pr) OVER w20 AS srp, sum(pm) OVER w20 AS smp,
+        |    sum(pr * pm) OVER w20 AS srmp, sum(pm * pm) OVER w20 AS sm2p
+        |  FROM b3
+        |  WINDOW w5 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |         w10 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        |         w20 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         wpk AS (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, day, close, ma5, ma20, hi10, lo10, ret,
+        |  CASE WHEN peak > 0 THEN round(1.0 - close / peak, 6) + 0.0 END AS drawdown,
+        |  CASE WHEN nr > 1 THEN round(sqrt((CAST(nr AS DOUBLE) * CAST(sr2 AS DOUBLE)
+        |        - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |        / (CAST(nr AS DOUBLE) * CAST(nr - 1 AS DOUBLE))), 6) + 0.0 END AS vol20,
+        |  CASE WHEN np > 1 AND CAST(np AS DOUBLE) * CAST(sm2p AS DOUBLE) - CAST(smp AS DOUBLE) * CAST(smp AS DOUBLE) <> 0
+        |       THEN round((CAST(np AS DOUBLE) * CAST(srmp AS DOUBLE) - CAST(srp AS DOUBLE) * CAST(smp AS DOUBLE))
+        |            / (CAST(np AS DOUBLE) * CAST(sm2p AS DOUBLE) - CAST(smp AS DOUBLE) * CAST(smp AS DOUBLE)), 6) + 0.0
+        |  END AS beta20
+        |FROM wins ORDER BY user_id, day""".stripMargin),
+    "fin_spline_features" -> splineOracle,
     "fin_cyclical_features" ->
       """SELECT event_id, date_part('hour', ts) AS hour, date_part('dow', ts) AS dow,
         |  date_part('month', ts) AS month,

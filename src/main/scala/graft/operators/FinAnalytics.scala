@@ -136,7 +136,10 @@ object FinAnalytics {
   def beta(events: DataFrame): DataFrame = {
     val c = closes(events)
     val market = c.groupBy(col("day")).agg(sum(dec2(col("close"))).as("mkt_value"))
-    val wm = Window.orderBy(col("day"))
+    // constant partition key: same single-partition execution over the
+    // (bounded, one-row-per-day) market series, but explicit — no
+    // "No Partition Defined" WARN paging anyone on a real cluster
+    val wm = Window.partitionBy(lit(0)).orderBy(col("day"))
     val marketRet = market
       .withColumn("prev", lag(col("mkt_value"), 1).over(wm))
       .filter(col("prev").isNotNull && col("prev") =!= lit(0).cast("decimal(12,2)"))
@@ -183,6 +186,36 @@ object FinAnalytics {
         enc(hour(col("ts")), 24, "hour") ++
         enc(dayofweek(col("ts")) - 1, 7, "dow") ++
         enc(month(col("ts")), 12, "month"): _*)
+      .orderBy(col("event_id"))
+  }
+
+  /** Periodic cubic B-spline encodings of hour-of-day — the
+    * reference's `periodic_spline_transformer(24, n_splines=12)`
+    * (plot_cyclical_feature_engineering.py:421-434) as pure Column
+    * algebra. Uniform periodic knots every `period/nSplines` hours;
+    * basis j evaluates the cardinal cubic B-spline at
+    * u = ((hour/h − j) mod K), support [0,4). Smoother than sin/cos
+    * (local support: a basis only "sees" its 4-knot neighborhood),
+    * which is exactly why the reference uses it for regression
+    * features. Piecewise cubics are written with the SAME literal
+    * operation order as the oracle SQL so both engines produce
+    * identical doubles; rounded to 6 decimals, −0.0-normalized.
+    */
+  def splineFeatures(events: DataFrame, nSplines: Int = 12, period: Int = 24): DataFrame = {
+    val h = period.toDouble / nSplines
+    val k = lit(nSplines.toDouble)
+    def b3(t: Column): Column =
+      when(t < 1.0, t * t * t / 6.0)
+        .when(t < 2.0, (lit(-3.0) * t * t * t + lit(12.0) * t * t - lit(12.0) * t + lit(4.0)) / 6.0)
+        .when(t < 3.0, (lit(3.0) * t * t * t - lit(24.0) * t * t + lit(60.0) * t - lit(44.0)) / 6.0)
+        .when(t < 4.0, (lit(4.0) - t) * (lit(4.0) - t) * (lit(4.0) - t) / 6.0)
+        .otherwise(lit(0.0))
+    val hr = hour(col("ts")).cast("double")
+    val basisCols = (0 until nSplines).map { j =>
+      val u = ((hr / h - lit(j.toDouble)) % k + k) % k
+      (round(b3(u), 6) + lit(0.0)).as(f"spline_h$j%02d")
+    }
+    events.select(col("event_id") +: hour(col("ts")).cast("long").as("hour") +: basisCols: _*)
       .orderBy(col("event_id"))
   }
 
@@ -295,6 +328,70 @@ object FinAnalytics {
         max(when(col("which") === "p90", col("value"))).as("p90"),
         max(when(col("which") === "p99", col("value"))).as("p99"))
       .orderBy(col("event_type"))
+  }
+
+  /** The wide per-(user_id, day) feature snapshot — the reference's
+    * `financialData` table shape (sql/sqlrequests.sql: one row per
+    * company holding fiftyDayAverage, fiftyTwoWeekHigh/Low, beta, …)
+    * assembled as ONE composed pipeline instead of N separate
+    * queries: close, ma5/ma20, rolling hi/lo 10, daily return,
+    * rolling 20-day volatility and beta-vs-market, running drawdown.
+    *
+    * Scale shape: every metric is a window over the SAME
+    * (user_id → order by day) partitioning, so the whole wide row
+    * costs one shuffle of the closes series; the market return
+    * series (one row per day, bounded) broadcasts back. No
+    * metric-by-metric self-joins — the plan has a single Exchange on
+    * user_id plus the tiny market aggregation.
+    */
+  def featureSnapshot(events: DataFrame): DataFrame = {
+    val c = closes(events)
+    val market = c.groupBy(col("day")).agg(sum(dec2(col("close"))).as("mkt_value"))
+    val wm = Window.partitionBy(lit(0)).orderBy(col("day"))
+    val marketRet = market
+      .withColumn("prev", lag(col("mkt_value"), 1).over(wm))
+      .select(col("day"),
+        when(col("prev").isNotNull && col("prev") =!= lit(0).cast("decimal(12,2)"),
+          col("mkt_value").cast("double") / col("prev").cast("double") - lit(1.0)).as("mret"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w5 = ord.rowsBetween(-4, 0)
+    val w10 = ord.rowsBetween(-9, 0)
+    val w20 = ord.rowsBetween(-19, 0)
+    val wPeak = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val retv = col("ret").isNotNull
+    val pairv = retv && col("mret").isNotNull
+    val r6 = dec6(col("ret"))
+    val m6 = dec6(col("mret"))
+    val snap = c.join(broadcast(marketRet), "day")
+      .withColumn("prev_close", lag(col("close"), 1).over(ord))
+      .withColumn("ret", when(col("prev_close").isNotNull && col("prev_close") =!= 0.0,
+        col("close") / col("prev_close") - lit(1.0)))
+      .withColumn("ma5", sum(dec2(col("close"))).over(w5).cast("double") / count(lit(1)).over(w5))
+      .withColumn("ma20", sum(dec2(col("close"))).over(w20).cast("double") / count(lit(1)).over(w20))
+      .withColumn("hi10", max(col("close")).over(w10))
+      .withColumn("lo10", min(col("close")).over(w10))
+      .withColumn("peak", max(col("close")).over(wPeak))
+      .withColumn("nr", sum(when(retv, 1L).otherwise(0L)).over(w20))
+      .withColumn("sr", sum(when(retv, r6)).over(w20))
+      .withColumn("sr2", sum(when(retv, r6 * r6)).over(w20))
+      .withColumn("np", sum(when(pairv, 1L).otherwise(0L)).over(w20))
+      .withColumn("srp", sum(when(pairv, r6)).over(w20))
+      .withColumn("smp", sum(when(pairv, m6)).over(w20))
+      .withColumn("srmp", sum(when(pairv, r6 * m6)).over(w20))
+      .withColumn("sm2p", sum(when(pairv, m6 * m6)).over(w20))
+    val den = col("np").cast("double") * col("sm2p").cast("double") -
+      col("smp").cast("double") * col("smp").cast("double")
+    snap.select(col("user_id"), col("day"), col("close"), col("ma5"), col("ma20"),
+        col("hi10"), col("lo10"), col("ret"),
+        when(col("peak") > 0, round(lit(1.0) - col("close") / col("peak"), 6) + lit(0.0)).as("drawdown"),
+        when(col("nr") > 1,
+          round(sqrt((col("nr").cast("double") * col("sr2").cast("double")
+            - col("sr").cast("double") * col("sr").cast("double"))
+            / (col("nr").cast("double") * (col("nr") - 1).cast("double"))), 6) + lit(0.0)).as("vol20"),
+        when(col("np") > 1 && den =!= 0.0,
+          round((col("np").cast("double") * col("srmp").cast("double")
+            - col("srp").cast("double") * col("smp").cast("double")) / den, 6) + lit(0.0)).as("beta20"))
+      .orderBy(col("user_id"), col("day"))
   }
 
   /** Each event tagged with the most recent daily close at-or-before

@@ -57,4 +57,35 @@ class FinAnalyticsSpec extends SparkSpec {
     // user 1 moves with (and dominates) the market -> positive beta
     assert(rows(1L) > 0.0)
   }
+
+  test("featureSnapshot composes the per-day metrics; single instrument has beta20 = 1") {
+    // one user -> the market IS the instrument -> mret == ret, beta 1
+    val solo = events.filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+    val rows = FinAnalytics.featureSnapshot(solo).collect()
+    assert(rows.length === 3)
+    val byDay = rows.map(r => r.getDate(1).toString -> r).toMap
+    val d3 = byDay("2026-01-03")
+    assert(d3.getDouble(3) === 20.0)          // ma5 of 10,20,30
+    assert(d3.getDouble(5) === 30.0)          // hi10
+    assert(d3.getDouble(6) === 10.0)          // lo10
+    assert(d3.getDouble(7) === 0.5)           // ret 30/20-1
+    assert(d3.getDouble(8) === 0.0)           // drawdown of a rising series
+    assert(!d3.isNullAt(10) && d3.getDouble(10) === 1.0, "self-market beta20 must be 1")
+    assert(byDay("2026-01-01").isNullAt(7))   // first day has no return
+  }
+
+  test("splineFeatures basis is a partition of unity with local support") {
+    val rows = FinAnalytics.splineFeatures(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val basis = (2 until 14).map(r.getDouble)
+      val sum = basis.sum
+      assert(math.abs(sum - 1.0) < 1e-5, s"partition of unity violated: $sum")
+      // max of the cardinal cubic is 2/3 (round-6 can land 3e-8 above)
+      assert(basis.forall(b => b >= 0.0 && b <= 2.0 / 3.0 + 1e-6))
+      // support spans 4 knots: 4 non-zero bases off-knot, 3 on-knot
+      // (a basis is exactly 0 at its support boundary)
+      assert(Set(3, 4).contains(basis.count(_ > 1e-9)))
+    }
+  }
 }
