@@ -72,6 +72,8 @@ object SparkEntry {
     "salted_enrich"       -> ((s, d) => { val t = Tables(s, d); Skew.saltedEnrich(t.events, t.customer) }),
     "events_type_pivot"   -> ((s, d) => Events.typePivot(Tables(s, d).events)),
     "fin_quantiles"       -> ((s, d) => FinAnalytics.valueQuantiles(Tables(s, d).events)),
+    // approximate sketch, merge-order-sensitive -> rows-only gate
+    "fin_quantiles_sketch" -> ((s, d) => FinAnalytics.quantileSketch(Tables(s, d).events)),
     "fin_weekday_hour_mean" -> ((s, d) => FinAnalytics.weekdayHourMean(Tables(s, d).events)),
     "fin_scale_values"    -> ((s, d) => FinAnalytics.scaleValues(Tables(s, d).events)),
     "fin_asof_price"      -> ((s, d) => FinAnalytics.asofPrice(Tables(s, d).events)),

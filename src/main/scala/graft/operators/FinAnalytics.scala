@@ -394,6 +394,21 @@ object FinAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Approximate p50/p90/p99 per event_type via the custom mergeable
+    * t-digest aggregate ([[graft.plans.TDigestQuantiles]]) — the ONE-
+    * SCAN bounded-memory companion to [[valueQuantiles]]: partial
+    * digests (≤ ~δ centroids) combine map-side and the shuffle moves
+    * sketches, not values. Approximate and merge-order-sensitive →
+    * rows-only gate; TDigestSpec asserts rank-error bounds vs exact.
+    */
+  def quantileSketch(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.plans.TDigestQuantiles(col("value"), Seq(0.5, 0.9, 0.99), 100.0).as("qs"))
+      .select(col("event_type"), col("n"),
+        col("qs")(0).as("p50_approx"), col("qs")(1).as("p90_approx"), col("qs")(2).as("p99_approx"))
+      .orderBy(col("event_type"))
+
   /** Each event tagged with the most recent daily close at-or-before
     * its timestamp — a true AS-OF join, executed by the custom
     * sort-merge operator in [[graft.plans.AsOfJoin]] (single shuffle

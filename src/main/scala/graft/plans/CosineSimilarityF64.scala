@@ -149,6 +149,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineF64Descriptor)
     ext.injectFunction(GraftExtensions.l2F64Descriptor)
+    ext.injectFunction(GraftExtensions.tdigestDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
   }
@@ -165,6 +166,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[L2DistanceF64].getName, "l2_f64"),
       (children: Seq[Expression]) => L2DistanceF64(children.head, children(1)): Expression)
 
+  private[graft] val tdigestDescriptor =
+    (FunctionIdentifier("tdigest_quantiles"),
+      new ExpressionInfo(classOf[TDigestQuantiles].getName, "tdigest_quantiles"),
+      (children: Seq[Expression]) => TDigestQuantiles(children.head): Expression)
+
   /** Idempotent registration on an existing session (the round
     * driver builds its own SparkSession without extensions).
     */
@@ -173,5 +179,7 @@ object GraftExtensions {
       cosineF64Descriptor._1, cosineF64Descriptor._2, cosineF64Descriptor._3)
     spark.sessionState.functionRegistry.registerFunction(
       l2F64Descriptor._1, l2F64Descriptor._2, l2F64Descriptor._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      tdigestDescriptor._1, tdigestDescriptor._2, tdigestDescriptor._3)
   }
 }

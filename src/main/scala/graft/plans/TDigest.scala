@@ -1,0 +1,185 @@
+package graft.plans
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Mergeable quantile sketch (merging t-digest, k₁ scale function).
+  *
+  * The approximate, one-pass, bounded-memory companion to the exact
+  * two-pass rank selection in `FinAnalytics.valueQuantiles`: each
+  * partition folds its values into ≤ O(δ) weighted centroids, partial
+  * sketches MERGE associatively (this is what makes it a real
+  * distributed aggregate — map-side combine works, the shuffle
+  * carries δ centroids per group, never values), and quantiles read
+  * off the merged digest by midpoint interpolation. Rank error
+  * concentrates at the tails like q(1−q)/δ — at δ=100, p99 lands
+  * within a fraction of a percent of true rank.
+  *
+  * Approximate AND merge-order-sensitive (last-ulp level), so the
+  * query built on it takes the rows-only gate; the spec asserts rank
+  * error bounds against the exact quantiles instead.
+  */
+final class TDigest(val compression: Double) extends Serializable {
+  import scala.collection.mutable.ArrayBuffer
+  // (mean, weight) centroids + un-compressed raw tail
+  private[plans] val cs = ArrayBuffer.empty[(Double, Long)]
+  private val rawLimit = math.max(32, (8 * compression).toInt)
+
+  def isEmpty: Boolean = cs.isEmpty
+
+  def add(x: Double): Unit = {
+    cs += ((x, 1L))
+    if (cs.length > rawLimit) compress()
+  }
+
+  def merge(o: TDigest): TDigest = {
+    cs ++= o.cs
+    compress()
+    this
+  }
+
+  /** k₁(q) = δ/2π · asin(2q−1); adjacent centroids merge while their
+    * combined k-span stays ≤ 1, which bounds centroid count by ~δ and
+    * centroid WEIGHT by ~δ⁻¹·q(1−q)·W (small at the tails — that's
+    * the accuracy guarantee).
+    */
+  private def k(q: Double): Double =
+    compression / (2 * math.Pi) * math.asin(2 * math.min(math.max(q, 0.0), 1.0) - 1)
+
+  def compress(): Unit = {
+    if (cs.length <= 1) return
+    val sorted = cs.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum.toDouble
+    cs.clear()
+    var qLeft = 0.0
+    var (cm, cw) = sorted.head
+    sorted.iterator.drop(1).foreach { case (m, w) =>
+      if (k((qLeft + cw + w) / total) - k(qLeft / total) <= 1.0) {
+        val nw = cw + w
+        cm += (m - cm) * w / nw
+        cw = nw
+      } else {
+        cs += ((cm, cw))
+        qLeft += cw
+        cm = m; cw = w
+      }
+    }
+    cs += ((cm, cw))
+  }
+
+  /** Midpoint-rule interpolation: centroid i's mean represents the
+    * rank cum(i) + w(i)/2; quantile q linearly interpolates between
+    * the two bracketing mass centers, clamped at the extreme means.
+    */
+  def quantile(q: Double): Double = {
+    compress()
+    val total = cs.iterator.map(_._2).sum.toDouble
+    val target = q * total
+    var cum = 0.0
+    var prevCenter = Double.NaN
+    var prevMean = Double.NaN
+    var i = 0
+    while (i < cs.length) {
+      val (m, w) = cs(i)
+      val center = cum + w / 2.0
+      if (target <= center) {
+        return if (i == 0) m
+        else prevMean + (m - prevMean) * (target - prevCenter) / (center - prevCenter)
+      }
+      cum += w
+      prevCenter = center
+      prevMean = m
+      i += 1
+    }
+    cs.last._1
+  }
+
+  def serialize(): Array[Byte] = {
+    compress()
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeDouble(compression)
+    out.writeInt(cs.length)
+    cs.foreach { case (m, w) => out.writeDouble(m); out.writeLong(w) }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object TDigest {
+  def deserialize(bytes: Array[Byte]): TDigest = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val d = new TDigest(in.readDouble())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { d.cs += ((in.readDouble(), in.readLong())); i += 1 }
+    d
+  }
+}
+
+/** The Catalyst aggregate: `tdigest_quantiles(value)` →
+  * `array<double>` of the requested percentiles. A
+  * TypedImperativeAggregate — the third rung of the custom-extension
+  * ladder after scalar codegen Expressions (cosine_f64/band_sigs)
+  * and the whole-operator AsOfJoin plan stack: an aggregation with
+  * its own buffer type, exercised through Spark's partial-aggregate
+  * + shuffle + final-merge machinery like any built-in agg.
+  */
+case class TDigestQuantiles(
+    child: Expression,
+    percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+    compression: Double = 100.0,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tdigest_quantiles expects a double argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "tdigest_quantiles"
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: TDigest, other: TDigest): TDigest = buffer.merge(other)
+
+  override def eval(buffer: TDigest): Any =
+    if (buffer.isEmpty) null
+    else new GenericArrayData(percentiles.map(buffer.quantile).toArray)
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.serialize()
+  override def deserialize(storageFormat: Array[Byte]): TDigest = TDigest.deserialize(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TDigestQuantiles =
+    copy(child = newChild)
+}
+
+object TDigestQuantiles {
+  /** Column API: aggregate a double column into approximate quantiles. */
+  def apply(c: Column, percentiles: Seq[Double], compression: Double): Column =
+    ColumnBridge.column(
+      TDigestQuantiles(ColumnBridge.expression(c), percentiles, compression)
+        .toAggregateExpression())
+}
