@@ -60,6 +60,13 @@ object FinAnalytics {
     val day = date_trunc("day", col("ts")).cast("date").as("day")
     val wDesc = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts").desc, col("event_id").desc)
     events.select(col("user_id"), day, col("ts"), col("event_id"), col("value"))
+      // ONE fact shuffle for the whole closes family: hash(user_id)
+      // satisfies the (user_id, day) clustering this window needs AND
+      // the user_id clustering every downstream analytics window
+      // needs, so EnsureRequirements inserts no second Exchange.
+      // Without this, each closes-based query shuffled the facts
+      // twice (hash(user_id, day) here, hash(user_id) later).
+      .repartition(col("user_id"))
       .withColumn("rn", row_number().over(wDesc))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("day"), col("value").as("close"))
