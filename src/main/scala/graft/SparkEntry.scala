@@ -147,16 +147,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) + 0.0 AS sum_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) + 0.0 AS sum_base_price,
-        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE), 4) + 0.0 AS sum_disc_price,
-        |  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE), 6) + 0.0 AS sum_charge,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS sum_base_price,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) + 0.0 AS sum_disc_price,
+        |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) + 0.0 AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, round(CAST(revenue AS DOUBLE), 4) + 0.0 AS revenue, o_orderdate, o_orderpriority
+      """SELECT l_orderkey, CAST(round(revenue, 2) AS DOUBLE) + 0.0 AS revenue, o_orderdate, o_orderpriority
         |FROM (
         |  SELECT l_orderkey,
         |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
@@ -169,7 +169,7 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) + 0.0 AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) + 0.0 AS revenue
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         |  JOIN supplier ON s_nationkey = n_nationkey
         |  JOIN lineitem ON l_suppkey = s_suppkey
@@ -180,11 +180,11 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "q_filter_project" ->
       """SELECT o_orderkey, o_custkey,
-        |  round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 2) + 0.0 AS o_totalprice
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) + 0.0 AS o_totalprice
         |FROM orders WHERE o_totalprice > 400000.0 AND o_orderstatus = 'O'""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey,
-        |  round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 2) + 0.0 AS o_totalprice
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) + 0.0 AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
     "q_distinct_segments" ->
       "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
@@ -556,11 +556,11 @@ object SparkEntry {
         |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
         |SELECT user_id, session_id, count(*) AS n_events, min(tsec) AS start_ts, max(tsec) AS end_ts,
-        |       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) + 0.0 AS total_value
+        |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "events_hourly_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n,
-        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) + 0.0 AS total_value,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "curate_split" ->
@@ -593,7 +593,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-        |  round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) + 0.0 AS total_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "fin_quantiles" ->
       """WITH r AS (SELECT event_type, value,
@@ -637,7 +637,7 @@ object SparkEntry {
         |SELECT token, count(*) AS n FROM t GROUP BY token
         |ORDER BY n DESC, token LIMIT 50""".stripMargin),
     "top_parts_revenue" ->
-      """SELECT p_brand, l_partkey, round(CAST(revenue AS DOUBLE), 4) + 0.0 AS revenue, rank FROM (
+      """SELECT p_brand, l_partkey, CAST(round(revenue, 2) AS DOUBLE) + 0.0 AS revenue, rank FROM (
         |  SELECT p_brand, l_partkey,
         |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
         |    CAST(dense_rank() OVER (PARTITION BY p_brand

@@ -32,12 +32,21 @@ object Exact {
 
   /** Final-output form for exact-decimal results. Engines render
     * DECIMAL asymmetrically (trailing zeros: `3599.70` vs `3599.7`),
-    * so no query may emit a raw DECIMAL column. Emit the value as a
-    * double instead, rounded AT THE DECIMAL'S OWN SCALE — a no-op on
-    * the value (there are no digits past scale `s` to round, so no
-    * engine can disagree at a half boundary) that exists only to pin
-    * the double through each engine's round(), with −0.0 normalized
-    * by the `+ 0.0`. Oracle mirror: `round(CAST(x AS DOUBLE), s) + 0.0`.
+    * so no query may emit a raw DECIMAL column — emit a double.
+    *
+    * The rounding happens IN DECIMAL SPACE (exact integer math,
+    * HALF_UP in every engine — no double can ever sit at a half
+    * boundary), and only then casts to double. Order matters at
+    * scale: rounding the double instead (round(cast(x AS DOUBLE), s))
+    * is only parity-safe while |x|·10^s < 2^53 — DuckDB's double
+    * round is a multiply/divide that drifts an ulp past that, and
+    * q1-style sums cross it near sf1. After the decimal round the
+    * remaining constraint is the decimal→double CAST itself
+    * (correctly rounded in both engines), so callers keep
+    * |x|·10^s < 2^53 by choosing a coarse output scale (money → 2).
+    * `+ 0.0` normalizes −0.0. Oracle mirror:
+    * `round(CAST(x AS DOUBLE), s) + 0.0` becomes
+    * `CAST(round(x, s) AS DOUBLE) + 0.0` on a decimal x.
     */
-  def outD(c: Column, s: Int): Column = round(c.cast("double"), s) + lit(0.0)
+  def outD(c: Column, s: Int): Column = round(c, s).cast("double") + lit(0.0)
 }

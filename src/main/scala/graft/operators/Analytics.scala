@@ -39,12 +39,13 @@ object Analytics {
         sum(charge).as("sum_charge"),
         avgExact(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      // exact decimal sums internally; doubles at the output boundary
-      // (scale per column = the decimal's own scale, see Exact.outD)
+      // exact decimal sums internally; doubles at the output boundary.
+      // Money outputs emit at scale 2 so |x|·100 stays far under 2^53
+      // at any SF (see Exact.outD) — the decimal-space round is exact.
       .withColumn("sum_qty", outD(col("sum_qty"), 2))
       .withColumn("sum_base_price", outD(col("sum_base_price"), 2))
-      .withColumn("sum_disc_price", outD(col("sum_disc_price"), 4))
-      .withColumn("sum_charge", outD(col("sum_charge"), 6))
+      .withColumn("sum_disc_price", outD(col("sum_disc_price"), 2))
+      .withColumn("sum_charge", outD(col("sum_charge"), 2))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -63,7 +64,7 @@ object Analytics {
       // engine-identical), THEN convert for output
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
-      .select(col("l_orderkey"), outD(col("revenue"), 4).as("revenue"),
+      .select(col("l_orderkey"), outD(col("revenue"), 2).as("revenue"),
         col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
   }
 
@@ -84,7 +85,7 @@ object Analytics {
       .join(broadcast(customer), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
-      .withColumn("revenue", outD(col("revenue"), 4))
+      .withColumn("revenue", outD(col("revenue"), 2))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

@@ -74,7 +74,7 @@ object Events {
       .withColumn("rank", dense_rank().over(w).cast("long"))
       .filter(col("rank") <= 3)
       // rank is computed over the exact decimal; output converts after
-      .withColumn("revenue", outD(col("revenue"), 4))
+      .withColumn("revenue", outD(col("revenue"), 2))
       .orderBy(col("p_brand"), col("rank"), col("l_partkey"))
   }
 }

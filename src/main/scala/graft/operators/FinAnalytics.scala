@@ -140,17 +140,30 @@ object FinAnalytics {
     * matched daily returns. Market series is tiny (one row per day)
     * → broadcast back to the per-key series.
     */
+  /** Daily market return series from a closes series: market value =
+    * exact sum of closes per day, return = value/prev − 1 (null when
+    * undefined). One row per day (bounded) — callers broadcast it.
+    * Shared by [[beta]] and [[featureSnapshot]] so the market-return
+    * DEFINITION (zero/null guards, decimal cast) has exactly one
+    * home; their oracles mirror this helper.
+    * The constant partition key gives the same single-partition
+    * execution over the tiny series, without the "No Partition
+    * Defined" WARN paging anyone on a real cluster.
+    */
+  private def marketReturns(closes: DataFrame): DataFrame = {
+    val market = closes.groupBy(col("day")).agg(sum(dec2(col("close"))).as("mkt_value"))
+    val wm = Window.partitionBy(lit(0)).orderBy(col("day"))
+    market
+      .withColumn("prev", lag(col("mkt_value"), 1).over(wm))
+      .select(col("day"),
+        when(col("prev").isNotNull && col("prev") =!= lit(0).cast("decimal(12,2)"),
+          col("mkt_value").cast("double") / col("prev").cast("double") - lit(1.0)).as("mret"))
+  }
+
   def beta(events: DataFrame): DataFrame = {
     val c = closes(events)
-    val market = c.groupBy(col("day")).agg(sum(dec2(col("close"))).as("mkt_value"))
-    // constant partition key: same single-partition execution over the
-    // (bounded, one-row-per-day) market series, but explicit — no
-    // "No Partition Defined" WARN paging anyone on a real cluster
-    val wm = Window.partitionBy(lit(0)).orderBy(col("day"))
-    val marketRet = market
-      .withColumn("prev", lag(col("mkt_value"), 1).over(wm))
-      .filter(col("prev").isNotNull && col("prev") =!= lit(0).cast("decimal(12,2)"))
-      .select(col("day"), (col("mkt_value").cast("double") / col("prev").cast("double") - lit(1.0)).as("mret"))
+    val marketRet = marketReturns(c).filter(col("mret").isNotNull)
+      .select(col("day"), col("mret"))
     val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val userRet = c
       .withColumn("prev", lag(col("close"), 1).over(wu))
@@ -290,7 +303,8 @@ object FinAnalytics {
     *  - pass 2 rescans, keeps only rows of the ≤ 3 located buckets
     *    per type (≈ n/histBuckets of the data), and picks the row
     *    whose within-bucket rank matches the target offset.
-    * No full-data shuffle at all: facts are scanned twice, sorted
+    * No full-data shuffle at all: the facts are scanned three times
+    * (type stats, histogram, located-bucket rescan) and sorted
     * never. Selection is exact for any distribution because the
     * bucket function is monotone in value and ties (equal values)
     * land in one bucket: global rank = cum_before + in-bucket rank.
@@ -353,13 +367,7 @@ object FinAnalytics {
     */
   def featureSnapshot(events: DataFrame): DataFrame = {
     val c = closes(events)
-    val market = c.groupBy(col("day")).agg(sum(dec2(col("close"))).as("mkt_value"))
-    val wm = Window.partitionBy(lit(0)).orderBy(col("day"))
-    val marketRet = market
-      .withColumn("prev", lag(col("mkt_value"), 1).over(wm))
-      .select(col("day"),
-        when(col("prev").isNotNull && col("prev") =!= lit(0).cast("decimal(12,2)"),
-          col("mkt_value").cast("double") / col("prev").cast("double") - lit(1.0)).as("mret"))
+    val marketRet = marketReturns(c)
     val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val w5 = ord.rowsBetween(-4, 0)
     val w10 = ord.rowsBetween(-9, 0)

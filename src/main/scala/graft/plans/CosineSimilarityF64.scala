@@ -169,7 +169,15 @@ object GraftExtensions {
   private[graft] val tdigestDescriptor =
     (FunctionIdentifier("tdigest_quantiles"),
       new ExpressionInfo(classOf[TDigestQuantiles].getName, "tdigest_quantiles"),
-      (children: Seq[Expression]) => TDigestQuantiles(children.head): Expression)
+      (children: Seq[Expression]) => children match {
+        // SQL form is fixed-percentile (0.5/0.9/0.99); refuse extra
+        // args instead of silently ignoring them — callers wanting
+        // custom percentiles/compression use the Column API.
+        case Seq(value) => TDigestQuantiles(value): Expression
+        case _ => throw new IllegalArgumentException(
+          s"tdigest_quantiles(value) takes exactly 1 argument (got ${children.length}); " +
+            "use graft.plans.TDigestQuantiles(col, percentiles, compression) for custom settings")
+      })
 
   /** Idempotent registration on an existing session (the round
     * driver builds its own SparkSession without extensions).
