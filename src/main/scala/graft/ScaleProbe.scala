@@ -36,11 +36,15 @@ object ScaleProbe {
       .parquet(s"$base/documents10.parquet")
     replicate(src.lineitem, Seq("l_orderkey")).write.mode(SaveMode.Overwrite)
       .parquet(s"$base/lineitem10.parquet")
+    replicate(src.embeddings, Seq("vec_id")).write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/embeddings10.parquet")
 
     val events10 = spark.read.parquet(s"$base/events10.parquet")
     val docs10 = spark.read.parquet(s"$base/documents10.parquet")
     val li10 = spark.read.parquet(s"$base/lineitem10.parquet")
-    println(s"rows: events=${events10.count()} docs=${docs10.count()} lineitem=${li10.count()}")
+    val emb10 = spark.read.parquet(s"$base/embeddings10.parquet")
+    println(s"rows: events=${events10.count()} docs=${docs10.count()} " +
+      s"lineitem=${li10.count()} embeddings=${emb10.count()}")
 
     def time(name: String)(f: => Long): Double = {
       def once(): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
@@ -62,7 +66,17 @@ object ScaleProbe {
       "minhash" -> time("minhash")(operators.Dedup.minhashLsh(d1).count()),
       "simhash" -> time("simhash")(operators.Dedup.simhash(d1).count()),
       "ngram" -> time("ngram")(operators.Dedup.ngramJaccard(d1).count()),
-      "exact_dedup" -> time("exact_dedup")(operators.Dedup.exact(d1).count()))
+      "exact_dedup" -> time("exact_dedup")(operators.Dedup.exact(d1).count()),
+      "quantiles" -> time("quantiles")(operators.FinAnalytics.valueQuantiles(e1).count()),
+      "quantiles_sketch" -> time("quantiles_sketch")(operators.FinAnalytics.quantileSketch(e1).count()),
+      "feature_snapshot" -> time("feature_snapshot")(operators.FinAnalytics.featureSnapshot(e1).count()),
+      // FIXED query set at both scales (the parameterized API): at
+      // real scale the query table is bounded, it does not grow with
+      // the corpus — the default vec_id%100 rule exists for the
+      // oracle gate only.
+      "ann_lsh" -> time("ann_lsh")(operators.Similarity.annLsh(src.embeddings,
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0))).count()),
+      "embed_neardup" -> time("embed_neardup")(operators.Similarity.embeddingNearDup(src.embeddings).count()))
     println("== 10x ==")
     val s = Map(
       "q1_pricing" -> time("q1_pricing")(operators.Analytics.pricingSummary(li10).count()),
@@ -74,7 +88,15 @@ object ScaleProbe {
       "minhash" -> time("minhash")(operators.Dedup.minhashLsh(docs10).count()),
       "simhash" -> time("simhash")(operators.Dedup.simhash(docs10).count()),
       "ngram" -> time("ngram")(operators.Dedup.ngramJaccard(docs10).count()),
-      "exact_dedup" -> time("exact_dedup")(operators.Dedup.exact(docs10).count()))
+      "exact_dedup" -> time("exact_dedup")(operators.Dedup.exact(docs10).count()),
+      "quantiles" -> time("quantiles")(operators.FinAnalytics.valueQuantiles(events10).count()),
+      "quantiles_sketch" -> time("quantiles_sketch")(operators.FinAnalytics.quantileSketch(events10).count()),
+      "feature_snapshot" -> time("feature_snapshot")(operators.FinAnalytics.featureSnapshot(events10).count()),
+      "ann_lsh" -> time("ann_lsh")(operators.Similarity.annLsh(emb10,
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0))).count()),
+      // Θ(n²) by definition — expect ~100x here; recorded to keep the
+      // exact-baseline cost visible next to its sub-quadratic companions
+      "embed_neardup" -> time("embed_neardup")(operators.Similarity.embeddingNearDup(emb10).count()))
     println("== scaling factor (10x data / 1x time; 10 = linear) ==")
     b.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-22s ${s(k) / b(k)}%6.1f x")

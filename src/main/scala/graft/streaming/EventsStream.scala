@@ -97,6 +97,24 @@ object EventsStream {
       .select(col("user_id"), col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"), col("n_events"), col("total_value"))
 
+  /** Exactly-once parquet sink for closed sessions: `foreachBatch`
+    * writing each micro-batch to its own `batch_id=<id>` partition
+    * directory with OVERWRITE. Spark's exactly-once contract is
+    * checkpointed offsets + an idempotent sink; a replayed batch
+    * (crash between sink write and offset commit, or a restart)
+    * rewrites the SAME directory instead of appending duplicates.
+    * The output reads back as one partitioned parquet table.
+    */
+  def sessionSinkExactlyOnce(sessions: Dataset[Session], dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sessions.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Session], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/out/batch_id=$batchId")
+      }
+      .start()
+
   /** Gap-based sessionization with `flatMapGroupsWithState` — the
     * streaming form of [[graft.operators.Events.sessionize]].
     *

@@ -137,6 +137,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactly-once sink survives a stop/restart from checkpoint without duplicates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo").toString
+    val input = MemoryStream[Event]
+    // run 1: one session closed by the flush watermark, then STOP
+    val q1 = EventsStream.sessionSinkExactlyOnce(EventsStream.sessionize(input.toDS()), dir)
+    try {
+      input.addData(
+        Event(1L, 1L, ts("2026-01-01 10:00:00"), 1.0),
+        Event(1L, 2L, ts("2026-01-01 10:20:00"), 2.0))
+      q1.processAllAvailable()
+      input.addData(flush)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: RESTART from the same checkpoint (same source), new data
+    val q2 = EventsStream.sessionSinkExactlyOnce(EventsStream.sessionize(input.toDS()), dir)
+    try {
+      input.addData(Event(1L, 3L, ts("2026-07-01 10:00:00"), 4.0))
+      q2.processAllAvailable()
+      input.addData(Event(999L, 4L, ts("2027-01-01 00:00:00"), 0.0)) // advance watermark
+      q2.processAllAvailable()
+      input.addData(Event(999L, 5L, ts("2027-06-01 00:00:00"), 0.0)) // fire timeout
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val persisted = spark.read.parquet(s"$dir/out")
+      .filter(col("user_id") === 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // no (user_id, session_id) may appear twice across restarts
+    assert(persisted.map(t => (t._1, t._2)).distinct.length === persisted.length,
+      s"duplicate sessions after restart: ${persisted.toSeq}")
+    assert(persisted.toSet === Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0)))
+  }
+
   test("streaming hourlyRollup emits closed hourly windows matching batch counts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
