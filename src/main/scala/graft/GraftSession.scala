@@ -26,6 +26,13 @@ object GraftSession {
       // HOF-heavy text ops); 1 MB default would serialize them.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // Fact⋈fact path (neither side broadcastable at real scale):
+      // inject a runtime Bloom filter built from the selective side
+      // into the big side's scan, so most non-matching rows die
+      // before the shuffle. No-op when a side broadcasts anyway.
+      // RuntimeFilterSpec asserts the injection happens.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")

@@ -28,6 +28,7 @@ object SparkEntry {
     "q_distinct_segments"  -> ((s, d) => Analytics.distinctSegments(Tables(s, d).customer)),
     "q_case_bucketing"     -> ((s, d) => Analytics.caseBucketing(Tables(s, d).orders)),
     "q_union_dedup"        -> ((s, d) => Analytics.unionDedup(Tables(s, d).orders)),
+    "q_factfact_pruned"    -> ((s, d) => { val t = Tables(s, d); Analytics.factFactPruned(t.orders, t.lineitem) }),
     "fin_last_update"       -> ((s, d) => Maintenance.lastUpdate(Tables(s, d).orders)),
     "fin_dedup_latest"      -> ((s, d) => Maintenance.dedupLatest(Tables(s, d).events)),
     "fin_retention_window"  -> ((s, d) => Maintenance.retentionWindow(Tables(s, d).events)),
@@ -199,6 +200,12 @@ object SparkEntry {
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |  UNION ALL
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0) ORDER BY o_custkey""".stripMargin,
+    "q_factfact_pruned" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) + 0.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "fin_last_update" ->
       """SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_order_date, count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,

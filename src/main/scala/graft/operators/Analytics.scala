@@ -125,6 +125,26 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"), col("o_orderpriority"))
 
+  /** Selective fact ⋈ fact join — the shape where broadcast stops
+    * working at real scale (both sides grow). The selective side's
+    * filter keeps ~1% of orders; at 100 TB neither side fits in
+    * memory, the join shuffles, and the session's runtime
+    * Bloom-filter injection (GraftSession) builds a filter from the
+    * small side and applies it at the lineitem SCAN, killing
+    * non-matching rows before the shuffle. RuntimeFilterSpec asserts
+    * the `might_contain`/`bloom_filter_agg` plan under the
+    * no-broadcast configuration; at test SF the optimizer correctly
+    * prefers a plain broadcast.
+    */
+  def factFactPruned(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_totalprice") > 450000.0), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
+      .withColumn("revenue", outD(col("revenue"), 2))
+      .orderBy(col("o_orderpriority"))
+
   /** UNION of two filtered scans + dedup — e.g. merging candidate
     * ticker lists from two feeds (findatabase.py:154
     * `set_database_names` skip-if-present semantics).
