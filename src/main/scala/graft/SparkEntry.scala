@@ -57,6 +57,8 @@ object SparkEntry {
     "ann_centroids"       -> ((s, d) => Similarity.labelCentroids(Tables(s, d).embeddings)),
     // iterative trainer -> rows-only gate (not one-shot SQL-expressible)
     "ann_kmeans"          -> ((s, d) => Similarity.kmeans(Tables(s, d).embeddings)),
+    // trained-quantizer IVF composes the kmeans trainer -> rows-only too
+    "ann_ivf_trained"     -> ((s, d) => Similarity.annIvfTrained(Tables(s, d).embeddings)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),

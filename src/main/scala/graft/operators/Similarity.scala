@@ -134,7 +134,18 @@ object Similarity {
     * production k-means) → rows-only gate; the spec asserts
     * determinism and monotone objective.
     */
-  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+  def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =
+    trainAssign(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster"),
+        (round(col("dist"), 6) + lit(0.0)).as("dist"))
+      .orderBy(col("vec_id"))
+
+  /** The training loop + final assignment scan shared by [[kmeans]]
+    * and [[annIvfTrained]] — returns every vector with its trained
+    * cluster (embedding column kept so downstream search needs no
+    * join back).
+    */
+  private def trainAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     // Native codegen kernel — k of these run per row per iteration.
     def l2(centroid: Array[Double]): Column =
@@ -166,9 +177,23 @@ object Similarity {
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
       assigned = assignTo(centroids)
     }
-    assigned.select(col("vec_id"), col("cluster"),
-        (round(col("dist"), 6) + lit(0.0)).as("dist"))
-      .orderBy(col("vec_id"))
+    assigned.select(col("vec_id"), col("embedding"), col("cluster"), col("dist"))
+  }
+
+  /** FULL IVF search: the coarse quantizer is the TRAINED k-means
+    * model (vs [[annIvf]], which uses the pre-given label column as
+    * its cell assignment). One deterministic training run, one
+    * assignment scan (embedding kept in the scan — no join back),
+    * then cell-restricted search. Inherits kmeans' rows-only gate
+    * (iterative trainer); the spec asserts determinism and recall@k
+    * against the exact scan.
+    */
+  def annIvfTrained(embeddings: DataFrame, queries: Option[DataFrame] = None,
+                    k: Int = 5, nlist: Int = 8, iters: Int = 3): DataFrame = {
+    val labeled = trainAssign(embeddings, nlist, iters)
+      .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
+    val qs = queries.map(q => q.select(col("vec_id")).join(labeled, "vec_id"))
+    annIvf(labeled, qs, k)
   }
 
   /** Per-label centroids in long form (label, dim, mean) — the

@@ -53,6 +53,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("annIvfTrained is deterministic and finds most exact neighbors within trained cells") {
+    // nlist=2 on the tiny sf0.001 corpus — with the production default
+    // (8) the ~6-vector cells make recall meaningless at this SF
+    val r1 = Similarity.annIvfTrained(embeddings, nlist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val r2 = Similarity.annIvfTrained(embeddings, nlist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(r1.toSeq === r2.toSeq, "seeded trainer + deterministic assignment must reproduce")
+    assert(r1.nonEmpty)
+    assert(r1.groupBy(_._1).values.forall(_.length <= 5))
+    // cell-restricted search trades recall for the 1/nlist scan prune;
+    // on this corpus the trained cells keep most true neighbors
+    val exact = exactTopK(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byQ = r1.map(t => (t._1, t._3)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      byQ.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    assert(recalls.sum / recalls.size >= 0.4, s"recall@5 = ${recalls.sum / recalls.size}")
+  }
+
   test("kmeans is deterministic, covers all vectors, and iterating improves the objective") {
     val a1 = Similarity.kmeans(embeddings, k = 4, iters = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
