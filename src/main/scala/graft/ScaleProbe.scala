@@ -36,7 +36,15 @@ object ScaleProbe {
       .parquet(s"$base/documents10.parquet")
     replicate(src.lineitem, Seq("l_orderkey")).write.mode(SaveMode.Overwrite)
       .parquet(s"$base/lineitem10.parquet")
-    replicate(src.embeddings, Seq("vec_id")).write.mode(SaveMode.Overwrite)
+    // Embeddings additionally perturb the VECTOR per replica (a
+    // replica-scaled offset along a fixed per-dim direction) — id-only
+    // perturbation would make every vector 9 exact cosine-1.0 copies,
+    // the degenerate duplicates corpus this probe exists to avoid:
+    // near-dup pairs and ANN top-k would be dominated by self-copies.
+    replicate(src.embeddings, Seq("vec_id"))
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> CAST(x + (i % 5 - 2) * 0.004 * (vec_id DIV 100000000) AS FLOAT))"))
+      .write.mode(SaveMode.Overwrite)
       .parquet(s"$base/embeddings10.parquet")
 
     val events10 = spark.read.parquet(s"$base/events10.parquet")

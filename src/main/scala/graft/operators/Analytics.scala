@@ -61,11 +61,15 @@ object Analytics {
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
       // order + limit on the exact decimal (so the top-10 cut is
-      // engine-identical), THEN convert for output
+      // engine-identical), THEN convert for output — and re-sort on
+      // the ROUNDED value so the emitted order matches the oracle's
+      // outer ORDER BY (which binds to the rounded alias; two rows
+      // colliding at 2 decimals would otherwise interleave)
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
       .select(col("l_orderkey"), outD(col("revenue"), 2).as("revenue"),
         col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
   }
 
   /** Star join across the full dimension chain (TPC-H Q5 shape) —

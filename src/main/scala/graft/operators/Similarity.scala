@@ -135,38 +135,39 @@ object Similarity {
     * determinism and monotone objective.
     */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =
-    trainAssign(embeddings, k, iters)
+    assignCells(embeddings, train(embeddings, k, iters))
       .select(col("vec_id"), col("cluster"),
         (round(col("dist"), 6) + lit(0.0)).as("dist"))
       .orderBy(col("vec_id"))
 
-  /** The training loop + final assignment scan shared by [[kmeans]]
-    * and [[annIvfTrained]] — returns every vector with its trained
-    * cluster (embedding column kept so downstream search needs no
-    * join back).
+  /** Nearest-centroid assignment of any (vec_id, embedding) frame —
+    * one scan, `centroids.size` codegen l2 kernels per row, argmin
+    * with lowest-cluster tiebreak (same chain shape as langId).
     */
-  private def trainAssign(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val vecs = embeddings.select(col("vec_id"), col("embedding"))
-    // Native codegen kernel — k of these run per row per iteration.
+  private def assignCells(df: DataFrame, centroids: Seq[Array[Double]]): DataFrame = {
     def l2(centroid: Array[Double]): Column =
       graft.plans.GraftExpressions.l2F64(col("embedding"), lit(centroid))
-    def assignTo(centroids: Seq[Array[Double]]): DataFrame = {
-      val ds = centroids.indices.map(i => l2(centroids(i).toArray).as(s"d$i"))
-      val scored = vecs.select(col("vec_id") +: col("embedding") +: ds: _*)
-      // argmin with lowest-cluster tiebreak (same chain shape as langId)
-      val cluster = centroids.indices.init.foldRight(lit(centroids.size - 1)) { (i, rest) =>
-        when(col(s"d$i") <= (i + 1 until centroids.size).map(j => col(s"d$j")).reduce(least(_, _)), i)
-          .otherwise(rest)
-      }
-      scored.withColumn("cluster", cluster.cast("long"))
-        .withColumn("dist", least(centroids.indices.map(i => col(s"d$i")): _*))
+    val ds = centroids.indices.map(i => l2(centroids(i)).as(s"d$i"))
+    val scored = df.select(col("vec_id") +: col("embedding") +: ds: _*)
+    val cluster = centroids.indices.init.foldRight(lit(centroids.size - 1)) { (i, rest) =>
+      when(col(s"d$i") <= (i + 1 until centroids.size).map(j => col(s"d$j")).reduce(least(_, _)), i)
+        .otherwise(rest)
     }
+    scored.withColumn("cluster", cluster.cast("long"))
+      .withColumn("dist", least(centroids.indices.map(i => col(s"d$i")): _*))
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("dist"))
+  }
+
+  /** Lloyd's training loop — returns the trained centroids (k×dim
+    * model parameters; the only thing the driver ever collects).
+    */
+  private def train(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Double]] = {
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
     var centroids: Seq[Array[Double]] = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
-    var assigned = assignTo(centroids)
     for (_ <- 1 to iters) {
-      val means = assigned
+      val means = assignCells(vecs, centroids)
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "c")))
         .groupBy(col("cluster"), col("dim"))
         .agg(avg(col("c").cast("double")).as("m"))
@@ -175,25 +176,28 @@ object Similarity {
         .select(col("cluster"), col("ms.m").as("centroid"))
         .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
-      assigned = assignTo(centroids)
     }
-    assigned.select(col("vec_id"), col("embedding"), col("cluster"), col("dist"))
+    centroids
   }
 
   /** FULL IVF search: the coarse quantizer is the TRAINED k-means
     * model (vs [[annIvf]], which uses the pre-given label column as
-    * its cell assignment). One deterministic training run, one
-    * assignment scan (embedding kept in the scan — no join back),
-    * then cell-restricted search. Inherits kmeans' rows-only gate
-    * (iterative trainer); the spec asserts determinism and recall@k
-    * against the exact scan.
+    * its cell assignment). The trained centroids are plan literals:
+    * the corpus is assigned in ONE scan, and the (small) query frame
+    * is assigned independently against the same centroids — external
+    * query vectors that are not corpus members work, and the corpus
+    * assignment scan runs exactly once per action. Inherits kmeans'
+    * rows-only gate (iterative trainer); the spec asserts determinism
+    * and recall@k against the exact scan.
     */
   def annIvfTrained(embeddings: DataFrame, queries: Option[DataFrame] = None,
                     k: Int = 5, nlist: Int = 8, iters: Int = 3): DataFrame = {
-    val labeled = trainAssign(embeddings, nlist, iters)
-      .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
-    val qs = queries.map(q => q.select(col("vec_id")).join(labeled, "vec_id"))
-    annIvf(labeled, qs, k)
+    val centroids = train(embeddings, nlist, iters)
+    def labeled(df: DataFrame): DataFrame =
+      assignCells(df.select(col("vec_id"), col("embedding")), centroids)
+        .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
+    annIvf(labeled(embeddings),
+      Some(labeled(queries.getOrElse(defaultQueries(embeddings)))), k)
   }
 
   /** Per-label centroids in long form (label, dim, mean) — the
