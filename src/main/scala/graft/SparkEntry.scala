@@ -69,6 +69,7 @@ object SparkEntry {
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
+    "events_interval_join" -> ((s, d) => Events.intervalJoin(Tables(s, d).events)),
     "curate_split"        -> ((s, d) => Curation.splitAssign(Tables(s, d).documents)),
     "curate_sample"       -> ((s, d) => Curation.sampleStratified(Tables(s, d).documents)),
     "curate_stats"        -> ((s, d) => Curation.corpusStats(Tables(s, d).documents)),
@@ -572,6 +573,13 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_interval_join" ->
+      """SELECT e.event_id, w.event_id AS win_id, e.user_id
+        |FROM events e JOIN events w
+        |  ON w.event_type = 'purchase' AND w.value > 250.0
+        | AND e.ts >= date_trunc('second', w.ts)
+        | AND e.ts < date_trunc('second', w.ts) + INTERVAL 2 DAY
+        |ORDER BY e.event_id, win_id""".stripMargin,
     "curate_split" ->
       """SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Exact._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,6 +61,49 @@ object Events {
           sum(dec2(col("value"))).as("total_value"): _*)
       .withColumn("total_value", outD(col("total_value"), 2))
       .orderBy(col("user_id"))
+  }
+
+  /** Interval (range) join with NO equi key — every event attributed
+    * to every "promo window" (`windowDays` from each high-value
+    * purchase) containing its timestamp. Spark plans a bare
+    * range-predicate join as a BroadcastNestedLoopJoin —
+    * O(|events|·|windows|) and broadcast-bound. Bucketized rewrite:
+    * the timeline is cut into fixed-width buckets; each window
+    * EXPLODES to the buckets it covers (≤ ⌈len/width⌉+1 rows), each
+    * event hashes to its single bucket, and the join becomes a
+    * shuffled EQUI-join on bucket with the exact range predicate as
+    * residual. An event's one bucket meets each covering window
+    * exactly once, so no dedup is needed. Scales as |events| +
+    * Σ window-spans, partitioned by time bucket.
+    *
+    * Boundary parity: window starts truncate to the SECOND, so every
+    * >=/< decision is identical under the events reader's ns→µs
+    * floor vs an ns-native engine (SURVEY §5).
+    */
+  def intervalJoin(events: DataFrame, valueThreshold: Double = 250.0,
+                   windowDays: Int = 2, bucketDays: Int = 2): DataFrame = {
+    val bucketSec = bucketDays * 86400L
+    def bucketOf(ts: Column): Column = floor(unix_timestamp(ts) / bucketSec)
+    // window starts truncate to the SECOND (SURVEY §5: sub-second
+    // precision differs across engines; a whole-second boundary makes
+    // every >=/< decision identical under the reader's ns→µs floor)
+    val windows = events
+      .filter(col("event_type") === "purchase" && col("value") > valueThreshold)
+      .select(col("event_id").as("win_id"),
+        date_trunc("second", col("ts")).as("win_start"))
+      .withColumn("win_end", col("win_start") + expr(s"INTERVAL $windowDays DAYS"))
+      // end is exclusive: the last covered bucket is the one holding
+      // end − 1µs, so a window ending exactly on a bucket edge does
+      // not bleed into the next bucket
+      .withColumn("bucket", explode(sequence(
+        bucketOf(col("win_start")),
+        bucketOf(col("win_end") - expr("INTERVAL 1 MICROSECOND")))))
+    events.select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("bucket", bucketOf(col("ts")))
+      .join(windows, "bucket")
+      .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .select(col("event_id"), col("win_id"), col("user_id"))
+      .orderBy(col("event_id"), col("win_id"))
   }
 
   /** Revenue per part ranked within brand (dense_rank ≤ 3) — the
