@@ -36,14 +36,19 @@ object ScaleProbe {
       .parquet(s"$base/documents10.parquet")
     replicate(src.lineitem, Seq("l_orderkey")).write.mode(SaveMode.Overwrite)
       .parquet(s"$base/lineitem10.parquet")
-    // Embeddings additionally perturb the VECTOR per replica (a
-    // replica-scaled offset along a fixed per-dim direction) — id-only
-    // perturbation would make every vector 9 exact cosine-1.0 copies,
-    // the degenerate duplicates corpus this probe exists to avoid:
-    // near-dup pairs and ANN top-k would be dominated by self-copies.
+    // Embeddings additionally perturb the VECTOR per replica with
+    // HASH-decorrelated deterministic noise (uniform-ish ±0.6 per
+    // dim; noise norm ~2.3 vs vector norm ~1) so replica-to-original
+    // cosine lands ~0.35 — below the 0.45 near-dup threshold — and
+    // noise is independent BETWEEN vectors (a shared waveform like
+    // sin(id + i) correlates across ids and manufactures fake pairs).
+    // Id-only perturbation would leave every vector 9 cosine-1.0
+    // copies: a degenerate corpus where near-dup volume and ANN top-k
+    // are dominated by self-copies. Replica 0 keeps the originals.
     replicate(src.embeddings, Seq("vec_id"))
       .withColumn("embedding", expr(
-        "transform(embedding, (x, i) -> CAST(x + (i % 5 - 2) * 0.004 * (vec_id DIV 100000000) AS FLOAT))"))
+        "transform(embedding, (x, i) -> CAST(x + (hash(vec_id, i) % 1000) / 1000.0 * 0.6" +
+          " * least(vec_id DIV 100000000, 1) AS FLOAT))"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$base/embeddings10.parquet")
 

@@ -94,6 +94,18 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Self-match exclusion policy for the ann* family: when the query
+    * set defaults to a CORPUS SUBSET, `query_id` and `vec_id` share
+    * one id namespace and a query must not return itself — but an
+    * EXTERNAL query frame has its own id namespace, where excluding
+    * on id equality would silently drop a true neighbor whose corpus
+    * id merely collides with a query id. So: exclude iff the query
+    * set is corpus-derived (overridable where a caller derives its
+    * own corpus-subset frame, e.g. [[annIvfTrained]]).
+    */
+  private def notSelf(corpusDerived: Boolean): Column =
+    if (corpusDerived) col("vec_id") =!= col("query_id") else lit(true)
+
   /** Exact top-k cosine neighbors for the query set. Queries
     * broadcast over one corpus scan; ranking uses the exact cosine
     * with vec_id tiebreak so rank order is total.
@@ -107,7 +119,7 @@ object Similarity {
     // at the k-th fast score (see keepFastSurvivors). Phase 2: exact
     // decimal re-rank of the survivors only (the oracle-parity values).
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    val scanned = corpus.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+    val scanned = corpus.join(broadcast(qs), notSelf(corpusDerived = queries.isEmpty))
       .withColumn("fast", cosineFast(col("qe"), col("embedding")))
     keepFastSurvivors(scanned, k)
       .withColumn("cosine",
@@ -196,8 +208,11 @@ object Similarity {
     def labeled(df: DataFrame): DataFrame =
       assignCells(df.select(col("vec_id"), col("embedding")), centroids)
         .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
+    // self-exclusion follows OUR caller's query provenance, not the
+    // always-Some frame handed to annIvf (see notSelf)
     annIvf(labeled(embeddings),
-      Some(labeled(queries.getOrElse(defaultQueries(embeddings)))), k)
+      Some(labeled(queries.getOrElse(defaultQueries(embeddings)))), k,
+      queriesAreCorpusDerived = Some(queries.isEmpty))
   }
 
   /** Per-label centroids in long form (label, dim, mean) — the
@@ -250,7 +265,7 @@ object Similarity {
       .withColumnRenamed("band", "qband").withColumnRenamed("sig", "qsig")
     val cands = corpus.join(broadcast(qBanded),
         col("band") === col("qband") && col("sig") === col("qsig") &&
-          col("vec_id") =!= col("query_id"))
+          notSelf(corpusDerived = queries.isEmpty))
       .select(col("query_id"), col("qe"), col("vec_id"), col("embedding")).distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     cands
@@ -268,13 +283,14 @@ object Similarity {
     * the 1/nlist scan-pruning that makes ANN tractable at 100 TB.
     */
   def annIvf(embeddings: DataFrame, queries: Option[DataFrame] = None,
-             k: Int = 5): DataFrame = {
+             k: Int = 5, queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"), col("label"))
     val qs = queries.getOrElse(defaultQueries(embeddings))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("label").as("qlabel"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     val scanned = corpus.join(broadcast(qs),
-        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+        col("label") === col("qlabel") &&
+          notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
       .withColumn("fast", cosineFast(col("qe"), col("embedding")))
     keepFastSurvivors(scanned, k)
       .withColumn("cosine",

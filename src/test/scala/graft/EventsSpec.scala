@@ -40,14 +40,16 @@ class EventsSpec extends SparkSpec {
       (2L, 1L, ts("2026-01-12 09:00:00"), "t", 1.0),   // just inside w10 end, inside w11
       (3L, 1L, ts("2026-01-12 09:00:01"), "t", 1.0),   // exactly at w10 end -> out of w10, in w11
       (4L, 2L, ts("2026-02-01 12:00:00"), "t", 1.0),   // no window
-      (5L, 2L, ts("2026-01-11 08:00:00"), "t", 300.0), // inside both (and below threshold)
+      (5L, 2L, ts("2026-01-11 08:00:00"), "t", 300.0), // inside both (not a purchase -> no window)
     ).toDF("event_id", "user_id", "ts", "event_type", "value")
 
     val df = Events.intervalJoin(events)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "bucketized join must not plan a nested loop")
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val windows = events.filter(col("event_type") === "purchase" && col("value") > 450.0)
+    // SAME threshold as the operator's default — a divergent baseline
+    // predicate would make the parity assert only coincidentally true
+    val windows = events.filter(col("event_type") === "purchase" && col("value") > 250.0)
       .select(col("event_id").as("win_id"), date_trunc("second", col("ts")).as("ws"))
     val naive = events.join(windows,
         col("ts") >= col("ws") && col("ts") < col("ws") + expr("INTERVAL 2 DAYS"))
