@@ -53,6 +53,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("external query frames keep their own id namespace — no self-exclusion on collision") {
+    // the true nearest neighbor of corpus vector 0
+    val nn = exactTopK(1).collect().find(_.getLong(0) == 0L).get.getLong(1)
+    // an EXTERNAL query carrying vector 0's embedding under an id that
+    // collides with that neighbor's corpus id: the neighbor must still
+    // be returned (the corpus-subset self-exclusion must not fire)
+    val q = embeddings.filter(col("vec_id") === 0L)
+      .select(lit(nn).as("vec_id"), col("embedding"))
+    val res = Similarity.annBruteForce(embeddings, Some(q), k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(res.map(_._1).contains(nn), s"corpus vector $nn dropped by id collision")
+    // rank 1 is corpus vector 0 itself — the identical vector
+    assert(res.find(_._2 == 1L).map(_._1).contains(0L))
+  }
+
   test("annIvfTrained is deterministic and finds most exact neighbors within trained cells") {
     // nlist=2 on the tiny sf0.001 corpus — with the production default
     // (8) the ~6-vector cells make recall meaningless at this SF
