@@ -36,6 +36,9 @@ final class TDigest(val compression: Double) extends Serializable {
 
   def isEmpty: Boolean = cs.isEmpty
 
+  /** Total weight = number of values folded in (exact). */
+  def size: Long = cs.iterator.map(_._2).sum
+
   def add(x: Double): Unit = {
     cs += ((x, 1L))
     if (cs.length > rawLimit) compress()

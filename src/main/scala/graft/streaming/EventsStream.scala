@@ -97,6 +97,33 @@ object EventsStream {
       .select(col("user_id"), col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"), col("n_events"), col("total_value"))
 
+  /** Live per-key quantile estimates emitted after each micro-batch. */
+  case class QuantileUpdate(event_type: String, n_seen: Long,
+                            p50: Double, p90: Double, p99: Double)
+
+  /** Streaming percentile monitoring: one mergeable t-digest
+    * ([[graft.plans.TDigest]]) per event_type held in keyed state and
+    * folded forward across micro-batches — the streaming form of the
+    * batch `fin_quantiles_sketch`. State per key is the serialized
+    * digest: O(compression) centroids REGARDLESS of stream length,
+    * which is the entire point — exact streaming quantiles would need
+    * unbounded per-key history. Update-mode output: every micro-batch
+    * emits each touched key's current p50/p90/p99.
+    */
+  def quantileSketch(events: DataFrame, compression: Double = 100.0): Dataset[QuantileUpdate] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("value")).as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], QuantileUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, Double)], state: GroupState[Array[Byte]]) =>
+          val d = state.getOption.map(graft.plans.TDigest.deserialize)
+            .getOrElse(new graft.plans.TDigest(compression))
+          batch.foreach { case (_, v) => d.add(v) }
+          state.update(d.serialize())
+          QuantileUpdate(key, d.size, d.quantile(0.5), d.quantile(0.9), d.quantile(0.99))
+      }
+  }
+
   /** Exactly-once parquet sink for closed sessions: `foreachBatch`
     * writing each micro-batch to its own `batch_id=<id>` partition
     * directory with OVERWRITE. Spark's exactly-once contract is

@@ -47,6 +47,31 @@ class TDigestSpec extends SparkSpec {
     }
   }
 
+  test("streaming quantile sketch folds state across micro-batches within rank bounds") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val q = graft.streaming.EventsStream.quantileSketch(
+        input.toDS().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("qsketch_out")
+      .outputMode("update").start()
+    try {
+      // two micro-batches: the second must fold into the first's state
+      val batch1 = (1 to 600).map(i => ("t", i.toDouble))
+      val batch2 = (601 to 1000).map(i => ("t", i.toDouble))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val last = spark.table("qsketch_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(4)))
+        .maxBy(_._1)
+      assert(last._1 === 1000L, "state must accumulate across batches")
+      assert(math.abs(last._2 - 500.0) <= 50.0, s"p50=${last._2}")
+      assert(math.abs(last._3 - 990.0) <= 50.0, s"p99=${last._3}")
+    } finally q.stop()
+  }
+
   test("tdigest_quantiles is registered for SQL") {
     graft.plans.GraftExtensions.register(spark)
     spark.range(0, 10001).selectExpr("CAST(id AS DOUBLE) AS v")
