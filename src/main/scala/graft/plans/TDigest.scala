@@ -33,6 +33,9 @@ final class TDigest(val compression: Double) extends Serializable {
   // (mean, weight) centroids + un-compressed raw tail
   private[plans] val cs = ArrayBuffer.empty[(Double, Long)]
   private val rawLimit = math.max(32, (8 * compression).toInt)
+  // set on every mutation, cleared by compress() — quantile reads and
+  // serialization skip the O(n log n) sort+merge on a clean digest
+  private[plans] var dirty = true
 
   def isEmpty: Boolean = cs.isEmpty
 
@@ -41,11 +44,13 @@ final class TDigest(val compression: Double) extends Serializable {
 
   def add(x: Double): Unit = {
     cs += ((x, 1L))
+    dirty = true
     if (cs.length > rawLimit) compress()
   }
 
   def merge(o: TDigest): TDigest = {
     cs ++= o.cs
+    dirty = true
     compress()
     this
   }
@@ -59,7 +64,7 @@ final class TDigest(val compression: Double) extends Serializable {
     compression / (2 * math.Pi) * math.asin(2 * math.min(math.max(q, 0.0), 1.0) - 1)
 
   def compress(): Unit = {
-    if (cs.length <= 1) return
+    if (!dirty || cs.length <= 1) { dirty = false; return }
     val sorted = cs.sortBy(_._1)
     val total = sorted.iterator.map(_._2).sum.toDouble
     cs.clear()
@@ -77,6 +82,7 @@ final class TDigest(val compression: Double) extends Serializable {
       }
     }
     cs += ((cm, cw))
+    dirty = false
   }
 
   /** Midpoint-rule interpolation: centroid i's mean represents the
@@ -125,6 +131,7 @@ object TDigest {
     val n = in.readInt()
     var i = 0
     while (i < n) { d.cs += ((in.readDouble(), in.readLong())); i += 1 }
+    d.dirty = false // serialized form is always compressed
     d
   }
 }

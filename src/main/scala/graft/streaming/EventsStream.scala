@@ -12,10 +12,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * findatabase.py:196 `update_database` re-runs batch analytics
   * after every append; here the analytics ARE the stream).
   *
-  * Scale design: both jobs are keyed-state streaming — state is
-  * partitioned by group key across executors, watermarks bound state
-  * size, and output is append-only (safe for an exactly-once parquet
-  * or Kafka sink). Nothing buffers unbounded history.
+  * Scale design: every job is keyed-state streaming — state is
+  * partitioned by group key across executors and bounded per key.
+  * The windowed/session jobs are watermark-evicted and append-only
+  * (safe for an exactly-once parquet or Kafka sink); the quantile
+  * monitor instead keeps ONE fixed-size sketch per key forever
+  * (state = O(distinct keys), see its doc) and emits update-mode
+  * rows for live dashboards, not append-only sinks.
   */
 object EventsStream {
 
@@ -104,15 +107,21 @@ object EventsStream {
   /** Streaming percentile monitoring: one mergeable t-digest
     * ([[graft.plans.TDigest]]) per event_type held in keyed state and
     * folded forward across micro-batches — the streaming form of the
-    * batch `fin_quantiles_sketch`. State per key is the serialized
-    * digest: O(compression) centroids REGARDLESS of stream length,
-    * which is the entire point — exact streaming quantiles would need
-    * unbounded per-key history. Update-mode output: every micro-batch
-    * emits each touched key's current p50/p90/p99.
+    * batch `fin_quantiles_sketch` (null values skipped, like the
+    * batch aggregate). State per key is the serialized digest:
+    * O(compression) centroids REGARDLESS of stream length, which is
+    * the entire point — exact streaming quantiles would need
+    * unbounded per-key history. Keys are never evicted (a lifetime
+    * monitor over a LOW-CARDINALITY key like event_type; for dirty /
+    * unbounded key domains add an idle timeout). Update-mode output
+    * — each micro-batch re-emits touched keys' current p50/p90/p99 —
+    * so the sink is a dashboard/upsert store, NOT an append-only file.
     */
   def quantileSketch(events: DataFrame, compression: Double = 100.0): Dataset[QuantileUpdate] = {
     import events.sparkSession.implicits._
-    events.select(col("event_type"), col("value")).as[(String, Double)]
+    events.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Byte], QuantileUpdate](GroupStateTimeout.NoTimeout) {
         (key: String, batch: Iterator[(String, Double)], state: GroupState[Array[Byte]]) =>
