@@ -58,6 +58,17 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(rows(1L) > 0.0)
   }
 
+  test("valueQuantiles handles a constant-valued group (vmax == vmin degenerate bucket)") {
+    val evs = (1 to 50).map(i => (i.toLong, 1L, ts(f"2026-01-01 10:00:$i%02.0f"), "flat", 7.5)) ++
+      (1 to 9).map(i => (100L + i, 2L, ts(s"2026-01-01 11:00:0$i"), "vary", i.toDouble))
+    val df = evs.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = FinAnalytics.valueQuantiles(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows("flat") === ((50L, 7.5, 7.5, 7.5)))
+    // 9 values 1..9: p50 rank (9+1)/2=5 -> 5, p90 rank (81+9)/10=9 -> 9, p99 rank (891+99)/100=9 -> 9
+    assert(rows("vary") === ((9L, 5.0, 9.0, 9.0)))
+  }
+
   test("featureSnapshot composes the per-day metrics; single instrument has beta20 = 1") {
     // one user -> the market IS the instrument -> mret == ret, beta 1
     val solo = events.filter(org.apache.spark.sql.functions.col("user_id") === 1L)
