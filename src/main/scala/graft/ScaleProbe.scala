@@ -87,8 +87,11 @@ object ScaleProbe {
       // real scale the query table is bounded, it does not grow with
       // the corpus — the default vec_id%100 rule exists for the
       // oracle gate only.
+      // corpus-subset frame -> keep self-exclusion ON so the probe
+      // measures the same computation as the gated default path
       "ann_lsh" -> time("ann_lsh")(operators.Similarity.annLsh(src.embeddings,
-        Some(src.embeddings.filter(col("vec_id") % 100 === 0))).count()),
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
+        queriesAreCorpusDerived = Some(true)).count()),
       "embed_neardup" -> time("embed_neardup")(operators.Similarity.embeddingNearDup(src.embeddings).count()))
     println("== 10x ==")
     val s = Map(
@@ -106,7 +109,8 @@ object ScaleProbe {
       "quantiles_sketch" -> time("quantiles_sketch")(operators.FinAnalytics.quantileSketch(events10).count()),
       "feature_snapshot" -> time("feature_snapshot")(operators.FinAnalytics.featureSnapshot(events10).count()),
       "ann_lsh" -> time("ann_lsh")(operators.Similarity.annLsh(emb10,
-        Some(src.embeddings.filter(col("vec_id") % 100 === 0))).count()),
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
+        queriesAreCorpusDerived = Some(true)).count()),
       // Θ(n²) by definition — expect ~100x here; recorded to keep the
       // exact-baseline cost visible next to its sub-quadratic companions
       "embed_neardup" -> time("embed_neardup")(operators.Similarity.embeddingNearDup(emb10).count()))

@@ -615,7 +615,8 @@ object SparkEntry {
     "fin_quantiles" ->
       """WITH r AS (SELECT event_type, value,
         |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,
-        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM events)
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |FROM events WHERE value IS NOT NULL)
         |SELECT event_type, max(n) AS n,
         |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,

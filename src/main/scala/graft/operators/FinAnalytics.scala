@@ -310,7 +310,12 @@ object FinAnalytics {
     * land in one bucket: global rank = cum_before + in-bucket rank.
     */
   def valueQuantiles(events: DataFrame, histBuckets: Int = 8192): DataFrame = {
+    // NULL values carry no rank: drop them up front (matching the
+    // streaming sketch's filter) so n counts ranked rows only and an
+    // all-NULL group is absent from the output rather than silently
+    // losing its row in the bucket equi-join.
     val base = events.select(col("event_type"), col("event_id"), col("value"))
+      .filter(col("value").isNotNull)
     val stats = base.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     // One shared bucket expression so both passes compute the exact

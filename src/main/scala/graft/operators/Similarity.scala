@@ -251,7 +251,7 @@ object Similarity {
     * re-rank bit-for-bit.
     */
   def annLsh(embeddings: DataFrame, queries: Option[DataFrame] = None,
-             k: Int = 5): DataFrame = {
+             k: Int = 5, queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
     import graft.plans.GraftExpressions.bandSigs
     def banded(df: DataFrame, idCol: String): DataFrame =
       df.select(col(idCol), col("embedding"),
@@ -265,7 +265,7 @@ object Similarity {
       .withColumnRenamed("band", "qband").withColumnRenamed("sig", "qsig")
     val cands = corpus.join(broadcast(qBanded),
         col("band") === col("qband") && col("sig") === col("qsig") &&
-          notSelf(corpusDerived = queries.isEmpty))
+          notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
       .select(col("query_id"), col("qe"), col("vec_id"), col("embedding")).distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     cands

@@ -30,8 +30,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * Output: `array<long>` of length `planes.length / rowsPerBand`;
   * bit r of element b is the sign of plane (b*rowsPerBand + r)'s dot.
   */
-case class BandSignatures(child: Expression, planes: Array[Array[Long]], rowsPerBand: Int)
+case class BandSignatures(child: Expression, planes: Seq[Seq[Long]], rowsPerBand: Int)
   extends UnaryExpression {
+
+  // Seq field (not Array) so case-class equals/hashCode compare plane
+  // CONTENTS — Array fields fall back to reference identity, which
+  // breaks plan canonicalization / subexpression elimination for two
+  // semantically identical instances. Eval and codegen still run on
+  // primitive arrays, converted once here.
+  @transient private lazy val planesArr: Array[Array[Long]] =
+    planes.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -51,14 +59,14 @@ case class BandSignatures(child: Expression, planes: Array[Array[Long]], rowsPer
       scaled(i) = if (x >= 0) math.round(x) else -math.round(-x)
       i += 1
     }
-    val bands = planes.length / rowsPerBand
+    val bands = planesArr.length / rowsPerBand
     val sigs = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var sig = 0L
       var r = 0
       while (r < rowsPerBand) {
-        val w = planes(b * rowsPerBand + r)
+        val w = planesArr(b * rowsPerBand + r)
         val m = math.min(n, w.length)
         var dot = 0L
         var j = 0
@@ -73,7 +81,7 @@ case class BandSignatures(child: Expression, planes: Array[Array[Long]], rowsPer
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "long[][]")
+    val planesRef = ctx.addReferenceObj("planes", planesArr, "long[][]")
     nullSafeCodeGen(ctx, ev, arr => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val scaled = ctx.freshName("scaled"); val x = ctx.freshName("x")

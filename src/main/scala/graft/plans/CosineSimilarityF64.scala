@@ -138,7 +138,8 @@ object GraftExpressions {
     * kernel (see [[BandSignatures]]).
     */
   def bandSigs(vec: Column, planes: Array[Array[Long]], rowsPerBand: Int): Column =
-    ColumnBridge.column(BandSignatures(ColumnBridge.expression(vec), planes, rowsPerBand))
+    ColumnBridge.column(BandSignatures(ColumnBridge.expression(vec),
+      planes.map(_.toIndexedSeq).toIndexedSeq, rowsPerBand))
 }
 
 /** SQL registration (`SELECT cosine_f64(a, b)`) via

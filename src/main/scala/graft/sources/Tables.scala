@@ -36,13 +36,19 @@ final class Tables(spark: SparkSession, dir: String) {
     // caller's value after. Execution of the returned (lazy) frame is
     // safe post-restore: the file schema was already resolved to LONG
     // (probed on this Spark version — see VerifySpec round-trip).
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    // Synchronized on the session: the set/resolve/restore triple is
+    // not atomic, so two concurrent events() calls could interleave
+    // (one restoring while the other resolves, or recording the
+    // other's transient "true" as the previous value).
+    spark.synchronized {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
   def documents: DataFrame = table("documents")
