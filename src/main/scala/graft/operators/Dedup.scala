@@ -164,20 +164,25 @@ object Dedup {
   def components(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLsh(documents, threshold = threshold).select(col("a"), col("b"))
     val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
-    var labels = edges.select(col("a").as("node")).distinct()
+    var cached = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("comp")).cache()
+    var labels = cached
     var changed = 1L
     while (changed > 0) {
       val viaNeighbors = labels.join(edges, col("node") === col("a"))
         .groupBy(col("b")).agg(min(col("comp")).as("ncomp"))
         .select(col("b").as("node"), col("ncomp"))
+      // Carry the previous label through the update so the
+      // convergence check is a filter over the cached frame, not a
+      // second labels⋈next join per round.
       val next = labels.join(viaNeighbors, Seq("node"), "left")
-        .select(col("node"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .select(col("node"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .cache()
-      changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("comp"))
     }
     edges.unpersist()
     labels.orderBy(col("node"))
