@@ -69,6 +69,12 @@ object SparkEntry {
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
+    "top_parts_heap"      -> ((s, d) => { val t = Tables(s, d); Events.topPartsHeap(t.lineitem, t.part) }),
+    "events_rollup"       -> ((s, d) => Events.rollupTypeDay(Tables(s, d).events)),
+    "events_funnel"       -> ((s, d) => Events.funnel(Tables(s, d).events)),
+    "text_tfidf"          -> ((s, d) => TextOps.tfidf(Tables(s, d).documents)),
+    "curate_pack"         -> ((s, d) => Curation.packSequences(Tables(s, d).documents)),
+    "fin_ewma"            -> ((s, d) => FinAnalytics.ewma(Tables(s, d).events)),
     "events_interval_join" -> ((s, d) => Events.intervalJoin(Tables(s, d).events)),
     "curate_split"        -> ((s, d) => Curation.splitAssign(Tables(s, d).documents)),
     "curate_sample"       -> ((s, d) => Curation.sampleStratified(Tables(s, d).documents)),
@@ -148,7 +154,86 @@ object SparkEntry {
       |                              ORDER BY ts DESC, event_id DESC) AS rn
       |    FROM events) WHERE rn = 1)""".stripMargin
 
+  /** fin_ewma oracle — generated from the SAME exact-decimal weight
+    * literals the operator uses ([[operators.FinAnalytics.ewmaWeightStrings]])
+    * with the identical term order, so products/sums replay exactly.
+    */
+  private def ewmaOracle: String = {
+    val ws = operators.FinAnalytics.ewmaWeightStrings
+    val lags = ws.indices.map { j =>
+      if (j == 0) "CAST(close AS DECIMAL(12,2)) AS c0"
+      else s"lag(CAST(close AS DECIMAL(12,2)), $j) OVER (PARTITION BY user_id ORDER BY day) AS c$j"
+    }.mkString(",\n    ")
+    val num = ws.zipWithIndex.map { case (w, j) =>
+      s"coalesce(c$j * CAST('$w' AS DECIMAL(12,10)), CAST(0 AS DECIMAL(25,12)))"
+    }.mkString("\n      + ")
+    val den = ws.zipWithIndex.map { case (w, j) =>
+      s"CASE WHEN c$j IS NOT NULL THEN CAST('$w' AS DECIMAL(12,10)) ELSE CAST(0 AS DECIMAL(12,10)) END"
+    }.mkString("\n      + ")
+    closesCte + s"""
+, lagged AS (SELECT user_id, day, close,
+    $lags
+  FROM closes)
+SELECT user_id, day, close,
+  round(CAST($num AS DOUBLE)
+    / CAST($den AS DOUBLE), 6) + 0.0 AS ewma10
+FROM lagged ORDER BY user_id, day"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "top_parts_heap" ->
+      """SELECT p_brand, l_partkey, CAST(round(revenue, 2) AS DOUBLE) + 0.0 AS revenue, rank FROM (
+        |  SELECT p_brand, l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS revenue,
+        |    CAST(row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) DESC,
+        |      l_partkey) AS BIGINT) AS rank
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, l_partkey)
+        |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
+    "events_rollup" ->
+      """WITH t AS (SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) AS d, value FROM events)
+        |SELECT coalesce(et, 'ALL') AS event_type, coalesce(d, DATE '1900-01-01') AS day,
+        |  CAST(grouping(et) AS BIGINT) AS g_type, CAST(grouping(d) AS BIGINT) AS g_day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value
+        |FROM t GROUP BY ROLLUP(et, d) ORDER BY g_type, g_day, event_type, day""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS tsec FROM events),
+        |v AS (SELECT *, count(CASE WHEN event_type = 'view' THEN 1 END) OVER
+        |        (PARTITION BY user_id ORDER BY tsec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS views_before FROM e),
+        |c AS (SELECT *, CASE WHEN event_type = 'click' AND views_before > 0 THEN 1 ELSE 0 END AS is_qclick FROM v),
+        |p AS (SELECT *, coalesce(sum(is_qclick) OVER
+        |        (PARTITION BY user_id ORDER BY tsec, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qclicks_before FROM c),
+        |f AS (SELECT *, CASE WHEN event_type = 'purchase' AND qclicks_before > 0 THEN 1 ELSE 0 END AS is_qpurchase FROM p)
+        |SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN tsec END) AS first_view,
+        |  min(CASE WHEN is_qclick = 1 THEN tsec END) AS first_click,
+        |  min(CASE WHEN is_qpurchase = 1 THEN tsec END) AS first_purchase,
+        |  CAST(CASE WHEN min(CASE WHEN is_qpurchase = 1 THEN tsec END) IS NOT NULL THEN 3
+        |       WHEN min(CASE WHEN is_qclick = 1 THEN tsec END) IS NOT NULL THEN 2
+        |       WHEN min(CASE WHEN event_type = 'view' THEN tsec END) IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS stage
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "text_tfidf" ->
+      (s"""WITH t AS (SELECT doc_id, unnest($toksExpr) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, token, tf, df,
+        |        round(CAST(tf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE), 6) + 0.0 AS score
+        |      FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rank FROM s)
+        |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    "curate_pack" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_toks FROM documents),
+        |o AS (SELECT doc_id, n_toks,
+        |        CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |      FROM t)
+        |SELECT doc_id, n_toks, off,
+        |  CAST(off // 256 AS BIGINT) AS seq_id, CAST(off % 256 AS BIGINT) AS seq_pos,
+        |  CAST(CASE WHEN n_toks > 0 THEN (off + n_toks - 1) // 256 - off // 256 + 1 ELSE 0 END AS BIGINT) AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin),
+    "fin_ewma" -> ewmaOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS sum_qty,

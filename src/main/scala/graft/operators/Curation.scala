@@ -46,6 +46,46 @@ object Curation {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Sequence packing for LLM pretraining: concatenate the corpus in
+    * doc_id order and chunk it into fixed `budget`-token sequences
+    * (the standard concat-then-chunk packing — documents may span a
+    * boundary; `n_seqs` says how many sequences each doc touches).
+    *
+    * The global running token offset is a DISTRIBUTED two-pass prefix
+    * sum, not a single-partition window: docs bucket into contiguous
+    * doc_id ranges (`chunk` ids per range), pass 1 aggregates one
+    * token subtotal per range (tiny), a window over that subtotal
+    * frame yields each range's starting offset, and pass 2 broadcasts
+    * those offsets back and computes within-range cumulative sums in
+    * parallel. Scales as one scan + one tiny broadcast regardless of
+    * corpus size; the oracle replays it as one global window (equal
+    * by associativity of the prefix sum).
+    */
+  def packSequences(documents: DataFrame, budget: Int = 256, chunk: Int = 64): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("part", expr(s"doc_id DIV $chunk"))
+    val wPart = Window.partitionBy(lit(0)).orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per doc_id range — small enough that the single-task
+    // window over it is free (partitionBy(lit(0)) silences the
+    // no-partition WARN; boundedness is structural: ranges, not docs)
+    val offsets = base.groupBy(col("part")).agg(sum(col("n_toks")).as("psum"))
+      .withColumn("part_off", coalesce(sum(col("psum")).over(wPart), lit(0L)))
+      .select(col("part"), col("part_off"))
+    val wIn = Window.partitionBy(col("part")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "part")
+      .withColumn("off", col("part_off") + coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+      .withColumn("seq_id", expr(s"off DIV $budget"))
+      .withColumn("seq_pos", col("off") % budget)
+      .withColumn("n_seqs",
+        when(col("n_toks") > 0,
+          expr(s"(off + n_toks - 1) DIV $budget") - col("seq_id") + 1).otherwise(0L))
+      .select(col("doc_id"), col("n_toks"), col("off"), col("seq_id"), col("seq_pos"), col("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language corpus statistics: doc/char/token totals and the
     * keep-rate under the [[TextOps.quality]] length gate. Map-side
     * partial aggregation; the shuffle carries one row per language.

@@ -106,6 +106,89 @@ object Events {
       .orderBy(col("event_id"), col("win_id"))
   }
 
+  /** Grouped top-k WITHOUT the window sort: revenue per part, top-k
+    * per brand via the [[graft.plans.TopKLongPairs]] bounded-heap
+    * aggregate (row_number semantics — exactly k rows per brand,
+    * score DESC / partkey ASC).
+    *
+    * vs [[topPartsRevenue]]'s window: the window plan shuffles every
+    * (brand, part) row and SORTS each brand partition; the heap plan
+    * partial-aggregates — each map task keeps a k-bounded buffer per
+    * brand, the shuffle carries ≤ k pairs per (task, brand), the
+    * final merge is linear. Ranking runs on the exact fixed-point
+    * integer revenue (scale-4 decimal × 10⁴), so order is total and
+    * the DuckDB oracle reproduces it bit-for-bit.
+    */
+  def topPartsHeap(lineitem: DataFrame, part: DataFrame, k: Int = 3): DataFrame = {
+    import graft.plans.TopKLongPairs
+    val per = lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
+    // exact integer surrogate: revenue has scale 4, ×10⁴ is integral
+    per
+      .withColumn("score", (col("revenue") * 10000).cast("long"))
+      .groupBy(col("p_brand"))
+      .agg(TopKLongPairs(col("score"), col("l_partkey"), k).as("top"))
+      .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("p_brand"), col("t.id").as("l_partkey"),
+        outD(col("t.score").cast("decimal(28,0)") / 10000, 2).as("revenue"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("p_brand"), col("rank"))
+  }
+
+  /** ROLLUP over (event_type, day): per-type-per-day, per-type, and
+    * grand-total aggregates in ONE pass — Spark expands the grouping
+    * sets map-side and the shuffle still carries only group rows.
+    * Grouping flags are emitted explicitly (and NULL group keys
+    * coalesced to sentinels) so every output row is unambiguous and
+    * hash-comparable across engines.
+    */
+  def rollupTypeDay(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("total_value"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("day")).cast("long").as("g_day"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit(java.sql.Date.valueOf("1900-01-01"))).as("day"),
+        col("g_type"), col("g_day"), col("n"),
+        outD(col("total_value"), 2).as("total_value"))
+      .orderBy(col("g_type"), col("g_day"), col("event_type"), col("day"))
+
+  /** Ordered funnel per user: view → click → purchase, where each
+    * stage only counts AFTER the previous stage has fired (a click
+    * with no prior view is not a funnel click). Stage qualification
+    * is a running count over the per-user event order — one shuffle
+    * on user_id, both window passes and the final aggregation reuse
+    * it. Timestamps are second-truncated (SURVEY §5).
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("tsec"), col("event_id"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("tsec", date_trunc("second", col("ts")))
+      .withColumn("views_before",
+        count(when(col("event_type") === "view", lit(1))).over(before))
+      .withColumn("is_qclick",
+        when(col("event_type") === "click" && col("views_before") > 0, 1L).otherwise(0L))
+      .withColumn("qclicks_before", coalesce(sum(col("is_qclick")).over(before), lit(0L)))
+      .withColumn("is_qpurchase",
+        when(col("event_type") === "purchase" && col("qclicks_before") > 0, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("tsec"))).as("first_view"),
+        min(when(col("is_qclick") === 1, col("tsec"))).as("first_click"),
+        min(when(col("is_qpurchase") === 1, col("tsec"))).as("first_purchase"))
+      .withColumn("stage",
+        when(col("first_purchase").isNotNull, 3L)
+          .when(col("first_click").isNotNull, 2L)
+          .when(col("first_view").isNotNull, 1L)
+          .otherwise(0L))
+      .orderBy(col("user_id"))
+  }
+
   /** Revenue per part ranked within brand (dense_rank ≤ 3) — the
     * windowed top-N pattern; part dimension broadcasts.
     */

@@ -287,6 +287,43 @@ object FinAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Truncated adjusted-EWMA weights (1−α)^j for α = 0.2 — EXACT
+    * decimals ((0.8)^j has j fractional digits; scale 10 covers
+    * span 10), shared verbatim with the DuckDB oracle literals so
+    * both engines weight with the same exact rationals.
+    */
+  val ewmaSpan = 10
+  lazy val ewmaWeightStrings: Seq[String] =
+    (0 until ewmaSpan).map(j =>
+      java.math.BigDecimal.valueOf(8, 1).pow(j).setScale(10).toPlainString)
+
+  /** Exponentially weighted moving average of the daily close
+    * (span-10 truncated, adjust=true normalization: ewma =
+    * Σ wⱼ·x_{t−j} / Σ wⱼ over the available lags). The recursive
+    * EWMA definition is inherently sequential; the truncated form is
+    * a fixed linear combination of 10 lags — pure window algebra, one
+    * shuffle on user_id (shared with the whole closes family), and
+    * the tail it drops is bounded by 0.8¹⁰ ≈ 10.7% of total weight.
+    *
+    * Parity: weights are exact decimals ([[ewmaWeightStrings]]),
+    * products/sums are exact decimal arithmetic, and only the final
+    * num/den division runs in (correctly-rounded, engine-identical)
+    * doubles before the 6-decimal output round.
+    */
+  def ewma(events: DataFrame): DataFrame = {
+    val c = closes(events)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val terms = ewmaWeightStrings.zipWithIndex.map { case (ws, j) =>
+      val x = if (j == 0) dec2(col("close")) else lag(dec2(col("close")), j).over(ord)
+      (x, lit(ws).cast(org.apache.spark.sql.types.DecimalType(12, 10)))
+    }
+    val num = terms.map { case (x, w) => coalesce(x * w, lit(0).cast("decimal(25,12)")) }.reduce(_ + _)
+    val den = terms.map { case (x, w) => when(x.isNotNull, w).otherwise(lit(0).cast("decimal(12,10)")) }.reduce(_ + _)
+    c.withColumn("ewma10", round(num.cast("double") / den.cast("double"), 6) + lit(0.0))
+      .select(col("user_id"), col("day"), col("close"), col("ewma10"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Exact distributed quantiles (p50/p90/p99 of value per
     * event_type) via two-pass histogram rank selection. Target ranks
     * ⌈q·n⌉ use integer arithmetic (no float q·n — engines disagree on

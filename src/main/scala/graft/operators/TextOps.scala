@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.Hashing._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (SURVEY §2
@@ -95,6 +96,38 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Per-document top-k terms by tf-idf. Term frequency is an
+    * explode → hash aggregation; document frequency aggregates the
+    * (already distinct) tf rows per token and broadcasts back (the
+    * df table is the vocabulary — bounded; at corpus scales where it
+    * is not, drop the broadcast hint and this becomes a shuffled
+    * hash join on token).
+    *
+    * Engine parity: idf is the LOG-FREE rational (N+1)/(df+1) —
+    * IEEE division is correctly rounded and identical across
+    * engines, whereas ln() implementations differ by ulps. Ranking
+    * orders by the 6-decimal-rounded score (identical both sides)
+    * with token tiebreak, so rank assignment is total and exact.
+    */
+  def tfidf(documents: DataFrame, k: Int = 3): DataFrame = {
+    val parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    val tf = documents.repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round((col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1).cast("double"), 6) + lit(0.0))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 
   /** Winnowing fingerprints (Schleimer et al.): hash every w-token
     * shingle, slide a window of `window` hashes, keep each window's

@@ -46,6 +46,36 @@ class CurationSpec extends SparkSpec {
     assert(viaKernel === viaColumns)
   }
 
+  test("packSequences is the concat-then-chunk packing with exact offsets") {
+    val d = Seq(
+      (0L, "a b c"),        // 3 tokens
+      (1L, "   "),          // 0 tokens
+      (2L, "p q r s t"),    // 5 tokens -> straddles the budget-4 boundary
+      (3L, "x")             // 1 token
+    ).toDF("doc_id", "text")
+    val got = Curation.packSequences(d, budget = 4, chunk = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (0L, 3L, 0L, 0L, 0L, 1L),
+      (1L, 0L, 3L, 0L, 3L, 0L),
+      (2L, 5L, 3L, 0L, 3L, 2L), // tokens 3..7 span sequences 0 and 1
+      (3L, 1L, 8L, 2L, 0L, 1L)))
+  }
+
+  test("packSequences two-pass prefix sum equals the single global window") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Curation.packSequences(docs).select("doc_id", "off").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(lit(0)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs
+      .select(col("doc_id"),
+        size(graft.functions.Hashing.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("off", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
   test("frameSample chunks payloads and keeps every Nth frame") {
     val docs = Seq((1L, "a" * 40), (2L, "xy")).toDF("doc_id", "text")
     val got = Multimodal.frameSample(docs, frameBytes = 16, everyN = 2).collect()

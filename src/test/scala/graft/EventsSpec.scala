@@ -60,6 +60,51 @@ class EventsSpec extends SparkSpec {
       (2L, 11L), (3L, 11L), (5L, 11L), (11L, 11L), (11L, 10L)))
   }
 
+  test("rollupTypeDay emits detail, per-type, and grand-total levels that reconcile") {
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "view", 1.5),
+      (2L, 1L, ts("2026-01-02 10:00:00"), "view", 2.5),
+      (3L, 2L, ts("2026-01-01 10:00:00"), "click", 10.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.rollupTypeDay(events).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val detail = got.filter(g => g._3 == 0 && g._4 == 0)
+    val perType = got.filter(g => g._3 == 0 && g._4 == 1)
+    val grand = got.filter(g => g._3 == 1 && g._4 == 1)
+    assert(detail.length === 3 && perType.length === 2 && grand.length === 1)
+    assert(grand.head._5 === 3L && grand.head._6 === 14.0)
+    assert(perType.map(_._6).sum === grand.head._6)
+    assert(perType.find(_._1 == "view").get._6 === 4.0)
+    assert(grand.head._2 === "1900-01-01") // sentinel day on super-aggregate rows
+  }
+
+  test("funnel stages require the previous stage to have fired first") {
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, 1L, ts("2026-01-01 10:00:00"), "view", 0.0),
+      (2L, 1L, ts("2026-01-01 10:05:00"), "click", 0.0),
+      (3L, 1L, ts("2026-01-01 10:10:00"), "purchase", 0.0),
+      // user 2: click BEFORE any view -> not a funnel click; later view
+      // but the purchase has no qualifying click before it
+      (4L, 2L, ts("2026-01-01 10:00:00"), "click", 0.0),
+      (5L, 2L, ts("2026-01-01 10:05:00"), "view", 0.0),
+      (6L, 2L, ts("2026-01-01 10:10:00"), "purchase", 0.0),
+      // user 3: purchase only
+      (7L, 3L, ts("2026-01-01 10:00:00"), "purchase", 0.0),
+      // user 4: view then a second click-less purchase
+      (8L, 4L, ts("2026-01-01 10:00:00"), "view", 0.0),
+      (9L, 4L, ts("2026-01-01 10:05:00"), "purchase", 0.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.funnel(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    // completion timestamps are ordered within the funnel
+    val u1 = Events.funnel(events).collect().find(_.getLong(0) == 1L).get
+    assert(!u1.getTimestamp(1).after(u1.getTimestamp(2)))
+    assert(!u1.getTimestamp(2).after(u1.getTimestamp(3)))
+  }
+
   test("hourlyRollup buckets by hour and event_type") {
     val events = Seq(
       (1L, 1L, ts("2026-01-01 10:05:00"), "view", 1.5),

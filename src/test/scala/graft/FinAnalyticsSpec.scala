@@ -58,6 +58,18 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(rows(1L) > 0.0)
   }
 
+  test("ewma of a constant series is the constant; ramped series lags behind the close") {
+    val rows = FinAnalytics.ewma(events).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
+    // constant user 2: every weight combination of 50 is 50
+    rows.filter(_._1 == 2L).foreach { case (_, _, _, e) => assert(e === 50.0) }
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1.head._4 === 10.0) // day 1: only w0 present -> ewma = close
+    // rising series: ewma trails the close but moves up
+    assert(u1.map(_._4).toSeq == u1.map(_._4).toSeq.sorted)
+    u1.tail.foreach { case (_, _, c, e) => assert(e < c) }
+  }
+
   test("valueQuantiles handles a constant-valued group (vmax == vmin degenerate bucket)") {
     val evs = (1 to 50).map(i => (i.toLong, 1L, ts(f"2026-01-01 10:00:$i%02.0f"), "flat", 7.5)) ++
       (1 to 9).map(i => (100L + i, 2L, ts(s"2026-01-01 11:00:0$i"), "vary", i.toDouble))

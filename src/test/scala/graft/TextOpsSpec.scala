@@ -55,6 +55,23 @@ class TextOpsSpec extends SparkSpec {
     assert((fps(1L) & fps(3L)).isEmpty)
   }
 
+  test("tfidf ranks rare high-frequency terms first with the log-free idf") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "dog")).toDF("doc_id", "text")
+    val got = TextOps.tfidf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._6)
+    // apple: tf 2, df 1 -> 2*(3+1)/(1+1) = 4.0 beats banana: 1*4/(2+1)
+    assert(d1.map(t => (t._2, t._5)).toSeq === Seq(("apple", 4.0), ("banana", 1.333333)))
+    // ranks are dense 1..k per doc, never more than k rows
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._6).sorted.toSeq === (1 to rows.length).map(_.toLong))
+      assert(rows.length <= 3)
+    }
+  }
+
   test("fingerprint is identical for identical token streams, and falls back on short docs") {
     val docs = Seq(
       (1L, "a b c d e f g"),
