@@ -83,6 +83,12 @@ object ScaleProbe {
       "quantiles" -> time("quantiles")(operators.FinAnalytics.valueQuantiles(e1).count()),
       "quantiles_sketch" -> time("quantiles_sketch")(operators.FinAnalytics.quantileSketch(e1).count()),
       "feature_snapshot" -> time("feature_snapshot")(operators.FinAnalytics.featureSnapshot(e1).count()),
+      "funnel" -> time("funnel")(operators.Events.funnel(e1).count()),
+      "rollup" -> time("rollup")(operators.Events.rollupTypeDay(e1).count()),
+      "ewma" -> time("ewma")(operators.FinAnalytics.ewma(e1).count()),
+      "topk_heap" -> time("topk_heap")(operators.Events.topPartsHeap(l1, src.part).count()),
+      "pack" -> time("pack")(operators.Curation.packSequences(d1).count()),
+      "tfidf" -> time("tfidf")(operators.TextOps.tfidf(d1).count()),
       // FIXED query set at both scales (the parameterized API): at
       // real scale the query table is bounded, it does not grow with
       // the corpus — the default vec_id%100 rule exists for the
@@ -108,6 +114,12 @@ object ScaleProbe {
       "quantiles" -> time("quantiles")(operators.FinAnalytics.valueQuantiles(events10).count()),
       "quantiles_sketch" -> time("quantiles_sketch")(operators.FinAnalytics.quantileSketch(events10).count()),
       "feature_snapshot" -> time("feature_snapshot")(operators.FinAnalytics.featureSnapshot(events10).count()),
+      "funnel" -> time("funnel")(operators.Events.funnel(events10).count()),
+      "rollup" -> time("rollup")(operators.Events.rollupTypeDay(events10).count()),
+      "ewma" -> time("ewma")(operators.FinAnalytics.ewma(events10).count()),
+      "topk_heap" -> time("topk_heap")(operators.Events.topPartsHeap(li10, src.part).count()),
+      "pack" -> time("pack")(operators.Curation.packSequences(docs10).count()),
+      "tfidf" -> time("tfidf")(operators.TextOps.tfidf(docs10).count()),
       "ann_lsh" -> time("ann_lsh")(operators.Similarity.annLsh(emb10,
         Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
         queriesAreCorpusDerived = Some(true)).count()),

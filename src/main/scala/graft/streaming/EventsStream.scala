@@ -133,6 +133,57 @@ object EventsStream {
       }
   }
 
+  /** Typed input for the streaming funnel. */
+  case class FunnelEvent(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+
+  /** Per-user funnel progress: the stage machine is MONOTONE, so
+    * state is four longs per user forever — no event history.
+    */
+  case class FunnelState(stage: Int, firstViewMs: Long, firstClickMs: Long,
+                         firstPurchaseMs: Long)
+
+  /** Emitted after each micro-batch that touches the user (update
+    * mode) — same columns as the batch [[graft.operators.Events.funnel]].
+    */
+  case class FunnelUpdate(user_id: Long, first_view: Option[Timestamp],
+                          first_click: Option[Timestamp],
+                          first_purchase: Option[Timestamp], stage: Long)
+
+  /** Streaming form of [[graft.operators.Events.funnel]]: the ordered
+    * view → click → purchase machine as keyed state. Each micro-batch
+    * sorts its own events by (ts, event_id) and folds them through
+    * the monotone stage transition (a click only counts once a view
+    * has fired, a purchase only after a qualifying click), then emits
+    * the user's current funnel row. State per user is one
+    * [[FunnelState]] — O(keys), independent of stream length.
+    * In-order delivery within the state fold matches the batch
+    * operator; events arriving across micro-batches out of order can
+    * only UNDER-advance the funnel (the same direction as the batch
+    * semantics' "after" requirement), never invent a conversion.
+    */
+  def funnel(events: Dataset[FunnelEvent]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L, -1L))
+          batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val tsec = math.floorDiv(e.ts.getTime, 1000L) * 1000L
+            (e.event_type, st.stage) match {
+              case ("view", 0)     => st = st.copy(stage = 1, firstViewMs = tsec)
+              case ("click", 1)    => st = st.copy(stage = 2, firstClickMs = tsec)
+              case ("purchase", 2) => st = st.copy(stage = 3, firstPurchaseMs = tsec)
+              case _               => // no transition: stage machine is monotone
+            }
+          }
+          state.update(st)
+          def opt(ms: Long) = if (ms >= 0) Some(new Timestamp(ms)) else None
+          FunnelUpdate(userId, opt(st.firstViewMs), opt(st.firstClickMs),
+            opt(st.firstPurchaseMs), st.stage.toLong)
+      }
+  }
+
   /** Exactly-once parquet sink for closed sessions: `foreachBatch`
     * writing each micro-batch to its own `batch_id=<id>` partition
     * directory with OVERWRITE. Spark's exactly-once contract is

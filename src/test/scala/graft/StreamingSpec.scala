@@ -171,6 +171,50 @@ class StreamingSpec extends SparkSpec {
     assert(persisted.toSet === Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0)))
   }
 
+  test("streaming funnel advances stage across micro-batches and matches batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventsStream.FunnelEvent
+    val input = MemoryStream[FunnelEvent]
+    val q = EventsStream.funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 views; user 2 clicks with no prior view
+      input.addData(
+        FunnelEvent(1L, 1L, ts("2026-01-01 10:00:00"), "view"),
+        FunnelEvent(2L, 2L, ts("2026-01-01 10:00:00"), "click"))
+      q.processAllAvailable()
+      // batch 2: user 1 converts; user 2 views then purchases (no
+      // qualifying click -> must stay at stage 1)
+      input.addData(
+        FunnelEvent(1L, 3L, ts("2026-01-01 10:05:00"), "click"),
+        FunnelEvent(1L, 4L, ts("2026-01-01 10:10:00"), "purchase"),
+        FunnelEvent(2L, 5L, ts("2026-01-01 10:05:00"), "view"),
+        FunnelEvent(2L, 6L, ts("2026-01-01 10:10:00"), "purchase"))
+      q.processAllAvailable()
+
+      // update mode re-emits per batch: keep each user's LAST row
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getLong(4)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.last }
+      assert(got(1L)._5 === 3L && got(2L)._5 === 1L)
+
+      val batch = Events.funnel(Seq(
+          (1L, 1L, ts("2026-01-01 10:00:00"), "view", 0.0),
+          (2L, 2L, ts("2026-01-01 10:00:00"), "click", 0.0),
+          (3L, 1L, ts("2026-01-01 10:05:00"), "click", 0.0),
+          (4L, 1L, ts("2026-01-01 10:10:00"), "purchase", 0.0),
+          (5L, 2L, ts("2026-01-01 10:05:00"), "view", 0.0),
+          (6L, 2L, ts("2026-01-01 10:10:00"), "purchase", 0.0))
+          .toDF("event_id", "user_id", "ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getLong(4))).toSeq
+      assert(got.values.toSet === batch.toSet)
+    } finally q.stop()
+  }
+
   test("streaming hourlyRollup emits closed hourly windows matching batch counts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
