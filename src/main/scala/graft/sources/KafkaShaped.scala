@@ -50,22 +50,42 @@ object KafkaShaped {
     * window shuffles once on the partition id, exactly how the data
     * would land broker-side.
     */
+  /** Timestamp wire format with MICROSECOND precision — to_json's
+    * default truncates to milliseconds, which would silently degrade
+    * every parsed ts (the source data is µs-resolution). Shared by
+    * producer and consumer so the round-trip is exact.
+    */
+  val timestampWireFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   def toRecords(df: DataFrame, topic: String, numPartitions: Int,
                 keyCol: String, tsCol: String): DataFrame = {
+    // Snapshot the payload BEFORE any metadata column is added: the
+    // wire names (key/timestamp/...) may collide with input columns,
+    // and resolving the JSON struct later would silently read the
+    // overwritten values. Internal temp names are __-prefixed.
+    val payload = to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+      Map("timestampFormat" -> timestampWireFormat))
+    val rec = df.select(
+        col(keyCol).cast("string").as("__key"),
+        payload.as("__value"),
+        col(tsCol).cast("timestamp").as("__timestamp"))
+      .withColumn("__partition", partitionFor(col("__key"), numPartitions))
+    // The trailing __value term makes the append order TOTAL up to
+    // full-record duplicates (which are interchangeable) — offsets
+    // must be replay-deterministic because exactly-once sinks key on
+    // (partition, offset).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("partition")).orderBy(col("timestamp"), col("key"))
-    df
-      .withColumn("key", col(keyCol).cast("string"))
-      .withColumn("value",
-        to_json(struct(df.columns.map(col).toIndexedSeq: _*)))
-      .withColumn("topic", lit(topic))
-      .withColumn("partition", (hex60(col("key")) % numPartitions).cast("int"))
-      .withColumn("timestamp", col(tsCol).cast("timestamp"))
-      .withColumn("offset", row_number().over(w).cast("long") - 1)
-      .withColumn("timestampType", lit(1)) // CreateTime
-      .select(col("key").cast("binary"), col("value").cast("binary"),
-        col("topic"), col("partition"), col("offset"), col("timestamp"),
-        col("timestampType"))
+      .partitionBy(col("__partition"))
+      .orderBy(col("__timestamp"), col("__key"), col("__value"))
+    rec
+      .withColumn("__offset", row_number().over(w).cast("long") - 1)
+      .select(col("__key").cast("binary").as("key"),
+        col("__value").cast("binary").as("value"),
+        lit(topic).as("topic"),
+        col("__partition").as("partition"),
+        col("__offset").as("offset"),
+        col("__timestamp").as("timestamp"),
+        lit(1).as("timestampType")) // CreateTime
   }
 
   /** Consumer side: records → typed columns. Keeps the wire metadata
@@ -75,7 +95,8 @@ object KafkaShaped {
     */
   def parse(records: DataFrame, valueSchema: StructType): DataFrame =
     records
-      .withColumn("v", from_json(col("value").cast("string"), valueSchema))
+      .withColumn("v", from_json(col("value").cast("string"), valueSchema,
+        Map("timestampFormat" -> timestampWireFormat)))
       .select(Seq(col("topic"), col("partition"), col("offset"), col("timestamp")) ++
         valueSchema.fieldNames.map(f => col(s"v.$f").as(f)): _*)
 

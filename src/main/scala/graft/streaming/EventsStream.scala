@@ -167,8 +167,14 @@ object EventsStream {
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L, -1L))
-          batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val absent = Long.MinValue // sign-encoding would misread pre-1970 timestamps
+          var st = state.getOption.getOrElse(FunnelState(0, absent, absent, absent))
+          // order by SECOND-truncated time, like the batch operator's
+          // (tsec, event_id) window order — raw-millis ordering would
+          // fold same-second events differently and diverge on ties
+          batch.toVector
+            .sortBy(e => (math.floorDiv(e.ts.getTime, 1000L), e.event_id))
+            .foreach { e =>
             val tsec = math.floorDiv(e.ts.getTime, 1000L) * 1000L
             (e.event_type, st.stage) match {
               case ("view", 0)     => st = st.copy(stage = 1, firstViewMs = tsec)
@@ -178,7 +184,7 @@ object EventsStream {
             }
           }
           state.update(st)
-          def opt(ms: Long) = if (ms >= 0) Some(new Timestamp(ms)) else None
+          def opt(ms: Long) = if (ms != absent) Some(new Timestamp(ms)) else None
           FunnelUpdate(userId, opt(st.firstViewMs), opt(st.firstClickMs),
             opt(st.firstPurchaseMs), st.stage.toLong)
       }

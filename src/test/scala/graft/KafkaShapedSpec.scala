@@ -41,6 +41,13 @@ class KafkaShapedSpec extends SparkSpec {
       .join(again.select(col("key").cast("string").as("k"), col("partition").as("p2")).distinct(), "k")
       .filter(col("p1") =!= col("p2")).count()
     assert(disagree === 0L)
+    // offsets are replay-deterministic too (exactly-once sinks key on
+    // (partition, offset)): the full record assignment must reproduce
+    val offsetDisagree = recs
+      .select(col("value").cast("string").as("v"), col("partition").as("p1"), col("offset").as("o1"))
+      .join(again.select(col("value").cast("string").as("v"), col("partition").as("p2"), col("offset").as("o2")), "v")
+      .filter(col("p1") =!= col("p2") || col("o1") =!= col("o2")).count()
+    assert(offsetDisagree === 0L)
     recs.unpersist()
   }
 
@@ -48,10 +55,12 @@ class KafkaShapedSpec extends SparkSpec {
     val recs = KafkaShaped.toRecords(events, "events", 4, "event_id", "ts")
     val back = KafkaShaped.parse(recs, valueSchema)
     assert(back.columns.take(4).toSeq === Seq("topic", "partition", "offset", "timestamp"))
-    val want = events.select("event_id", "user_id", "event_type", "value").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).sortBy(_._1)
-    val got = back.select("event_id", "user_id", "event_type", "value").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).sortBy(_._1)
+    // ts included: the wire format must preserve MICROSECONDS (the
+    // to_json default truncates to millis)
+    val want = events.select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4))).sortBy(_._1)
+    val got = back.select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4))).sortBy(_._1)
     assert(got.toSeq === want.toSeq)
   }
 
