@@ -70,6 +70,9 @@ object SparkEntry {
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
     "top_parts_heap"      -> ((s, d) => { val t = Tables(s, d); Events.topPartsHeap(t.lineitem, t.part) }),
+    "top_users_heap"      -> ((s, d) => Events.topUsersHeap(Tables(s, d).events)),
+    // HLL++ sketch differs across engines -> rows-only gate + error-bound spec
+    "events_approx_users" -> ((s, d) => Events.approxUsers(Tables(s, d).events)),
     "events_rollup"       -> ((s, d) => Events.rollupTypeDay(Tables(s, d).events)),
     "events_funnel"       -> ((s, d) => Events.funnel(Tables(s, d).events)),
     "text_tfidf"          -> ((s, d) => TextOps.tfidf(Tables(s, d).documents)),
@@ -190,6 +193,14 @@ FROM lagged ORDER BY user_id, day"""
         |      l_partkey) AS BIGINT) AS rank
         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, l_partkey)
         |WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
+    "top_users_heap" ->
+      """SELECT event_type, user_id, CAST(round(total, 2) AS DOUBLE) + 0.0 AS total_value, rank FROM (
+        |  SELECT event_type, user_id, sum(CAST(value AS DECIMAL(12,2))) AS total,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY sum(CAST(value AS DECIMAL(12,2))) DESC, user_id) AS BIGINT) AS rank
+        |  FROM events GROUP BY event_type, user_id
+        |  HAVING sum(CAST(value AS DECIMAL(12,2))) IS NOT NULL)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "events_rollup" ->
       """WITH t AS (SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) AS d, value FROM events)
         |SELECT coalesce(et, 'ALL') AS event_type, coalesce(d, DATE '1900-01-01') AS day,

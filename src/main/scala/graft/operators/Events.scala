@@ -136,6 +136,41 @@ object Events {
       .orderBy(col("p_brand"), col("rank"))
   }
 
+  /** Top-k users by total event value per event_type — the second
+    * consumer of the heap aggregate, proving it composes: any
+    * (group, sub-key, measure) top-k is the same two-aggregation
+    * shape. Values aggregate in exact integer cents.
+    */
+  def topUsersHeap(events: DataFrame, k: Int = 5): DataFrame = {
+    import graft.plans.TopKLongPairs
+    val per = events.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(dec2(col("value"))).as("total"))
+    per
+      .withColumn("cents", (col("total") * 100).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(TopKLongPairs(col("cents"), col("user_id"), k).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("event_type"), col("t.id").as("user_id"),
+        outD(col("t.score").cast("decimal(24,2)") / 100, 2).as("total_value"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  /** Approximate distinct users per event_type (HyperLogLog++) next
+    * to the exact count — the sketch that replaces an
+    * O(distinct-users) exact-distinct state at 100 TB with O(2^p)
+    * registers that MERGE across partitions (same mergeability
+    * contract as the t-digest). rsd 1% ⇒ ~1.1% typical error.
+    * Engine sketches differ (Spark HLL++ vs others), so this takes
+    * the rows-only gate; the spec asserts the relative-error bound
+    * against the exact distinct.
+    */
+  def approxUsers(events: DataFrame, rsd: Double = 0.01): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .orderBy(col("event_type"))
+
   /** ROLLUP over (event_type, day): per-type-per-day, per-type, and
     * grand-total aggregates in ONE pass — Spark expands the grouping
     * sets map-side and the shuffle still carries only group rows.

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import graft.operators.Events
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 class EventsSpec extends SparkSpec {
   import spark.implicits._
@@ -58,6 +59,21 @@ class EventsSpec extends SparkSpec {
     assert(got === naive)
     assert(got === Set((1L, 10L), (2L, 10L), (5L, 10L), (10L, 10L),
       (2L, 11L), (3L, 11L), (5L, 11L), (11L, 11L), (11L, 10L)))
+  }
+
+  test("approxUsers HLL estimate lands within the rsd bound of the exact distinct") {
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.01").events
+    val approx = Events.approxUsers(events).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (t, a) =>
+      val e = exact(t).toDouble
+      // rsd = 1%; allow 5 sigma
+      assert(math.abs(a - e) / e <= 0.05, s"$t: approx $a vs exact $e")
+    }
   }
 
   test("rollupTypeDay emits detail, per-type, and grand-total levels that reconcile") {

@@ -215,6 +215,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup verdicts new content against all content ever seen") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.Doc
+    val input = MemoryStream[Doc]
+    val q = DedupStream.exactDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 3 is a dup of 1 within the batch (min doc_id keeps)
+      input.addData(Doc(3L, "alpha"), Doc(1L, "alpha"), Doc(2L, "beta"))
+      q.processAllAvailable()
+      // batch 2: 4 duplicates batch-1 content; 5 is new
+      input.addData(Doc(4L, "alpha"), Doc(5L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+      assert(got === Set(
+        (1L, true, 1L), (3L, false, 1L), (2L, true, 2L),
+        (4L, false, 1L), (5L, true, 5L)))
+    } finally q.stop()
+  }
+
   test("streaming hourlyRollup emits closed hourly windows matching batch counts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
