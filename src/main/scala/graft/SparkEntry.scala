@@ -74,6 +74,9 @@ object SparkEntry {
     // HLL++ sketch differs across engines -> rows-only gate + error-bound spec
     "events_approx_users" -> ((s, d) => Events.approxUsers(Tables(s, d).events)),
     "events_rollup"       -> ((s, d) => Events.rollupTypeDay(Tables(s, d).events)),
+    "events_cube"         -> ((s, d) => Events.cubeTypeDow(Tables(s, d).events)),
+    "fin_ntile_deciles"   -> ((s, d) => FinAnalytics.ntileDeciles(Tables(s, d).events)),
+    "q_percent_rank"      -> ((s, d) => Analytics.percentRanks(Tables(s, d).orders)),
     "events_funnel"       -> ((s, d) => Events.funnel(Tables(s, d).events)),
     "text_tfidf"          -> ((s, d) => TextOps.tfidf(Tables(s, d).documents)),
     "curate_pack"         -> ((s, d) => Curation.packSequences(Tables(s, d).documents)),
@@ -208,6 +211,27 @@ FROM lagged ORDER BY user_id, day"""
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value
         |FROM t GROUP BY ROLLUP(et, d) ORDER BY g_type, g_day, event_type, day""".stripMargin,
+    "events_cube" ->
+      """WITH t AS (SELECT event_type AS et, CAST(date_part('dow', ts) AS BIGINT) AS dw, value FROM events)
+        |SELECT coalesce(et, 'ALL') AS event_type, coalesce(dw, -1) AS dow,
+        |  CAST(grouping(et) AS BIGINT) AS g_type, CAST(grouping(dw) AS BIGINT) AS g_dow,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value
+        |FROM t GROUP BY CUBE(et, dw) ORDER BY g_type, g_dow, event_type, dow""".stripMargin,
+    "fin_ntile_deciles" -> (closesCte +
+      """
+        |SELECT user_id, day, close,
+        |  CAST(ntile(10) OVER (PARTITION BY user_id ORDER BY close, day) AS BIGINT) AS decile
+        |FROM closes ORDER BY user_id, day""".stripMargin),
+    "q_percent_rank" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) + 0.0 AS o_totalprice
+        |  FROM orders WHERE o_totalprice > 400000.0)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER w + 0.0 AS pct_rank,
+        |  cume_dist() OVER w + 0.0 AS cume
+        |FROM t WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS tsec FROM events),
         |v AS (SELECT *, count(CASE WHEN event_type = 'view' THEN 1 END) OVER

@@ -101,6 +101,28 @@ object Analytics {
     orders.filter(col("o_totalprice") > 400000.0 && col("o_orderstatus") === "O")
       .select(col("o_orderkey"), col("o_custkey"), outD(dec2(col("o_totalprice")), 2).as("o_totalprice"))
 
+  /** Relative-standing windows: percent_rank and cume_dist of each
+    * high-value order within its priority class. The (o_totalprice,
+    * o_orderkey) order is TOTAL, so rank has no tie-groups and both
+    * functions reduce to engine-identical IEEE divisions of exact
+    * integer counts. Emitted UNROUNDED: the quotient is the same
+    * double bit-for-bit in every engine, whereas rounding to a fixed
+    * scale hits exact decimal half-boundaries ((rank−1)/(n−1) with
+    * n−1 = 2^a·5^b·… lands on …5 at any scale) where Spark rounds
+    * the shortest decimal repr and DuckDB rounds the binary value —
+    * verified divergent at sf0.01. One shuffle on the partition key.
+    */
+  def percentRanks(orders: DataFrame, minTotal: Double = 400000.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.filter(col("o_totalprice") > minTotal)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        outD(dec2(col("o_totalprice")), 2).as("o_totalprice"))
+      .withColumn("pct_rank", percent_rank().over(w) + lit(0.0))
+      .withColumn("cume", cume_dist().over(w) + lit(0.0))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   /** Global order-by + limit — plans as TakeOrderedAndProject (per-
     * partition top-k, no full sort shuffle).
     */

@@ -192,6 +192,26 @@ object Events {
         outD(col("total_value"), 2).as("total_value"))
       .orderBy(col("g_type"), col("g_day"), col("event_type"), col("day"))
 
+  /** CUBE over (event_type, weekday): all four grouping levels in one
+    * pass — the full-lattice companion to [[rollupTypeDay]]. Weekday
+    * is `dayofweek − 1` (0 = Sunday), matching `date_part('dow')` in
+    * the oracle engine. The −1 weekday sentinel marks super-aggregate
+    * rows (disambiguated by the explicit grouping flags).
+    */
+  def cubeTypeDow(events: DataFrame): DataFrame =
+    events
+      .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("total_value"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("dow")).cast("long").as("g_dow"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1L)).as("dow"),
+        col("g_type"), col("g_dow"), col("n"),
+        outD(col("total_value"), 2).as("total_value"))
+      .orderBy(col("g_type"), col("g_dow"), col("event_type"), col("dow"))
+
   /** Ordered funnel per user: view → click → purchase, where each
     * stage only counts AFTER the previous stage has fired (a click
     * with no prior view is not a funnel click). Stage qualification

@@ -269,6 +269,20 @@ object FinAnalytics {
       .agg(count(lit(1)).as("n"), avgExact(col("value")).as("mean_value"))
       .orderBy(col("dow"), col("hour"))
 
+  /** Decile assignment of each day's close within its instrument —
+    * ntile over the (close, day)-total order. SQL-standard ntile
+    * (floor split, remainder to the leading buckets) is
+    * engine-identical given a total order, so this is fully oracled.
+    * One closes-family shuffle.
+    */
+  def ntileDeciles(events: DataFrame, n: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("close"), col("day"))
+    closes(events)
+      .withColumn("decile", ntile(n).over(w).cast("long"))
+      .select(col("user_id"), col("day"), col("close"), col("decile"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Per-key min-max scaling of value to [0, 1] — the reference's
     * target-scaling step, distributed: one shuffle on the key, the
     * extrema computed by whole-partition window (no self-join), null

@@ -58,6 +58,13 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(rows(1L) > 0.0)
   }
 
+  test("ntileDeciles splits each instrument's closes by value order") {
+    val rows = FinAnalytics.ntileDeciles(events, n = 2).collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getDate(1).toString, r.getLong(3)))
+    // closes 10, 20, 30 by value -> first bucket gets the remainder
+    assert(rows.toSeq === Seq(("2026-01-01", 1L), ("2026-01-02", 1L), ("2026-01-03", 2L)))
+  }
+
   test("ewma of a constant series is the constant; ramped series lags behind the close") {
     val rows = FinAnalytics.ewma(events).collect()
       .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
