@@ -120,20 +120,31 @@ object Events {
     * the DuckDB oracle reproduces it bit-for-bit.
     */
   def topPartsHeap(lineitem: DataFrame, part: DataFrame, k: Int = 3): DataFrame = {
-    import graft.plans.TopKLongPairs
     val per = lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("l_partkey"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
-    // exact integer surrogate: revenue has scale 4, ×10⁴ is integral
+    // revenue has scale 4 -> ×10⁴ is an exact integer surrogate
+    heapTopK(per, group = "p_brand", id = "l_partkey", measure = "revenue",
+      scaleFactor = 10000L, k = k, outMeasure = "revenue")
+  }
+
+  /** Shared tail of every heap-based grouped top-k: exact integer
+    * scoring (measure × scaleFactor must be integral), the bounded
+    * [[graft.plans.TopKLongPairs]] aggregation, and the explode back
+    * to ranked rows with the measure restored at output scale 2.
+    */
+  private def heapTopK(per: DataFrame, group: String, id: String, measure: String,
+                       scaleFactor: Long, k: Int, outMeasure: String): DataFrame = {
+    import graft.plans.TopKLongPairs
     per
-      .withColumn("score", (col("revenue") * 10000).cast("long"))
-      .groupBy(col("p_brand"))
-      .agg(TopKLongPairs(col("score"), col("l_partkey"), k).as("top"))
-      .select(col("p_brand"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("p_brand"), col("t.id").as("l_partkey"),
-        outD(col("t.score").cast("decimal(28,0)") / 10000, 2).as("revenue"),
+      .withColumn("score", (col(measure) * scaleFactor).cast("long"))
+      .groupBy(col(group))
+      .agg(TopKLongPairs(col("score"), col(id), k).as("top"))
+      .select(col(group), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(group), col("t.id").as(id),
+        outD(col("t.score").cast("decimal(28,0)") / scaleFactor, 2).as(outMeasure),
         (col("pos") + 1).cast("long").as("rank"))
-      .orderBy(col("p_brand"), col("rank"))
+      .orderBy(col(group), col("rank"))
   }
 
   /** Top-k users by total event value per event_type — the second
@@ -142,18 +153,10 @@ object Events {
     * shape. Values aggregate in exact integer cents.
     */
   def topUsersHeap(events: DataFrame, k: Int = 5): DataFrame = {
-    import graft.plans.TopKLongPairs
     val per = events.groupBy(col("event_type"), col("user_id"))
       .agg(sum(dec2(col("value"))).as("total"))
-    per
-      .withColumn("cents", (col("total") * 100).cast("long"))
-      .groupBy(col("event_type"))
-      .agg(TopKLongPairs(col("cents"), col("user_id"), k).as("top"))
-      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col("event_type"), col("t.id").as("user_id"),
-        outD(col("t.score").cast("decimal(24,2)") / 100, 2).as("total_value"),
-        (col("pos") + 1).cast("long").as("rank"))
-      .orderBy(col("event_type"), col("rank"))
+    heapTopK(per, group = "event_type", id = "user_id", measure = "total",
+      scaleFactor = 100L, k = k, outMeasure = "total_value")
   }
 
   /** Approximate distinct users per event_type (HyperLogLog++) next

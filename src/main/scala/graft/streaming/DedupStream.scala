@@ -29,8 +29,14 @@ object DedupStream {
     */
   case class Verdict(doc_id: Long, keep: Boolean, keeper_id: Long)
 
+  /** Null text is a legal corpus shape (the batch operator's
+    * md5(NULL) groups all nulls together); a sentinel key mirrors
+    * that instead of NPE-poisoning the stream — a crashing record
+    * would replay from the checkpoint forever.
+    */
   private def contentHash(text: String): String =
-    MessageDigest.getInstance("MD5").digest(text.getBytes(StandardCharsets.UTF_8))
+    if (text == null) "__null__"
+    else MessageDigest.getInstance("MD5").digest(text.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
   def exactDedup(docs: Dataset[Doc]): Dataset[Verdict] = {
@@ -41,7 +47,7 @@ object DedupStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, batch: Iterator[Doc], state: GroupState[Long]) =>
           val ids = batch.map(_.doc_id).toVector.sorted
-          val keeper = state.getOption.getOrElse(ids.min)
+          val keeper = state.getOption.getOrElse(ids.head)
           if (!state.exists) state.update(keeper)
           ids.iterator.map(id => Verdict(id, id == keeper, keeper))
       }

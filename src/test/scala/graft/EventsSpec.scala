@@ -62,7 +62,7 @@ class EventsSpec extends SparkSpec {
   }
 
   test("approxUsers HLL estimate lands within the rsd bound of the exact distinct") {
-    val events = graft.sources.Tables(spark, "/root/testdata/sf0.01").events
+    val events = graft.sources.Tables(spark, "/root/testdata/sf0.001").events
     val approx = Events.approxUsers(events).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     val exact = events.groupBy(col("event_type"))
