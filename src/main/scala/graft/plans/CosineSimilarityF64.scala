@@ -151,6 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineF64Descriptor)
     ext.injectFunction(GraftExtensions.l2F64Descriptor)
     ext.injectFunction(GraftExtensions.tdigestDescriptor)
+    ext.injectFunction(GraftExtensions.topkDescriptor)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinFilterPushdown)
   }
@@ -180,15 +181,30 @@ object GraftExtensions {
             "use graft.plans.TDigestQuantiles(col, percentiles, compression) for custom settings")
       })
 
+  private[graft] val topkDescriptor =
+    (FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKLongPairs].getName, "topk_pairs"),
+      (children: Seq[Expression]) => children match {
+        // k must be a foldable integer literal: it sizes the
+        // aggregation buffer, which cannot vary per row.
+        case Seq(score, id, k) if k.foldable =>
+          k.eval() match {
+            case i: Int  => TopKLongPairs(score, id, i): Expression
+            case l: Long => TopKLongPairs(score, id, l.toInt): Expression
+            case other => throw new IllegalArgumentException(
+              s"topk_pairs k must be an integer literal, got $other")
+          }
+        case _ => throw new IllegalArgumentException(
+          "topk_pairs(score, id, k) takes exactly 3 arguments with a literal k")
+      })
+
   /** Idempotent registration on an existing session (the round
     * driver builds its own SparkSession without extensions).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineF64Descriptor._1, cosineF64Descriptor._2, cosineF64Descriptor._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      l2F64Descriptor._1, l2F64Descriptor._2, l2F64Descriptor._3)
-    spark.sessionState.functionRegistry.registerFunction(
-      tdigestDescriptor._1, tdigestDescriptor._2, tdigestDescriptor._3)
+    Seq(cosineF64Descriptor, l2F64Descriptor, tdigestDescriptor, topkDescriptor)
+      .foreach { d =>
+        spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+      }
   }
 }

@@ -61,6 +61,16 @@ class TopKSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq === want.toSeq)
   }
 
+  test("topk_pairs is callable from SQL with a literal k") {
+    val df = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L))
+      .toDF("g", "score", "id")
+    df.createOrReplaceTempView("topk_sql_in")
+    val got = spark.sql(
+      "SELECT g, topk_pairs(score, id, 2) AS top FROM topk_sql_in GROUP BY g")
+      .selectExpr("g", "top[0].id", "top[1].id").head()
+    assert((got.getLong(1), got.getLong(2)) === (300L, 200L))
+  }
+
   test("heap plan has no Window operator (ranking never sorts the group)") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val plan = Events.topPartsHeap(t.lineitem, t.part).queryExecution.executedPlan.toString
