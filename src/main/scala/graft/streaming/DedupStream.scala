@@ -3,7 +3,8 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
 
 /** Incremental (streaming) exact deduplication — the continuous form
@@ -50,6 +51,78 @@ object DedupStream {
           val keeper = state.getOption.getOrElse(ids.head)
           if (!state.exists) state.update(keeper)
           ids.iterator.map(id => Verdict(id, id == keeper, keeper))
+      }
+  }
+
+  /** A candidate near-dup pair: `a` arrived earlier (or same batch,
+    * smaller id); est_jaccard is the matching fraction of the two
+    * 32-slot MinHash signatures — an unbiased Jaccard estimate.
+    */
+  case class NearDupCandidate(a: Long, b: Long, est_jaccard: Double)
+
+  // public: the typed Dataset encoder's generated deserializer must
+  // be able to instantiate it from janino-compiled code
+  case class BandedSig(doc_id: Long, band: Int, bucket: Long, sig: Seq[Long])
+
+  /** Streaming near-duplicate detection — the incremental form of
+    * [[graft.operators.Dedup.minhashLsh]]: every arriving document is
+    * banded against all content EVER seen, using the SAME signature
+    * family as the batch operator (w=3 shingles, 32 seeded-xxhash64
+    * minhashes, 16 bands × 2 rows).
+    *
+    * Shingling and signatures are stateless row algebra (no
+    * aggregation), so the only stateful stage is the bucket store:
+    * state per (band, bucket) key is the (doc_id, signature) list of
+    * documents that ever hashed there — the streaming equivalent of
+    * the batch band-local candidate join. A new doc emits one
+    * candidate per stored same-bucket doc with signature-estimated
+    * Jaccard ≥ `minEstJaccard` (the sketch-level verify; the exact
+    * shingle-set verify needs the full text corpus and belongs to a
+    * batch reconciliation pass). The same pair can surface from
+    * multiple bands — downstream consumers dedup on (a, b), which is
+    * idempotent-sink-friendly. State grows with true bucket
+    * occupancy, i.e. with the duplicate mass, matching the batch
+    * design's candidate bound; random 64-bit buckets keep unrelated
+    * docs apart at ~2⁻⁶⁴.
+    */
+  def nearDupCandidates(docs: DataFrame, minEstJaccard: Double = 0.8,
+                        numHashes: Int = 32, bands: Int = 16): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.Hashing.{tokens, shinglesOf}
+    val rows = numHashes / bands
+    // shingles projected to their own column: each signature slot
+    // references it, and inlining would re-shingle the doc 32×
+    val withSig = docs
+      .withColumn("sh", array_distinct(shinglesOf(tokens(col("text")), 3)))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", array((0 until numHashes).map(i =>
+        array_min(transform(col("sh"), s => xxhash64(lit(i), s)))): _*))
+    val banded = withSig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until bands).map(j =>
+          xxhash64((0 until rows).map(r => col("sig")(j * rows + r)): _*)): _*))
+          .as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("band"), col("bucket"), col("sig"))
+      .as[BandedSig]
+    banded
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), batch: Iterator[BandedSig], state: GroupState[List[(Long, Seq[Long])]]) =>
+          var stored = state.getOption.getOrElse(Nil)
+          val out = Vector.newBuilder[NearDupCandidate]
+          batch.toVector.sortBy(_.doc_id).foreach { d =>
+            stored.foreach { case (oldId, oldSig) =>
+              if (oldId != d.doc_id) {
+                val matches = oldSig.iterator.zip(d.sig.iterator).count { case (x, y) => x == y }
+                val est = matches.toDouble / numHashes
+                if (est >= minEstJaccard)
+                  out += NearDupCandidate(math.min(oldId, d.doc_id), math.max(oldId, d.doc_id), est)
+              }
+            }
+            stored = (d.doc_id, d.sig) :: stored
+          }
+          state.update(stored)
+          out.result().iterator
       }
   }
 }

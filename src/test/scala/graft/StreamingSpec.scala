@@ -238,6 +238,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup detects cross-batch duplicates via banded minhash state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.nearDupCandidates(
+        input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      input.addData(
+        (1L, shared),
+        (2L, "totally different words with no overlap at all here now"))
+      q.processAllAvailable()
+      // batch 2: doc 3 duplicates doc 1 (from the PREVIOUS batch);
+      // doc 4 shares nothing
+      input.addData(
+        (3L, shared),
+        (4L, "yet another completely unrelated document body text"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // identical text -> identical signatures -> est 1.0; the same
+      // pair may surface from several bands (consumers dedup on (a,b))
+      assert(got.map(p => (p._1, p._2)) === Set((1L, 3L)))
+      assert(got.forall(_._3 === 1.0))
+    } finally q.stop()
+  }
+
   test("streaming hourlyRollup emits closed hourly windows matching batch counts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
