@@ -79,6 +79,7 @@ object SparkEntry {
     "q_percent_rank"      -> ((s, d) => Analytics.percentRanks(Tables(s, d).orders)),
     "events_funnel"       -> ((s, d) => Events.funnel(Tables(s, d).events)),
     "text_tfidf"          -> ((s, d) => TextOps.tfidf(Tables(s, d).documents)),
+    "text_vocab_by_lang"  -> ((s, d) => TextOps.vocabByLangHeap(Tables(s, d).documents)),
     "curate_pack"         -> ((s, d) => Curation.packSequences(Tables(s, d).documents)),
     "fin_ewma"            -> ((s, d) => FinAnalytics.ewma(Tables(s, d).events)),
     "events_interval_join" -> ((s, d) => Events.intervalJoin(Tables(s, d).events)),
@@ -259,6 +260,14 @@ FROM lagged ORDER BY user_id, day"""
         |      FROM tf JOIN df USING (token) CROSS JOIN n),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rank FROM s)
         |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    "text_vocab_by_lang" ->
+      (s"""WITH t AS (SELECT lang, unnest($toksExpr) AS token FROM documents),
+        |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n,
+        |        ('0x' || substr(md5(token), 1, 15))::UBIGINT AS tid
+        |      FROM t GROUP BY lang, token),
+        |r AS (SELECT lang, token, n,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tid) AS BIGINT) AS rank FROM c)
+        |SELECT lang, token, n, rank FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin),
     "curate_pack" ->
       (s"""WITH t AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_toks FROM documents),
         |o AS (SELECT doc_id, n_toks,

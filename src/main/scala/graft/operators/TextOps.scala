@@ -97,6 +97,34 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-language top-k vocabulary via the bounded-heap aggregate —
+    * the STRING-id generalization of the grouped top-k pattern:
+    * [[graft.plans.TopKLongPairs]] carries (count, hex60(token))
+    * pairs, and the token string is restored by joining the winners
+    * back to the (tiny: langs × k) id→token mapping. Tiebreak is
+    * therefore hex60-order, which the oracle reproduces exactly via
+    * the same md5-prefix arithmetic (SURVEY §5 hash parity). The
+    * shuffle carries ≤ k pairs per (task, lang) — never the
+    * vocabulary.
+    */
+  def vocabByLangHeap(documents: DataFrame, k: Int = 10): DataFrame = {
+    import graft.plans.TopKLongPairs
+    val counts = documents
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tid", hex60(col("token")))
+    val top = counts
+      .groupBy(col("lang"))
+      .agg(TopKLongPairs(col("n"), col("tid"), k).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), col("t.id").as("tid"), col("t.score").as("n"),
+        (col("pos") + 1).cast("long").as("rank"))
+    top.join(counts.select(col("lang"), col("tid"), col("token")), Seq("lang", "tid"))
+      .select(col("lang"), col("token"), col("n"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** Per-document top-k terms by tf-idf. Term frequency is an
     * explode → hash aggregation; document frequency aggregates the
     * (already distinct) tf rows per token and broadcasts back (the
