@@ -101,11 +101,13 @@ object TextOps {
     * the STRING-id generalization of the grouped top-k pattern:
     * [[graft.plans.TopKLongPairs]] carries (count, hex60(token))
     * pairs, and the token string is restored by joining the winners
-    * back to the (tiny: langs × k) id→token mapping. Tiebreak is
-    * therefore hex60-order, which the oracle reproduces exactly via
-    * the same md5-prefix arithmetic (SURVEY §5 hash parity). The
-    * shuffle carries ≤ k pairs per (task, lang) — never the
-    * vocabulary.
+    * back to a per-(lang, tid) token mapping. Tiebreak is therefore
+    * hex60-order, which the oracle reproduces exactly via the same
+    * md5-prefix arithmetic (SURVEY §5 hash parity). The heap shuffle
+    * carries ≤ k pairs per (task, lang); the join-back branch reuses
+    * the counts shuffle exchange and aggregates the vocabulary once
+    * more to one row per tid (min-token on a 2⁻⁶⁰ hex60 collision —
+    * deterministic rather than fanned out).
     */
   def vocabByLangHeap(documents: DataFrame, k: Int = 10): DataFrame = {
     import graft.plans.TopKLongPairs
@@ -120,7 +122,8 @@ object TextOps {
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("lang"), col("t.id").as("tid"), col("t.score").as("n"),
         (col("pos") + 1).cast("long").as("rank"))
-    top.join(counts.select(col("lang"), col("tid"), col("token")), Seq("lang", "tid"))
+    val mapping = counts.groupBy(col("lang"), col("tid")).agg(min(col("token")).as("token"))
+    top.join(mapping, Seq("lang", "tid"))
       .select(col("lang"), col("token"), col("n"), col("rank"))
       .orderBy(col("lang"), col("rank"))
   }

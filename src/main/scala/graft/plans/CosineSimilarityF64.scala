@@ -189,10 +189,11 @@ object GraftExtensions {
         // aggregation buffer, which cannot vary per row.
         case Seq(score, id, k) if k.foldable =>
           k.eval() match {
-            case i: Int  => TopKLongPairs(score, id, i): Expression
-            case l: Long => TopKLongPairs(score, id, l.toInt): Expression
+            case i: Int => TopKLongPairs(score, id, i): Expression
+            // refuse out-of-Int-range rather than silently wrapping
+            case l: Long if l.isValidInt => TopKLongPairs(score, id, l.toInt): Expression
             case other => throw new IllegalArgumentException(
-              s"topk_pairs k must be an integer literal, got $other")
+              s"topk_pairs k must be an Int-range integer literal, got $other")
           }
         case _ => throw new IllegalArgumentException(
           "topk_pairs(score, id, k) takes exactly 3 arguments with a literal k")

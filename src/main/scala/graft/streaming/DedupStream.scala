@@ -54,9 +54,10 @@ object DedupStream {
       }
   }
 
-  /** A candidate near-dup pair: `a` arrived earlier (or same batch,
-    * smaller id); est_jaccard is the matching fraction of the two
-    * 32-slot MinHash signatures — an unbiased Jaccard estimate.
+  /** A candidate near-dup pair, id-normalized (`a` is the smaller
+    * doc_id, matching the batch operator's pair order — NOT arrival
+    * order); est_jaccard is the matching fraction of the two 32-slot
+    * MinHash signatures — an unbiased Jaccard estimate.
     */
   case class NearDupCandidate(a: Long, b: Long, est_jaccard: Double)
 
@@ -90,10 +91,13 @@ object DedupStream {
     import docs.sparkSession.implicits._
     import graft.functions.Hashing.{tokens, shinglesOf}
     val rows = numHashes / bands
-    // shingles projected to their own column: each signature slot
-    // references it, and inlining would re-shingle the doc 32×
+    // tokens AND shingles each projected to their own column: an
+    // inlined token split would re-run the regex once per shingle
+    // offset (the O(n²) HOF trap, Hashing.shinglesOf's contract), and
+    // the signature slots each reference the shingle array 32×
     val withSig = docs
-      .withColumn("sh", array_distinct(shinglesOf(tokens(col("text")), 3)))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", array_distinct(shinglesOf(col("toks"), 3)))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", array((0 until numHashes).map(i =>
         array_min(transform(col("sh"), s => xxhash64(lit(i), s)))): _*))
