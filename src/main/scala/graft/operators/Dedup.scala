@@ -52,6 +52,19 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(shinglesOf(col("toks"), w))).as("s"))
   }
 
+  /** Batch reconciliation for STREAMING near-dup candidates: exact
+    * shingle-set Jaccard over the flagged (a, b) pairs only — the
+    * closing step of the streaming pipeline, whose bucket-keyed state
+    * can do sketch-level verification but not exact set intersection
+    * ([[graft.streaming.DedupStream.nearDupCandidates]]). Work is
+    * proportional to the candidate count, never the corpus pair
+    * count: the shingle sets of referenced docs join in by id.
+    */
+  def verifyPairs(documents: DataFrame, pairs: DataFrame,
+                  threshold: Double = 0.8, w: Int = 3): DataFrame =
+    verifyJaccard(pairs.select(col("a"), col("b")).distinct(),
+      shingleRows(documents, w), threshold)
+
   /** Exact Jaccard verification of candidate (a, b) pairs against the
     * full shingle sets; emits pairs with round(j, 6) ≥ threshold.
     */

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.operators.Events
+import graft.operators.{Dedup, Events}
 import graft.streaming.EventsStream
 import graft.streaming.EventsStream.Event
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -264,6 +264,38 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(p => (p._1, p._2)) === Set((1L, 3L)))
       assert(got.forall(_._3 === 1.0))
     } finally q.stop()
+  }
+
+  test("batch reconciliation of streaming candidates equals the batch near-dup answer") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val shared = "one two three four five six seven eight nine ten eleven twelve"
+    val corpus = Seq(
+      (1L, shared),
+      (2L, shared + " thirteen"),                                   // J ≈ 10/11 vs doc 1
+      (3L, "completely unrelated content that shares no shingles"),
+      (4L, "another disjoint document body with its own words"))
+    val docs = corpus.toDF("doc_id", "text")
+    // streaming pass: candidates at sketch level
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.nearDupCandidates(
+        input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("reconcile_in")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cands = spark.table("reconcile_in").select(col("a"), col("b"))
+    // batch reconciliation: exact verify of the flagged pairs only
+    val reconciled = Dedup.verifyPairs(docs, cands).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(reconciled === batch)
+    assert(reconciled.map(p => (p._1, p._2)) === Set((1L, 2L)))
   }
 
   test("streaming hourlyRollup emits closed hourly windows matching batch counts") {
