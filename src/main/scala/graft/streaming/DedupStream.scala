@@ -54,6 +54,44 @@ object DedupStream {
       }
   }
 
+  /** Timestamped input for the TTL-bounded dedup variant. */
+  case class TsDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** [[exactDedup]] with EVENT-TIME TTL eviction — the variant for a
+    * truly unbounded stream where O(distinct-content-ever) state is
+    * not acceptable: a content key whose last sighting falls `ttl`
+    * behind the watermark is evicted, bounding state to the distinct
+    * content of a sliding window. The documented tradeoff: content
+    * re-arriving after eviction is re-admitted as a FRESH keeper
+    * (dedup recall is windowed, not lifetime) — the right contract
+    * for retention-windowed corpora, crawl re-visits, and log streams
+    * where old content no longer competes.
+    */
+  def exactDedupTtl(docs: Dataset[TsDoc], ttlMinutes: Int = 60,
+                    watermarkDelay: String = "10 minutes"): Dataset[Verdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(d => contentHash(d.text))
+      .flatMapGroupsWithState[Long, Verdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, batch: Iterator[TsDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ds = batch.toVector.sortBy(_.doc_id)
+            val keeper = state.getOption.getOrElse(ds.head.doc_id)
+            state.update(keeper)
+            // timeout may not be <= the current watermark; clamp up
+            state.setTimeoutTimestamp(math.max(
+              ds.iterator.map(_.ts.getTime).max + ttlMinutes * 60000L,
+              state.getCurrentWatermarkMs() + 1))
+            ds.iterator.map(d => Verdict(d.doc_id, d.doc_id == keeper, keeper))
+          }
+      }
+  }
+
   /** A candidate near-dup pair, id-normalized (`a` is the smaller
     * doc_id, matching the batch operator's pair order — NOT arrival
     * order); est_jaccard is the matching fraction of the two 32-slot

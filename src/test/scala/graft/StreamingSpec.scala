@@ -266,6 +266,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL dedup evicts cold content keys and re-admits later arrivals as fresh keepers") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.TsDoc
+    val input = MemoryStream[TsDoc]
+    val q = DedupStream.exactDedupTtl(input.toDS(), ttlMinutes = 60)
+      .writeStream.format("memory").queryName("ttl_dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(TsDoc(1L, ts("2026-01-01 10:00:00"), "alpha"))
+      q.processAllAvailable()
+      // within TTL: still a dup of doc 1
+      input.addData(TsDoc(2L, ts("2026-01-01 10:30:00"), "alpha"))
+      q.processAllAvailable()
+      // advance the watermark far past last-seen + TTL, then fire the
+      // timeout on the following batch (same pattern as sessionize)
+      input.addData(TsDoc(998L, ts("2026-06-01 00:00:00"), "flush-a"))
+      q.processAllAvailable()
+      input.addData(TsDoc(999L, ts("2026-12-01 00:00:00"), "flush-b"))
+      q.processAllAvailable()
+      // evicted: the same content is re-admitted as a fresh keeper
+      input.addData(TsDoc(3L, ts("2026-12-01 00:00:00"), "alpha"))
+      q.processAllAvailable()
+      val got = spark.table("ttl_dedup_out")
+        .filter(col("doc_id") < 900L).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+      assert(got === Set((1L, true, 1L), (2L, false, 1L), (3L, true, 3L)))
+    } finally q.stop()
+  }
+
   test("batch reconciliation of streaming candidates equals the batch near-dup answer") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
