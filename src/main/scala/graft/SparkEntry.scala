@@ -96,6 +96,7 @@ object SparkEntry {
     "fin_asof_price"      -> ((s, d) => FinAnalytics.asofPrice(Tables(s, d).events)),
     "maint_inactive"      -> ((s, d) => { val t = Tables(s, d); Maintenance.inactiveCustomers(t.customer, t.events) }),
     "maint_upsert"        -> ((s, d) => Maintenance.upsert(Tables(s, d).events)),
+    "maint_cdc_apply"     -> ((s, d) => Maintenance.cdcApply(Tables(s, d).events)),
     "text_vocab"          -> ((s, d) => TextOps.vocab(Tables(s, d).documents)),
   )
 
@@ -260,6 +261,14 @@ FROM lagged ORDER BY user_id, day"""
         |      FROM tf JOIN df USING (token) CROSS JOIN n),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rank FROM s)
         |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    "maint_cdc_apply" ->
+      """SELECT user_id, day, value, last_ts FROM (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+        |    date_trunc('second', ts) AS last_ts,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND op = 'U' ORDER BY user_id, day""".stripMargin,
     "text_vocab_by_lang" ->
       (s"""WITH t AS (SELECT lang, unnest($toksExpr) AS token FROM documents),
         |c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n,

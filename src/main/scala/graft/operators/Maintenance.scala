@@ -96,4 +96,27 @@ object Maintenance {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
+
+  /** CDC apply: materialize a snapshot from a change log with DELETE
+    * tombstones — the missing half of [[dedupLatest]]'s keep-latest
+    * (which has no delete path) and the incremental form of a
+    * warehouse MERGE with WHEN MATCHED DELETE. Each (user_id, day)
+    * key's LATEST change (by ts, event_id) decides its fate: an
+    * upsert keeps the row with that change's value, a tombstone
+    * ('error' events stand in for deletes in the testdata schema)
+    * removes the key entirely. One shuffle on the key; row_number
+    * picks the winner without materializing intermediate versions.
+    */
+  def cdcApply(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("day"), col("value"),
+        date_trunc("second", col("ts")).as("last_ts"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

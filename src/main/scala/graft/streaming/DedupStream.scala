@@ -127,44 +127,106 @@ object DedupStream {
   def nearDupCandidates(docs: DataFrame, minEstJaccard: Double = 0.8,
                         numHashes: Int = 32, bands: Int = 16): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
+    bandedSigs(docs, numHashes, bands)
+      .as[BandedSig]
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), batch: Iterator[BandedSig], state: GroupState[List[(Long, Seq[Long])]]) =>
+          val (stored, out) = foldBucket(state.getOption.getOrElse(Nil),
+            batch.toVector.sortBy(_.doc_id), numHashes, minEstJaccard)
+          state.update(stored)
+          out.iterator
+      }
+  }
+
+  /** [[nearDupCandidates]] with EVENT-TIME TTL eviction of cold
+    * buckets — the companion to [[exactDedupTtl]]: a (band, bucket)
+    * key no doc hashed into within `ttl` of the watermark drops its
+    * stored signatures, so state is bounded by the sliding window's
+    * bucket occupancy instead of the corpus's. Docs re-arriving after
+    * eviction can pair only with window-mates (windowed recall).
+    */
+  def nearDupCandidatesTtl(docs: DataFrame, ttlMinutes: Int = 60,
+                           watermarkDelay: String = "10 minutes",
+                           minEstJaccard: Double = 0.8,
+                           numHashes: Int = 32, bands: Int = 16): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    bandedSigs(docs.withColumn("__ts", col("ts")), numHashes, bands,
+        tsCol = Some("__ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BandedSigTs]
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), batch: Iterator[BandedSigTs], state: GroupState[List[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ds = batch.toVector.sortBy(_.doc_id)
+            val (stored, out) = foldBucket(state.getOption.getOrElse(Nil),
+              ds.map(d => BandedSig(d.doc_id, d.band, d.bucket, d.sig)),
+              numHashes, minEstJaccard)
+            state.update(stored)
+            state.setTimeoutTimestamp(math.max(
+              ds.iterator.map(_.ts.getTime).max + ttlMinutes * 60000L,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  case class BandedSigTs(doc_id: Long, ts: java.sql.Timestamp, band: Int,
+                         bucket: Long, sig: Seq[Long])
+
+  /** Stateless signature + banding stage shared by both near-dup
+    * variants. Tokens AND shingles each projected to their own
+    * column: an inlined token split would re-run the regex once per
+    * shingle offset (the O(n²) HOF trap, Hashing.shinglesOf's
+    * contract), and the signature slots each reference the shingle
+    * array `numHashes`×.
+    */
+  private def bandedSigs(docs: DataFrame, numHashes: Int, bands: Int,
+                         tsCol: Option[String] = None): DataFrame = {
     import graft.functions.Hashing.{tokens, shinglesOf}
     val rows = numHashes / bands
-    // tokens AND shingles each projected to their own column: an
-    // inlined token split would re-run the regex once per shingle
-    // offset (the O(n²) HOF trap, Hashing.shinglesOf's contract), and
-    // the signature slots each reference the shingle array 32×
     val withSig = docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("sh", array_distinct(shinglesOf(col("toks"), 3)))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", array((0 until numHashes).map(i =>
         array_min(transform(col("sh"), s => xxhash64(lit(i), s)))): _*))
-    val banded = withSig.select(col("doc_id"), col("sig"),
+    val tsCols = tsCol.map(c => col(c).as("ts")).toSeq
+    withSig.select(Seq(col("doc_id")) ++ tsCols ++ Seq(col("sig"),
         posexplode(array((0 until bands).map(j =>
           xxhash64((0 until rows).map(r => col("sig")(j * rows + r)): _*)): _*))
-          .as(Seq("band", "bucket")))
-      .select(col("doc_id"), col("band"), col("bucket"), col("sig"))
-      .as[BandedSig]
-    banded
-      .groupByKey(b => (b.band, b.bucket))
-      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, Long), batch: Iterator[BandedSig], state: GroupState[List[(Long, Seq[Long])]]) =>
-          var stored = state.getOption.getOrElse(Nil)
-          val out = Vector.newBuilder[NearDupCandidate]
-          batch.toVector.sortBy(_.doc_id).foreach { d =>
-            stored.foreach { case (oldId, oldSig) =>
-              if (oldId != d.doc_id) {
-                val matches = oldSig.iterator.zip(d.sig.iterator).count { case (x, y) => x == y }
-                val est = matches.toDouble / numHashes
-                if (est >= minEstJaccard)
-                  out += NearDupCandidate(math.min(oldId, d.doc_id), math.max(oldId, d.doc_id), est)
-              }
-            }
-            stored = (d.doc_id, d.sig) :: stored
-          }
-          state.update(stored)
-          out.result().iterator
+          .as(Seq("band", "bucket"))): _*)
+      .select(Seq(col("doc_id")) ++ tsCols.map(_ => col("ts")) ++
+        Seq(col("band"), col("bucket"), col("sig")): _*)
+  }
+
+  /** One bucket's fold: pair each arriving doc against everything
+    * stored, keep candidates at or above the signature-estimated
+    * Jaccard cut, then store the arrival. Shared by the lifetime and
+    * TTL variants so their pairing semantics cannot drift.
+    */
+  private def foldBucket(stored0: List[(Long, Seq[Long])], ds: Seq[BandedSig],
+                         numHashes: Int, minEstJaccard: Double)
+      : (List[(Long, Seq[Long])], Vector[NearDupCandidate]) = {
+    var stored = stored0
+    val out = Vector.newBuilder[NearDupCandidate]
+    ds.foreach { d =>
+      stored.foreach { case (oldId, oldSig) =>
+        if (oldId != d.doc_id) {
+          val matches = oldSig.iterator.zip(d.sig.iterator).count { case (x, y) => x == y }
+          val est = matches.toDouble / numHashes
+          if (est >= minEstJaccard)
+            out += NearDupCandidate(math.min(oldId, d.doc_id), math.max(oldId, d.doc_id), est)
+        }
       }
+      stored = (d.doc_id, d.sig) :: stored
+    }
+    (stored, out.result())
   }
 }

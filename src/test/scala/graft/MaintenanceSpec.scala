@@ -32,6 +32,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(kept === Set(3L, 4L))
   }
 
+  test("cdcApply keeps the latest upsert and drops keys whose last change is a tombstone") {
+    val events = Seq(
+      // key (1, Jan 1): two upserts -> latest value 2.0 survives
+      (1L, 1L, ts("2026-01-01 10:00:00"), "view", 1.0),
+      (2L, 1L, ts("2026-01-01 11:00:00"), "view", 2.0),
+      // key (1, Jan 2): upsert then tombstone -> key removed
+      (3L, 1L, ts("2026-01-02 10:00:00"), "view", 3.0),
+      (4L, 1L, ts("2026-01-02 11:00:00"), "error", 0.0),
+      // key (2, Jan 1): tombstone then a LATER upsert -> re-created
+      (5L, 2L, ts("2026-01-01 10:00:00"), "error", 0.0),
+      (6L, 2L, ts("2026-01-01 11:00:00"), "view", 5.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Maintenance.cdcApply(events).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2))).toSet
+    assert(got === Set((1L, "2026-01-01", 2.0), (2L, "2026-01-01", 5.0)))
+  }
+
   test("lastUpdate reports max date and count per key") {
     val orders = Seq(
       (10L, 1L, ts("2026-02-01 00:00:00")),

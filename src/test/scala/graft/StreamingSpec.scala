@@ -296,6 +296,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL near-dup pairs only window-mates after bucket eviction") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val q = graft.streaming.DedupStream.nearDupCandidatesTtl(
+        input.toDS().toDF("doc_id", "ts", "text"), ttlMinutes = 60)
+      .writeStream.format("memory").queryName("neardup_ttl_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2026-01-01 10:00:00"), shared))
+      q.processAllAvailable()
+      // within TTL -> pairs with doc 1
+      input.addData((2L, ts("2026-01-01 10:30:00"), shared))
+      q.processAllAvailable()
+      // advance watermark far past TTL, then fire timeouts
+      input.addData((998L, ts("2026-06-01 00:00:00"), "unrelated flush body one"))
+      q.processAllAvailable()
+      input.addData((997L, ts("2026-12-01 00:00:00"), "second unrelated flush body"))
+      q.processAllAvailable()
+      // bucket evicted: doc 3 pairs with nothing despite matching 1/2
+      input.addData((3L, ts("2026-12-01 00:00:00"), shared))
+      q.processAllAvailable()
+      val got = spark.table("neardup_ttl_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("batch reconciliation of streaming candidates equals the batch near-dup answer") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
