@@ -266,6 +266,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup state survives a stop/restart from checkpoint") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.{Doc, Verdict}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val input = MemoryStream[Doc]
+    def start() = DedupStream.exactDedup(input.toDS())
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Verdict], _: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    // run 1: establish the keeper for "alpha", then STOP
+    val q1 = start()
+    try {
+      input.addData(Doc(1L, "alpha"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: the dup must be verdicted against run 1's RESTORED state
+    val q2 = start()
+    try {
+      input.addData(Doc(2L, "alpha"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(got === Set((1L, true, 1L), (2L, false, 1L)),
+      "keeper state must be restored from the checkpoint across restarts")
+  }
+
   test("TTL dedup evicts cold content keys and re-admits later arrivals as fresh keepers") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.DedupStream
