@@ -190,6 +190,26 @@ object EventsStream {
       }
   }
 
+  /** Stream enrichment against a SLOWLY-CHANGING dimension (SCD
+    * type 2): each event joins the dimension VERSION that was valid
+    * at its event time — `key matches AND valid_from ≤ ts < valid_to`
+    * (open versions carry NULL valid_to). This is a stream-static
+    * join: the static side is re-planned every micro-batch, so
+    * appending a new dimension version takes effect on the next batch
+    * with no restart, and Spark broadcasts the (small) dimension into
+    * each batch's join — the broadcast-state pattern without any
+    * user-managed state store. Events with no valid version pass
+    * through with NULL attributes (left join): losing events to a
+    * late-arriving dimension would be silent data loss.
+    */
+  def enrichScd(events: DataFrame, dimVersions: DataFrame): DataFrame =
+    events.join(dimVersions,
+      events("user_id") === dimVersions("key") &&
+        events("ts") >= dimVersions("valid_from") &&
+        (dimVersions("valid_to").isNull || events("ts") < dimVersions("valid_to")),
+      "left")
+      .drop("key", "valid_from", "valid_to")
+
   /** Exactly-once parquet sink for closed sessions: `foreachBatch`
     * writing each micro-batch to its own `batch_id=<id>` partition
     * directory with OVERWRITE. Spark's exactly-once contract is

@@ -266,6 +266,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SCD enrichment joins each event to the dimension version valid at event time") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq(
+      (1L, "bronze", ts("2026-01-01 00:00:00"), Some(ts("2026-02-01 00:00:00"))),
+      (1L, "gold", ts("2026-02-01 00:00:00"), None),       // open version
+      (2L, "silver", ts("2026-01-15 00:00:00"), None))
+      .toDF("key", "tier", "valid_from", "valid_to")
+    val input = MemoryStream[Event]
+    val q = EventsStream.enrichScd(input.toDS().toDF(), dim)
+      .writeStream.format("memory").queryName("scd_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, 1L, ts("2026-01-10 00:00:00"), 1.0), // bronze era
+        Event(1L, 2L, ts("2026-03-01 00:00:00"), 2.0), // gold era (open version)
+        Event(2L, 3L, ts("2026-01-01 00:00:00"), 3.0), // before silver starts -> NULL
+        Event(3L, 4L, ts("2026-01-01 00:00:00"), 4.0)) // unknown key -> NULL
+      q.processAllAvailable()
+      val got = spark.table("scd_out").collect()
+        .map(r => r.getLong(1) -> Option(r.getString(4)).getOrElse("none")).toMap
+      assert(got === Map(1L -> "bronze", 2L -> "gold", 3L -> "none", 4L -> "none"))
+    } finally q.stop()
+  }
+
   test("streaming dedup state survives a stop/restart from checkpoint") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.DedupStream
