@@ -27,14 +27,22 @@ object Maintenance {
     * dateValue, namesId) → delete n > 1`, with a deterministic
     * ORDER BY the reference leaves unspecified.
     */
-  def dedupLatest(events: DataFrame): DataFrame = {
+  def dedupLatest(events: DataFrame): DataFrame =
+    latestPerKeyDay(events).drop("ts")
+      .orderBy(col("user_id"), col("day"))
+
+  /** The shared keep-newest winner pick: one row per (user_id, day),
+    * newest by (ts, event_id). Both [[dedupLatest]] and [[cdcApply]]
+    * build on this so the tiebreak and day-truncation rules live in
+    * exactly one place.
+    */
+  private def latestPerKeyDay(events: DataFrame): DataFrame = {
     val day = date_trunc("day", col("ts")).cast("date").as("day")
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts").desc, col("event_id").desc)
     events.select(col("event_id"), col("user_id"), day, col("ts"), col("event_type"), col("value"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn", "ts")
-      .orderBy(col("user_id"), col("day"))
+      .filter(col("rn") === 1).drop("rn")
   }
 
   /** Trailing-window retention — findatabase.py:224 `DELETE WHERE
@@ -107,16 +115,10 @@ object Maintenance {
     * removes the key entirely. One shuffle on the key; row_number
     * picks the winner without materializing intermediate versions.
     */
-  def cdcApply(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("day"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    events
-      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
-      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") === "U")
+  def cdcApply(events: DataFrame): DataFrame =
+    latestPerKeyDay(events)
+      .filter(col("event_type") =!= "error") // tombstone: key removed
       .select(col("user_id"), col("day"), col("value"),
         date_trunc("second", col("ts")).as("last_ts"))
       .orderBy(col("user_id"), col("day"))
-  }
 }

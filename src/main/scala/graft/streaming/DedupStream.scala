@@ -73,19 +73,24 @@ object DedupStream {
     docs
       .withWatermark("ts", watermarkDelay)
       .groupByKey(d => contentHash(d.text))
-      .flatMapGroupsWithState[Long, Verdict](
+      // state carries (keeper, max event time EVER seen): recomputing
+      // the timeout from only the current batch would let a late
+      // in-watermark batch move the timeout EARLIER and evict before
+      // last-sighting + TTL
+      .flatMapGroupsWithState[(Long, Long), Verdict](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, batch: Iterator[TsDoc], state: GroupState[Long]) =>
+        (_: String, batch: Iterator[TsDoc], state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val ds = batch.toVector.sortBy(_.doc_id)
-            val keeper = state.getOption.getOrElse(ds.head.doc_id)
-            state.update(keeper)
+            val (keeper, prevMax) = state.getOption.getOrElse((ds.head.doc_id, Long.MinValue))
+            val maxSeen = math.max(prevMax, ds.iterator.map(_.ts.getTime).max)
+            state.update((keeper, maxSeen))
             // timeout may not be <= the current watermark; clamp up
             state.setTimeoutTimestamp(math.max(
-              ds.iterator.map(_.ts.getTime).max + ttlMinutes * 60000L,
+              maxSeen + ttlMinutes * 60000L,
               state.getCurrentWatermarkMs() + 1))
             ds.iterator.map(d => Verdict(d.doc_id, d.doc_id == keeper, keeper))
           }
@@ -130,47 +135,57 @@ object DedupStream {
     bandedSigs(docs, numHashes, bands)
       .as[BandedSig]
       .groupByKey(b => (b.band, b.bucket))
-      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupCandidate](
+      .flatMapGroupsWithState[List[(Long, Seq[Long], Long)], NearDupCandidate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: (Int, Long), batch: Iterator[BandedSig], state: GroupState[List[(Long, Seq[Long])]]) =>
+        (_: (Int, Long), batch: Iterator[BandedSig],
+         state: GroupState[List[(Long, Seq[Long], Long)]]) =>
           val (stored, out) = foldBucket(state.getOption.getOrElse(Nil),
-            batch.toVector.sortBy(_.doc_id), numHashes, minEstJaccard)
+            batch.toVector.sortBy(_.doc_id).map(b => (b, 0L)),
+            numHashes, minEstJaccard, pruneBelow = Long.MinValue)
           state.update(stored)
           out.iterator
       }
   }
 
-  /** [[nearDupCandidates]] with EVENT-TIME TTL eviction of cold
-    * buckets — the companion to [[exactDedupTtl]]: a (band, bucket)
-    * key no doc hashed into within `ttl` of the watermark drops its
-    * stored signatures, so state is bounded by the sliding window's
-    * bucket occupancy instead of the corpus's. Docs re-arriving after
-    * eviction can pair only with window-mates (windowed recall).
+  /** [[nearDupCandidates]] with EVENT-TIME TTL eviction — the
+    * companion to [[exactDedupTtl]]. Eviction is PER-ENTRY, not
+    * per-bucket: every invocation first prunes stored signatures
+    * whose event time fell `ttl` behind the watermark, so a
+    * continuously-warm bucket still sheds its old entries (a
+    * bucket-level timeout alone would let one arrival per TTL keep
+    * the whole list alive forever — unbounded state AND stale pairs).
+    * The bucket's timeout (full removal) derives from the max event
+    * time across ALL surviving entries, so a late in-watermark batch
+    * can never move eviction earlier. State is bounded by the
+    * sliding window's bucket occupancy; docs pair only with
+    * window-mates (windowed recall).
     */
   def nearDupCandidatesTtl(docs: DataFrame, ttlMinutes: Int = 60,
                            watermarkDelay: String = "10 minutes",
                            minEstJaccard: Double = 0.8,
                            numHashes: Int = 32, bands: Int = 16): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
-    bandedSigs(docs.withColumn("__ts", col("ts")), numHashes, bands,
-        tsCol = Some("__ts"))
+    val ttlMs = ttlMinutes * 60000L
+    bandedSigs(docs, numHashes, bands, tsCol = Some("ts"))
       .withWatermark("ts", watermarkDelay)
       .as[BandedSigTs]
       .groupByKey(b => (b.band, b.bucket))
-      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupCandidate](
+      .flatMapGroupsWithState[List[(Long, Seq[Long], Long)], NearDupCandidate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, Long), batch: Iterator[BandedSigTs], state: GroupState[List[(Long, Seq[Long])]]) =>
+        (_: (Int, Long), batch: Iterator[BandedSigTs],
+         state: GroupState[List[(Long, Seq[Long], Long)]]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val ds = batch.toVector.sortBy(_.doc_id)
             val (stored, out) = foldBucket(state.getOption.getOrElse(Nil),
-              ds.map(d => BandedSig(d.doc_id, d.band, d.bucket, d.sig)),
-              numHashes, minEstJaccard)
+              ds.map(d => (BandedSig(d.doc_id, d.band, d.bucket, d.sig), d.ts.getTime)),
+              numHashes, minEstJaccard,
+              pruneBelow = state.getCurrentWatermarkMs() - ttlMs)
             state.update(stored)
             state.setTimeoutTimestamp(math.max(
-              ds.iterator.map(_.ts.getTime).max + ttlMinutes * 60000L,
+              stored.iterator.map(_._3).max + ttlMs,
               state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
@@ -197,27 +212,30 @@ object DedupStream {
       .filter(size(col("sh")) > 0)
       .withColumn("sig", array((0 until numHashes).map(i =>
         array_min(transform(col("sh"), s => xxhash64(lit(i), s)))): _*))
-    val tsCols = tsCol.map(c => col(c).as("ts")).toSeq
-    withSig.select(Seq(col("doc_id")) ++ tsCols ++ Seq(col("sig"),
+    // encoders resolve by name, so no reorder projection is needed
+    withSig.select(Seq(col("doc_id")) ++ tsCol.map(c => col(c).as("ts")).toSeq ++ Seq(col("sig"),
         posexplode(array((0 until bands).map(j =>
           xxhash64((0 until rows).map(r => col("sig")(j * rows + r)): _*)): _*))
           .as(Seq("band", "bucket"))): _*)
-      .select(Seq(col("doc_id")) ++ tsCols.map(_ => col("ts")) ++
-        Seq(col("band"), col("bucket"), col("sig")): _*)
   }
 
-  /** One bucket's fold: pair each arriving doc against everything
-    * stored, keep candidates at or above the signature-estimated
-    * Jaccard cut, then store the arrival. Shared by the lifetime and
-    * TTL variants so their pairing semantics cannot drift.
+  /** One bucket's fold: drop stored entries whose event time fell
+    * below `pruneBelow` (Long.MinValue for the lifetime variant),
+    * pair each arriving doc against the survivors, keep candidates at
+    * or above the signature-estimated Jaccard cut, then store the
+    * arrival with its event time. Shared by the lifetime and TTL
+    * variants so their pairing semantics cannot drift.
     */
-  private def foldBucket(stored0: List[(Long, Seq[Long])], ds: Seq[BandedSig],
-                         numHashes: Int, minEstJaccard: Double)
-      : (List[(Long, Seq[Long])], Vector[NearDupCandidate]) = {
-    var stored = stored0
+  private def foldBucket(stored0: List[(Long, Seq[Long], Long)],
+                         ds: Seq[(BandedSig, Long)],
+                         numHashes: Int, minEstJaccard: Double,
+                         pruneBelow: Long)
+      : (List[(Long, Seq[Long], Long)], Vector[NearDupCandidate]) = {
+    var stored = if (pruneBelow == Long.MinValue) stored0
+                 else stored0.filter(_._3 >= pruneBelow)
     val out = Vector.newBuilder[NearDupCandidate]
-    ds.foreach { d =>
-      stored.foreach { case (oldId, oldSig) =>
+    ds.foreach { case (d, tsMs) =>
+      stored.foreach { case (oldId, oldSig, _) =>
         if (oldId != d.doc_id) {
           val matches = oldSig.iterator.zip(d.sig.iterator).count { case (x, y) => x == y }
           val est = matches.toDouble / numHashes
@@ -225,7 +243,7 @@ object DedupStream {
             out += NearDupCandidate(math.min(oldId, d.doc_id), math.max(oldId, d.doc_id), est)
         }
       }
-      stored = (d.doc_id, d.sig) :: stored
+      stored = (d.doc_id, d.sig, tsMs) :: stored
     }
     (stored, out.result())
   }

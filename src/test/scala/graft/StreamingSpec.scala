@@ -390,10 +390,13 @@ class StreamingSpec extends SparkSpec {
       (3L, "completely unrelated content that shares no shingles"),
       (4L, "another disjoint document body with its own words"))
     val docs = corpus.toDF("doc_id", "text")
-    // streaming pass: candidates at sketch level
+    // streaming pass forwards ALL band collisions (minEstJaccard = 0):
+    // the sketch-level cut would drop borderline true pairs the exact
+    // verify could still keep — equivalence with batch minhashLsh
+    // only holds when reconciliation sees every collision
     val input = MemoryStream[(Long, String)]
     val q = graft.streaming.DedupStream.nearDupCandidates(
-        input.toDS().toDF("doc_id", "text"))
+        input.toDS().toDF("doc_id", "text"), minEstJaccard = 0.0)
       .writeStream.format("memory").queryName("reconcile_in")
       .outputMode("append").start()
     try {
