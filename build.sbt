@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must bypass sbt's logger: the driver parses the
+// single JSON line that graft.Bench prints, and the default
+// LoggedOutput strategy prefixes every line with "[info] " which
+// breaks that parse (BENCH_r0{1,2,3}.json all show "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
