@@ -29,6 +29,10 @@ object SparkEntry {
     "q_case_bucketing"     -> ((s, d) => Analytics.caseBucketing(Tables(s, d).orders)),
     "q_union_dedup"        -> ((s, d) => Analytics.unionDedup(Tables(s, d).orders)),
     "q_factfact_pruned"    -> ((s, d) => { val t = Tables(s, d); Analytics.factFactPruned(t.orders, t.lineitem) }),
+    "q_semi_urgent"        -> ((s, d) => { val t = Tables(s, d); Analytics.existsUrgent(t.customer, t.orders) }),
+    "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
+    "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
+    "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
     "fin_last_update"       -> ((s, d) => Maintenance.lastUpdate(Tables(s, d).orders)),
     "fin_dedup_latest"      -> ((s, d) => Maintenance.dedupLatest(Tables(s, d).events)),
     "fin_retention_window"  -> ((s, d) => Maintenance.retentionWindow(Tables(s, d).events)),
@@ -287,6 +291,61 @@ FROM lagged ORDER BY user_id, day"""
         |  CAST(CASE WHEN n_toks > 0 THEN (off + n_toks - 1) // 256 - off // 256 + 1 ELSE 0 END AS BIGINT) AS n_seqs
         |FROM o ORDER BY doc_id""".stripMargin),
     "fin_ewma" -> ewmaOracle,
+    "q_semi_urgent" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "fin_ohlc_unpivot" ->
+      """WITH ohlc AS (
+        |  SELECT user_id, day,
+        |    max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |    max(value) AS high, min(value) AS low,
+        |    max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |  FROM (
+        |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+        |           row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                              ORDER BY ts, event_id) AS rn_a,
+        |           row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn_d
+        |    FROM events)
+        |  GROUP BY user_id, day)
+        |SELECT user_id, day, metric, value FROM (
+        |  SELECT user_id, day, 'open' AS metric, open AS value FROM ohlc
+        |  UNION ALL SELECT user_id, day, 'high', high FROM ohlc
+        |  UNION ALL SELECT user_id, day, 'low', low FROM ohlc
+        |  UNION ALL SELECT user_id, day, 'close', close FROM ohlc)
+        |ORDER BY user_id, day, metric""".stripMargin,
+    "fin_rolling_median" -> (closesCte +
+      """
+        |, m AS (SELECT user_id, day, close,
+        |    list_sort(list(close) OVER w) AS vals,
+        |    CAST(count(*) OVER w AS BIGINT) AS n
+        |  FROM closes
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day, close, vals[(n + 1) // 2] AS med
+        |FROM m ORDER BY user_id, day""".stripMargin),
+    "fin_corr_pairs" -> (closesCte +
+      """
+        |, rets AS (SELECT user_id, day, CAST(round(close / prev - 1.0, 6) AS DECIMAL(19,6)) AS r FROM (
+        |    SELECT user_id, day, close,
+        |           lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev FROM closes)
+        |  WHERE prev IS NOT NULL AND prev <> 0),
+        |top AS (SELECT user_id FROM events GROUP BY user_id ORDER BY count(*) DESC, user_id LIMIT 20),
+        |sel AS (SELECT r.user_id, r.day, r.r FROM rets r JOIN top USING (user_id)),
+        |m AS (SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n,
+        |        sum(a.r) AS s1, sum(b.r) AS s2, sum(a.r * b.r) AS s12,
+        |        sum(a.r * a.r) AS s11, sum(b.r * b.r) AS s22
+        |      FROM sel a JOIN sel b ON a.day = b.day AND a.user_id < b.user_id
+        |      GROUP BY 1, 2),
+        |f AS (SELECT u1, u2, CAST(n AS BIGINT) AS n,
+        |        CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS vx,
+        |        CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS vy,
+        |        CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS cov
+        |      FROM m WHERE n > 1)
+        |SELECT u1, u2, n,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN round(cov / sqrt(vx * vy), 6) + 0.0 END AS corr
+        |FROM f ORDER BY u1, u2""".stripMargin),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS sum_qty,

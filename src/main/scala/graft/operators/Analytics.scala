@@ -171,6 +171,22 @@ object Analytics {
       .withColumn("revenue", outD(col("revenue"), 2))
       .orderBy(col("o_orderpriority"))
 
+  /** EXISTS / IN-subquery shape — dimension rows with at least one
+    * matching fact (customers holding an urgent order), as a
+    * left-semi join: the dual of [[Maintenance.inactiveCustomers]]'s
+    * anti join. Semi joins never replicate fact rows into the
+    * output, so the operator's output is bounded by the dimension
+    * regardless of fact-side fan-out; only the fact's join key
+    * column is read (pruning reaches the scan) and the filtered key
+    * set broadcasts when small.
+    */
+  def existsUrgent(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+        orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
   /** UNION of two filtered scans + dedup — e.g. merging candidate
     * ticker lists from two feeds (findatabase.py:154
     * `set_database_names` skip-if-present semantics).

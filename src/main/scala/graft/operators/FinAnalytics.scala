@@ -72,6 +72,82 @@ object FinAnalytics {
       .select(col("user_id"), col("day"), col("value").as("close"))
   }
 
+  /** Wide→long reshape of the daily OHLC bars (the melt/unpivot the
+    * reference's plotting layer does before charting): one row per
+    * (user_id, day, metric). Runs through Spark's native `unpivot`
+    * operator (an Expand node — no join, no shuffle beyond the OHLC
+    * aggregation itself; output is exactly 4× the bar count).
+    */
+  def ohlcUnpivot(events: DataFrame): DataFrame =
+    dailyOhlc(events)
+      .unpivot(Array(col("user_id"), col("day")),
+        Array(col("open"), col("high"), col("low"), col("close")),
+        "metric", "value")
+      .orderBy(col("user_id"), col("day"), col("metric"))
+
+  /** Rolling LOWER median (element ⌈n/2⌉ of the sorted frame) of the
+    * daily close over the trailing `bars` bars — the robust
+    * moving-average companion. Lower-median semantics deliberately:
+    * it always RETURNS AN INPUT VALUE, so there is no interpolation
+    * arithmetic to diverge between engines (interpolated medians
+    * average two doubles, whose (a+b)/2 vs a+(b−a)/2 forms differ in
+    * the last ulp). The frame is ≤ `bars` rows, so the per-row sort
+    * is O(bars·log bars) on a constant — the whole query still costs
+    * the one closes-family shuffle.
+    */
+  def rollingMedian(events: DataFrame, bars: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-(bars - 1), 0)
+    closes(events)
+      .withColumn("vals", sort_array(collect_list(col("close")).over(w)))
+      .withColumn("med", element_at(col("vals"), ((size(col("vals")) + 1) / 2).cast("int")))
+      .select(col("user_id"), col("day"), col("close"), col("med"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Pairwise return correlation across the `topN` most-traded
+    * instruments — the watchlist correlation matrix. The watchlist
+    * is selected distributedly (per-key tick counts, deterministic
+    * (count DESC, user_id) tiebreak) and BROADCAST back, so the
+    * quadratic blow-up is over a bounded k, never the corpus: the
+    * per-day self-join fans out to ≤ k rows × k rows per day and the
+    * moment sums partial-aggregate map-side. Exact decimal moments
+    * (same dec6 discipline as [[volatility]]/[[beta]]) keep the
+    * result independent of partition count; only the final corr
+    * formula runs in doubles.
+    */
+  def corrPairs(events: DataFrame, topN: Int = 20): DataFrame = {
+    val c = closes(events)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val rets = c.withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .select(col("user_id"), col("day"), dec6(col("close") / col("prev") - lit(1.0)).as("r"))
+    val top = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_ticks"))
+      .orderBy(col("n_ticks").desc, col("user_id")).limit(topN)
+      .select(col("user_id"))
+    val sel = rets.join(broadcast(top), "user_id")
+    val lhs = sel.select(col("user_id").as("u1"), col("day"), col("r").as("r1"))
+    val rhs = sel.select(col("user_id").as("u2"), col("day"), col("r").as("r2"))
+    lhs.join(rhs, Seq("day")).filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r1")).as("s1"), sum(col("r2")).as("s2"),
+        sum(col("r1") * col("r2")).as("s12"),
+        sum(col("r1") * col("r1")).as("s11"),
+        sum(col("r2") * col("r2")).as("s22"))
+      .filter(col("n") > 1)
+      .select(col("u1"), col("u2"), col("n"), {
+        val vx = col("n").cast("double") * col("s11").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double")
+        val vy = col("n").cast("double") * col("s22").cast("double") -
+          col("s2").cast("double") * col("s2").cast("double")
+        val cov = col("n").cast("double") * col("s12").cast("double") -
+          col("s1").cast("double") * col("s2").cast("double")
+        // constant series (zero variance) have no defined correlation
+        when(vx > 0.0 && vy > 0.0, round(cov / sqrt(vx * vy), 6) + lit(0.0)).as("corr")
+      })
+      .orderBy(col("u1"), col("u2"))
+  }
+
   /** 5- and 20-row moving averages of the daily close — the
     * fiftyDayAverage / twoHundredDayAverage analog. Exact decimal
     * window sums / window counts, so the sliding-frame

@@ -104,6 +104,39 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(byDay("2026-01-01").isNullAt(7))   // first day has no return
   }
 
+  test("ohlcUnpivot melts each bar into exactly four metric rows") {
+    val bars = FinAnalytics.dailyOhlc(events).count()
+    val rows = FinAnalytics.ohlcUnpivot(events).collect()
+    assert(rows.length === 4 * bars.toInt)
+    val d1 = rows.filter(r => r.getLong(0) == 1L && r.getDate(1).toString == "2026-01-01")
+      .map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(d1 === Map("open" -> 5.0, "high" -> 10.0, "low" -> 5.0, "close" -> 10.0))
+  }
+
+  test("rollingMedian picks the lower median of the trailing frame") {
+    // user 1 closes: 10, 20, 30 -> frames [10], [10,20], [10,20,30]
+    // lower medians: 10, 10, 20
+    val got = FinAnalytics.rollingMedian(events, bars = 3).collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getDate(1).toString, r.getDouble(3))).toSeq
+    assert(got === Seq(("2026-01-01", 10.0), ("2026-01-02", 10.0), ("2026-01-03", 20.0)))
+  }
+
+  test("corrPairs: perfectly co-moving series correlate at 1, constant series have no corr") {
+    // user 3 moves proportionally to user 1 (returns identical);
+    // user 2 is constant (zero variance -> corr undefined, filtered
+    // to NULL and the (1,2)/(2,3) pairs emit NULL corr)
+    val extra = Seq(
+      (8L, 3L, ts("2026-01-01 16:00:00"), "t", 100.0),
+      (9L, 3L, ts("2026-01-02 16:00:00"), "t", 200.0),
+      (10L, 3L, ts("2026-01-03 16:00:00"), "t", 300.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = FinAnalytics.corrPairs(events.unionByName(extra)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows((1L, 3L)) === Some(1.0))
+    assert(rows((1L, 2L)) === None)
+    assert(rows((2L, 3L)) === None)
+  }
+
   test("splineFeatures basis is a partition of unity with local support") {
     val rows = FinAnalytics.splineFeatures(events).collect()
     assert(rows.nonEmpty)

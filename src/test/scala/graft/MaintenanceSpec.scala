@@ -49,6 +49,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(got === Set((1L, "2026-01-01", 2.0), (2L, "2026-01-01", 5.0)))
   }
 
+  test("existsUrgent keeps each matching customer exactly once") {
+    val customer = Seq(
+      (1L, "alice", "BUILDING"), (2L, "bob", "AUTO"), (3L, "carol", "AUTO"),
+    ).toDF("c_custkey", "c_name", "c_mktsegment")
+    val orders = Seq(
+      // customer 1 has TWO urgent orders -> still one output row
+      (10L, 1L, "1-URGENT"), (11L, 1L, "1-URGENT"),
+      (12L, 2L, "5-LOW"),
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val got = graft.operators.Analytics.existsUrgent(customer, orders).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "alice")))
+  }
+
   test("lastUpdate reports max date and count per key") {
     val orders = Seq(
       (10L, 1L, ts("2026-02-01 00:00:00")),
