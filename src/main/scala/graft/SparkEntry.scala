@@ -33,6 +33,9 @@ object SparkEntry {
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
     "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
+    "fin_resample_ffill"   -> ((s, d) => FinAnalytics.resampleFfill(Tables(s, d).events)),
+    "maint_scd2_build"     -> ((s, d) => Maintenance.scd2Build(Tables(s, d).events)),
+    "events_cohort"        -> ((s, d) => Events.cohortRetention(Tables(s, d).events)),
     "fin_last_update"       -> ((s, d) => Maintenance.lastUpdate(Tables(s, d).orders)),
     "fin_dedup_latest"      -> ((s, d) => Maintenance.dedupLatest(Tables(s, d).events)),
     "fin_retention_window"  -> ((s, d) => Maintenance.retentionWindow(Tables(s, d).events)),
@@ -291,6 +294,46 @@ FROM lagged ORDER BY user_id, day"""
         |  CAST(CASE WHEN n_toks > 0 THEN (off + n_toks - 1) // 256 - off // 256 + 1 ELSE 0 END AS BIGINT) AS n_seqs
         |FROM o ORDER BY doc_id""".stripMargin),
     "fin_ewma" -> ewmaOracle,
+    "fin_resample_ffill" -> (closesCte +
+      """
+        |, b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM closes GROUP BY user_id),
+        |spine AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |j AS (SELECT s.user_id, s.day, c.close
+        |      FROM spine s LEFT JOIN closes c ON c.user_id = s.user_id AND c.day = s.day)
+        |SELECT user_id, day,
+        |  last_value(close IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS close_filled,
+        |  close IS NULL AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin),
+    "maint_scd2_build" ->
+      """WITH hist AS (
+        |  SELECT user_id, day, value FROM (
+        |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+        |           row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |chg AS (SELECT user_id, day, value FROM (
+        |  SELECT user_id, day, value,
+        |         lag(value) OVER (PARTITION BY user_id ORDER BY day) AS pv,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        |  FROM hist) WHERE rn = 1 OR value IS DISTINCT FROM pv)
+        |SELECT user_id, value, day AS valid_from,
+        |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
+        |  lead(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL AS is_current
+        |FROM chg ORDER BY user_id, valid_from""".stripMargin,
+    "events_cohort" ->
+      """WITH weeks AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id),
+        |c AS (SELECT cohort_week,
+        |        CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |        CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |      FROM weeks w JOIN fw ON fw.user_id = w.user_id
+        |      GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users,
+        |  CAST(n_users AS DOUBLE) /
+        |  CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+        |       OVER (PARTITION BY cohort_week) AS DOUBLE) + 0.0 AS retention
+        |FROM c ORDER BY cohort_week, week_offset""".stripMargin,
     "q_semi_urgent" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -247,6 +247,39 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Weekly cohort retention: users grouped by the week of their
+    * first activity (the cohort), counted as retained in every later
+    * week they appear, plus the retention ratio vs the cohort's own
+    * week-0 size. The classic growth-analytics triangle.
+    *
+    * Scale shape: the fact table collapses to DISTINCT (user, week)
+    * first (map-side partial dedup — activity volume never crosses
+    * the shuffle, only user-week pairs), the first-week reduction and
+    * the self-join both ride hash(user_id), and the final count is a
+    * two-key aggregation of cohort-sized data. The retention ratio is
+    * an IEEE quotient of two exact longs — bit-identical in every
+    * engine, emitted unrounded (SURVEY §5's integer-ratio rule).
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val first = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val counts = weeks.join(first, "user_id")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(week, cohort_week) DIV 7 AS BIGINT)").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val wc = Window.partitionBy(col("cohort_week"))
+    counts
+      .withColumn("cohort_size", max(when(col("week_offset") === 0, col("n_users"))).over(wc))
+      .withColumn("retention",
+        col("n_users").cast("double") / col("cohort_size").cast("double") + lit(0.0))
+      .drop("cohort_size")
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Revenue per part ranked within brand (dense_rank ≤ 3) — the
     * windowed top-N pattern; part dimension broadcasts.
     */

@@ -414,6 +414,28 @@ object FinAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Calendar resample with forward fill: a dense daily spine per
+    * key (min→max observed day) left-joined to the close series, gaps
+    * filled with the last known close — the reference's
+    * fill-missing-trading-days step, done set-wise. The spine is
+    * generated from each key's per-key bounds (sequence + explode),
+    * so spine size is keys × span — never a global calendar cross
+    * join; the fill is a running last-non-null window over the same
+    * (user_id → day) partitioning the closes family already uses.
+    */
+  def resampleFfill(events: DataFrame): DataFrame = {
+    val c = closes(events)
+    val spine = c.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(c, Seq("user_id", "day"), "left")
+      .withColumn("close_filled", last(col("close"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("close_filled"), col("close").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Exact distributed quantiles (p50/p90/p99 of value per
     * event_type) via two-pass histogram rank selection. Target ranks
     * ⌈q·n⌉ use integer arithmetic (no float q·n — engines disagree on

@@ -105,6 +105,32 @@ object Maintenance {
       .orderBy(col("event_id"))
   }
 
+  /** SCD-2 dimension build: collapse the per-(key, day) latest-value
+    * history into validity intervals — one row per VERSION (runs of
+    * equal values merge), `[valid_from, valid_to)` half-open with
+    * NULL valid_to marking the current version. This is the batch
+    * producer of the dimension shape
+    * [[graft.streaming.EventsStream.enrichScd]] consumes.
+    *
+    * Change detection is null-safe (`IS DISTINCT FROM`), so NULL
+    * values form their own runs rather than being dropped or merged.
+    * Both windows ride the one hash(user_id) shuffle the history
+    * already needs; nothing here is quadratic in versions or days.
+    */
+  def scd2Build(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val changed = latestPerKeyDay(events)
+      .select(col("user_id"), col("day"), col("value"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 || !(col("value") <=> col("pv")))
+    changed
+      .withColumn("valid_to", lead(col("day"), 1).over(w))
+      .select(col("user_id"), col("value"), col("day").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   /** CDC apply: materialize a snapshot from a change log with DELETE
     * tombstones — the missing half of [[dedupLatest]]'s keep-latest
     * (which has no delete path) and the incremental form of a

@@ -137,4 +137,26 @@ class EventsSpec extends SparkSpec {
       (ts("2026-01-01 10:00:00"), "view", 2L, 4.0, 2L),
       (ts("2026-01-01 11:00:00"), "view", 1L, 3.0, 1L)))
   }
+
+  test("cohortRetention counts users by first-activity week and offset") {
+    // weeks (Mondays): 2026-01-05, 2026-01-12, 2026-01-19
+    val events = Seq(
+      // user 1: cohort w0, active w0 and w2 (twice in w0 -> one pair)
+      (1L, 1L, ts("2026-01-05 10:00:00"), "view", 1.0),
+      (2L, 1L, ts("2026-01-06 10:00:00"), "view", 1.0),
+      (3L, 1L, ts("2026-01-19 10:00:00"), "view", 1.0),
+      // user 2: cohort w0, active w0 only
+      (4L, 2L, ts("2026-01-07 10:00:00"), "view", 1.0),
+      // user 3: cohort w1, active w1 and w2
+      (5L, 3L, ts("2026-01-12 10:00:00"), "view", 1.0),
+      (6L, 3L, ts("2026-01-20 10:00:00"), "view", 1.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.cohortRetention(events).collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      ("2026-01-05", 0L) -> ((2L, 1.0)),
+      ("2026-01-05", 2L) -> ((1L, 0.5)),
+      ("2026-01-12", 0L) -> ((1L, 1.0)),
+      ("2026-01-12", 1L) -> ((1L, 1.0))))
+  }
 }

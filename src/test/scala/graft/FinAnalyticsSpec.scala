@@ -137,6 +137,18 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(rows((2L, 3L)) === None)
   }
 
+  test("resampleFfill fills calendar gaps with the last known close") {
+    // user 1 has closes on Jan 1-3; drop Jan 2's tick to make a gap
+    val gappy = events.filter("event_id <> 3")
+    val got = FinAnalytics.resampleFfill(gappy).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getDate(1).toString, r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      ("2026-01-01", 10.0, false),
+      ("2026-01-02", 10.0, true),  // gap day carries Jan 1's close
+      ("2026-01-03", 30.0, false)))
+  }
+
   test("splineFeatures basis is a partition of unity with local support") {
     val rows = FinAnalytics.splineFeatures(events).collect()
     assert(rows.nonEmpty)

@@ -49,6 +49,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(got === Set((1L, "2026-01-01", 2.0), (2L, "2026-01-01", 5.0)))
   }
 
+  test("scd2Build collapses equal-value runs into validity intervals") {
+    val events = Seq(
+      // user 1: value 5 (Jan 1-2, two days SAME value -> one version),
+      // then 7 (Jan 3), then back to 5 (Jan 4) -> three versions
+      (1L, 1L, ts("2026-01-01 10:00:00"), "view", 5.0),
+      (2L, 1L, ts("2026-01-02 10:00:00"), "view", 5.0),
+      (3L, 1L, ts("2026-01-03 10:00:00"), "view", 7.0),
+      (4L, 1L, ts("2026-01-04 10:00:00"), "view", 5.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Maintenance.scd2Build(events).collect()
+      .map(r => (r.getDouble(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4))).toSeq
+    assert(got === Seq(
+      (5.0, "2026-01-01", Some("2026-01-03"), false),
+      (7.0, "2026-01-03", Some("2026-01-04"), false),
+      (5.0, "2026-01-04", None, true)))
+  }
+
   test("existsUrgent keeps each matching customer exactly once") {
     val customer = Seq(
       (1L, "alice", "BUILDING"), (2L, "bob", "AUTO"), (3L, "carol", "AUTO"),
