@@ -91,6 +91,8 @@ object SparkEntry {
     "fin_ewma"            -> ((s, d) => FinAnalytics.ewma(Tables(s, d).events)),
     "events_interval_join" -> ((s, d) => Events.intervalJoin(Tables(s, d).events)),
     "curate_split"        -> ((s, d) => Curation.splitAssign(Tables(s, d).documents)),
+    "curate_mix"          -> ((s, d) => Curation.mixSources(Tables(s, d).documents)),
+    "curate_balance"      -> ((s, d) => Curation.balanceStrata(Tables(s, d).documents)),
     "curate_sample"       -> ((s, d) => Curation.sampleStratified(Tables(s, d).documents)),
     "curate_stats"        -> ((s, d) => Curation.corpusStats(Tables(s, d).documents)),
     "salted_enrich"       -> ((s, d) => { val t = Tables(s, d); Skew.saltedEnrich(t.events, t.customer) }),
@@ -826,6 +828,22 @@ FROM lagged ORDER BY user_id, day"""
         |FROM (SELECT doc_id, lang,
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 100 AS BIGINT) AS bucket
         |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "curate_mix" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 10000
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 5000
+        |       ELSE 2500 END AS rate,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))::UBIGINT % 10000 AS bucket
+        |FROM documents)
+        |SELECT doc_id, source, CAST(rate AS BIGINT) AS rate, CAST(bucket AS BIGINT) AS bucket
+        |FROM w WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "curate_balance" ->
+      """WITH n AS (SELECT min(n) AS min_n FROM (SELECT count(*) AS n FROM documents GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |      FROM documents)
+        |SELECT doc_id, lang, rn FROM r CROSS JOIN n WHERE rn <= min_n ORDER BY lang, rn""".stripMargin,
     "curate_sample" ->
       """SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang,

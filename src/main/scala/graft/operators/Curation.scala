@@ -86,6 +86,64 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The demo mixture the registered `curate_mix` query uses:
+    * src0-4 kept whole, src5-9 at half rate, everything else falls
+    * to the default quarter rate. Rates are integer per-10000
+    * thresholds — exact comparisons, no float weights to disagree on.
+    */
+  val defaultMixWeights: Map[String, Int] =
+    ((0 to 4).map(i => s"src$i" -> 10000) ++ (5 to 9).map(i => s"src$i" -> 5000)).toMap
+
+  /** Weighted source mixture for training-data composition: each
+    * document is kept iff its salted content-hash bucket (0-9999)
+    * falls under its source's rate — the per-source downsampling
+    * step that turns N crawls into one weighted corpus.
+    *
+    * The weights table joins as a BROADCAST left join (sources are a
+    * dimension; unknown sources take `defaultPerMyriad`), so the scan
+    * stays one pass with per-row math — no shuffle at all, same as
+    * [[splitAssign]]. The hash is salted (`:mix`) so mixture
+    * membership is independent of the train/val/test assignment —
+    * without the salt, "kept at rate ≤ r" would be a deterministic
+    * subset of "split < r·100", silently correlating the two
+    * decisions.
+    */
+  def mixSources(documents: DataFrame,
+                 weights: Map[String, Int] = defaultMixWeights,
+                 defaultPerMyriad: Int = 2500): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("source", "rate")
+    documents.select(col("doc_id"), col("source"))
+      .join(broadcast(wdf), Seq("source"), "left")
+      .withColumn("rate", coalesce(col("rate"), lit(defaultPerMyriad)).cast("long"))
+      .withColumn("bucket", hex60(concat(col("doc_id").cast("string"), lit(":mix"))) % 10000)
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("source"), col("rate"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Class rebalancing: downsample every stratum to the size of the
+    * SMALLEST one (equal-sized language buckets for eval sets or
+    * balanced fine-tuning mixes). Selection within a stratum is
+    * md5-order — deterministic and unbiased by ingest order. The
+    * stratum sizes reduce to one tiny aggregate whose min broadcasts
+    * back; the facts shuffle once on the stratum key for the
+    * row-counter window.
+    */
+  def balanceStrata(documents: DataFrame): DataFrame = {
+    val minN = documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(minN))
+      .filter(col("rn") <= col("min_n"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Per-language corpus statistics: doc/char/token totals and the
     * keep-rate under the [[TextOps.quality]] length gate. Map-side
     * partial aggregation; the shuffle carries one row per language.

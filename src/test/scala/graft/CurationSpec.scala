@@ -29,6 +29,41 @@ class CurationSpec extends SparkSpec {
     assert(s1.groupBy(_._2).forall(_._2.length == 5))
   }
 
+  test("mixSources keeps whole-rate sources entirely and respects rates") {
+    val out = Curation.mixSources(docs).cache()
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate-10000 sources keep every doc
+    (0 to 4).foreach(i => assert(bySource(s"src$i") === inSource(s"src$i")))
+    // sub-rate sources keep a strict, non-empty subset overall
+    val halfKept = (5 to 9).map(i => bySource.getOrElse(s"src$i", 0L)).sum
+    val halfIn = (5 to 9).map(i => inSource(s"src$i")).sum
+    assert(halfKept > 0 && halfKept < halfIn)
+    // re-run is identical (content-hash, not rand())
+    val again = Curation.mixSources(docs).collect().map(_.getLong(0)).sorted
+    assert(again.toSeq === out.collect().map(_.getLong(0)).sorted.toSeq)
+    out.unpersist()
+  }
+
+  test("mixSources membership is independent of splitAssign buckets") {
+    // the :mix salt must decorrelate the two hash decisions: if they
+    // shared a hash, every kept doc of a rate-2500 source would land
+    // in split buckets 0-24
+    val kept = Curation.mixSources(docs).filter(col("rate") === 2500)
+      .select(col("doc_id")) // drop mix's own bucket; keep split's
+    val withSplit = kept.join(Curation.splitAssign(docs), "doc_id")
+    assert(withSplit.filter(col("bucket") >= 25).count() > 0)
+  }
+
+  test("balanceStrata yields equal-sized strata of the min size") {
+    val out = Curation.balanceStrata(docs)
+    val sizes = out.groupBy("lang").count().collect().map(_.getLong(1)).toSet
+    val minIn = docs.groupBy("lang").count().collect().map(_.getLong(1)).min
+    assert(sizes === Set(minIn))
+  }
+
   test("saltedEnrich equals the plain join") {
     // events is a TIMESTAMP(NANOS) table: must go through the catalog reader
     val t = graft.sources.Tables(spark, "/root/testdata/sf0.001")
