@@ -66,6 +66,9 @@ object SparkEntry {
     "ann_kmeans"          -> ((s, d) => Similarity.kmeans(Tables(s, d).embeddings)),
     // trained-quantizer IVF composes the kmeans trainer -> rows-only too
     "ann_ivf_trained"     -> ((s, d) => Similarity.annIvfTrained(Tables(s, d).embeddings)),
+    // PQ codebooks come from the iterative trainer -> rows-only gate
+    // + determinism/recall specs (SimilaritySpec)
+    "ann_pq"              -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),

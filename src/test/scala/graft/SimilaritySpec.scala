@@ -53,6 +53,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("annPq is deterministic and its ADC candidates recall most exact neighbors") {
+    val exact = exactTopK(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq1 = Similarity.annPq(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pq2 = Similarity.annPq(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pq1.toSeq === pq2.toSeq, "seeded codebooks must be reproducible")
+    assert(pq1.map(_._1).distinct.length === exact.size, "every query answers")
+    // 8-byte codes over 64 dims are a coarse sketch; the 20-candidate
+    // exact re-rank recovers most of the true top-5
+    val byQ = pq1.map(t => (t._1, t._2)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      byQ.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+
   test("external query frames keep their own id namespace — no self-exclusion on collision") {
     // the true nearest neighbor of corpus vector 0
     val nn = exactTopK(1).collect().find(_.getLong(0) == 0L).get.getLong(1)
