@@ -36,6 +36,7 @@ object SparkEntry {
     "fin_resample_ffill"   -> ((s, d) => FinAnalytics.resampleFfill(Tables(s, d).events)),
     "maint_scd2_build"     -> ((s, d) => Maintenance.scd2Build(Tables(s, d).events)),
     "events_cohort"        -> ((s, d) => Events.cohortRetention(Tables(s, d).events)),
+    "events_attribution"   -> ((s, d) => Events.attribution(Tables(s, d).events)),
     "fin_last_update"       -> ((s, d) => Maintenance.lastUpdate(Tables(s, d).orders)),
     "fin_dedup_latest"      -> ((s, d) => Maintenance.dedupLatest(Tables(s, d).events)),
     "fin_retention_window"  -> ((s, d) => Maintenance.retentionWindow(Tables(s, d).events)),
@@ -326,6 +327,17 @@ FROM lagged ORDER BY user_id, day"""
         |  lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to,
         |  lead(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL AS is_current
         |FROM chg ORDER BY user_id, valid_from""".stripMargin,
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS c_user_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, p.value, p.ts, c.click_id, c.c_ts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user_id AND p.ts >= c.c_ts)
+        |SELECT event_id, user_id, value,
+        |  CASE WHEN c_ts IS NOT NULL AND c_ts >= ts - INTERVAL 1 HOUR THEN click_id END AS click_id,
+        |  CASE WHEN c_ts IS NOT NULL AND c_ts >= ts - INTERVAL 1 HOUR
+        |       THEN epoch_us(ts) - epoch_us(c_ts) END AS lag_us
+        |FROM j ORDER BY event_id""".stripMargin,
     "events_cohort" ->
       """WITH weeks AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
         |fw AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id),

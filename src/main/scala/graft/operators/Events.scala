@@ -247,6 +247,31 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent click by the same user within the attribution window —
+    * the as-of join with a lookback tolerance. Runs on the custom
+    * sort-merge [[graft.plans.AsOfJoin]] operator (one shuffle per
+    * side, O(1) merge state), then the tolerance is a residual
+    * filter: a matched click older than the window nulls the
+    * attribution rather than dropping the purchase. The lag is
+    * emitted in exact integer microseconds (no interval arithmetic
+    * for engines to disagree on). Click (user, ts) pairs are unique
+    * in the data, so the as-of pick needs no extra tiebreak.
+    */
+  def attribution(events: DataFrame, windowHours: Int = 1): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    val inWindow = col("c_ts").isNotNull &&
+      col("c_ts") >= col("ts") - expr(s"INTERVAL $windowHours HOURS")
+    graft.plans.AsOf.join(p, c, "user_id", "c_user_id", "ts", "c_ts")
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(inWindow, col("click_id")).as("click_id"),
+        when(inWindow, unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("lag_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their
     * first activity (the cohort), counted as retained in every later
     * week they appear, plus the retention ratio vs the cohort's own

@@ -210,6 +210,37 @@ object EventsStream {
       "left")
       .drop("key", "valid_from", "valid_to")
 
+  /** Streaming attribution candidates: every (purchase, click) pair
+    * by the same user with the click inside the lookback window — a
+    * STREAM-STREAM inner join with watermarks on both sides. The
+    * time-range join condition bounds how long click state must be
+    * buffered (watermark + window), so Spark evicts old clicks
+    * instead of holding the stream forever — the state-size contract
+    * that makes a stream-stream join runnable indefinitely.
+    *
+    * Deliberately emits ALL in-window clicks per purchase, not the
+    * last-touch winner: picking a per-purchase winner needs the
+    * window CLOSED (a late click can displace the current winner),
+    * so the winner pick belongs downstream — batch
+    * [[graft.operators.Events.attribution]] is the reconciliation
+    * (same contract as DedupStream's candidates + batch verify).
+    */
+  def attributionCandidates(events: DataFrame, windowHours: Int = 1,
+                            watermarkDelay: String = "2 hours"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("c_ts"), col("p_ts"), col("value"))
+  }
+
   /** Exactly-once parquet sink for closed sessions: `foreachBatch`
     * writing each micro-batch to its own `batch_id=<id>` partition
     * directory with OVERWRITE. Spark's exactly-once contract is

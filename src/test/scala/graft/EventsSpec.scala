@@ -138,6 +138,24 @@ class EventsSpec extends SparkSpec {
       (ts("2026-01-01 11:00:00"), "view", 1L, 3.0, 1L)))
   }
 
+  test("attribution credits the latest click inside the window, nulls otherwise") {
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "click", 0.0),
+      (2L, 1L, ts("2026-01-01 10:30:00"), "click", 0.0),
+      (3L, 1L, ts("2026-01-01 10:45:00"), "purchase", 9.0), // -> click 2, 15 min ago
+      (4L, 1L, ts("2026-01-01 12:00:00"), "purchase", 7.0), // last click > 1h old -> null
+      (5L, 2L, ts("2026-01-01 11:00:00"), "purchase", 5.0), // user has no clicks -> null
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.attribution(events).collect().map(r =>
+      (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got === Seq(
+      (3L, Some(2L), Some(15L * 60 * 1000000)),
+      (4L, None, None),
+      (5L, None, None)))
+  }
+
   test("cohortRetention counts users by first-activity week and offset") {
     // weeks (Mondays): 2026-01-05, 2026-01-12, 2026-01-19
     val events = Seq(

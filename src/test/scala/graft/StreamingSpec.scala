@@ -440,4 +440,24 @@ class StreamingSpec extends SparkSpec {
         (ts("2026-01-01 11:00:00"), 1L, 3.0)))
     } finally q.stop()
   }
+
+  test("streaming attribution candidates are exactly the in-window click pairs") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = EventsStream.attributionCandidates(df)
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, 1L, ts("2026-01-01 10:00:00"), "click", 0.0),
+        (2L, 1L, ts("2026-01-01 10:30:00"), "click", 0.0),
+        (3L, 1L, ts("2026-01-01 10:45:00"), "purchase", 9.0), // both clicks in window
+        (4L, 1L, ts("2026-01-01 12:00:00"), "purchase", 7.0), // no click within 1h
+        (5L, 2L, ts("2026-01-01 10:40:00"), "click", 0.0))    // other user
+      q.processAllAvailable()
+      val got = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got === Set((3L, 1L), (3L, 2L)))
+    } finally q.stop()
+  }
 }
