@@ -34,6 +34,7 @@ object SparkEntry {
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
     "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
     "fin_resample_ffill"   -> ((s, d) => FinAnalytics.resampleFfill(Tables(s, d).events)),
+    "fin_range_day_sum"    -> ((s, d) => FinAnalytics.rangeDaySum(Tables(s, d).events)),
     "maint_scd2_build"     -> ((s, d) => Maintenance.scd2Build(Tables(s, d).events)),
     "events_cohort"        -> ((s, d) => Events.cohortRetention(Tables(s, d).events)),
     "events_attribution"   -> ((s, d) => Events.attribution(Tables(s, d).events)),
@@ -311,6 +312,15 @@ FROM lagged ORDER BY user_id, day"""
         |    ROWS UNBOUNDED PRECEDING) AS close_filled,
         |  close IS NULL AS is_gap
         |FROM j ORDER BY user_id, day""".stripMargin),
+    "fin_range_day_sum" -> (closesCte +
+      """
+        |SELECT user_id, day, close,
+        |  CAST(round(sum(CAST(close AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) + 0.0 AS sum7,
+        |  CAST(count(*) OVER w AS BIGINT) AS n7
+        |FROM closes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin),
     "maint_scd2_build" ->
       """WITH hist AS (
         |  SELECT user_id, day, value FROM (

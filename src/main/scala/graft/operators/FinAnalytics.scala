@@ -414,6 +414,25 @@ object FinAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Trailing 7-CALENDAR-DAY close sum/count per key — a RANGE frame
+    * over event time, not a ROWS frame over positions: when the
+    * series has calendar gaps (this data does), "last 7 days" and
+    * "last 7 rows" genuinely differ, and a time-window metric must
+    * use the former. The frame is ordered by exact epoch seconds
+    * (date → timestamp → long), so both engines bound the window
+    * with integer comparisons; the sum is exact decimal.
+    */
+  def rangeDaySum(events: DataFrame, days: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("day").cast("timestamp").cast("long"))
+      .rangeBetween(-(days - 1).toLong * 86400L, 0L)
+    closes(events)
+      .withColumn("sum7", outD(sum(dec2(col("close"))).over(w), 2))
+      .withColumn("n7", count(lit(1)).over(w).cast("long"))
+      .select(col("user_id"), col("day"), col("close"), col("sum7"), col("n7"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Calendar resample with forward fill: a dense daily spine per
     * key (min→max observed day) left-joined to the close series, gaps
     * filled with the last known close — the reference's

@@ -137,6 +137,21 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(rows((2L, 3L)) === None)
   }
 
+  test("rangeDaySum bounds the frame by calendar time, not row count") {
+    val gapped = Seq(
+      (1L, 9L, ts("2026-01-01 16:00:00"), "t", 10.0),
+      (2L, 9L, ts("2026-01-02 16:00:00"), "t", 20.0),
+      (3L, 9L, ts("2026-01-12 16:00:00"), "t", 40.0), // > 7 days after both
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = FinAnalytics.rangeDaySum(gapped).collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(3), r.getLong(4))).toSeq
+    // a ROWS frame would put 20.0 (the previous ROW) in Jan 12's window
+    assert(got === Seq(
+      ("2026-01-01", 10.0, 1L),
+      ("2026-01-02", 30.0, 2L),
+      ("2026-01-12", 40.0, 1L)))
+  }
+
   test("resampleFfill fills calendar gaps with the last known close") {
     // user 1 has closes on Jan 1-3; drop Jan 2's tick to make a gap
     val gappy = events.filter("event_id <> 3")
