@@ -98,7 +98,15 @@ object ScaleProbe {
       "ann_lsh" -> time("ann_lsh")(operators.Similarity.annLsh(src.embeddings,
         Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
         queriesAreCorpusDerived = Some(true)).count()),
-      "embed_neardup" -> time("embed_neardup")(operators.Similarity.embeddingNearDup(src.embeddings).count()))
+      "embed_neardup" -> time("embed_neardup")(operators.Similarity.embeddingNearDup(src.embeddings).count()),
+      "attribution" -> time("attribution")(operators.Events.attribution(e1).count()),
+      "cohort" -> time("cohort")(operators.Events.cohortRetention(e1).count()),
+      "resample_ffill" -> time("resample_ffill")(operators.FinAnalytics.resampleFfill(e1).count()),
+      "corr_pairs" -> time("corr_pairs")(operators.FinAnalytics.corrPairs(e1).count()),
+      "range_day_sum" -> time("range_day_sum")(operators.FinAnalytics.rangeDaySum(e1).count()),
+      // FIXED query set at both scales, like ann_lsh above
+      "ann_pq" -> time("ann_pq")(operators.Similarity.annPq(src.embeddings,
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0))).count()))
     println("== 10x ==")
     val s = Map(
       "q1_pricing" -> time("q1_pricing")(operators.Analytics.pricingSummary(li10).count()),
@@ -125,7 +133,16 @@ object ScaleProbe {
         queriesAreCorpusDerived = Some(true)).count()),
       // Θ(n²) by definition — expect ~100x here; recorded to keep the
       // exact-baseline cost visible next to its sub-quadratic companions
-      "embed_neardup" -> time("embed_neardup")(operators.Similarity.embeddingNearDup(emb10).count()))
+      "embed_neardup" -> time("embed_neardup")(operators.Similarity.embeddingNearDup(emb10).count()),
+      "attribution" -> time("attribution")(operators.Events.attribution(events10).count()),
+      "cohort" -> time("cohort")(operators.Events.cohortRetention(events10).count()),
+      "resample_ffill" -> time("resample_ffill")(operators.FinAnalytics.resampleFfill(events10).count()),
+      // watchlist size is FIXED (top 20) — the pair fan-out must not
+      // grow with corpus depth, only the per-day return series does
+      "corr_pairs" -> time("corr_pairs")(operators.FinAnalytics.corrPairs(events10).count()),
+      "range_day_sum" -> time("range_day_sum")(operators.FinAnalytics.rangeDaySum(events10).count()),
+      "ann_pq" -> time("ann_pq")(operators.Similarity.annPq(emb10,
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0))).count()))
     println("== scaling factor (10x data / 1x time; 10 = linear) ==")
     b.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-22s ${s(k) / b(k)}%6.1f x")

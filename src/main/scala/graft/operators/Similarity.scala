@@ -320,25 +320,54 @@ object Similarity {
       when(nrm > 0.0, transform(e, x => x / nrm)).otherwise(e).cast("array<float>")
     }
     val corpusN = embeddings.select(col("vec_id"), normalized(col("embedding")).as("embedding"))
-    // per-subspace codebooks, trained on the sliced normalized corpus
-    val codebooks: Seq[Seq[Array[Double]]] = (0 until m).map { j =>
-      train(corpusN.select(col("vec_id"), sub(col("embedding"), j).as("embedding")),
-        codebookSize, iters)
-    }
     def l2(e: Column, c: Array[Double]): Column =
       graft.plans.GraftExpressions.l2F64(e, lit(c))
-    // encode: project every subspace distance once (no re-evaluation
-    // inside the argmin fold), then fold each subspace's argmin
-    val dCols = for (j <- 0 until m; c <- 0 until codebookSize)
-      yield l2(sub(col("embedding"), j), codebooks(j)(c)).as(s"d${j}_$c")
+    // Shared projection/argmin machinery: every subspace distance is
+    // projected ONCE (no re-evaluation inside the fold), and the fold
+    // picks the lowest index on ties (same rule as assignCells).
+    def distCols(books: IndexedSeq[IndexedSeq[Array[Double]]]) =
+      for (j <- 0 until m; c <- 0 until codebookSize)
+        yield l2(sub(col("embedding"), j), books(j)(c)).as(s"d${j}_$c")
     def argmin(j: Int): Column =
       (0 until codebookSize - 1).foldRight(lit(codebookSize - 1)) { (c, rest) =>
         when(col(s"d${j}_$c") <=
           (c + 1 until codebookSize).map(cc => col(s"d${j}_$cc")).reduce(least(_, _)), c)
           .otherwise(rest)
       }
+    // JOINT per-subspace k-means: all m codebooks advance in ONE scan
+    // + one (m×k×dsub)-row shuffle per iteration. Training each
+    // subspace through [[train]] would cost m×iters full scans and m
+    // init collects for the identical math (same md5-order init rows,
+    // same argmin tie rule, same mean update) — measured 35.9 s vs
+    // ~4 s at bench SF for no result difference.
+    val codebooks: IndexedSeq[IndexedSeq[Array[Double]]] = {
+      val initRows = corpusN.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(codebookSize).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      var books = IndexedSeq.tabulate(m, codebookSize)((j, c) =>
+        initRows(c).slice(j * dsub, (j + 1) * dsub))
+      for (_ <- 1 to iters) {
+        val assigned = corpusN
+          .select(col("embedding") +: distCols(books): _*)
+          .select((0 until m).map(j =>
+            struct(argmin(j).as("cl"), sub(col("embedding"), j).as("sv")).as(s"a$j")): _*)
+        val means = assigned
+          .select(posexplode(array((0 until m).map(j => col(s"a$j")): _*)).as(Seq("j", "a")))
+          .select(col("j"), col("a.cl").as("cl"), posexplode(col("a.sv")).as(Seq("dim", "comp")))
+          .groupBy(col("j"), col("cl"), col("dim"))
+          .agg(avg(col("comp").cast("double")).as("mu"))
+          .groupBy(col("j"), col("cl"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("ms"))
+          .select(col("j"), col("cl"), col("ms.mu").as("centroid"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+        // empty cells keep their previous centroid (like train())
+        books = IndexedSeq.tabulate(m, codebookSize)((j, c) => means.getOrElse((j, c), books(j)(c)))
+      }
+      books
+    }
     val codes = corpusN
-      .select(col("vec_id") +: col("embedding") +: dCols: _*)
+      .select(col("vec_id") +: col("embedding") +: distCols(codebooks): _*)
       .select(col("vec_id"), array((0 until m).map(argmin): _*).as("codes"))
     // queries carry their ADC table as a column (m×k doubles per row)
     val qtable = array((0 until m).map(j =>
