@@ -106,7 +106,8 @@ object ScaleProbe {
       "range_day_sum" -> time("range_day_sum")(operators.FinAnalytics.rangeDaySum(e1).count()),
       // FIXED query set at both scales, like ann_lsh above
       "ann_pq" -> time("ann_pq")(operators.Similarity.annPq(src.embeddings,
-        Some(src.embeddings.filter(col("vec_id") % 100 === 0))).count()))
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
+        queriesAreCorpusDerived = Some(true)).count()))
     println("== 10x ==")
     val s = Map(
       "q1_pricing" -> time("q1_pricing")(operators.Analytics.pricingSummary(li10).count()),
@@ -142,7 +143,8 @@ object ScaleProbe {
       "corr_pairs" -> time("corr_pairs")(operators.FinAnalytics.corrPairs(events10).count()),
       "range_day_sum" -> time("range_day_sum")(operators.FinAnalytics.rangeDaySum(events10).count()),
       "ann_pq" -> time("ann_pq")(operators.Similarity.annPq(emb10,
-        Some(src.embeddings.filter(col("vec_id") % 100 === 0))).count()))
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
+        queriesAreCorpusDerived = Some(true)).count()))
     println("== scaling factor (10x data / 1x time; 10 = linear) ==")
     b.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-22s ${s(k) / b(k)}%6.1f x")

@@ -32,19 +32,27 @@ object Curation {
   private def hex60Bucket(id: org.apache.spark.sql.Column, n: Int) =
     hex60(id.cast("string")) % n
 
-  /** Deterministic stratified sample: the k pseudo-random docs per
-    * stratum, chosen by md5-order within the stratum. One shuffle on
-    * the stratum key; the window only tracks a row counter.
+  /** The deterministic within-stratum order both samplers rank by:
+    * md5 of the id (pseudo-random, unbiased by ingest order), id
+    * tiebreak. Shared by [[sampleStratified]] and [[balanceStrata]] —
+    * and pinned by their oracles — so the rule lives in one place.
     */
-  def sampleStratified(documents: DataFrame, k: Int = 20): DataFrame = {
+  private def mdRanked(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     documents
       .select(col("doc_id"), col("lang"))
       .withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** Deterministic stratified sample: the k pseudo-random docs per
+    * stratum, chosen by md5-order within the stratum. One shuffle on
+    * the stratum key; the window only tracks a row counter.
+    */
+  def sampleStratified(documents: DataFrame, k: Int = 20): DataFrame =
+    mdRanked(documents)
       .filter(col("rn") <= k)
       .orderBy(col("lang"), col("rn"))
-  }
 
   /** Sequence packing for LLM pretraining: concatenate the corpus in
     * doc_id order and chunk it into fixed `budget`-token sequences
@@ -134,10 +142,7 @@ object Curation {
   def balanceStrata(documents: DataFrame): DataFrame = {
     val minN = documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("min_n"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    documents.select(col("doc_id"), col("lang"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+    mdRanked(documents)
       .crossJoin(broadcast(minN))
       .filter(col("rn") <= col("min_n"))
       .select(col("doc_id"), col("lang"), col("rn"))

@@ -116,11 +116,10 @@ object FinAnalytics {
     * formula runs in doubles.
     */
   def corrPairs(events: DataFrame, topN: Int = 20): DataFrame = {
-    val c = closes(events)
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-    val rets = c.withColumn("prev", lag(col("close"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
-      .select(col("user_id"), col("day"), dec6(col("close") / col("prev") - lit(1.0)).as("r"))
+    // compose returns() so the return DEFINITION (zero/null-prev
+    // guards) has exactly one home, like volatility does
+    val rets = returns(events)
+      .select(col("user_id"), col("day"), dec6(col("ret")).as("r"))
     val top = events.groupBy(col("user_id")).agg(count(lit(1)).as("n_ticks"))
       .orderBy(col("n_ticks").desc, col("user_id")).limit(topN)
       .select(col("user_id"))
@@ -418,14 +417,19 @@ object FinAnalytics {
     * over event time, not a ROWS frame over positions: when the
     * series has calendar gaps (this data does), "last 7 days" and
     * "last 7 rows" genuinely differ, and a time-window metric must
-    * use the former. The frame is ordered by exact epoch seconds
-    * (date → timestamp → long), so both engines bound the window
-    * with integer comparisons; the sum is exact decimal.
+    * use the former. The frame is ordered by exact epoch DAY counts
+    * (datediff from 1970-01-01 — timezone-proof, unlike epoch
+    * seconds), so both engines bound the window with integer
+    * comparisons; the sum is exact decimal.
     */
   def rangeDaySum(events: DataFrame, days: Int = 7): DataFrame = {
+    // ordered by epoch DAY COUNT, not epoch seconds: date→timestamp
+    // goes through the session timezone, where a DST transition makes
+    // one calendar day 90000 s and an 86400-multiple RANGE bound
+    // silently drops it; datediff is timezone-proof
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("day").cast("timestamp").cast("long"))
-      .rangeBetween(-(days - 1).toLong * 86400L, 0L)
+      .orderBy(datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      .rangeBetween(-(days - 1).toLong, 0L)
     closes(events)
       .withColumn("sum7", outD(sum(dec2(col("close"))).over(w), 2))
       .withColumn("n7", count(lit(1)).over(w).cast("long"))

@@ -304,7 +304,7 @@ object Similarity {
     */
   def annPq(embeddings: DataFrame, queries: Option[DataFrame] = None,
             k: Int = 5, m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
-            rerank: Int = 50): DataFrame = {
+            rerank: Int = 50, queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
     val dim = LshPlanes.dim
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
@@ -344,8 +344,12 @@ object Similarity {
       val initRows = corpusN.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(codebookSize).collect()
         .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      require(initRows.nonEmpty, "annPq needs a non-empty corpus")
+      // a corpus smaller than the codebook pads by reuse: duplicate
+      // centroids never win the lowest-index argmin, so they are
+      // permanently-empty cells rather than a driver crash
       var books = IndexedSeq.tabulate(m, codebookSize)((j, c) =>
-        initRows(c).slice(j * dsub, (j + 1) * dsub))
+        initRows(c % initRows.length).slice(j * dsub, (j + 1) * dsub))
       for (_ <- 1 to iters) {
         val assigned = corpusN
           .select(col("embedding") +: distCols(books): _*)
@@ -380,7 +384,7 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
     val wA = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
     val cands = codes
-      .join(broadcast(qs), notSelf(corpusDerived = queries.isEmpty))
+      .join(broadcast(qs), notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
       .withColumn("adist", adist)
       .withColumn("ra", row_number().over(wA))
       .filter(col("ra") <= rerank)

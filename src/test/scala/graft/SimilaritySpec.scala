@@ -62,7 +62,7 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(pq1.toSeq === pq2.toSeq, "seeded codebooks must be reproducible")
     assert(pq1.map(_._1).distinct.length === exact.size, "every query answers")
-    // 8-byte codes over 64 dims are a coarse sketch; the 20-candidate
+    // 8-byte codes over 64 dims are a coarse sketch; the 50-candidate
     // exact re-rank recovers most of the true top-5
     val byQ = pq1.map(t => (t._1, t._2)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = exact.map { case (q, want) =>
