@@ -36,6 +36,10 @@ object SparkEntry {
     "fin_resample_ffill"   -> ((s, d) => FinAnalytics.resampleFfill(Tables(s, d).events)),
     "fin_range_day_sum"    -> ((s, d) => FinAnalytics.rangeDaySum(Tables(s, d).events)),
     "maint_scd2_build"     -> ((s, d) => Maintenance.scd2Build(Tables(s, d).events)),
+    "maint_snapshot_diff"  -> ((s, d) => Maintenance.snapshotDiff(Tables(s, d).events)),
+    "maint_agg_merge"      -> ((s, d) => Maintenance.aggMerge(Tables(s, d).events)),
+    "dedup_decontaminate"  -> ((s, d) => Dedup.decontaminate(Tables(s, d).documents)),
+    "text_normalize"       -> ((s, d) => TextOps.normalize(Tables(s, d).documents)),
     "events_cohort"        -> ((s, d) => Events.cohortRetention(Tables(s, d).events)),
     "events_attribution"   -> ((s, d) => Events.attribution(Tables(s, d).events)),
     "fin_last_update"       -> ((s, d) => Maintenance.lastUpdate(Tables(s, d).orders)),
@@ -321,6 +325,51 @@ FROM lagged ORDER BY user_id, day"""
         |WINDOW w AS (PARTITION BY user_id ORDER BY day
         |             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day""".stripMargin),
+    "maint_snapshot_diff" ->
+      """WITH cut AS (SELECT date_trunc('second', max(ts)) - INTERVAL 2 DAY AS cutoff FROM events),
+        |prev AS (SELECT user_id, day, value AS old_value, TRUE AS in_old FROM (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events CROSS JOIN cut WHERE ts < cutoff) WHERE rn = 1 AND op = 'U'),
+        |cur AS (SELECT user_id, day, value AS new_value, TRUE AS in_new FROM (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND op = 'U')
+        |SELECT coalesce(prev.user_id, cur.user_id) AS user_id,
+        |  coalesce(prev.day, cur.day) AS day, old_value, new_value,
+        |  CASE WHEN in_old IS NULL THEN 'added'
+        |       WHEN in_new IS NULL THEN 'removed'
+        |       WHEN old_value IS DISTINCT FROM new_value THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM prev FULL OUTER JOIN cur
+        |  ON prev.user_id = cur.user_id AND prev.day = cur.day
+        |ORDER BY user_id, day""".stripMargin,
+    "maint_agg_merge" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(count(value) AS BIGINT) AS n,
+        |  CASE WHEN count(value) > 0
+        |       THEN CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0
+        |  END AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+    "dedup_decontaminate" ->
+      (s"""WITH t AS (SELECT doc_id, source, $toksExpr AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |  unnest([array_to_string(w[i:i+7], ' ') FOR i IN range(1, greatest(len(w)-7, 0) + 1)]) AS s
+        |  FROM t WHERE len(w) >= 8),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        |SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared
+        |FROM sh JOIN ev USING (s) WHERE source <> 'src0'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_chars,
+        |  md5(norm) AS norm_hash, norm <> text AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
     "maint_scd2_build" ->
       """WITH hist AS (
         |  SELECT user_id, day, value FROM (

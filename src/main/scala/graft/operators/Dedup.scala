@@ -20,6 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Training-set decontamination: flag every TRAIN document that
+    * shares at least one w-token shingle with the EVAL set — the
+    * benchmark-leakage sweep every LLM data pipeline runs before
+    * training. Output is (contaminated doc, #distinct shared
+    * shingles); docs shorter than w tokens have no shingles and
+    * cannot be flagged.
+    *
+    * Scale shape: eval sets are benchmark-sized (≪ corpus), so the
+    * distinct eval-shingle set BROADCASTS and the train side is one
+    * scan + shingle explode + map-side-combined count; nothing
+    * corpus-sized crosses a shuffle except the contaminated doc ids.
+    * The token array is projected before [[shinglesOf]] (the HOF
+    * lambda-inlining rule — re-splitting the doc per offset is
+    * O(n²)).
+    */
+  def decontaminate(documents: DataFrame, evalSource: String = "src0", w: Int = 8): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shinglesOf(col("toks"), w))).as("shingle"))
+    val evalSh = sh.filter(col("source") === evalSource).select(col("shingle")).distinct()
+    sh.filter(col("source") =!= evalSource)
+      .join(broadcast(evalSh), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup groups: md5(text) → keeper = min(doc_id), group
     * size. One hash-partitioned aggregation; no sort.
     */

@@ -105,6 +105,36 @@ object Maintenance {
       .orderBy(col("event_id"))
   }
 
+  /** Snapshot reconciliation: classify every (key, day) as added /
+    * removed / changed / unchanged between the CDC snapshot as of a
+    * cutoff and the current one — the audit step after any
+    * incremental maintenance run. Built on [[cdcApply]] twice (so
+    * tombstones can genuinely REMOVE keys between snapshots) and a
+    * single full-outer join on the snapshot key; value comparison is
+    * null-safe. At scale both snapshots are keyed aggregates of the
+    * change log, each one shuffle, and the diff join is co-partitioned
+    * on the same key.
+    */
+  def snapshotDiff(events: DataFrame, days: Int = 2): DataFrame = {
+    val cutoff = events.agg(
+      (date_trunc("second", max(col("ts"))) - expr(s"INTERVAL $days DAYS")).as("cutoff"))
+    // explicit presence markers: a key may legitimately carry a NULL
+    // value, so "old_value IS NULL" cannot mean "absent from old"
+    val prev = cdcApply(events.crossJoin(broadcast(cutoff))
+        .filter(col("ts") < col("cutoff")).drop("cutoff"))
+      .select(col("user_id"), col("day"), col("value").as("old_value"), lit(true).as("in_old"))
+    val cur = cdcApply(events)
+      .select(col("user_id"), col("day"), col("value").as("new_value"), lit(true).as("in_new"))
+    prev.join(cur, Seq("user_id", "day"), "full_outer")
+      .withColumn("status",
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("old_value") <=> col("new_value")), "changed")
+          .otherwise("unchanged"))
+      .select(col("user_id"), col("day"), col("old_value"), col("new_value"), col("status"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** SCD-2 dimension build: collapse the per-(key, day) latest-value
     * history into validity intervals — one row per VERSION (runs of
     * equal values merge), `[valid_from, valid_to)` half-open with
@@ -129,6 +159,43 @@ object Maintenance {
       .select(col("user_id"), col("value"), col("day").as("valid_from"),
         col("valid_to"), col("valid_to").isNull.as("is_current"))
       .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  /** Incremental aggregate-state maintenance: merge the pre-computed
+    * per-(key, day) aggregate STATE of the old data with the delta's
+    * aggregates — never re-scanning the old facts — and the gate
+    * proves merged ≡ full recompute. This works because the state is
+    * MERGEABLE: counts add, and the sums are exact decimals
+    * (associative regardless of partitioning or merge order); a
+    * double sum would NOT survive this equivalence. The additive
+    * companion to [[upsert]]'s keep-latest merge, and the batch
+    * analog of a streaming agg's state update: at 100 TB you
+    * maintain the aggregate table by merging yesterday's state with
+    * today's delta, one delta-sized shuffle.
+    */
+  def aggMerge(events: DataFrame, days: Int = 2): DataFrame = {
+    import graft.functions.Exact.{dec2, outD}
+    val cutoff = events.agg(
+      (date_trunc("second", max(col("ts"))) - expr(s"INTERVAL $days DAYS")).as("cutoff"))
+    def state(df: DataFrame): DataFrame = {
+      val day = date_trunc("day", col("ts")).cast("date").as("day")
+      df.select(col("user_id"), day, col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(col("value")).as("n"), sum(dec2(col("value"))).as("total"))
+    }
+    val tagged = events.crossJoin(broadcast(cutoff))
+    val oldState = state(tagged.filter(col("ts") < col("cutoff")))
+      .withColumnsRenamed(Map("n" -> "n_old", "total" -> "t_old"))
+    val delta = state(tagged.filter(col("ts") >= col("cutoff")))
+      .withColumnsRenamed(Map("n" -> "n_new", "total" -> "t_new"))
+    val n = coalesce(col("n_old"), lit(0L)) + coalesce(col("n_new"), lit(0L))
+    oldState.join(delta, Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day"), n.as("n"),
+        // an all-NULL-value group has n = 0 and must stay NULL (the
+        // recompute's sum over no non-null rows), not become 0.00
+        when(n > 0, outD(coalesce(col("t_old"), lit(0).cast("decimal(12,2)")) +
+          coalesce(col("t_new"), lit(0).cast("decimal(12,2)")), 2)).as("total_value"))
+      .orderBy(col("user_id"), col("day"))
   }
 
   /** CDC apply: materialize a snapshot from a change log with DELETE
