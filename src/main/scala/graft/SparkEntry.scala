@@ -30,6 +30,13 @@ object SparkEntry {
     "q_union_dedup"        -> ((s, d) => Analytics.unionDedup(Tables(s, d).orders)),
     "q_factfact_pruned"    -> ((s, d) => { val t = Tables(s, d); Analytics.factFactPruned(t.orders, t.lineitem) }),
     "q_semi_urgent"        -> ((s, d) => { val t = Tables(s, d); Analytics.existsUrgent(t.customer, t.orders) }),
+    "q_above_avg"          -> ((s, d) => Analytics.aboveAvg(Tables(s, d).orders)),
+    "fin_bollinger"        -> ((s, d) => FinAnalytics.bollinger(Tables(s, d).events)),
+    "fin_rsi"              -> ((s, d) => FinAnalytics.rsi(Tables(s, d).events)),
+    "events_rfm"           -> ((s, d) => Events.rfm(Tables(s, d).events)),
+    "events_transitions"   -> ((s, d) => Events.transitions(Tables(s, d).events)),
+    "events_json_props"    -> ((s, d) => Events.jsonProps(Tables(s, d).events)),
+    "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d).documents)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
     "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
@@ -415,6 +422,129 @@ FROM lagged ORDER BY user_id, day"""
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) + 0.0 AS o_totalprice,
+        |  round(avg_price, 6) + 0.0 AS cust_avg
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |          / count(*) OVER (PARTITION BY o_custkey) AS avg_price
+        |      FROM orders)
+        |WHERE o_totalprice > avg_price ORDER BY o_orderkey""".stripMargin,
+    "fin_bollinger" -> (closesCte +
+      """
+        |, b AS (SELECT user_id, day, close,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    sum(CAST(close AS DECIMAL(12,2))) OVER w AS s,
+        |    sum(CAST(close AS DECIMAL(12,2)) * CAST(close AS DECIMAL(12,2))) OVER w AS s2
+        |  FROM closes
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *, CAST(s AS DOUBLE) / n AS ma20,
+        |    CASE WHEN n > 1 THEN round(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) + 0.0 END AS std20
+        |  FROM b),
+        |u AS (SELECT *,
+        |    CASE WHEN std20 IS NOT NULL THEN round(ma20 + 2.0 * std20, 6) + 0.0 END AS upper,
+        |    CASE WHEN std20 IS NOT NULL THEN round(ma20 - 2.0 * std20, 6) + 0.0 END AS lower
+        |  FROM m)
+        |SELECT user_id, day, close, ma20, std20, upper, lower,
+        |  CASE WHEN upper > lower THEN round((close - lower) / (upper - lower), 6) + 0.0 END AS pct_b
+        |FROM u ORDER BY user_id, day""".stripMargin),
+    "fin_rsi" -> (closesCte +
+      """
+        |, d AS (SELECT user_id, day, close,
+        |    CASE WHEN close > prev THEN CAST(round(close - prev, 6) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS gain,
+        |    CASE WHEN close < prev THEN CAST(round(prev - close, 6) AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS loss
+        |  FROM (SELECT user_id, day, close,
+        |          lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev FROM closes)
+        |  WHERE prev IS NOT NULL),
+        |s AS (SELECT user_id, day, close,
+        |    sum(gain) OVER w AS sg, sum(loss) OVER w AS sl
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day, close,
+        |  CASE WHEN sl > 0 THEN round(100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE) / CAST(sl AS DOUBLE)), 6) + 0.0
+        |       WHEN sg > 0 THEN 100.0 END AS rsi14
+        |FROM s ORDER BY user_id, day""".stripMargin),
+    "events_rfm" ->
+      """WITH per AS (SELECT user_id, max(CAST(date_trunc('day', ts) AS DATE)) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS frequency, sum(CAST(value AS DECIMAL(12,2))) AS mon
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT max(last_day) AS anchor_day, sum(frequency) AS total_events,
+        |    sum(mon) AS total_mon, count(*) AS n_users FROM per),
+        |s AS (SELECT user_id, frequency, mon,
+        |    CAST(date_diff('day', last_day, anchor_day) AS BIGINT) AS recency_days,
+        |    CAST(total_events AS DOUBLE) / CAST(n_users AS DOUBLE) AS avg_f,
+        |    CAST(total_mon AS DOUBLE) / CAST(n_users AS DOUBLE) AS avg_m
+        |  FROM per CROSS JOIN g),
+        |sc AS (SELECT user_id, recency_days, frequency, mon,
+        |    CASE WHEN recency_days <= 3 THEN 3 WHEN recency_days <= 10 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN CAST(frequency AS DOUBLE) >= 2.0 * avg_f THEN 3
+        |         WHEN CAST(frequency AS DOUBLE) >= avg_f THEN 2 ELSE 1 END AS f_score,
+        |    CASE WHEN CAST(mon AS DOUBLE) >= 2.0 * avg_m THEN 3
+        |         WHEN CAST(mon AS DOUBLE) >= avg_m THEN 2 ELSE 1 END AS m_score
+        |  FROM s)
+        |SELECT user_id, recency_days, frequency,
+        |  CAST(round(mon, 2) AS DOUBLE) + 0.0 AS monetary,
+        |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CASE WHEN r_score = 3 AND f_score >= 2 AND m_score >= 2 THEN 'champion'
+        |       WHEN r_score >= 2 AND f_score >= 2 THEN 'loyal'
+        |       WHEN r_score = 1 AND f_score >= 2 THEN 'at_risk'
+        |       WHEN r_score >= 2 THEN 'new'
+        |       ELSE 'dormant' END AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
+    "events_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) + 0.0 AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "events_json_props" ->
+      """WITH k AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(k) AS BIGINT) AS n_k,
+        |  min(k) AS k_min, max(k) AS k_max, CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CASE WHEN count(k) > 0 THEN CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) + 0.0 END AS k_mean
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_repetition" ->
+      (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS token, generate_subscripts(w, 1) AS pos FROM t),
+        |tc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
+        |agg1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tok
+        |  FROM tc GROUP BY doc_id),
+        |top AS (SELECT doc_id, token AS top_token, CAST(cnt AS BIGINT) AS top_n FROM (
+        |    SELECT doc_id, token, cnt,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn FROM tc)
+        |  WHERE rn = 1),
+        |g2 AS (SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, greatest(len(w)-1, 0) + 1)]) AS s
+        |  FROM t WHERE len(w) >= 2),
+        |gc AS (SELECT doc_id, s, count(*) AS cnt FROM g2 GROUP BY doc_id, s),
+        |agg2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total2,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup2
+        |  FROM gc GROUP BY doc_id),
+        |r AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY pos) IS DISTINCT FROM token
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM tok),
+        |rid AS (SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS run_id FROM r),
+        |rl AS (SELECT doc_id, run_id, count(*) AS run_len FROM rid GROUP BY doc_id, run_id),
+        |agg3 AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run FROM rl GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, top_token, top_n,
+        |  round(CAST(top_n AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS top_frac,
+        |  round(CAST(dup_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS dup_token_frac,
+        |  round(CAST(dup2 AS DOUBLE) / CAST(total2 AS DOUBLE), 6) + 0.0 AS dup_2gram_frac,
+        |  max_run
+        |FROM agg1 JOIN top USING (doc_id) JOIN agg2 USING (doc_id) JOIN agg3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     "fin_ohlc_unpivot" ->
       """WITH ohlc AS (
         |  SELECT user_id, day,

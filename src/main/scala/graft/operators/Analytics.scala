@@ -123,6 +123,26 @@ object Analytics {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** Correlated-subquery shape — "orders above their customer's own
+    * average" — decorrelated into a whole-partition window instead of
+    * a self-join against a grouped subquery: ONE shuffle on the
+    * correlation key, no join at all, and each row compares against
+    * its partition's average in place. The average is an exact
+    * decimal sum over an integer count so the comparison double is
+    * bit-identical across engines.
+    */
+  def aboveAvg(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("avg_price",
+        sum(dec2(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        outD(dec2(col("o_totalprice")), 2).as("o_totalprice"),
+        (round(col("avg_price"), 6) + lit(0.0)).as("cust_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Global order-by + limit — plans as TakeOrderedAndProject (per-
     * partition top-k, no full sort shuffle).
     */

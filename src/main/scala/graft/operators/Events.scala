@@ -305,6 +305,91 @@ object Events {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * classic lifecycle-marketing profile. One hash aggregation on
+    * user_id produces the raw metrics; the 1-row global stats
+    * (anchor day, corpus means) broadcast back, so scoring is
+    * map-side. Scores compare against the corpus means with the
+    * SAME double expression in both engines (exact integer/decimal
+    * inputs → deterministic IEEE comparisons); recency is an exact
+    * day difference from the newest activity in the corpus.
+    */
+  def rfm(events: DataFrame): DataFrame = {
+    val per = events
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(dec2(col("value"))).as("mon"))
+    val global = per.agg(max(col("last_day")).as("anchor_day"),
+      sum(col("frequency")).as("total_events"),
+      sum(col("mon")).as("total_mon"),
+      count(lit(1)).as("n_users"))
+    val avgF = col("total_events").cast("double") / col("n_users").cast("double")
+    val avgM = col("total_mon").cast("double") / col("n_users").cast("double")
+    val mond = col("mon").cast("double")
+    val freqd = col("frequency").cast("double")
+    per.crossJoin(broadcast(global))
+      .withColumn("recency_days", datediff(col("anchor_day"), col("last_day")).cast("long"))
+      .withColumn("r_score",
+        when(col("recency_days") <= 3, 3L).when(col("recency_days") <= 10, 2L).otherwise(1L))
+      .withColumn("f_score",
+        when(freqd >= lit(2.0) * avgF, 3L).when(freqd >= avgF, 2L).otherwise(1L))
+      .withColumn("m_score",
+        when(mond >= lit(2.0) * avgM, 3L).when(mond >= avgM, 2L).otherwise(1L))
+      .withColumn("segment",
+        when(col("r_score") === 3 && col("f_score") >= 2 && col("m_score") >= 2, "champion")
+          .when(col("r_score") >= 2 && col("f_score") >= 2, "loyal")
+          .when(col("r_score") === 1 && col("f_score") >= 2, "at_risk")
+          .when(col("r_score") >= 2, "new")
+          .otherwise("dormant"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        outD(col("mon"), 2).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"), col("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  /** First-order Markov transition matrix of the event stream: for
+    * each (from_type → to_type) pair of CONSECUTIVE events per user,
+    * the pair count and the transition probability. One shuffle on
+    * user_id for the lead(), then a partial-aggregated rollup to
+    * |types|² rows; the probability is an IEEE quotient of two exact
+    * longs (unrounded — bit-identical in every engine, same rule as
+    * [[cohortRetention]]).
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(ord))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("prob", col("n").cast("double") / col("n_from").cast("double") + lit(0.0))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Semi-structured extraction: the JSON `props` payload parsed at
+    * scan time (`get_json_object` — codegen'd, no UDF), the extracted
+    * metric aggregated per event_type. The parse happens map-side on
+    * the scan; the shuffle carries |types| rows of exact-integer
+    * partial aggregates. Null/absent keys stay null and are counted
+    * separately from rows.
+    */
+  def jsonProps(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    events
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        sum(col("k")).as("k_sum"))
+      .withColumn("k_mean",
+        when(col("n_k") > 0, col("k_sum").cast("double") / col("n_k").cast("double") + lit(0.0)))
+      .orderBy(col("event_type"))
+  }
+
   /** Revenue per part ranked within brand (dense_rank ≤ 3) — the
     * windowed top-N pattern; part dimension broadcasts.
     */

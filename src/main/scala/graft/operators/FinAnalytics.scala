@@ -314,6 +314,67 @@ object FinAnalytics {
       .orderBy(col("event_id"))
   }
 
+  /** Bollinger bands over the daily close: 20-bar moving average ±
+    * 2× the 20-bar sample stddev, plus %B (where the close sits
+    * inside the band). The reference's financialData carries exactly
+    * this family of band/average metrics (fiftyDayAverage + 52-week
+    * extremes, sql/sqlrequests.sql:60); Bollinger is the canonical
+    * composition of the two. The stddev uses the same exact-decimal
+    * moment sums as [[volatility]] (n·Σx² − (Σx)² over DECIMAL(12,2)
+    * closes), so results are partition-count-independent; band edges
+    * and %B derive from the ROUNDED stddev so both engines replay
+    * identical double arithmetic. One closes-family shuffle.
+    */
+  def bollinger(events: DataFrame, bars: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day")).rowsBetween(-(bars - 1), 0)
+    val c2 = dec2(col("close"))
+    closes(events)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(c2).over(w))
+      .withColumn("s2", sum(c2 * c2).over(w))
+      .withColumn("ma20", col("s").cast("double") / col("n"))
+      .withColumn("std20", when(col("n") > 1,
+        round(sqrt((col("n").cast("double") * col("s2").cast("double")
+          - col("s").cast("double") * col("s").cast("double"))
+          / (col("n").cast("double") * (col("n") - 1).cast("double"))), 6) + lit(0.0)))
+      .withColumn("upper", when(col("std20").isNotNull,
+        round(col("ma20") + lit(2.0) * col("std20"), 6) + lit(0.0)))
+      .withColumn("lower", when(col("std20").isNotNull,
+        round(col("ma20") - lit(2.0) * col("std20"), 6) + lit(0.0)))
+      .withColumn("pct_b", when(col("upper") > col("lower"),
+        round((col("close") - col("lower")) / (col("upper") - col("lower")), 6) + lit(0.0)))
+      .select(col("user_id"), col("day"), col("close"), col("ma20"), col("std20"),
+        col("upper"), col("lower"), col("pct_b"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** 14-bar RSI (Cutler's simple-average form — window sums, not
+    * Wilder's recursive smoothing, so the metric is pure Column
+    * algebra over the same closes partitioning instead of an
+    * inherently sequential scan). Gains/losses are exact decimals;
+    * rs = Σgain/Σloss runs in doubles over exact sums. A window with
+    * zero losses and any gain saturates at 100; a flat window (no
+    * gains either) has no defined RSI.
+    */
+  def rsi(events: DataFrame, bars: Int = 14): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w = ord.rowsBetween(-(bars - 1), 0)
+    val zero6 = lit(0).cast("decimal(18,6)")
+    closes(events)
+      .withColumn("prev", lag(col("close"), 1).over(ord))
+      .filter(col("prev").isNotNull)
+      .withColumn("gain", when(col("close") > col("prev"), dec6(col("close") - col("prev"))).otherwise(zero6))
+      .withColumn("loss", when(col("close") < col("prev"), dec6(col("prev") - col("close"))).otherwise(zero6))
+      .withColumn("sg", sum(col("gain")).over(w))
+      .withColumn("sl", sum(col("loss")).over(w))
+      .withColumn("rsi14",
+        when(col("sl") > 0, round(lit(100.0) - lit(100.0)
+          / (lit(1.0) + col("sg").cast("double") / col("sl").cast("double")), 6) + lit(0.0))
+          .when(col("sg") > 0, lit(100.0)))
+      .select(col("user_id"), col("day"), col("close"), col("rsi14"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Maximum drawdown per key: largest peak-to-trough loss ratio of
     * the daily close series (running peak via unbounded-preceding
     * window max — one pass, no self-join). Zero/negative peaks have

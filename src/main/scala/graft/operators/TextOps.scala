@@ -209,6 +209,56 @@ object TextOps {
     * (min-hash winnowing); short docs fall back to whole-text md5.
     * Grouping by fingerprint clusters near-identical prefixes cheaply.
     */
+  /** Repetition metrics per document — the Gopher-style "repetitive
+    * junk" filters for pretraining curation: most-frequent-token
+    * share, share of token occurrences that are duplicates, share of
+    * 2-gram occurrences that are duplicates, and the longest run of
+    * one token repeated consecutively. High values on any of these
+    * mark boilerplate/spam documents a quality pass should drop.
+    *
+    * Scale shape: ONE up-front repartition on doc_id, then every
+    * stage (token counts, 2-gram counts, run-length windows, the
+    * three per-doc reductions and their joins) is clustered by
+    * doc_id and reuses that single Exchange — hash(doc_id) satisfies
+    * the (doc_id, token)/(doc_id, gram) groupings too, so nothing
+    * reshuffles the exploded rows. Work is linear in corpus tokens.
+    * The top token tiebreaks deterministically (max count, then
+    * lexicographically smallest token) via a single min(struct)
+    * aggregate, no second window pass.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val base = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tok = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+    val tokCounts = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    val perTok = tokCounts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_tok"),
+        // argmax with min-token tiebreak: min over (−cnt, token)
+        min(struct((-col("cnt")).as("nc"), col("token").as("t"))).as("top"))
+    val gram = base.select(col("doc_id"), explode(shinglesOf(col("toks"), 2)).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("total2"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup2"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = tok
+      .withColumn("chg", when(lag(col("token"), 1).over(ord).isNull ||
+        col("token") =!= lag(col("token"), 1).over(ord), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id")).agg(max(col("run_len")).as("max_run"))
+    perTok.join(gram, "doc_id").join(runs, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        col("top.t").as("top_token"), (-col("top.nc")).as("top_n"),
+        (round((-col("top.nc")).cast("double") / col("n_tokens").cast("double"), 6) + lit(0.0)).as("top_frac"),
+        (round(col("dup_tok").cast("double") / col("n_tokens").cast("double"), 6) + lit(0.0)).as("dup_token_frac"),
+        (round(col("dup2").cast("double") / col("total2").cast("double"), 6) + lit(0.0)).as("dup_2gram_frac"),
+        col("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
   def fingerprint(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))

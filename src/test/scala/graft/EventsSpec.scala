@@ -177,4 +177,60 @@ class EventsSpec extends SparkSpec {
       ("2026-01-12", 0L) -> ((1L, 1.0)),
       ("2026-01-12", 1L) -> ((1L, 1.0))))
   }
+
+  test("transitions counts consecutive per-user pairs; probabilities sum to 1 per from_type") {
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "view", 1.0),
+      (2L, 1L, ts("2026-01-01 10:01:00"), "click", 1.0),
+      (3L, 1L, ts("2026-01-01 10:02:00"), "purchase", 1.0),
+      (4L, 2L, ts("2026-01-01 11:00:00"), "view", 1.0),
+      (5L, 2L, ts("2026-01-01 11:05:00"), "view", 1.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("click", "purchase", 1L, 1L, 1.0),
+      ("view", "click", 1L, 2L, 0.5),
+      ("view", "view", 1L, 2L, 0.5)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("rfm scores users against corpus means with recency anchored to the newest day") {
+    val events = Seq(
+      // user 1: 4 events on the anchor day, mon 40 -> champion
+      (1L, 1L, ts("2026-01-10 10:00:00"), "view", 10.0),
+      (2L, 1L, ts("2026-01-10 11:00:00"), "view", 10.0),
+      (3L, 1L, ts("2026-01-10 12:00:00"), "view", 10.0),
+      (4L, 1L, ts("2026-01-10 13:00:00"), "view", 10.0),
+      // user 2: 2 events 5 days back, mon 20 -> recent but light: "new"
+      (5L, 2L, ts("2026-01-05 10:00:00"), "view", 10.0),
+      (6L, 2L, ts("2026-01-05 11:00:00"), "view", 10.0),
+      // user 3: 1 old small event -> dormant
+      (7L, 3L, ts("2025-12-29 10:00:00"), "view", 1.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.rfm(events).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    // corpus means: avg_f = 7/3 ≈ 2.33, avg_m = 61/3 ≈ 20.33
+    assert(got.toSeq === Seq(
+      (1L, 0L, 4L, 40.0, 3L, 2L, 2L, "champion"),
+      (2L, 5L, 2L, 20.0, 2L, 1L, 1L, "new"),
+      (3L, 12L, 1L, 1.0, 1L, 1L, 1L, "dormant")))
+  }
+
+  test("jsonProps extracts the JSON metric and counts missing keys separately") {
+    val events = Seq(
+      ("a", """{"k": 5}"""),
+      ("a", """{"k": 7}"""),
+      ("b", """{"x": 1}"""),
+    ).toDF("event_type", "props")
+    val got = Events.jsonProps(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6))))
+    assert(got.toSeq === Seq(
+      ("a", 2L, 2L, Some(5L), Some(7L), Some(12L), Some(6.0)),
+      ("b", 1L, 0L, None, None, None, None)))
+  }
 }

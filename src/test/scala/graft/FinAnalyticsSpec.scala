@@ -164,6 +164,43 @@ class FinAnalyticsSpec extends SparkSpec {
       ("2026-01-03", 30.0, false)))
   }
 
+  test("bollinger: constant series collapses the band; rising series brackets the close") {
+    val rows = FinAnalytics.bollinger(events).collect()
+    // user 2 (constant 50), day 3: ma = 50, std = 0, band collapsed, %B undefined
+    val u2 = rows.filter(_.getLong(0) == 2L).map(r =>
+      (r.getDate(1).toString, r.getDouble(3), r.get(4), r.get(5), r.get(6), r.get(7)))
+    assert(u2.last === (("2026-01-03", 50.0, 0.0, 50.0, 50.0, null)))
+    // user 2 day 1: single bar -> no std/band yet
+    assert(u2.head === (("2026-01-01", 50.0, null, null, null, null)))
+    // user 1 day 2: closes 10, 20 -> mean 15, sample std sqrt(50)
+    val u1d2 = rows.find(r => r.getLong(0) == 1L && r.getDate(1).toString == "2026-01-02").get
+    assert(u1d2.getDouble(4) === 7.071068)  // round(sqrt(50), 6)
+    assert(u1d2.getDouble(5) === 29.142136) // 15 + 2*std
+    assert(u1d2.getDouble(6) === 0.857864)  // 15 - 2*std
+    val pctB = u1d2.getDouble(7)
+    assert(math.abs(pctB - (20.0 - 0.857864) / (29.142136 - 0.857864)) < 1e-6)
+  }
+
+  test("rsi saturates at 100 on all-gain windows, 0 on all-loss, undefined when flat") {
+    val ev = Seq(
+      (1L, 1L, ts("2026-01-01 12:00:00"), "t", 10.0),
+      (2L, 1L, ts("2026-01-02 12:00:00"), "t", 20.0),
+      (3L, 1L, ts("2026-01-03 12:00:00"), "t", 30.0), // all gains
+      (4L, 2L, ts("2026-01-01 12:00:00"), "t", 50.0),
+      (5L, 2L, ts("2026-01-02 12:00:00"), "t", 50.0), // flat
+      (6L, 3L, ts("2026-01-01 12:00:00"), "t", 30.0),
+      (7L, 3L, ts("2026-01-02 12:00:00"), "t", 20.0),
+      (8L, 3L, ts("2026-01-03 12:00:00"), "t", 10.0), // all losses
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = FinAnalytics.rsi(ev).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> Option(r.get(3))).toMap
+    assert(got((1L, "2026-01-02")) === Some(100.0))
+    assert(got((1L, "2026-01-03")) === Some(100.0))
+    assert(got((2L, "2026-01-02")) === None)
+    assert(got((3L, "2026-01-02")) === Some(0.0))
+    assert(got((3L, "2026-01-03")) === Some(0.0))
+  }
+
   test("splineFeatures basis is a partition of unity with local support") {
     val rows = FinAnalytics.splineFeatures(events).collect()
     assert(rows.nonEmpty)

@@ -72,6 +72,19 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition measures token/2-gram duplication and the longest run") {
+    val docs = Seq(
+      (1L, "a a a b"),   // run of 3, "a a" 2-gram repeats
+      (2L, "x y x y")).toDF("doc_id", "text") // tie on counts -> lexicographic top token
+    val got = TextOps.repetition(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+    // doc 1: 4 tokens (a×3 dup), 2-grams [a a, a a, a b] -> 2/3 dup
+    assert(got(1L) === ((4L, "a", 3L, 0.75, 0.75, 0.666667, 3L)))
+    // doc 2: all tokens duplicated, "x y" twice of 3, never consecutive
+    assert(got(2L) === ((4L, "x", 2L, 0.5, 1.0, 0.666667, 1L)))
+  }
+
   test("fingerprint is identical for identical token streams, and falls back on short docs") {
     val docs = Seq(
       (1L, "a b c d e f g"),
