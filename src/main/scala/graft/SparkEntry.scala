@@ -37,6 +37,9 @@ object SparkEntry {
     "events_transitions"   -> ((s, d) => Events.transitions(Tables(s, d).events)),
     "events_json_props"    -> ((s, d) => Events.jsonProps(Tables(s, d).events)),
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d).documents)),
+    "fin_macd"             -> ((s, d) => FinAnalytics.macd(Tables(s, d).events)),
+    "events_gap_quantiles" -> ((s, d) => Events.gapQuantiles(Tables(s, d).events)),
+    "curate_token_budget"  -> ((s, d) => Curation.tokenBudget(Tables(s, d).documents)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
     "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
@@ -213,7 +216,73 @@ SELECT user_id, day, close,
 FROM lagged ORDER BY user_id, day"""
   }
 
+  /** fin_macd oracle — both truncated EWMAs generated from the SAME
+    * exact-decimal weight literals the operator uses
+    * ([[operators.FinAnalytics.macdFastWeights]]/[[operators.FinAnalytics.macdSlowWeights]])
+    * with identical term order and decimal types, so the exact sums
+    * replay bit-for-bit before the double divisions.
+    */
+  private def macdOracle: String = {
+    val fast = operators.FinAnalytics.macdFastWeights
+    val slow = operators.FinAnalytics.macdSlowWeights
+    val nLags = fast.length max slow.length
+    val lags = (0 until nLags).map { j =>
+      if (j == 0) "CAST(close AS DECIMAL(12,2)) AS c0"
+      else s"lag(CAST(close AS DECIMAL(12,2)), $j) OVER (PARTITION BY user_id ORDER BY day) AS c$j"
+    }.mkString(",\n    ")
+    def numDen(ws: Seq[String], wScale: Int): (String, String) = {
+      val wPrec = wScale + 2
+      val pScale = wScale + 2
+      val pPrec = pScale + 13
+      val num = ws.zipWithIndex.map { case (w, j) =>
+        s"coalesce(c$j * CAST('$w' AS DECIMAL($wPrec,$wScale)), CAST(0 AS DECIMAL($pPrec,$pScale)))"
+      }.mkString("\n      + ")
+      val den = ws.zipWithIndex.map { case (w, j) =>
+        s"CASE WHEN c$j IS NOT NULL THEN CAST('$w' AS DECIMAL($wPrec,$wScale)) ELSE CAST(0 AS DECIMAL($wPrec,$wScale)) END"
+      }.mkString("\n      + ")
+      (num, den)
+    }
+    val (nf, df) = numDen(fast, 10)
+    val (ns, ds) = numDen(slow, 11)
+    closesCte + s"""
+, lagged AS (SELECT user_id, day, close,
+    $lags
+  FROM closes),
+e AS (SELECT user_id, day, close,
+  round(CAST($nf AS DOUBLE)
+    / CAST($df AS DOUBLE), 6) + 0.0 AS ewma_fast,
+  round(CAST($ns AS DOUBLE)
+    / CAST($ds AS DOUBLE), 6) + 0.0 AS ewma_slow
+  FROM lagged)
+SELECT user_id, day, close, ewma_fast, ewma_slow,
+  round(ewma_fast - ewma_slow, 6) + 0.0 AS macd
+FROM e ORDER BY user_id, day"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "fin_macd" -> macdOracle,
+    "events_gap_quantiles" ->
+      """WITH g AS (SELECT event_type, event_id,
+        |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS DOUBLE) AS value
+        |  FROM events),
+        |r AS (SELECT event_type, value, event_id,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g WHERE value IS NOT NULL)
+        |SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+        |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "curate_token_budget" ->
+      (s"""WITH t AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_toks,
+        |    md5(CAST(doc_id AS VARCHAR)) AS md FROM documents),
+        |o AS (SELECT doc_id, n_toks,
+        |    CAST(coalesce(sum(n_toks) OVER (ORDER BY md, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t)
+        |SELECT doc_id, n_toks, off, off + n_toks <= 10000 AS complete
+        |FROM o WHERE off < 10000 ORDER BY off, doc_id""".stripMargin),
     "top_parts_heap" ->
       """SELECT p_brand, l_partkey, CAST(round(revenue, 2) AS DOUBLE) + 0.0 AS revenue, rank FROM (
         |  SELECT p_brand, l_partkey,

@@ -94,6 +94,41 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget selection: take documents in md5(doc_id) order —
+    * pseudo-random, reproducible — until a global token budget is
+    * reached (the "sample N tokens from this corpus" step of
+    * pretraining-mix construction). The doc whose span crosses the
+    * budget is kept and flagged `complete = false` (callers truncate
+    * it at `budget − off` tokens).
+    *
+    * The global running offset is the SAME distributed two-pass
+    * prefix sum as [[packSequences]], but ordered by the md5 rank:
+    * the top byte of the md5 is the range key (prefix-monotone in
+    * the md5 string order, so per-range order ∘ range order = global
+    * order), pass 1 reduces each of the 256 ranges to one subtotal,
+    * pass 2 broadcasts range offsets back. One scan + a tiny
+    * broadcast regardless of corpus size; no global sort or window.
+    */
+  def tokenBudget(documents: DataFrame, budget: Long = 10000L): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("md", md5(col("doc_id").cast("string")))
+      .withColumn("part", conv(substring(col("md"), 1, 2), 16, 10).cast("long"))
+    val wPart = Window.partitionBy(lit(0)).orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("part")).agg(sum(col("n_toks")).as("psum"))
+      .withColumn("part_off", coalesce(sum(col("psum")).over(wPart), lit(0L)))
+      .select(col("part"), col("part_off"))
+    val wIn = Window.partitionBy(col("part")).orderBy(col("md"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "part")
+      .withColumn("off", col("part_off") + coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+      .filter(col("off") < budget)
+      .select(col("doc_id"), col("n_toks"), col("off"),
+        (col("off") + col("n_toks") <= budget).as("complete"))
+      .orderBy(col("off"), col("doc_id"))
+  }
+
   /** The demo mixture the registered `curate_mix` query uses:
     * src0-4 kept whole, src5-9 at half rate, everything else falls
     * to the default quarter rate. Rates are integer per-10000

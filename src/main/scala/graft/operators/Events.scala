@@ -390,6 +390,25 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Exact p50/p90/p99 of the inter-arrival gap (µs between
+    * consecutive same-user events) per event_type — latency/dwell
+    * analytics composed from two existing scale shapes: the per-user
+    * lead() window (one shuffle on user_id) feeds
+    * [[FinAnalytics.valueQuantiles]]'s two-pass histogram rank
+    * selection, so the gaps are never globally sorted. Gaps are
+    * exact integer microseconds attributed to the earlier event's
+    * type; the µs→double cast is lossless below 2⁵³.
+    */
+  def gapQuantiles(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .withColumn("next_ts", lead(col("ts"), 1).over(ord))
+      .filter(col("next_ts").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        (unix_micros(col("next_ts")) - unix_micros(col("ts"))).cast("double").as("value"))
+    FinAnalytics.valueQuantiles(gaps)
+  }
+
   /** Revenue per part ranked within brand (dense_rank ≤ 3) — the
     * windowed top-N pattern; part dimension broadcasts.
     */

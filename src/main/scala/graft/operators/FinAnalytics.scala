@@ -474,6 +474,57 @@ object FinAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Exact truncated-EWMA weight literals (1−α)^j, shared verbatim
+    * with the oracle SQL. `oneMinusAlphaTenths` is (1−α)·10 — only
+    * terminating decimals are allowed, so the j-th power has exactly
+    * j fractional digits and `scale` digits always suffice.
+    */
+  def ewmaWeights(oneMinusAlphaTenths: Int, span: Int, scale: Int): Seq[String] =
+    (0 until span).map(j =>
+      java.math.BigDecimal.valueOf(oneMinusAlphaTenths.toLong, 1).pow(j).setScale(scale).toPlainString)
+
+  /** MACD spans/weights: fast = α 0.2 truncated at 10 lags (the same
+    * series [[ewma]] publishes), slow = α 0.1 truncated at 12 lags
+    * (scale 11 keeps the 12-term exact-decimal sum inside
+    * DECIMAL(38) on both engines). Truncation drops 0.8¹⁰ ≈ 10.7% /
+    * 0.9¹² ≈ 28% of total weight, but the adjusted normalization
+    * (divide by the sum of INCLUDED weights) keeps both unbiased.
+    */
+  val macdFastWeights: Seq[String] = ewmaWeights(8, 10, 10)
+  val macdSlowWeights: Seq[String] = ewmaWeights(9, 12, 11)
+
+  /** MACD momentum: fast truncated EWMA minus slow truncated EWMA of
+    * the daily close. Both EWMAs are fixed linear combinations of
+    * lagged closes with EXACT decimal weights ([[macdFastWeights]] /
+    * [[macdSlowWeights]]) — pure window algebra over the one
+    * closes-family shuffle; only the final num/den divisions and the
+    * subtraction run in doubles, and the subtraction uses the
+    * ROUNDED fast/slow values so both engines replay it identically.
+    */
+  def macd(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    def ewmaOf(ws: Seq[String], wScale: Int): Column = {
+      val pScale = wScale + 2
+      val terms = ws.zipWithIndex.map { case (w, j) =>
+        val x = if (j == 0) dec2(col("close")) else lag(dec2(col("close")), j).over(ord)
+        (x, lit(w).cast(DecimalType(wScale + 2, wScale)))
+      }
+      val num = terms.map { case (x, w) =>
+        coalesce(x * w, lit(0).cast(DecimalType(pScale + 13, pScale))) }.reduce(_ + _)
+      val den = terms.map { case (x, w) =>
+        when(x.isNotNull, w).otherwise(lit(0).cast(DecimalType(wScale + 2, wScale))) }.reduce(_ + _)
+      round(num.cast("double") / den.cast("double"), 6) + lit(0.0)
+    }
+    closes(events)
+      .withColumn("ewma_fast", ewmaOf(macdFastWeights, 10))
+      .withColumn("ewma_slow", ewmaOf(macdSlowWeights, 11))
+      .withColumn("macd", round(col("ewma_fast") - col("ewma_slow"), 6) + lit(0.0))
+      .select(col("user_id"), col("day"), col("close"),
+        col("ewma_fast"), col("ewma_slow"), col("macd"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Trailing 7-CALENDAR-DAY close sum/count per key — a RANGE frame
     * over event time, not a ROWS frame over positions: when the
     * series has calendar gaps (this data does), "last 7 days" and

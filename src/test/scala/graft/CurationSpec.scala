@@ -119,6 +119,24 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 0L, 16L), (1L, 2L, 8L), (2L, 0L, 2L)))
   }
 
+  test("tokenBudget keeps the md5-ordered prefix and flags the crossing doc") {
+    val six = (1L to 6L).map(i => (i, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val got = Curation.tokenBudget(six, budget = 12L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // 5 tokens per doc: offsets 0, 5, 10 fit under 12; the doc at 10
+    // crosses the budget (kept, incomplete); offset 15 is cut
+    assert(got.map(t => (t._2, t._3, t._4)).toSeq === Seq(
+      (5L, 0L, true), (5L, 5L, true), (5L, 10L, false)))
+    // deterministic selection (md5 order, not ingest order)
+    val again = Curation.tokenBudget(six, budget = 12L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === again.toSeq)
+    // a budget beyond the corpus keeps everything, all complete
+    val all = Curation.tokenBudget(six, budget = 1000L).collect()
+    assert(all.length === 6 && all.forall(_.getBoolean(3)))
+    assert(all.map(_.getLong(2)).sorted.toSeq === Seq(0L, 5L, 10L, 15L, 20L, 25L))
+  }
+
   test("csv and json round-trips preserve data with explicit schemas") {
     val df = Seq((1L, "a,b\"c", 1.5), (2L, "plain", -0.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString

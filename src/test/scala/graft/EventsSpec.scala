@@ -220,6 +220,22 @@ class EventsSpec extends SparkSpec {
       (3L, 12L, 1L, 1.0, 1L, 1L, 1L, "dormant")))
   }
 
+  test("gapQuantiles ranks exact inter-arrival microsecond gaps per type") {
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "a", 1.0),
+      (2L, 1L, ts("2026-01-01 10:01:00"), "a", 1.0), // gap 60 s
+      (3L, 1L, ts("2026-01-01 10:03:00"), "a", 1.0), // gap 120 s
+      (4L, 1L, ts("2026-01-01 10:06:00"), "a", 1.0), // gap 180 s (then none)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = Events.gapQuantiles(events).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getString(0) === "a" && row.getLong(1) === 3L)
+    assert(row.getDouble(2) === 120e6) // p50: rank (3+1)/2 = 2
+    assert(row.getDouble(3) === 180e6) // p90: rank 3
+    assert(row.getDouble(4) === 180e6) // p99: rank 3
+  }
+
   test("jsonProps extracts the JSON metric and counts missing keys separately") {
     val events = Seq(
       ("a", """{"k": 5}"""),

@@ -201,6 +201,17 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(got((3L, "2026-01-03")) === Some(0.0))
   }
 
+  test("macd is zero on a constant series and positive when fast memory sees higher closes") {
+    val rows = FinAnalytics.macd(events).collect()
+    // user 2: constant 50 -> both ewmas 50, macd exactly 0
+    val u2 = rows.filter(_.getLong(0) == 2L)
+    assert(u2.forall(r => r.getDouble(3) === 50.0 && r.getDouble(4) === 50.0 && r.getDouble(5) === 0.0))
+    // user 1 rising 10, 20, 30: day-1 macd 0 (one bar), then fast > slow
+    val u1 = rows.filter(_.getLong(0) == 1L).map(r => (r.getDate(1).toString, r.getDouble(5)))
+    assert(u1.head === (("2026-01-01", 0.0)))
+    assert(u1.drop(1).forall(_._2 > 0.0))
+  }
+
   test("splineFeatures basis is a partition of unity with local support") {
     val rows = FinAnalytics.splineFeatures(events).collect()
     assert(rows.nonEmpty)
