@@ -104,6 +104,10 @@ object ScaleProbe {
       "resample_ffill" -> time("resample_ffill")(operators.FinAnalytics.resampleFfill(e1).count()),
       "corr_pairs" -> time("corr_pairs")(operators.FinAnalytics.corrPairs(e1).count()),
       "range_day_sum" -> time("range_day_sum")(operators.FinAnalytics.rangeDaySum(e1).count()),
+      "macd" -> time("macd")(operators.FinAnalytics.macd(e1).count()),
+      "gap_quantiles" -> time("gap_quantiles")(operators.Events.gapQuantiles(e1).count()),
+      "repetition" -> time("repetition")(operators.TextOps.repetition(d1).count()),
+      "token_budget" -> time("token_budget")(operators.Curation.tokenBudget(d1).count()),
       // FIXED query set at both scales, like ann_lsh above
       "ann_pq" -> time("ann_pq")(operators.Similarity.annPq(src.embeddings,
         Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
@@ -142,6 +146,12 @@ object ScaleProbe {
       // grow with corpus depth, only the per-day return series does
       "corr_pairs" -> time("corr_pairs")(operators.FinAnalytics.corrPairs(events10).count()),
       "range_day_sum" -> time("range_day_sum")(operators.FinAnalytics.rangeDaySum(events10).count()),
+      "macd" -> time("macd")(operators.FinAnalytics.macd(events10).count()),
+      "gap_quantiles" -> time("gap_quantiles")(operators.Events.gapQuantiles(events10).count()),
+      "repetition" -> time("repetition")(operators.TextOps.repetition(docs10).count()),
+      // budget scales with the corpus so the probe measures the
+      // prefix-sum machinery, not a fixed-size early cut
+      "token_budget" -> time("token_budget")(operators.Curation.tokenBudget(docs10, budget = 100000L).count()),
       "ann_pq" -> time("ann_pq")(operators.Similarity.annPq(emb10,
         Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
         queriesAreCorpusDerived = Some(true)).count()))

@@ -40,6 +40,7 @@ object SparkEntry {
     "fin_macd"             -> ((s, d) => FinAnalytics.macd(Tables(s, d).events)),
     "events_gap_quantiles" -> ((s, d) => Events.gapQuantiles(Tables(s, d).events)),
     "curate_token_budget"  -> ((s, d) => Curation.tokenBudget(Tables(s, d).documents)),
+    "events_anomaly"       -> ((s, d) => Events.anomalies(Tables(s, d).events)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
     "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
@@ -564,6 +565,24 @@ FROM e ORDER BY user_id, day"""
         |       WHEN r_score >= 2 THEN 'new'
         |       ELSE 'dormant' END AS segment
         |FROM sc ORDER BY user_id""".stripMargin,
+    "events_anomaly" ->
+      """WITH b AS (SELECT event_id, user_id, value,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(12,2))) OVER w AS s,
+        |    sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w AS s2
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT *, CAST(s AS DOUBLE) / n AS mean,
+        |    CASE WHEN n > 1 THEN round(sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) + 0.0 END AS sd
+        |  FROM b),
+        |z AS (SELECT *, CASE WHEN sd > 0.0
+        |    THEN round((value - mean) / sd, 6) + 0.0 END AS zscore FROM m)
+        |SELECT event_id, user_id, value, zscore,
+        |  coalesce(abs(zscore) > 3.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
     "events_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type

@@ -190,6 +190,46 @@ object EventsStream {
       }
   }
 
+  case class TransitionEvent(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+
+  /** The single remembered event per user between micro-batches. */
+  case class LastEvent(tsMs: Long, eventId: Long, eventType: String)
+
+  /** One consecutive-pair observation — the streaming unit the batch
+    * [[graft.operators.Events.transitions]] matrix aggregates.
+    */
+  case class TransitionPair(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming form of [[graft.operators.Events.transitions]]: emits
+    * a (from_type → to_type) pair for every pair of consecutive
+    * same-user events, keeping ONE last-seen event per user as state
+    * (O(keys), independent of stream length) — the "stateful
+    * last-value per key" pattern. Each micro-batch sorts its own
+    * slice by (ts ms, event_id) before folding, matching the batch
+    * window order; events split across micro-batches out of
+    * chronological order pair in arrival order instead (the standard
+    * streaming caveat, same class as [[funnel]]'s). Downstream
+    * aggregation into the probability matrix is a plain streaming
+    * groupBy count — pairs are append-only.
+    */
+  def transitionPairs(events: Dataset[TransitionEvent]): Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[TransitionEvent], state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = Vector.newBuilder[TransitionPair]
+          batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            last.foreach(l => out += TransitionPair(userId, l.eventType, e.event_type))
+            last = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream enrichment against a SLOWLY-CHANGING dimension (SCD
     * type 2): each event joins the dimension VERSION that was valid
     * at its event time — `key matches AND valid_from ≤ ts < valid_to`

@@ -236,6 +236,29 @@ class EventsSpec extends SparkSpec {
     assert(row.getDouble(4) === 180e6) // p99: rank 3
   }
 
+  test("anomalies flags values far from the user's trailing baseline, excluding self") {
+    val base = (1 to 21).map(i =>
+      (i.toLong, 1L, ts(f"2026-01-01 10:${i}%02d:00"), "t", 10.0))
+    val events = (base :+ (22L, 1L, ts("2026-01-01 10:22:00"), "t", 500.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.anomalies(events).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)), r.getBoolean(4)))).toMap
+    // first event: no baseline; constant run: sd = 0 -> no z, no flag
+    assert(got(1L) === ((None, false)))
+    assert(got(10L) === ((None, false)))
+    // the 500 against a constant-10 baseline: sd is 0 -> undefined z,
+    // NOT flagged (a zero-variance baseline can't score)
+    assert(got(22L) === ((None, false)))
+    // now a noisy baseline: alternating 9/11, then a spike
+    val noisy = ((1 to 20).map(i =>
+      (i.toLong, 2L, ts(f"2026-01-01 11:${i}%02d:00"), "t", if (i % 2 == 0) 9.0 else 11.0))
+      :+ (21L, 2L, ts("2026-01-01 11:21:00"), "t", 100.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val spike = Events.anomalies(noisy).collect().filter(_.getLong(0) == 21L).head
+    assert(spike.getBoolean(4), "spike against a noisy baseline must be flagged")
+    assert(spike.getDouble(3) > 50.0) // (100-10)/~1.026
+  }
+
   test("jsonProps extracts the JSON metric and counts missing keys separately") {
     val events = Seq(
       ("a", """{"k": 5}"""),

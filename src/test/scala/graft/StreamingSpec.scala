@@ -215,6 +215,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions pair consecutive events across micro-batches and match batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventsStream.TransitionEvent
+    val input = MemoryStream[TransitionEvent]
+    val q = EventsStream.transitionPairs(input.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 view -> click; user 2 lone view
+      input.addData(
+        TransitionEvent(1L, 1L, ts("2026-01-01 10:00:00"), "view"),
+        TransitionEvent(1L, 2L, ts("2026-01-01 10:01:00"), "click"),
+        TransitionEvent(2L, 3L, ts("2026-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      // batch 2: the remembered last event pairs across the batch cut
+      input.addData(
+        TransitionEvent(1L, 4L, ts("2026-01-01 10:02:00"), "purchase"),
+        TransitionEvent(2L, 5L, ts("2026-01-01 10:05:00"), "view"))
+      q.processAllAvailable()
+
+      val got = spark.table("trans_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(got.toSet === Set(
+        (1L, "view", "click"), (1L, "click", "purchase"), (2L, "view", "view")))
+
+      // pair counts equal the batch transition matrix on the same events
+      val batch = Events.transitions(Seq(
+          (1L, 1L, ts("2026-01-01 10:00:00"), "view", 0.0),
+          (2L, 1L, ts("2026-01-01 10:01:00"), "click", 0.0),
+          (3L, 2L, ts("2026-01-01 10:00:00"), "view", 0.0),
+          (4L, 1L, ts("2026-01-01 10:02:00"), "purchase", 0.0),
+          (5L, 2L, ts("2026-01-01 10:05:00"), "view", 0.0))
+          .toDF("event_id", "user_id", "ts", "event_type", "value"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val streamCounts = got.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.length.toLong }
+      assert(streamCounts === batch)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup verdicts new content against all content ever seen") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.DedupStream
