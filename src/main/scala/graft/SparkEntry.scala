@@ -41,6 +41,7 @@ object SparkEntry {
     "events_gap_quantiles" -> ((s, d) => Events.gapQuantiles(Tables(s, d).events)),
     "curate_token_budget"  -> ((s, d) => Curation.tokenBudget(Tables(s, d).documents)),
     "events_anomaly"       -> ((s, d) => Events.anomalies(Tables(s, d).events)),
+    "q_set_ops"            -> ((s, d) => Analytics.setOpsCustomers(Tables(s, d).orders)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
     "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
@@ -492,6 +493,13 @@ FROM e ORDER BY user_id, day"""
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
     "q_above_avg" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) + 0.0 AS o_totalprice,

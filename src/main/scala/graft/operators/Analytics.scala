@@ -123,6 +123,20 @@ object Analytics {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** Set-operation breadth: customers with an urgent order AND a
+    * high-value order, MINUS those with any failed order —
+    * INTERSECT/EXCEPT over single-column key sets. Catalyst rewrites
+    * both into distinct left-semi/left-anti joins, so each branch is
+    * a pruned single-column scan and the joins shuffle only distinct
+    * keys.
+    */
+  def setOpsCustomers(orders: DataFrame): DataFrame = {
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val high = orders.filter(col("o_totalprice") > 450000.0).select(col("o_custkey"))
+    val failed = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    urgent.intersect(high).except(failed).orderBy(col("o_custkey"))
+  }
+
   /** Correlated-subquery shape — "orders above their customer's own
     * average" — decorrelated into a whole-partition window instead of
     * a self-join against a grouped subquery: ONE shuffle on the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Bucketed
+import graft.sources.{Bucketed, Compaction}
 import org.apache.spark.sql.functions._
 
 /** Bucketed storage must let key-aligned aggregations and self-joins
@@ -39,5 +39,37 @@ class BucketedSpec extends SparkSpec {
     // and the data survives the round-trip
     assert(b.count() === t.events.count())
     spark.sql("DROP TABLE events_bucketed")
+  }
+
+  test("compaction merges small files, preserves data, and range mode clusters keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1L to 10000L).map(i => (i, i % 97, s"row$i")).toDF("id", "k", "s")
+    df.repartition(50).write.mode("overwrite").parquet(s"$dir/frag")
+
+    val r = Compaction.compact(spark, s"$dir/frag", s"$dir/merged",
+      targetFileBytes = 1L << 30)
+    assert(r.filesBefore === 50)
+    assert(r.filesAfter === 1, s"one target-size file expected, got ${r.filesAfter}")
+    val back = spark.read.parquet(s"$dir/merged")
+    assert(back.count() === 10000L)
+    assert(back.agg(sum(col("id"))).head.getLong(0) === df.agg(sum(col("id"))).head.getLong(0))
+
+    // sorted mode: files carry disjoint id ranges (min/max prunable)
+    val r2 = Compaction.compact(spark, s"$dir/frag", s"$dir/sorted",
+      targetFileBytes = r.bytes / 2 + 1, sortBy = Some("id"))
+    assert(r2.outFiles >= 2)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/sorted")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ranges = fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map { f =>
+        val d = spark.read.parquet(f.getPath.toString)
+          .agg(min(col("id")), max(col("id"))).head
+        (d.getLong(0), d.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "range-compacted files must not overlap")
+      case _ =>
+    }
   }
 }
