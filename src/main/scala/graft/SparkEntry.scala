@@ -42,6 +42,8 @@ object SparkEntry {
     "curate_token_budget"  -> ((s, d) => Curation.tokenBudget(Tables(s, d).documents)),
     "events_anomaly"       -> ((s, d) => Events.anomalies(Tables(s, d).events)),
     "q_set_ops"            -> ((s, d) => Analytics.setOpsCustomers(Tables(s, d).orders)),
+    "events_session_paths" -> ((s, d) => Events.sessionPaths(Tables(s, d).events)),
+    "dedup_apply"          -> ((s, d) => Dedup.applyDedup(Tables(s, d).documents)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
     "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
@@ -147,6 +149,24 @@ object SparkEntry {
        |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) + 0.0 >= $threshold ORDER BY a, b""".stripMargin
   /** Exact-decimal element product (engine-parity, see VectorFunctions.dec8). */
   private def dec8(e: String): String = s"CAST(round(CAST($e AS DOUBLE), 8) AS DECIMAL(19,8))"
+
+  /** Connected-components CTE chain (near-dup pairs → edges →
+    * transitive reach) shared by the dedup_components and dedup_apply
+    * oracles; ends with the `reach(node, r)` relation.
+    */
+  private def componentsCtes: String =
+    s"""WITH RECURSIVE ${shinglesCte(3)},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |          WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) + 0.0 >= 0.8),
+       |edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b AS s, a AS d FROM pairs),
+       |gnodes AS (SELECT DISTINCT s AS node FROM edges),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM gnodes
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)""".stripMargin
 
   /** The ann_lsh hyperplanes as a DuckDB nested-list literal — the
     * SAME fixed-point longs the Spark BandSignatures kernel uses
@@ -923,19 +943,18 @@ FROM e ORDER BY user_id, day"""
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle(3, "0.8"),
     "dedup_components" ->
-      (s"""WITH RECURSIVE ${shinglesCte(3)},
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |pairs AS (SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-        |          WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) + 0.0 >= 0.8),
-        |edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b AS s, a AS d FROM pairs),
-        |gnodes AS (SELECT DISTINCT s AS node FROM edges),
-        |reach(node, r) AS (
-        |  SELECT node, node FROM gnodes
-        |  UNION
-        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node)
-        |SELECT node, min(r) AS comp FROM reach GROUP BY node ORDER BY node""".stripMargin),
+      (componentsCtes +
+        "\nSELECT node, min(r) AS comp FROM reach GROUP BY node ORDER BY node"),
+    "dedup_apply" ->
+      (componentsCtes +
+        """
+        |, comps AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        |keep AS (SELECT comp, min(node) AS keeper FROM comps GROUP BY comp)
+        |SELECT d.doc_id, coalesce(k.keeper, d.doc_id) AS keeper_id,
+        |  coalesce(k.keeper, d.doc_id) = d.doc_id AS kept
+        |FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+        |LEFT JOIN keep k ON k.comp = c.comp
+        |ORDER BY d.doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> jaccardOracle(4, "0.5"),
     "dedup_simhash" ->
       (s"""WITH ${shinglesCte(3)},
@@ -1110,6 +1129,19 @@ FROM e ORDER BY user_id, day"""
         |SELECT user_id, session_id, count(*) AS n_events, min(tsec) AS start_ts, max(tsec) AS end_ts,
         |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |        CAST(date_trunc('second', ts) AS TIMESTAMP) AS tsec FROM events),
+        |f AS (SELECT user_id, event_id, ts, tsec, event_type,
+        |        CASE WHEN prev IS NULL OR tsec > prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |      FROM (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+        |p AS (SELECT user_id, session_id,
+        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM s GROUP BY user_id, session_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
     "events_hourly_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value,

@@ -229,6 +229,27 @@ object Dedup {
     labels.orderBy(col("node"))
   }
 
+  /** Apply the near-dup verdicts to the corpus — the step that turns
+    * [[components]]' cluster labels into the deduplicated dataset:
+    * every doc maps to its cluster's canonical keeper (min doc_id),
+    * docs outside any cluster keep themselves, and `kept` marks the
+    * rows that survive. Component labels are cluster-sized (≪
+    * corpus), so both the label join and the keeper join ride
+    * hash(doc_id)-style equi-joins with broadcastable right sides at
+    * any scale where dup clusters are sparse.
+    */
+  def applyDedup(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val comps = components(documents, threshold)
+    val keepers = comps.groupBy(col("comp")).agg(min(col("node")).as("keeper"))
+    documents.select(col("doc_id"))
+      .join(comps.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .join(keepers, Seq("comp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper_id"),
+        (coalesce(col("keeper"), col("doc_id")) === col("doc_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram (w=4) Jaccard self-join with prefix filtering:
     * order shingles by global frequency (rarest first), keep only the
     * first n − ⌈t·n⌉ + 1 per doc as join keys — any pair with

@@ -15,7 +15,23 @@ object Events {
     * outputs use second-truncated timestamps (SURVEY §5: sub-second
     * precision differs across engines).
     */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsec")).as("start_ts"),
+        max(col("tsec")).as("end_ts"),
+        sum(dec2(col("value"))).as("total_value"))
+      .withColumn("total_value", outD(col("total_value"), 2))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** The shared sessionization prefix: per-user 30-min-gap session id
+    * assignment (lag + running sum over ONE user_id shuffle) with the
+    * second-truncated event time as `tsec`. Consumed by
+    * [[sessionize]] (per-session aggregates) and [[sessionPaths]]
+    * (path mining) so the session DEFINITION has exactly one home.
+    */
+  private def sessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
     val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .withColumn("tsec", date_trunc("second", col("ts")))
@@ -25,14 +41,24 @@ object Events {
           col("tsec") > col("prev") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min(col("tsec")).as("start_ts"),
-        max(col("tsec")).as("end_ts"),
-        sum(dec2(col("value"))).as("total_value"))
-      .withColumn("total_value", outD(col("total_value"), 2))
-      .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Clickstream path mining: the top-k most common session paths,
+    * where a path is the '>'-joined event-type sequence of one
+    * session in (ts, event_id) order. Paths reduce per session on the
+    * same user_id shuffle the sessionization already pays (sort_array
+    * over (ts, event_id, type) structs makes the order total), then a
+    * map-side-combined count + TakeOrdered picks the top paths — no
+    * global sort. The long tail of rare paths never leaves the
+    * partial aggregation.
+    */
+  def sessionPaths(events: DataFrame, gapMinutes: Int = 30, k: Int = 10): DataFrame =
+    sessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(expr("transform(evs, e -> e.event_type)"), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
 
   /** Tumbling 1-hour rollup per event_type — the batch mirror of the
     * streaming watermark+window job. Map-side partial aggs; the

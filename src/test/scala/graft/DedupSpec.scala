@@ -109,6 +109,21 @@ class DedupSpec extends SparkSpec {
     assert(got.values.toSet.size < got.size, "must contain a non-trivial cluster")
   }
 
+  test("applyDedup maps every doc to its cluster keeper and keeps exactly the keepers") {
+    val got = Dedup.applyDedup(corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // every doc appears exactly once
+    assert(got.keySet === corpus.map(_._1).toSet)
+    val comps = Dedup.components(corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (doc, (keeper, kept)) =>
+      assert(keeper === comps.getOrElse(doc, doc), s"doc $doc keeper mismatch")
+      assert(kept === (keeper == doc))
+    }
+    // clusters exist, so some docs must be dropped and keepers kept
+    assert(got.values.exists(!_._2) && got.values.exists(_._2))
+  }
+
   test("exact dedup groups identical texts only") {
     val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "different text")).toDF("doc_id", "text")
     val got = Dedup.exact(docs).collect()

@@ -236,6 +236,19 @@ class EventsSpec extends SparkSpec {
     assert(row.getDouble(4) === 180e6) // p99: rank 3
   }
 
+  test("sessionPaths counts '>'-joined per-session type sequences, top by frequency") {
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "view", 1.0),
+      (2L, 1L, ts("2026-01-01 10:10:00"), "click", 1.0),   // session 1: view>click
+      (3L, 1L, ts("2026-01-01 12:00:00"), "purchase", 1.0), // session 2: purchase
+      (4L, 2L, ts("2026-01-01 09:00:00"), "view", 1.0),
+      (5L, 2L, ts("2026-01-01 09:05:00"), "click", 1.0),   // view>click again
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.sessionPaths(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("view>click", 2L), ("purchase", 1L)))
+  }
+
   test("anomalies flags values far from the user's trailing baseline, excluding self") {
     val base = (1 to 21).map(i =>
       (i.toLong, 1L, ts(f"2026-01-01 10:${i}%02d:00"), "t", 10.0))
