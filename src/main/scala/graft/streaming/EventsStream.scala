@@ -190,6 +190,59 @@ object EventsStream {
       }
   }
 
+  case class ValueEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+  /** Ring buffer of the user's last ≤ `bars` values in exact cents —
+    * bounded state per key (20 longs), never event history.
+    */
+  case class BaselineState(recentCents: Seq[Long])
+
+  case class AnomalyVerdict(user_id: Long, event_id: Long, value: Double,
+                            zscore: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming mirror of [[graft.operators.Events.anomalies]]: each
+    * event scored against the SAME user's previous ≤ 20 values,
+    * kept as an exact-cents ring buffer in keyed state. The moment
+    * arithmetic reproduces the batch operator bit-for-bit: the exact
+    * cents sum / 100.0 equals the batch's DECIMAL(12,2)-sum→double
+    * cast (one correctly-rounded division each), the cents² sum /
+    * 10⁴ equals the scale-4 product sum cast, and the z-score uses
+    * the same 6-decimal-rounded stddev. In-order within a
+    * micro-batch via the (ts ms, event_id) sort; cross-batch
+    * stragglers score against the state as of arrival (the standard
+    * streaming caveat, same class as [[funnel]]'s).
+    */
+  def anomalies(events: Dataset[ValueEvent], bars: Int = 20,
+                zCut: Double = 3.0): Dataset[AnomalyVerdict] = {
+    import events.sparkSession.implicits._
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue() + 0.0
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BaselineState, AnomalyVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[ValueEvent], state: GroupState[BaselineState]) =>
+          var recent = state.getOption.map(_.recentCents).getOrElse(Seq.empty)
+          val out = Vector.newBuilder[AnomalyVerdict]
+          batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val n = recent.size
+            val z: Option[Double] = if (n > 1) {
+              val s = recent.sum / 100.0                      // == dec2-sum → double
+              val s2 = recent.map(c => c * c).sum / 1e4       // == scale-4 product sum → double
+              val varNum = n.toDouble * s2 - s * s
+              val sd = round6(math.sqrt(varNum / (n.toDouble * (n - 1).toDouble)))
+              if (sd > 0.0) Some(round6((e.value - s / n) / sd)) else None
+            } else None
+            out += AnomalyVerdict(userId, e.event_id, e.value, z,
+              z.exists(v => math.abs(v) > zCut))
+            recent = (recent :+ cents(e.value)).takeRight(bars)
+          }
+          state.update(BaselineState(recent))
+          out.result().iterator
+      }
+  }
+
   case class TransitionEvent(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
 
   /** The single remembered event per user between micro-batches. */

@@ -215,6 +215,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomalies reproduce the batch z-scores bit-for-bit across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.EventsStream.ValueEvent
+    val input = MemoryStream[ValueEvent]
+    val q = EventsStream.anomalies(input.toDS(), bars = 3)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      // noisy baseline then a spike, split across the batch cut
+      val evs = Seq(
+        ValueEvent(1L, 1L, ts("2026-01-01 10:00:00"), 9.37),
+        ValueEvent(1L, 2L, ts("2026-01-01 10:01:00"), 11.21),
+        ValueEvent(1L, 3L, ts("2026-01-01 10:02:00"), 8.93),
+        ValueEvent(1L, 4L, ts("2026-01-01 10:03:00"), 10.55),
+        ValueEvent(1L, 5L, ts("2026-01-01 10:04:00"), 97.02))
+      input.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(2): _*)
+      q.processAllAvailable()
+
+      val got = spark.table("anom_out").collect()
+        .map(r => r.getLong(1) -> ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+      val batch = graft.operators.Events.anomalies(
+          evs.map(e => (e.event_id, e.user_id, e.ts, "t", e.value))
+            .toDF("event_id", "user_id", "ts", "event_type", "value"),
+          bars = 3)
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+      assert(got === batch)
+      assert(got(5L)._2, "the spike must be flagged")
+      assert(got.values.count(_._1.isDefined) >= 3)
+    } finally q.stop()
+  }
+
   test("streaming transitions pair consecutive events across micro-batches and match batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.EventsStream.TransitionEvent
