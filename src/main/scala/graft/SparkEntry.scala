@@ -44,6 +44,8 @@ object SparkEntry {
     "q_set_ops"            -> ((s, d) => Analytics.setOpsCustomers(Tables(s, d).orders)),
     "events_session_paths" -> ((s, d) => Events.sessionPaths(Tables(s, d).events)),
     "dedup_apply"          -> ((s, d) => Dedup.applyDedup(Tables(s, d).documents)),
+    "text_token_rank"      -> ((s, d) => TextOps.tokenRank(Tables(s, d).documents)),
+    "events_winsorize"     -> ((s, d) => Events.winsorize(Tables(s, d).events)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
     "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
@@ -281,7 +283,52 @@ SELECT user_id, day, close, ewma_fast, ewma_slow,
 FROM e ORDER BY user_id, day"""
   }
 
+  /** text_token_rank oracle — the 3 power iterations unrolled as
+    * CTEs with the IDENTICAL op order and 12-dp contribution
+    * quantization as [[operators.TextOps.tokenRank]].
+    */
+  private def tokenRankOracle(iters: Int = 3, k: Int = 20): String = {
+    val base =
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+         |e0 AS (SELECT unnest(w[1:len(w)-1]) AS src, unnest(w[2:len(w)]) AS dst
+         |       FROM t WHERE len(w) >= 2),
+         |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS wt FROM e0 GROUP BY src, dst),
+         |outw AS (SELECT src, CAST(sum(wt) AS BIGINT) AS wout FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT unnest(w) AS token FROM t),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT token, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) AS rank
+         |       FROM nodes CROSS JOIN nn)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (SELECT dst, sum(CAST(round(r.rank * (CAST(wt AS DOUBLE) / CAST(wout AS DOUBLE)), 12)
+         |             AS DECIMAL(28,12))) AS cin
+         |      FROM edges JOIN outw USING (src) JOIN r${i - 1} r ON r.token = src GROUP BY dst),
+         |r$i AS (SELECT nodes.token,
+         |        CAST(0.15 AS DOUBLE) / CAST(nn.n AS DOUBLE)
+         |          + CAST(0.85 AS DOUBLE) * coalesce(CAST(cin AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+         |      FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.token)""".stripMargin
+    }
+    // top-k membership must come from the RAW rank order (the Spark
+    // side limits before rounding); rounding happens on the survivors
+    (base +: its).mkString(",\n") +
+      s"""
+         |SELECT token, round(rank, 6) + 0.0 AS rank
+         |FROM (SELECT * FROM r$iters ORDER BY rank DESC, token LIMIT $k)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "text_token_rank" -> tokenRankOracle(),
+    "events_winsorize" ->
+      """WITH r AS (SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |q AS (SELECT event_type,
+        |    max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  least(e.value, q.p99) AS value_w, e.value > q.p99 AS clipped
+        |FROM events e JOIN q USING (event_type)
+        |WHERE e.value IS NOT NULL ORDER BY e.event_id""".stripMargin,
     "fin_macd" -> macdOracle,
     "events_gap_quantiles" ->
       """WITH g AS (SELECT event_type, event_id,

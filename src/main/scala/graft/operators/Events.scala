@@ -467,6 +467,22 @@ object Events {
     FinAnalytics.valueQuantiles(gaps)
   }
 
+  /** One-sided winsorization: clamp each value at its event_type's
+    * EXACT p99 — the spike-taming step before aggregates that outlier
+    * values would dominate. Composes [[FinAnalytics.valueQuantiles]]
+    * (two-pass histogram rank selection — facts never sorted); the
+    * 5-row threshold table broadcasts back over one scan.
+    */
+  def winsorize(events: DataFrame): DataFrame = {
+    val q = FinAnalytics.valueQuantiles(events).select(col("event_type"), col("p99"))
+    events.filter(col("value").isNotNull)
+      .join(broadcast(q), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(col("value"), col("p99")).as("value_w"),
+        (col("value") > col("p99")).as("clipped"))
+      .orderBy(col("event_id"))
+  }
+
   /** Revenue per part ranked within brand (dense_rank ≤ 3) — the
     * windowed top-N pattern; part dimension broadcasts.
     */

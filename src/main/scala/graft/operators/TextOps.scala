@@ -259,6 +259,56 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PageRank over the token-adjacency graph — graph analytics as
+    * fixed-point-free iterative dataflow: nodes are distinct tokens,
+    * edges are adjacent-token bigrams weighted by corpus count, and
+    * `iters` unrolled power iterations build ONE declarative plan
+    * (no driver loop state, no actions — Catalyst sees all three
+    * iterations). Edge extraction is the only corpus-sized stage;
+    * every iteration then joins vocabulary-sized frames on `src`.
+    *
+    * Engine parity for an iterative double computation: raw double
+    * sums are partition-order-dependent, so each edge contribution
+    * rank·w/W is rounded to 12 decimals and summed EXACTLY as
+    * DECIMAL(28,12) — the fold is order-independent and the oracle
+    * replays it term-for-term. The damping arithmetic
+    * 0.15/N + 0.85·Σ runs in doubles with the identical op order.
+    * (This computes deterministic 12-dp-quantized PageRank — the
+    * quantization error per iteration is ≤ |E|·5e-13, irrelevant at
+    * rank scale, and both engines compute the same quantity.)
+    */
+  def tokenRank(documents: DataFrame, iters: Int = 3, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dec12(c: Column): Column = round(c, 12).cast(DecimalType(28, 12))
+    val par = documents.sparkSession.sparkContext.defaultParallelism
+    val toks = documents.repartition(par, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val edges = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS src, toks[i] AS dst))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wt"))
+    val outW = edges.groupBy(col("src")).agg(sum(col("wt")).as("wout"))
+    val nodes = toks.select(explode(col("toks")).as("token")).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("n"))
+    var r = nodes.crossJoin(broadcast(nDf))
+      .select(col("token"), (lit(1.0) / col("n").cast("double")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(outW, "src")
+        .join(r.select(col("token").as("src"), col("rank")), "src")
+        .select(col("dst"),
+          dec12(col("rank") * (col("wt").cast("double") / col("wout").cast("double"))).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
+      r = nodes.crossJoin(broadcast(nDf))
+        .join(contrib.select(col("dst").as("token"), col("cin")), Seq("token"), "left")
+        .select(col("token"),
+          (lit(0.15) / col("n").cast("double")
+            + lit(0.85) * coalesce(col("cin").cast("double"), lit(0.0))).as("rank"))
+    }
+    r.orderBy(col("rank").desc, col("token")).limit(k)
+      .select(col("token"), (round(col("rank"), 6) + lit(0.0)).as("rank"))
+  }
+
   def fingerprint(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))

@@ -236,6 +236,19 @@ class EventsSpec extends SparkSpec {
     assert(row.getDouble(4) === 180e6) // p99: rank 3
   }
 
+  test("winsorize clamps values above the exact per-type p99") {
+    val events = (1 to 100).map(i =>
+      (i.toLong, 1L, ts(f"2026-01-01 10:00:${i % 60}%02d"), "a", i.toDouble))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.winsorize(events).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    // p99 of 1..100 = ceil(99*100/100) = rank 99 -> value 99
+    assert(got(100L) === ((99.0, true)))
+    assert(got(99L) === ((99.0, false)))
+    assert(got(50L) === ((50.0, false)))
+    assert(got.values.count(_._2) === 1)
+  }
+
   test("sessionPaths counts '>'-joined per-session type sequences, top by frequency") {
     val events = Seq(
       (1L, 1L, ts("2026-01-01 10:00:00"), "view", 1.0),

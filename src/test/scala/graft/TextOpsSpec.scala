@@ -85,6 +85,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === ((4L, "x", 2L, 0.5, 1.0, 0.666667, 1L)))
   }
 
+  test("tokenRank concentrates rank on tokens with incoming edges, hand-checked") {
+    // graph: a->b (w2), c->b (w1); b dangling; N=3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b")).toDF("doc_id", "text")
+    val got = TextOps.tokenRank(docs).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // iter1: b = 0.05 + 0.85*(1/3 + 1/3); a,c = 0.05 (no in-edges)
+    // iter2+: b = 0.05 + 0.85*(0.05 + 0.05) = 0.135
+    assert(got.keySet === Set("a", "b", "c"))
+    assert(got("b") === 0.135)
+    assert(got("a") === 0.05 && got("c") === 0.05)
+  }
+
   test("fingerprint is identical for identical token streams, and falls back on short docs") {
     val docs = Seq(
       (1L, "a b c d e f g"),
