@@ -46,6 +46,8 @@ object SparkEntry {
     "dedup_apply"          -> ((s, d) => Dedup.applyDedup(Tables(s, d).documents)),
     "text_token_rank"      -> ((s, d) => TextOps.tokenRank(Tables(s, d).documents)),
     "events_winsorize"     -> ((s, d) => Events.winsorize(Tables(s, d).events)),
+    "fin_moments"          -> ((s, d) => FinAnalytics.moments(Tables(s, d).events)),
+    "maint_schema_union"   -> ((s, d) => Maintenance.schemaUnion(Tables(s, d).events)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
     "fin_corr_pairs"       -> ((s, d) => FinAnalytics.corrPairs(Tables(s, d).events)),
@@ -330,6 +332,37 @@ FROM e ORDER BY user_id, day"""
         |FROM events e JOIN q USING (event_type)
         |WHERE e.value IS NOT NULL ORDER BY e.event_id""".stripMargin,
     "fin_macd" -> macdOracle,
+    "fin_moments" ->
+      """WITH p AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(19,4)) AS v2
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s1, sum(v2) AS s2, sum(v2 * v) AS s3, sum(v2 * v2) AS s4
+        |  FROM p GROUP BY event_type),
+        |m AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM s),
+        |f AS (SELECT event_type, n, mu,
+        |    e2 - mu * mu AS m2,
+        |    e3 - 3.0 * mu * e2 + 2.0 * mu * mu * mu AS m3,
+        |    e4 - 4.0 * mu * e3 + 6.0 * mu * mu * e2 - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM m)
+        |SELECT event_type, n, round(mu, 6) + 0.0 AS mean,
+        |  round(m2, 6) + 0.0 AS variance,
+        |  CASE WHEN m2 > 0.0 THEN round(m3 / sqrt(m2 * m2 * m2), 6) + 0.0 END AS skewness,
+        |  CASE WHEN m2 > 0.0 THEN round(m4 / (m2 * m2) - 3.0, 6) + 0.0 END AS kurtosis_excess
+        |FROM f ORDER BY event_type""".stripMargin,
+    "maint_schema_union" ->
+      """WITH cut AS (SELECT date_trunc('second', max(ts)) - INTERVAL 2 DAY AS cutoff FROM events),
+        |old AS (SELECT event_id, user_id, event_type, value
+        |        FROM events CROSS JOIN cut WHERE ts < cutoff),
+        |neu AS (SELECT event_id, user_id, event_type, value, props
+        |        FROM events CROSS JOIN cut WHERE ts >= cutoff)
+        |SELECT * FROM old UNION ALL BY NAME SELECT * FROM neu
+        |ORDER BY event_id""".stripMargin,
     "events_gap_quantiles" ->
       """WITH g AS (SELECT event_type, event_id,
         |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS DOUBLE) AS value

@@ -392,6 +392,45 @@ object FinAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Higher statistical moments per event_type — mean, population
+    * variance, skewness, excess kurtosis — from EXACT decimal power
+    * sums Σx..Σx⁴ (one map-side-combined aggregation; the shuffle
+    * carries 4 decimals + a count per type). Powers stay inside
+    * DECIMAL(38): x² downcasts to (18,4) losslessly before the
+    * higher products, the same trick as the TPC-H Q1 charge column.
+    * Only the final moment formulas run in doubles, in an op order
+    * the oracle mirrors token-for-token.
+    */
+  def moments(events: DataFrame): DataFrame = {
+    val v = dec2(col("value"))
+    val v2 = (v * v).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"), v.as("v"), v2.as("v2"),
+        (v2 * v).as("v3"), (v2 * v2).as("v4"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"), sum(col("v2")).as("s2"),
+        sum(col("v3")).as("s3"), sum(col("v4")).as("s4"))
+      .select(col("event_type"), col("n"), {
+        val n = col("n").cast("double")
+        val mu = col("s1").cast("double") / n
+        val m2 = col("s2").cast("double") / n - mu * mu
+        val m3 = (col("s3").cast("double") / n - lit(3.0) * mu * (col("s2").cast("double") / n)
+          + lit(2.0) * mu * mu * mu)
+        val m4 = (col("s4").cast("double") / n - lit(4.0) * mu * (col("s3").cast("double") / n)
+          + lit(6.0) * mu * mu * (col("s2").cast("double") / n) - lit(3.0) * mu * mu * mu * mu)
+        struct(
+          (round(mu, 6) + lit(0.0)).as("mean"),
+          (round(m2, 6) + lit(0.0)).as("variance"),
+          when(m2 > 0.0, round(m3 / sqrt(m2 * m2 * m2), 6) + lit(0.0)).as("skewness"),
+          when(m2 > 0.0, round(m4 / (m2 * m2) - lit(3.0), 6) + lit(0.0)).as("kurtosis_excess"))
+          .as("m")
+      })
+      .select(col("event_type"), col("n"), col("m.mean").as("mean"),
+        col("m.variance").as("variance"), col("m.skewness").as("skewness"),
+        col("m.kurtosis_excess").as("kurtosis_excess"))
+      .orderBy(col("event_type"))
+  }
+
   /** Group-mean over (weekday, hour) — the seasonality profile from
     * plot_cyclical_feature_engineering.py's groupby-mean plots.
     * Exact decimal sums; output is 7×24 rows regardless of input

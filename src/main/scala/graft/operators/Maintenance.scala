@@ -208,6 +208,26 @@ object Maintenance {
     * removes the key entirely. One shuffle on the key; row_number
     * picks the winner without materializing intermediate versions.
     */
+  /** Schema-evolution union: merge an OLD-schema snapshot (no `props`
+    * column — the pre-migration table) with the new-schema slice by
+    * COLUMN NAME, missing columns null-filled — `unionByName(…,
+    * allowMissingColumns = true)`, the read-side half of a rolling
+    * schema migration (positional UNION would silently misalign).
+    * The split is second-aligned on the corpus max-ts so both engines
+    * cut identically; pure scan + union, no shuffle.
+    */
+  def schemaUnion(events: DataFrame, days: Int = 2): DataFrame = {
+    val cutoff = events.agg(
+      (date_trunc("second", max(col("ts"))) - expr(s"INTERVAL $days DAYS")).as("cutoff"))
+    val tagged = events.crossJoin(broadcast(cutoff))
+    val old = tagged.filter(col("ts") < col("cutoff"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val neu = tagged.filter(col("ts") >= col("cutoff"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+    old.unionByName(neu, allowMissingColumns = true)
+      .orderBy(col("event_id"))
+  }
+
   def cdcApply(events: DataFrame): DataFrame =
     latestPerKeyDay(events)
       .filter(col("event_type") =!= "error") // tombstone: key removed

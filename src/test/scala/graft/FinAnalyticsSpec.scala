@@ -212,6 +212,20 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(u1.drop(1).forall(_._2 > 0.0))
   }
 
+  test("moments: symmetric distribution has zero skew and hand-checked variance/kurtosis") {
+    val ev = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "a", 1.0),
+      (2L, 1L, ts("2026-01-01 10:01:00"), "a", 2.0),
+      (3L, 1L, ts("2026-01-01 10:02:00"), "a", 3.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = FinAnalytics.moments(ev).collect().head
+    assert(r.getString(0) === "a" && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 2.0)      // mean
+    assert(r.getDouble(3) === 0.666667) // population variance 2/3
+    assert(r.getDouble(4) === 0.0)      // symmetric -> zero skew
+    assert(r.getDouble(5) === -1.5)     // m4/m2^2 - 3 = (2/3)/(4/9) - 3
+  }
+
   test("splineFeatures basis is a partition of unity with local support") {
     val rows = FinAnalytics.splineFeatures(events).collect()
     assert(rows.nonEmpty)

@@ -91,4 +91,18 @@ class MaintenanceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2))).toSeq
     assert(got === Seq((1L, "2026-03-01", 2L), (2L, "2026-01-15", 1L)))
   }
+
+  test("schemaUnion aligns by name and null-fills the old snapshot's missing column") {
+    val ev = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "a", 1.0, """{"k": 1}"""), // old slice
+      (2L, 1L, ts("2026-01-05 10:00:00"), "b", 2.0, """{"k": 2}"""), // new slice (within 2 days of max)
+      (3L, 2L, ts("2026-01-06 10:00:00"), "c", 3.0, """{"k": 3}"""),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val got = Maintenance.schemaUnion(ev).collect()
+      .map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(got === Map(
+      1L -> None,                    // old schema: props null-filled
+      2L -> Some("""{"k": 2}"""),
+      3L -> Some("""{"k": 3}""")))
+  }
 }
