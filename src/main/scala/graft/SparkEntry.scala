@@ -47,6 +47,7 @@ object SparkEntry {
     "text_token_rank"      -> ((s, d) => TextOps.tokenRank(Tables(s, d).documents)),
     "events_winsorize"     -> ((s, d) => Events.winsorize(Tables(s, d).events)),
     "fin_moments"          -> ((s, d) => FinAnalytics.moments(Tables(s, d).events)),
+    "fin_autocorr"         -> ((s, d) => FinAnalytics.autocorr(Tables(s, d).events)),
     "maint_schema_union"   -> ((s, d) => Maintenance.schemaUnion(Tables(s, d).events)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
@@ -929,6 +930,29 @@ FROM e ORDER BY user_id, day"""
         |         lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
         |  FROM closes) WHERE prev_close IS NOT NULL AND prev_close <> 0
         |ORDER BY user_id, day""".stripMargin),
+    "fin_autocorr" -> (closesCte +
+      """
+        |, rets AS (SELECT user_id, day, close / prev_close - 1.0 AS ret FROM (
+        |    SELECT user_id, day, close,
+        |           lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+        |    FROM closes) WHERE prev_close IS NOT NULL AND prev_close <> 0),
+        |p0 AS (SELECT user_id, ret,
+        |    lag(ret) OVER (PARTITION BY user_id ORDER BY day) AS retl FROM rets),
+        |p AS (SELECT user_id, CAST(round(ret, 6) AS DECIMAL(19,6)) AS x,
+        |    CAST(round(retl, 6) AS DECIMAL(19,6)) AS y
+        |  FROM p0 WHERE retl IS NOT NULL),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sx2, sum(y * y) AS sy2
+        |  FROM p GROUP BY user_id),
+        |f AS (SELECT user_id, n,
+        |    CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+        |  FROM m WHERE n > 1)
+        |SELECT user_id, n,
+        |  CASE WHEN vx > 0.0 AND vy > 0.0 THEN round(cov / sqrt(vx * vy), 6) + 0.0 END AS autocorr1
+        |FROM f ORDER BY user_id""".stripMargin),
     "fin_volatility" -> (closesCte +
       """
         |, rets AS (

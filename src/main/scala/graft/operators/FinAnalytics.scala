@@ -392,6 +392,34 @@ object FinAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Lag-1 autocorrelation of daily returns per instrument — the
+    * mean-reversion/momentum diagnostic (negative → reverting,
+    * positive → trending). Same exact-decimal moment discipline as
+    * [[corrPairs]], over (ret, lag(ret)) pairs on the one
+    * closes-family shuffle; constant or too-short series have no
+    * defined autocorrelation.
+    */
+  def autocorr(events: DataFrame, lagK: Int = 1): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    returns(events)
+      .withColumn("ret_lag", lag(col("ret"), lagK).over(ord))
+      .filter(col("ret_lag").isNotNull)
+      .select(col("user_id"), dec6(col("ret")).as("x"), dec6(col("ret_lag")).as("y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+      .filter(col("n") > 1)
+      .select(col("user_id"), col("n"), {
+        val n = col("n").cast("double")
+        val vx = n * col("sx2").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+        val vy = n * col("sy2").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+        val cov = n * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+        when(vx > 0.0 && vy > 0.0, round(cov / sqrt(vx * vy), 6) + lit(0.0)).as("autocorr1")
+      })
+      .orderBy(col("user_id"))
+  }
+
   /** Higher statistical moments per event_type — mean, population
     * variance, skewness, excess kurtosis — from EXACT decimal power
     * sums Σx..Σx⁴ (one map-side-combined aggregation; the shuffle

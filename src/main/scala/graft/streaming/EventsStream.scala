@@ -190,6 +190,33 @@ object EventsStream {
       }
   }
 
+  /** Windowed grouped top-k THROUGH the custom heap aggregate:
+    * hourly top spenders per event_type, computed as two CHAINED
+    * streaming aggregations on the same event-time window (per-user
+    * exact-cents totals, then [[graft.plans.TopKLongPairs]] over the
+    * totals) — Spark's multiple-stateful-operator support carries
+    * the watermark through both, and the k-bounded heap buffers
+    * merge inside the state store exactly like they merge map-side
+    * in batch. Append mode: a window's top-k emits once, when the
+    * watermark closes it.
+    */
+  def topUsersWindowed(events: DataFrame, k: Int = 3,
+                       watermarkDelay: String = "2 hours"): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+    val per = events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("user_id"))
+      .agg(sum(cents).as("cents"))
+    per
+      .groupBy(col("window"), col("event_type"))
+      .agg(graft.plans.TopKLongPairs(col("cents"), col("user_id"), k).as("top"))
+      .select(col("window").getField("start").as("window_start"), col("event_type"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("window_start"), col("event_type"), col("t.id").as("user_id"),
+        col("t.score").as("total_cents"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   case class ValueEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
 
   /** Ring buffer of the user's last ≤ `bars` values in exact cents —

@@ -212,6 +212,24 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(u1.drop(1).forall(_._2 > 0.0))
   }
 
+  test("autocorr: oscillating series is negative, constant-return series undefined") {
+    val ev = Seq(
+      (1L, 1L, ts("2026-01-01 12:00:00"), "t", 10.0),
+      (2L, 1L, ts("2026-01-02 12:00:00"), "t", 20.0),
+      (3L, 1L, ts("2026-01-03 12:00:00"), "t", 10.0),
+      (4L, 1L, ts("2026-01-04 12:00:00"), "t", 20.0),
+      (5L, 1L, ts("2026-01-05 12:00:00"), "t", 10.0), // returns alternate +1, -0.5
+      (6L, 2L, ts("2026-01-01 12:00:00"), "t", 10.0),
+      (7L, 2L, ts("2026-01-02 12:00:00"), "t", 20.0),
+      (8L, 2L, ts("2026-01-03 12:00:00"), "t", 40.0),
+      (9L, 2L, ts("2026-01-04 12:00:00"), "t", 80.0), // constant +1 returns
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = FinAnalytics.autocorr(ev).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(got(1L).exists(_.asInstanceOf[Double] < -0.9))
+    assert(got(2L) === None) // zero variance -> no defined autocorrelation
+  }
+
   test("moments: symmetric distribution has zero skew and hand-checked variance/kurtosis") {
     val ev = Seq(
       (1L, 1L, ts("2026-01-01 10:00:00"), "a", 1.0),

@@ -215,6 +215,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k merges heap state across batches and emits on window close") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val df = input.toDS().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = EventsStream.topUsersWindowed(df, k = 2)
+      .writeStream.format("memory").queryName("topk_win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, 1L, ts("2026-01-01 10:00:00"), "a", 5.0),
+        (2L, 2L, ts("2026-01-01 10:10:00"), "a", 7.0))
+      q.processAllAvailable()
+      // u1's total must MERGE across the batch cut inside the heap state
+      input.addData(
+        (3L, 1L, ts("2026-01-01 10:20:00"), "a", 5.0),
+        (4L, 3L, ts("2026-01-01 10:30:00"), "a", 3.0))
+      q.processAllAvailable()
+      input.addData((9999L, 999L, ts("2026-06-01 00:00:00"), "a", 0.0)) // advance watermark
+      q.processAllAvailable()
+
+      val got = spark.table("topk_win_out")
+        .filter(col("window_start") === ts("2026-01-01 10:00:00")).collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got === Set(("a", 1L, 1000L, 1L), ("a", 2L, 700L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming anomalies reproduce the batch z-scores bit-for-bit across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.EventsStream.ValueEvent
