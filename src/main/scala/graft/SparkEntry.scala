@@ -48,6 +48,7 @@ object SparkEntry {
     "events_winsorize"     -> ((s, d) => Events.winsorize(Tables(s, d).events)),
     "fin_moments"          -> ((s, d) => FinAnalytics.moments(Tables(s, d).events)),
     "fin_autocorr"         -> ((s, d) => FinAnalytics.autocorr(Tables(s, d).events)),
+    "curate_filter"        -> ((s, d) => Curation.filterGate(Tables(s, d).documents)),
     "maint_schema_union"   -> ((s, d) => Maintenance.schemaUnion(Tables(s, d).events)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
@@ -285,6 +286,73 @@ SELECT user_id, day, close, ewma_fast, ewma_slow,
   round(ewma_fast - ewma_slow, 6) + 0.0 AS macd
 FROM e ORDER BY user_id, day"""
   }
+
+  /** Text-verdict oracles, hoisted so the composed curate_filter
+    * oracle can nest them verbatim as CTE bodies. */
+  private val qualityOracleSql: String =
+    (s"""WITH t AS (SELECT doc_id, text, $toksExpr AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_word_len,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_words, sum_word_len, n_punct, n_stop,
+        |  CASE WHEN n_words > 0 THEN round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 END AS avg_word_len,
+        |  CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 END AS punct_ratio,
+        |  CASE WHEN n_words > 0 THEN round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 END AS stop_ratio,
+        |  (n_words >= 5 AND round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 <= 0.1
+        |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 >= 2.0
+        |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 <= 12.0) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin)
+  private val repetitionOracleSql: String =
+    (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS token, generate_subscripts(w, 1) AS pos FROM t),
+        |tc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
+        |agg1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tok
+        |  FROM tc GROUP BY doc_id),
+        |top AS (SELECT doc_id, token AS top_token, CAST(cnt AS BIGINT) AS top_n FROM (
+        |    SELECT doc_id, token, cnt,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn FROM tc)
+        |  WHERE rn = 1),
+        |g2 AS (SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, greatest(len(w)-1, 0) + 1)]) AS s
+        |  FROM t WHERE len(w) >= 2),
+        |gc AS (SELECT doc_id, s, count(*) AS cnt FROM g2 GROUP BY doc_id, s),
+        |agg2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total2,
+        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup2
+        |  FROM gc GROUP BY doc_id),
+        |r AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY pos) IS DISTINCT FROM token
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM tok),
+        |rid AS (SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS run_id FROM r),
+        |rl AS (SELECT doc_id, run_id, count(*) AS run_len FROM rid GROUP BY doc_id, run_id),
+        |agg3 AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run FROM rl GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, top_token, top_n,
+        |  round(CAST(top_n AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS top_frac,
+        |  round(CAST(dup_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS dup_token_frac,
+        |  round(CAST(dup2 AS DOUBLE) / CAST(total2 AS DOUBLE), 6) + 0.0 AS dup_2gram_frac,
+        |  max_run
+        |FROM agg1 JOIN top USING (doc_id) JOIN agg2 USING (doc_id) JOIN agg3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
+  private val langidOracleSql: String =
+    (s"""WITH t AS (SELECT doc_id, lang, $toksExpr AS w FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, x -> x IN ('el','la','los','y','en','que','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une'))) AS BIGINT) AS s_fr,
+        |  CAST(len(list_filter(w, x -> x IN ('的','是','了','在','我'))) AS BIGINT) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin)
 
   /** text_token_rank oracle — the 3 power iterations unrolled as
     * CTEs with the IDENTICAL op order and 12-dp contribution
@@ -709,39 +777,7 @@ FROM e ORDER BY user_id, day"""
         |  min(k) AS k_min, max(k) AS k_max, CAST(sum(k) AS BIGINT) AS k_sum,
         |  CASE WHEN count(k) > 0 THEN CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE) + 0.0 END AS k_mean
         |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "text_repetition" ->
-      (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
-        |tok AS (SELECT doc_id, unnest(w) AS token, generate_subscripts(w, 1) AS pos FROM t),
-        |tc AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
-        |agg1 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
-        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tok
-        |  FROM tc GROUP BY doc_id),
-        |top AS (SELECT doc_id, token AS top_token, CAST(cnt AS BIGINT) AS top_n FROM (
-        |    SELECT doc_id, token, cnt,
-        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn FROM tc)
-        |  WHERE rn = 1),
-        |g2 AS (SELECT doc_id,
-        |    unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, greatest(len(w)-1, 0) + 1)]) AS s
-        |  FROM t WHERE len(w) >= 2),
-        |gc AS (SELECT doc_id, s, count(*) AS cnt FROM g2 GROUP BY doc_id, s),
-        |agg2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total2,
-        |    CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup2
-        |  FROM gc GROUP BY doc_id),
-        |r AS (SELECT doc_id, pos,
-        |    CASE WHEN lag(token) OVER (PARTITION BY doc_id ORDER BY pos) IS DISTINCT FROM token
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM tok),
-        |rid AS (SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
-        |    ROWS UNBOUNDED PRECEDING) AS run_id FROM r),
-        |rl AS (SELECT doc_id, run_id, count(*) AS run_len FROM rid GROUP BY doc_id, run_id),
-        |agg3 AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run FROM rl GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, top_token, top_n,
-        |  round(CAST(top_n AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS top_frac,
-        |  round(CAST(dup_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS dup_token_frac,
-        |  round(CAST(dup2 AS DOUBLE) / CAST(total2 AS DOUBLE), 6) + 0.0 AS dup_2gram_frac,
-        |  max_run
-        |FROM agg1 JOIN top USING (doc_id) JOIN agg2 USING (doc_id) JOIN agg3 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin),
+    "text_repetition" -> repetitionOracleSql,
     "fin_ohlc_unpivot" ->
       """WITH ohlc AS (
         |  SELECT user_id, day,
@@ -1152,37 +1188,20 @@ FROM e ORDER BY user_id, day"""
         |      FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
         |            FROM embeddings))
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
-    "text_langid" ->
-      (s"""WITH t AS (SELECT doc_id, lang, $toksExpr AS w FROM documents),
-        |s AS (SELECT doc_id, lang,
-        |  CAST(len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS BIGINT) AS s_de,
-        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s_en,
-        |  CAST(len(list_filter(w, x -> x IN ('el','la','los','y','en','que','es'))) AS BIGINT) AS s_es,
-        |  CAST(len(list_filter(w, x -> x IN ('le','la','les','et','est','un','une'))) AS BIGINT) AS s_fr,
-        |  CAST(len(list_filter(w, x -> x IN ('的','是','了','在','我'))) AS BIGINT) AS s_zh
-        |  FROM t)
-        |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
-        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
-        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
-        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
-        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
-        |FROM s ORDER BY doc_id""".stripMargin),
-    "text_quality" ->
-      (s"""WITH t AS (SELECT doc_id, text, $toksExpr AS w FROM documents),
-        |m AS (SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS n_chars, CAST(len(w) AS BIGINT) AS n_words,
-        |  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_word_len,
-        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
-        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
-        |  FROM t)
-        |SELECT doc_id, n_chars, n_words, sum_word_len, n_punct, n_stop,
-        |  CASE WHEN n_words > 0 THEN round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 END AS avg_word_len,
-        |  CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 END AS punct_ratio,
-        |  CASE WHEN n_words > 0 THEN round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 END AS stop_ratio,
-        |  (n_words >= 5 AND round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 <= 0.1
-        |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 >= 2.0
-        |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 <= 12.0) AS keep
-        |FROM m ORDER BY doc_id""".stripMargin),
+    "text_langid" -> langidOracleSql,
+    "text_quality" -> qualityOracleSql,
+    "curate_filter" ->
+      (s"""WITH q AS ($qualityOracleSql),
+         |r AS ($repetitionOracleSql),
+         |l AS ($langidOracleSql)
+         |SELECT d.doc_id, d.lang, q.keep AS quality_ok,
+         |  (r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9) AS repetition_ok,
+         |  (l.pred_lang = d.lang) AS lang_ok,
+         |  (q.keep AND r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9
+         |    AND l.pred_lang = d.lang) AS keep
+         |FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |JOIN r ON r.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
     "text_tokens" ->
       (s"""WITH t AS (SELECT doc_id, text, $toksExpr AS w FROM documents)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(w) AS BIGINT) AS ws_tokens,

@@ -184,6 +184,31 @@ object Curation {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** The quality gate APPLIED — the filter pass that turns the three
+    * text-analysis verdicts into one keep/drop decision per document:
+    * length/punctuation quality ([[graft.operators.TextOps.quality]]),
+    * repetition bounds ([[graft.operators.TextOps.repetition]]), and
+    * language agreement ([[graft.operators.TextOps.langId]]). Same
+    * closing-the-loop role as `dedup_apply` plays for dedup. All
+    * three inputs are per-doc scans sharing doc_id clustering;
+    * threshold comparisons run on the 6-dp-rounded fractions both
+    * engines already agree on.
+    */
+  def filterGate(documents: DataFrame, maxTopFrac: Double = 0.15,
+                 maxDupFrac: Double = 0.9): DataFrame = {
+    import graft.operators.TextOps
+    val q = TextOps.quality(documents).select(col("doc_id"), col("keep").as("quality_ok"))
+    val r = TextOps.repetition(documents).select(col("doc_id"),
+      (col("top_frac") <= maxTopFrac && col("dup_token_frac") <= maxDupFrac).as("repetition_ok"))
+    val l = TextOps.langId(documents).select(col("doc_id"),
+      (col("pred_lang") === col("lang")).as("lang_ok"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(q, "doc_id").join(r, "doc_id").join(l, "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality_ok"), col("repetition_ok"), col("lang_ok"),
+        (col("quality_ok") && col("repetition_ok") && col("lang_ok")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language corpus statistics: doc/char/token totals and the
     * keep-rate under the [[TextOps.quality]] length gate. Map-side
     * partial aggregation; the shuffle carries one row per language.

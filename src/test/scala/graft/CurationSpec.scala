@@ -137,6 +137,25 @@ class CurationSpec extends SparkSpec {
     assert(all.map(_.getLong(2)).sorted.toSeq === Seq(0L, 5L, 10L, 15L, 20L, 25L))
   }
 
+  test("filterGate combines quality, repetition, and language verdicts into one keep") {
+    val crafted = Seq(
+      // good: english markers, varied tokens, long enough
+      (1L, "the quick brown fox jumps over the lazy dog in a field of green grass", "en"),
+      // repetitive: one token dominates -> top_frac way over 0.15
+      (2L, "spam spam spam spam spam spam spam spam the to of", "en"),
+      // junk: too short -> quality keep = false
+      (3L, "hi there", "en"),
+      // wrong language tag: english text labeled es
+      (4L, "the cat and the dog sit in the house of a friend", "es"),
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.filterGate(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got(1L) === ((true, true, true, true)))
+    assert(got(2L)._2 === false && got(2L)._4 === false) // repetition kills it
+    assert(got(3L)._1 === false && got(3L)._4 === false) // quality kills it
+    assert(got(4L)._3 === false && got(4L)._4 === false) // language mismatch kills it
+  }
+
   test("csv and json round-trips preserve data with explicit schemas") {
     val df = Seq((1L, "a,b\"c", 1.5), (2L, "plain", -0.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
