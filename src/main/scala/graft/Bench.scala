@@ -23,10 +23,24 @@ object Bench {
       val (a, b) = (once(), once())
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val fails = results.values.count(_ < 0)
+    // Per-query detail goes to a file (and an early stdout line): the
+    // full 110-query map is ~4.5 KB, which overflows the driver's ~2 KB
+    // stdout tail window and truncated BENCH_r01-r04 mid-JSON. The
+    // FINAL stdout line must be the short (<200 byte) parseable summary.
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(detail)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"fails":$fails,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

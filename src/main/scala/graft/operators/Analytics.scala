@@ -73,8 +73,14 @@ object Analytics {
   }
 
   /** Star join across the full dimension chain (TPC-H Q5 shape) —
-    * region/nation/supplier/customer all broadcast; the two facts
-    * join on orderkey.
+    * region/nation (genuinely O(1)-sized: 5 and 25 rows at every SF)
+    * carry an explicit broadcast hint; supplier and customer scale
+    * linearly with SF (10k×SF / 150k×SF rows), so they carry NO hint —
+    * AQE's autoBroadcastJoinThreshold decides at runtime, broadcasting
+    * them at small SF and falling back to a shuffled hash join once
+    * they outgrow the threshold. A forced broadcast() here would pin a
+    * multi-GB build side at the 100 TB design point and OOM the
+    * executors — the hint is the scale bug, not the join order.
     */
   def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
                     supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
@@ -84,9 +90,9 @@ object Analytics {
     lineitem
       .join(orders.filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
       .join(dims, col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(customer, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
       .withColumn("revenue", outD(col("revenue"), 2))

@@ -95,14 +95,33 @@ object Dedup {
 
   /** Exact Jaccard verification of candidate (a, b) pairs against the
     * full shingle sets; emits pairs with round(j, 6) ≥ threshold.
+    *
+    * Count-based, NOT set-shipping: a collect_set verify would
+    * materialize every candidate doc's whole shingle set into one
+    * array row and replicate it per candidate pair — row width
+    * unbounded, so one 10 MB document becomes a skew amplifier at
+    * 100 TB. Instead the candidate pairs join to the NARROW
+    * (doc_id, shingle) rows: shingles of `a` fan out per pair, the
+    * (b, s) equi-join keeps exactly the shared shingles, and a
+    * count per pair is the intersection size. Every shuffled row is
+    * a few dozen bytes regardless of document size; total work stays
+    * candidate-bounded (the LSH / pigeonhole / prefix-filter
+    * guarantee). Union sizes come from per-doc shingle counts.
     */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("set"), count(lit(1)).as("n"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("a"), col("s")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
     cands
-      .join(sets.select(col("doc_id").as("a"), col("set").as("sa"), col("n").as("na")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("set").as("sb"), col("n").as("nb")), "b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // left join + 0 default: a disjoint candidate pair still gets a
+      // J=0 verdict (verifyPairs is called with threshold 0 by the
+      // streaming reconciliation tests).
+      .join(inter, Seq("a", "b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6) + lit(0.0))
       .filter(col("jaccard") >= threshold)
@@ -226,7 +245,15 @@ object Dedup {
       labels = next.select(col("node"), col("comp"))
     }
     edges.unpersist()
-    labels.orderBy(col("node"))
+    // Hand back a lineage-free frame and release the loop cache: the
+    // shared CacheManager is keyed by plan and never auto-evicts, so
+    // leaving the final label frame cached would accumulate one
+    // corpus-sized cache entry per components() call in a session.
+    // localCheckpoint blocks are ContextCleaner-managed — freed once
+    // the returned frame is unreferenced.
+    val out = labels.localCheckpoint(true)
+    cached.unpersist()
+    out.orderBy(col("node"))
   }
 
   /** Apply the near-dup verdicts to the corpus — the step that turns

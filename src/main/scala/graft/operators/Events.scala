@@ -146,7 +146,9 @@ object Events {
     * the DuckDB oracle reproduces it bit-for-bit.
     */
   def topPartsHeap(lineitem: DataFrame, part: DataFrame, k: Int = 3): DataFrame = {
-    val per = lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    // part scales with SF (200k×SF rows) — no broadcast hint; AQE
+    // broadcasts while small and degrades gracefully at scale.
+    val per = lineitem.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("l_partkey"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
     // revenue has scale 4 -> ×10⁴ is an exact integer surrogate
@@ -484,11 +486,12 @@ object Events {
   }
 
   /** Revenue per part ranked within brand (dense_rank ≤ 3) — the
-    * windowed top-N pattern; part dimension broadcasts.
+    * windowed top-N pattern. part scales with SF, so the join carries
+    * no broadcast hint (AQE decides).
     */
   def topPartsRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("l_partkey"))
-    lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("l_partkey"))
       .agg(sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec2(col("l_discount")))).as("revenue"))
       .withColumn("rank", dense_rank().over(w).cast("long"))

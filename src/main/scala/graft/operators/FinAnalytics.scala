@@ -797,11 +797,14 @@ object FinAnalytics {
       .orderBy(col("event_id"))
   }
 
-  /** Fact ⋈ broadcast dimension — the namesId → namesCompanies join
-    * (findatabase.py `get_ticker_from_id` done set-wise).
+  /** Fact ⋈ dimension — the namesId → namesCompanies join
+    * (findatabase.py `get_ticker_from_id` done set-wise). customer
+    * scales with SF (150k×SF rows), so there is deliberately NO
+    * broadcast() hint: AQE broadcasts it while it fits under the
+    * threshold and falls back to a shuffled join once it doesn't.
     */
   def companyEnrich(events: DataFrame, customer: DataFrame): DataFrame =
-    events.join(broadcast(customer), col("user_id") === col("c_custkey"))
+    events.join(customer, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"), col("value"))
       .orderBy(col("event_id"))
 }

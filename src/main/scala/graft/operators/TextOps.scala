@@ -169,7 +169,9 @@ object TextOps {
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df), "token")
+    // df is vocabulary-sized — it grows with the corpus (ids, numbers,
+    // typos), so no forced broadcast; AQE broadcasts it while small.
+    tf.join(df, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round((col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1).cast("double"), 6) + lit(0.0))
@@ -281,15 +283,31 @@ object TextOps {
     import org.apache.spark.sql.types.DecimalType
     def dec12(c: Column): Column = round(c, 12).cast(DecimalType(28, 12))
     val par = documents.sparkSession.sparkContext.defaultParallelism
+    // The corpus-sized tokenize→explode stage runs ONCE: edges and
+    // nodes are materialized as eager localCheckpoints before the
+    // iteration plan is built. Without this the 3 unrolled iterations
+    // each referenced the raw tokenization subtree and re-scanned the
+    // corpus ~3× (ReuseExchange can't dedupe across the differing
+    // join trees). toks is cached only for the two derivations, then
+    // released; the checkpoint blocks are ContextCleaner-managed (no
+    // CacheManager residue), at the usual localCheckpoint cost of
+    // non-resilient blocks on executor loss.
     val toks = documents.repartition(par, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
     val edges = toks.filter(size(col("toks")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS src, toks[i] AS dst))")).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wt"))
-    val outW = edges.groupBy(col("src")).agg(sum(col("wt")).as("wout"))
+      .localCheckpoint(true)
     val nodes = toks.select(explode(col("toks")).as("token")).distinct()
+      .localCheckpoint(true)
+    toks.unpersist()
+    // vocabulary-sized; checkpointed so each iteration joins stored
+    // blocks instead of re-shuffling edges per iteration
+    val outW = edges.groupBy(col("src")).agg(sum(col("wt")).as("wout"))
+      .localCheckpoint(true)
     val nDf = nodes.agg(count(lit(1)).as("n"))
     var r = nodes.crossJoin(broadcast(nDf))
       .select(col("token"), (lit(1.0) / col("n").cast("double")).as("rank"))
