@@ -379,11 +379,16 @@ FROM e ORDER BY user_id, day"""
          |      FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.token)""".stripMargin
     }
     // top-k membership must come from the RAW rank order (the Spark
-    // side limits before rounding); rounding happens on the survivors
+    // side limits before rounding); rounding happens on the survivors.
+    // The raw rank is carried out of the LIMIT subquery so the outer
+    // SELECT can re-state the order explicitly — relying on DuckDB's
+    // implicit insertion-order preservation would flake under
+    // preserve_insertion_order=false.
     (base +: its).mkString(",\n") +
       s"""
-         |SELECT token, round(rank, 6) + 0.0 AS rank
-         |FROM (SELECT * FROM r$iters ORDER BY rank DESC, token LIMIT $k)""".stripMargin
+         |SELECT token, round(raw_rank, 6) + 0.0 AS rank
+         |FROM (SELECT token, rank AS raw_rank FROM r$iters ORDER BY rank DESC, token LIMIT $k)
+         |ORDER BY raw_rank DESC, token""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1195,12 +1200,12 @@ FROM e ORDER BY user_id, day"""
          |r AS ($repetitionOracleSql),
          |l AS ($langidOracleSql)
          |SELECT d.doc_id, d.lang, q.keep AS quality_ok,
-         |  (r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9) AS repetition_ok,
+         |  coalesce(r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9, false) AS repetition_ok,
          |  (l.pred_lang = d.lang) AS lang_ok,
-         |  (q.keep AND r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9
+         |  (q.keep AND coalesce(r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9, false)
          |    AND l.pred_lang = d.lang) AS keep
          |FROM documents d JOIN q ON q.doc_id = d.doc_id
-         |JOIN r ON r.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id
+         |LEFT JOIN r ON r.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin),
     "text_tokens" ->
       (s"""WITH t AS (SELECT doc_id, text, $toksExpr AS w FROM documents)

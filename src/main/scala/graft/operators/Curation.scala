@@ -202,8 +202,13 @@ object Curation {
       (col("top_frac") <= maxTopFrac && col("dup_token_frac") <= maxDupFrac).as("repetition_ok"))
     val l = TextOps.langId(documents).select(col("doc_id"),
       (col("pred_lang") === col("lang")).as("lang_ok"))
+    // repetition emits no row for docs with < 2 tokens (no 2-grams),
+    // so it joins LEFT with missing metrics read as repetition_ok =
+    // false — every input doc gets exactly one verdict row, sub-2-
+    // token docs a keep=false one, instead of silently vanishing.
     documents.select(col("doc_id"), col("lang"))
-      .join(q, "doc_id").join(r, "doc_id").join(l, "doc_id")
+      .join(q, "doc_id").join(r, Seq("doc_id"), "left").join(l, "doc_id")
+      .withColumn("repetition_ok", coalesce(col("repetition_ok"), lit(false)))
       .select(col("doc_id"), col("lang"), col("quality_ok"), col("repetition_ok"), col("lang_ok"),
         (col("quality_ok") && col("repetition_ok") && col("lang_ok")).as("keep"))
       .orderBy(col("doc_id"))

@@ -110,16 +110,17 @@ object Dedup {
     */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("a"), col("s")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    // LEFT joins (not an inner join + re-join of cands, which would
+    // reference the candidate frame twice — unresolvable on streaming
+    // memory-sink plans) so a disjoint pair still aggregates to
+    // inter=0 and gets its J=0 verdict (verifyPairs is called with
+    // threshold 0 by the streaming reconciliation tests).
     cands
-      // left join + 0 default: a disjoint candidate pair still gets a
-      // J=0 verdict (verifyPairs is called with threshold 0 by the
-      // streaming reconciliation tests).
-      .join(inter, Seq("a", "b"), "left")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"), "left")
+      .join(sh.select(col("doc_id").as("b2"), col("s").as("s2")),
+        col("b") === col("b2") && col("s") === col("s2"), "left")
+      .groupBy(col("a"), col("b"))
+      .agg(sum(when(col("s2").isNotNull, 1L).otherwise(0L)).as("inter"))
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard",

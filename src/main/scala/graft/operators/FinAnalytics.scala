@@ -431,7 +431,15 @@ object FinAnalytics {
     */
   def moments(events: DataFrame): DataFrame = {
     val v = dec2(col("value"))
-    val v2 = (v * v).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    // The (18,4) downcast keeps v⁴ at (37,8) inside DECIMAL(38) but is
+    // lossless only for |value| < 1e7. Outside that domain Spark's
+    // non-ANSI cast would silently null the row (while the DuckDB
+    // oracle errors) — so out-of-domain input fails loudly instead.
+    val v2 = when(abs(v) < lit(10000000),
+        (v * v).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      .otherwise(raise_error(concat(
+        lit("moments: |value| >= 1e7 overflows the lossless (18,4) square: "),
+        col("value").cast("string"))))
     events.filter(col("value").isNotNull)
       .select(col("event_type"), v.as("v"), v2.as("v2"),
         (v2 * v).as("v3"), (v2 * v2).as("v4"))

@@ -20,15 +20,29 @@ import org.apache.spark.sql.functions.col
   */
 object Compaction {
 
+  /** `outFiles` is the computed TARGET ⌈bytes/targetFileBytes⌉;
+    * `filesAfter` is what landed. In unsorted mode the two can
+    * differ: `coalesce(n)` is a narrow dependency and cannot EXCEED
+    * the source partition count, so a source with fewer partitions
+    * than the target undershoots (fine for compaction, whose job is
+    * merging many small files into fewer, never splitting).
+    */
   final case class Report(filesBefore: Int, filesAfter: Int, bytes: Long, outFiles: Int)
 
-  private def dataFiles(spark: SparkSession, dir: String) = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).filter { f =>
-      val n = f.getPath.getName
-      f.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+  /** All data files under `dir`, RECURSIVELY — a hive-partitioned
+    * input (subdirectories only) would otherwise size to bytes=0,
+    * collapse the rewrite into nOut=1 unpartitioned file, and lie in
+    * the Report. Hidden ("." / "_") files and directories are skipped
+    * at every level, matching Spark's own InMemoryFileIndex filter.
+    */
+  private def dataFiles(spark: SparkSession, dir: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def walk(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).filter(f => visible(f.getPath.getName)).flatMap { f =>
+        if (f.isDirectory) walk(f.getPath) else Array(f)
+      }
+    walk(new Path(dir))
   }
 
   def compact(spark: SparkSession, inDir: String, outDir: String,

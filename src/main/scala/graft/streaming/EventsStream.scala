@@ -256,7 +256,13 @@ object EventsStream {
             val n = recent.size
             val z: Option[Double] = if (n > 1) {
               val s = recent.sum / 100.0                      // == dec2-sum → double
-              val s2 = recent.map(c => c * c).sum / 1e4       // == scale-4 product sum → double
+              // Squares accumulate in BigInt — c*c overflows Long for
+              // |value| above ~$3e7 (cents ~3e9) and would silently
+              // diverge from the batch operator's DECIMAL(25,4) sum.
+              // The exact scale-4 sum is rounded to double ONCE, the
+              // same single rounding as the batch decimal→double cast.
+              val sq = recent.foldLeft(BigInt(0))((acc, c) => acc + BigInt(c) * BigInt(c))
+              val s2 = new java.math.BigDecimal(sq.bigInteger, 4).doubleValue
               val varNum = n.toDouble * s2 - s * s
               val sd = round6(math.sqrt(varNum / (n.toDouble * (n - 1).toDouble)))
               if (sd > 0.0) Some(round6((e.value - s / n) / sd)) else None
