@@ -75,6 +75,14 @@ object SparkEntry {
     "fin_volatility"        -> ((s, d) => FinAnalytics.volatility(Tables(s, d).events)),
     "fin_beta"              -> ((s, d) => FinAnalytics.beta(Tables(s, d).events)),
     "fin_cyclical_features" -> ((s, d) => FinAnalytics.cyclicalFeatures(Tables(s, d).events)),
+    // Gram sums: full oracle. The fitted model composes an iterative-
+    // free driver-side solve on those sums -> rows-only + RidgeSpec.
+    "fin_ridge_gram"        -> ((s, d) => Ridge.gram(Tables(s, d).events)),
+    "fin_ridge"             -> ((s, d) => Ridge.predict(Tables(s, d).events)),
+    // test/train sizes scaled to the smallest gate SF (sf0.001 has
+    // ~1k events); semantics are SF-independent window arithmetic
+    "curate_time_split"     -> ((s, d) => Curation.timeSplit(Tables(s, d).events,
+      nSplits = 5, gap = 48, maxTrainSize = 400, testSize = 100)),
     "fin_company_enrich"    -> ((s, d) => { val t = Tables(s, d); FinAnalytics.companyEnrich(t.events, t.customer) }),
     "fin_feature_snapshot"  -> ((s, d) => FinAnalytics.featureSnapshot(Tables(s, d).events)),
     "fin_spline_features"   -> ((s, d) => FinAnalytics.splineFeatures(Tables(s, d).events)),
@@ -391,8 +399,55 @@ FROM e ORDER BY user_id, day"""
          |ORDER BY raw_rank DESC, token""".stripMargin
   }
 
+  /** fin_ridge_gram oracle — the 36 upper-triangle Σ zᵢzⱼ sums over
+    * the intercept-augmented DECIMAL(18,6) vector, generated with the
+    * identical quantization as [[operators.Ridge.gram]].
+    */
+  private def ridgeGramOracle: String = {
+    val zDefs = Seq(
+      "CAST(1.0 AS DECIMAL(18,6)) AS z0",
+      "CAST(round(sin(date_part('hour', ts) * (2 * pi() / 24)), 6) AS DECIMAL(18,6)) AS z1",
+      "CAST(round(cos(date_part('hour', ts) * (2 * pi() / 24)), 6) AS DECIMAL(18,6)) AS z2",
+      "CAST(round(sin(date_part('dow', ts) * (2 * pi() / 7)), 6) AS DECIMAL(18,6)) AS z3",
+      "CAST(round(cos(date_part('dow', ts) * (2 * pi() / 7)), 6) AS DECIMAL(18,6)) AS z4",
+      "CAST(round(sin(date_part('month', ts) * (2 * pi() / 12)), 6) AS DECIMAL(18,6)) AS z5",
+      "CAST(round(cos(date_part('month', ts) * (2 * pi() / 12)), 6) AS DECIMAL(18,6)) AS z6",
+      "CAST(round(value, 6) AS DECIMAL(18,6)) AS z7")
+    val pairs = for { i <- 0 until 8; j <- i until 8 } yield (i, j)
+    val sums = pairs.map { case (i, j) => s"sum(z$i * z$j) AS s_${i}_$j" }
+    // the VARCHAR round-trip forces a correctly-rounded decimal→double
+    // (DuckDB's direct CAST divides int128/10¹² in floating point and
+    // double-rounds once the unscaled value exceeds 2⁵³; Spark's
+    // BigDecimal.doubleValue rounds correctly)
+    val rows = pairs.map { case (i, j) =>
+      s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, " +
+        s"CAST(CAST(round(s_${i}_$j, 12) AS VARCHAR) AS DOUBLE) + 0.0 AS s FROM g"
+    }
+    s"""WITH z AS (SELECT ${zDefs.mkString(", ")} FROM events WHERE value IS NOT NULL),
+       |g AS (SELECT ${sums.mkString(", ")} FROM z)
+       |${rows.mkString("\n UNION ALL ")}
+       |ORDER BY i, j""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_token_rank" -> tokenRankOracle(),
+    "fin_ridge_gram" -> ridgeGramOracle,
+    "curate_time_split" ->
+      """WITH r AS (SELECT event_id,
+        |    CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) - 1 AS idx
+        |  FROM events),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+        |folds AS (SELECT CAST(unnest(range(5)) AS BIGINT) AS fold),
+        |j AS (SELECT fold, event_id, idx, n - (5 - fold) * 100 AS test_start
+        |      FROM r CROSS JOIN nn CROSS JOIN folds)
+        |SELECT fold,
+        |  CASE WHEN idx >= test_start AND idx < test_start + 100 THEN 'test'
+        |       WHEN idx < test_start - 48 AND idx >= greatest(0, test_start - 48 - 400) THEN 'train'
+        |  END AS role, event_id, idx
+        |FROM j
+        |WHERE (idx >= test_start AND idx < test_start + 100)
+        |   OR (idx < test_start - 48 AND idx >= greatest(0, test_start - 48 - 400))
+        |ORDER BY fold, role, idx""".stripMargin,
     "events_winsorize" ->
       """WITH r AS (SELECT event_type, value,
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rn,

@@ -129,6 +129,52 @@ object Curation {
       .orderBy(col("off"), col("doc_id"))
   }
 
+  /** Expanding-window time-series CV folds — sklearn's
+    * `TimeSeriesSplit(n_splits, gap, max_train_size, test_size)`
+    * semantics (the reference evaluates every encoding with
+    * TimeSeriesSplit(5, gap=48, max_train_size=10000, test_size=1000),
+    * plot_cyclical_feature_engineering.py:133-138): over the corpus
+    * in (ts, event_id) order, fold f's TEST block is rows
+    * [n − (nSplits−f)·testSize, +testSize), its TRAIN block ends
+    * `gap` rows before the test block and extends back at most
+    * maxTrainSize rows (clamped at 0). Rows may serve several folds;
+    * output is one (fold, role) membership row each.
+    *
+    * The global time-order index is the same distributed two-pass
+    * prefix sum as [[packSequences]] — day is the range key (time-
+    * monotone, so per-day order ∘ day order = global order), pass 1
+    * reduces each day to a count, pass 2 broadcasts day offsets back
+    * and adds a within-day row_number. One scan + a tiny broadcast;
+    * no global sort. The ×nSplits fold fan-out is a broadcast
+    * crossJoin filtered on the scan side before anything shuffles.
+    */
+  def timeSplit(events: DataFrame, nSplits: Int = 5, gap: Long = 48,
+                maxTrainSize: Long = 10000, testSize: Long = 1000): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"))
+      .withColumn("part", to_date(col("ts")))
+    val wPart = Window.partitionBy(lit(0)).orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counts = base.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+    val offsets = counts
+      .withColumn("part_off", coalesce(sum(col("cnt")).over(wPart), lit(0L)))
+      .select(col("part"), col("part_off"))
+    val nDf = counts.agg(sum(col("cnt")).as("n"))
+    val folds = events.sparkSession.range(nSplits).toDF("fold")
+    val wIn = Window.partitionBy(col("part")).orderBy(col("ts"), col("event_id"))
+    base.join(broadcast(offsets), "part")
+      .withColumn("idx", col("part_off") + row_number().over(wIn).cast("long") - 1)
+      .crossJoin(broadcast(nDf))
+      .crossJoin(broadcast(folds))
+      .withColumn("test_start", col("n") - (lit(nSplits.toLong) - col("fold")) * testSize)
+      .withColumn("role",
+        when(col("idx") >= col("test_start") && col("idx") < col("test_start") + testSize, "test")
+          .when(col("idx") < col("test_start") - gap &&
+            col("idx") >= greatest(lit(0L), col("test_start") - gap - maxTrainSize), "train"))
+      .filter(col("role").isNotNull)
+      .select(col("fold"), col("role"), col("event_id"), col("idx"))
+      .orderBy(col("fold"), col("role"), col("idx"))
+  }
+
   /** The demo mixture the registered `curate_mix` query uses:
     * src0-4 kept whole, src5-9 at half rate, everything else falls
     * to the default quarter rate. Rates are integer per-10000

@@ -156,6 +156,31 @@ class CurationSpec extends SparkSpec {
     assert(got(4L)._3 === false && got(4L)._4 === false) // language mismatch kills it
   }
 
+  test("timeSplit reproduces TimeSeriesSplit fold boundaries, gap, and train clamp") {
+    // 20 rows on an hourly lattice; nSplits=2, gap=3, maxTrainSize=5,
+    // testSize=4. sklearn semantics, hand-computed:
+    //   fold 0: test_start = 20-2*4 = 12 -> test [12,16), train end
+    //           12-3 = 9, start max(0, 9-5) = 4 -> train [4,9)
+    //   fold 1: test_start = 16 -> test [16,20), train [8,13)
+    val events = (0 until 20).map { i =>
+      (i.toLong, new java.sql.Timestamp(1704067200000L + i * 3600000L))
+    }.toDF("event_id", "ts")
+    val got = Curation.timeSplit(events, nSplits = 2, gap = 3, maxTrainSize = 5, testSize = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val want =
+      ((4 until 9).map(i => (0L, "train", i.toLong)) ++
+        (12 until 16).map(i => (0L, "test", i.toLong)) ++
+        (8 until 13).map(i => (1L, "train", i.toLong)) ++
+        (16 until 20).map(i => (1L, "test", i.toLong))).toSet
+    assert(got === want)
+    // gap rows [9,12) and [13,16) serve NO role in their folds
+    assert(!got.exists { case (f, r, i) => f == 0L && i >= 9 && i < 12 })
+    // train clamps at 0 when the corpus is shorter than maxTrainSize
+    val tiny = Curation.timeSplit(events, nSplits = 1, gap = 1, maxTrainSize = 100, testSize = 4)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(tiny.filter(_._1 == "train").map(_._2).toSeq.sorted === (0L until 15L))
+  }
+
   test("csv and json round-trips preserve data with explicit schemas") {
     val df = Seq((1L, "a,b\"c", 1.5), (2L, "plain", -0.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
