@@ -220,10 +220,11 @@ object SparkEntry {
   /** Daily-close CTE shared by the fin_* window analytics. */
   private val closesCte =
     """WITH closes AS (
-      |  SELECT user_id, day, value AS close FROM (
+      |  SELECT user_id, day, value AS close, volume FROM (
       |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value, ts, event_id,
       |           row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
-      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |                              ORDER BY ts DESC, event_id DESC) AS rn,
+      |           count(*) OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)) AS volume
       |    FROM events) WHERE rn = 1)""".stripMargin
 
   /** fin_ewma oracle — generated from the SAME exact-decimal weight
@@ -427,6 +428,48 @@ FROM e ORDER BY user_id, day"""
        |g AS (SELECT ${sums.mkString(", ")} FROM z)
        |${rows.mkString("\n UNION ALL ")}
        |ORDER BY i, j""".stripMargin
+  }
+
+  /** mm_binary_meta oracle — builds the IDENTICAL synthetic
+    * PNG/GIF/BMP payload bytes as [[operators.Multimodal.synthesize]]
+    * (unhex of header hex + text hex) and parses the dimensions back
+    * with the same byte arithmetic over hex(payload).
+    */
+  private def mmBinaryMetaOracle: String = {
+    def leHex(e: String, n: Int) = (0 until n)
+      .map(k => s"lpad(hex(($e >> ${8 * k}) % 256), 2, '0')").mkString(" || ")
+    val w = "(doc_id % 1000 + 1)"
+    val h = "(doc_id % 777 + 1)"
+    val png = s"'89504E470D0A1A0A' || '0000000D49484452' || " +
+      s"lpad(hex($w), 8, '0') || lpad(hex($h), 8, '0') || '0802000000'"
+    val gif = s"'474946383961' || ${leHex(w, 2)} || ${leHex(h, 2)}"
+    val bmp = s"'424D' || '${"0" * 24}' || '28000000' || ${leHex(w, 4)} || ${leHex(h, 4)}"
+    def be(s: Int, n: Int) = s"('0x' || substring(hx, ${(s - 1) * 2 + 1}, ${n * 2}))::BIGINT"
+    def le(s: Int, n: Int) = "('0x' || " + ((n - 1) to 0 by -1)
+      .map(k => s"substring(hx, ${(s - 1 + k) * 2 + 1}, 2)").mkString(" || ") + ")::BIGINT"
+    val isPng = "substring(hx, 1, 16) = '89504E470D0A1A0A'"
+    val isGif = "substring(hx, 1, 12) IN ('474946383761', '474946383961')"
+    val isBmp = "substring(hx, 1, 4) = '424D'"
+    s"""WITH m AS (SELECT doc_id, unhex(
+       |    CASE WHEN doc_id % 3 = 0 THEN $png
+       |         WHEN doc_id % 3 = 1 THEN $gif
+       |         ELSE $bmp END || hex(encode(text))) AS payload
+       |  FROM documents),
+       |x AS (SELECT doc_id, payload, hex(payload) AS hx FROM m),
+       |y AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes, md5(hx) AS digest,
+       |    CASE WHEN $isPng THEN 'png' WHEN $isGif THEN 'gif'
+       |         WHEN $isBmp THEN 'bmp' ELSE 'unknown' END AS format,
+       |    CASE WHEN $isPng THEN ${be(17, 4)} WHEN $isGif THEN ${le(7, 2)}
+       |         WHEN $isBmp THEN ${le(19, 4)} END AS width,
+       |    CASE WHEN $isPng THEN ${be(21, 4)} WHEN $isGif THEN ${le(9, 2)}
+       |         WHEN $isBmp THEN ${le(23, 4)} END AS height,
+       |    CASE WHEN $isPng THEN (CASE ${be(26, 1)} WHEN 0 THEN 1 WHEN 2 THEN 3
+       |                            WHEN 4 THEN 2 WHEN 6 THEN 4 END)
+       |         WHEN $isGif THEN 3 WHEN $isBmp THEN 3 END::BIGINT AS channels
+       |  FROM x)
+       |SELECT doc_id, n_bytes, digest, format, width, height, channels,
+       |  width * height AS n_pixels
+       |FROM y ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1091,7 +1134,7 @@ FROM e ORDER BY user_id, day"""
         |mret AS (SELECT day, CASE WHEN prev IS NOT NULL AND prev <> 0
         |                          THEN CAST(mkt_value AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0 END AS mret
         |         FROM (SELECT day, mkt_value, lag(mkt_value, 1) OVER (ORDER BY day) AS prev FROM market)),
-        |b1 AS (SELECT c.user_id, c.day, c.close, m.mret,
+        |b1 AS (SELECT c.user_id, c.day, c.close, c.volume, m.mret,
         |              lag(c.close, 1) OVER (PARTITION BY c.user_id ORDER BY c.day) AS prev_close
         |       FROM closes c JOIN mret m USING (day)),
         |b2 AS (SELECT *, CASE WHEN prev_close IS NOT NULL AND prev_close <> 0
@@ -1101,9 +1144,11 @@ FROM e ORDER BY user_id, day"""
         |         CASE WHEN ret IS NOT NULL AND mret IS NOT NULL THEN CAST(round(ret, 6) AS DECIMAL(19,6)) END AS pr,
         |         CASE WHEN ret IS NOT NULL AND mret IS NOT NULL THEN CAST(round(mret, 6) AS DECIMAL(19,6)) END AS pm
         |       FROM b2),
-        |wins AS (SELECT user_id, day, close, ret,
+        |wins AS (SELECT user_id, day, close, ret, volume,
         |    CAST(sum(CAST(close AS DECIMAL(12,2))) OVER w5 AS DOUBLE) / count(*) OVER w5 AS ma5,
         |    CAST(sum(CAST(close AS DECIMAL(12,2))) OVER w20 AS DOUBLE) / count(*) OVER w20 AS ma20,
+        |    CAST(sum(volume) OVER w10 AS DOUBLE) / count(*) OVER w10 AS avg_vol10,
+        |    CAST(sum(volume) OVER w20 AS DOUBLE) / count(*) OVER w20 AS avg_vol20,
         |    max(close) OVER w10 AS hi10, min(close) OVER w10 AS lo10,
         |    max(close) OVER wpk AS peak,
         |    count(r6) OVER w20 AS nr, sum(r6) OVER w20 AS sr, sum(r6 * r6) OVER w20 AS sr2,
@@ -1114,7 +1159,7 @@ FROM e ORDER BY user_id, day"""
         |         w10 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
         |         w20 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
         |         wpk AS (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING))
-        |SELECT user_id, day, close, ma5, ma20, hi10, lo10, ret,
+        |SELECT user_id, day, close, ma5, ma20, volume, avg_vol10, avg_vol20, hi10, lo10, ret,
         |  CASE WHEN peak > 0 THEN round(1.0 - close / peak, 6) + 0.0 END AS drawdown,
         |  CASE WHEN nr > 1 THEN round(sqrt((CAST(nr AS DOUBLE) * CAST(sr2 AS DOUBLE)
         |        - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
@@ -1288,13 +1333,7 @@ FROM e ORDER BY user_id, day"""
         |  FROM h)
         |SELECT doc_id, unnest(fps) AS fingerprint FROM f
         |ORDER BY doc_id, fingerprint""".stripMargin),
-    "mm_binary_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS digest,
-        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,
-        |  CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS height,
-        |  CAST(octet_length(encode(text)) % 4 + 1 AS BIGINT) AS channels,
-        |  CAST(ascii(substr(text, 1, 1)) * ascii(substr(text, 2, 1)) AS BIGINT) AS n_pixels
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" -> mmBinaryMetaOracle,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(length(f) AS BIGINT) AS frame_chars, md5(f) AS digest

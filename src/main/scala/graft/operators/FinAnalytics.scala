@@ -68,8 +68,14 @@ object FinAnalytics {
       // twice (hash(user_id, day) here, hash(user_id) later).
       .repartition(col("user_id"))
       .withColumn("rn", row_number().over(wDesc))
+      // per-day tick count = the "volume" of the bar (the reference's
+      // financialData regularMarketVolume analog). Same (user_id, day)
+      // clustering as wDesc — hash(user_id) satisfies it, so the count
+      // window adds no Exchange.
+      .withColumn("volume",
+        count(lit(1)).over(Window.partitionBy(col("user_id"), col("day"))))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("day"), col("value").as("close"))
+      .select(col("user_id"), col("day"), col("value").as("close"), col("volume"))
   }
 
   /** Wide→long reshape of the daily OHLC bars (the melt/unpivot the
@@ -160,6 +166,7 @@ object FinAnalytics {
     closes(events)
       .withColumn("ma5", sum(dec2(col("close"))).over(w5).cast("double") / count(lit(1)).over(w5))
       .withColumn("ma20", sum(dec2(col("close"))).over(w20).cast("double") / count(lit(1)).over(w20))
+      .select(col("user_id"), col("day"), col("close"), col("ma5"), col("ma20"))
       .orderBy(col("user_id"), col("day"))
   }
 
@@ -172,6 +179,8 @@ object FinAnalytics {
     closes(events)
       .withColumn("rolling_high", max(col("close")).over(w))
       .withColumn("rolling_low", min(col("close")).over(w))
+      .select(col("user_id"), col("day"), col("close"),
+        col("rolling_high"), col("rolling_low"))
       .orderBy(col("user_id"), col("day"))
   }
 
@@ -747,6 +756,11 @@ object FinAnalytics {
         col("close") / col("prev_close") - lit(1.0)))
       .withColumn("ma5", sum(dec2(col("close"))).over(w5).cast("double") / count(lit(1)).over(w5))
       .withColumn("ma20", sum(dec2(col("close"))).over(w20).cast("double") / count(lit(1)).over(w20))
+      // volume family (averageVolume / averageVolume10days analogs,
+      // reference sql/sqlrequests.sql:60-108): exact integer sums,
+      // one correctly-rounded double division
+      .withColumn("avg_vol10", sum(col("volume")).over(w10).cast("double") / count(lit(1)).over(w10))
+      .withColumn("avg_vol20", sum(col("volume")).over(w20).cast("double") / count(lit(1)).over(w20))
       .withColumn("hi10", max(col("close")).over(w10))
       .withColumn("lo10", min(col("close")).over(w10))
       .withColumn("peak", max(col("close")).over(wPeak))
@@ -761,6 +775,7 @@ object FinAnalytics {
     val den = col("np").cast("double") * col("sm2p").cast("double") -
       col("smp").cast("double") * col("smp").cast("double")
     snap.select(col("user_id"), col("day"), col("close"), col("ma5"), col("ma20"),
+        col("volume"), col("avg_vol10"), col("avg_vol20"),
         col("hi10"), col("lo10"), col("ret"),
         when(col("peak") > 0, round(lit(1.0) - col("close") / col("peak"), 6) + lit(0.0)).as("drawdown"),
         when(col("nr") > 1,

@@ -75,10 +75,41 @@ class CurationSpec extends SparkSpec {
 
   test("decodePipeline (mapPartitions kernel) agrees with binaryMeta column algebra") {
     val viaKernel = Multimodal.decodePipeline(docs).collect()
-      .map(m => (m.doc_id, m.n_bytes, m.digest, m.width, m.height, m.channels)).toSet
+      .map(m => (m.doc_id, m.n_bytes, m.format, m.width, m.height, m.channels)).toSet
     val viaColumns = Multimodal.binaryMeta(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
     assert(viaKernel === viaColumns)
+  }
+
+  test("parseHeader reads real PNG/GIF/BMP/JPEG header bytes") {
+    import Multimodal.parseHeader
+    // PNG 640x480 RGBA, built per spec: magic, IHDR len+tag, dims,
+    // bit depth 8, color type 6
+    val png = (Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x02, 0x80, 0x00, 0x00, 0x01, 0xe0,
+      0x08, 0x06, 0x00, 0x00, 0x00).map(_.toByte))
+    val p = parseHeader(1L, png)
+    assert((p.format, p.width, p.height, p.channels) === (("png", 640L, 480L, 4L)))
+    // GIF89a 320x200 (little-endian u16)
+    val gif = "GIF89a".getBytes ++ Array(0x40, 0x01, 0xc8, 0x00).map(_.toByte)
+    val g = parseHeader(2L, gif)
+    assert((g.format, g.width, g.height) === (("gif", 320L, 200L)))
+    // BMP 100x50: BM, 12 filler bytes, DIB size 40, dims i32le
+    val bmp = ("BM".getBytes ++ Array.fill(12)(0.toByte)
+      ++ Array(0x28, 0, 0, 0, 100, 0, 0, 0, 50, 0, 0, 0).map(_.toByte))
+    val b = parseHeader(3L, bmp)
+    assert((b.format, b.width, b.height) === (("bmp", 100L, 50L)))
+    // JPEG: SOI, APP0 (16 bytes), then SOF0 800x600 3-component —
+    // exercises the marker WALK, not a fixed offset
+    val jpeg = (Array(0xff, 0xd8, // SOI
+      0xff, 0xe0, 0x00, 0x10) ++ Array.fill(14)(0) ++ // APP0 len 16
+      Array(0xff, 0xc0, 0x00, 0x11, 0x08, 0x02, 0x58, 0x03, 0x20, 0x03) ++ // SOF0: h=600 w=800 c=3
+      Array.fill(14)(0)).map(_.toByte)
+    val j = parseHeader(4L, jpeg)
+    assert((j.format, j.width, j.height, j.channels) === (("jpeg", 800L, 600L, 3L)))
+    // truncated/garbage bytes classify as unknown without throwing
+    assert(parseHeader(5L, Array[Byte](1, 2, 3)).format === "unknown")
   }
 
   test("packSequences is the concat-then-chunk packing with exact offsets") {

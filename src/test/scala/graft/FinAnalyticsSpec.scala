@@ -96,12 +96,15 @@ class FinAnalyticsSpec extends SparkSpec {
     val byDay = rows.map(r => r.getDate(1).toString -> r).toMap
     val d3 = byDay("2026-01-03")
     assert(d3.getDouble(3) === 20.0)          // ma5 of 10,20,30
-    assert(d3.getDouble(5) === 30.0)          // hi10
-    assert(d3.getDouble(6) === 10.0)          // lo10
-    assert(d3.getDouble(7) === 0.5)           // ret 30/20-1
-    assert(d3.getDouble(8) === 0.0)           // drawdown of a rising series
-    assert(!d3.isNullAt(10) && d3.getDouble(10) === 1.0, "self-market beta20 must be 1")
-    assert(byDay("2026-01-01").isNullAt(7))   // first day has no return
+    assert(d3.getLong(5) >= 1L)               // volume = ticks that day
+    assert(d3.getDouble(6) > 0.0)             // avg_vol10
+    assert(d3.getDouble(7) > 0.0)             // avg_vol20
+    assert(d3.getDouble(8) === 30.0)          // hi10
+    assert(d3.getDouble(9) === 10.0)          // lo10
+    assert(d3.getDouble(10) === 0.5)          // ret 30/20-1
+    assert(d3.getDouble(11) === 0.0)          // drawdown of a rising series
+    assert(!d3.isNullAt(13) && d3.getDouble(13) === 1.0, "self-market beta20 must be 1")
+    assert(byDay("2026-01-01").isNullAt(10))  // first day has no return
   }
 
   test("ohlcUnpivot melts each bar into exactly four metric rows") {
