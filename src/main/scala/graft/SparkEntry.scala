@@ -79,6 +79,8 @@ object SparkEntry {
     // free driver-side solve on those sums -> rows-only + RidgeSpec.
     "fin_ridge_gram"        -> ((s, d) => Ridge.gram(Tables(s, d).events)),
     "fin_ridge"             -> ((s, d) => Ridge.predict(Tables(s, d).events)),
+    // iterative histogram-GBM trainer -> rows-only + GradientBoostSpec
+    "fin_gbt"               -> ((s, d) => GradientBoost.predict(Tables(s, d).events)),
     // test/train sizes scaled to the smallest gate SF (sf0.001 has
     // ~1k events); semantics are SF-independent window arithmetic
     "curate_time_split"     -> ((s, d) => Curation.timeSplit(Tables(s, d).events,
