@@ -91,7 +91,7 @@ object Dedup {
   def verifyPairs(documents: DataFrame, pairs: DataFrame,
                   threshold: Double = 0.8, w: Int = 3): DataFrame =
     verifyJaccard(pairs.select(col("a"), col("b")).distinct(),
-      shingleRows(documents, w), threshold)
+      shingleRows(documents, w).localCheckpoint(true), threshold)
 
   /** Exact Jaccard verification of candidate (a, b) pairs against the
     * full shingle sets; emits pairs with round(j, 6) ≥ threshold.
@@ -114,7 +114,12 @@ object Dedup {
     // reference the candidate frame twice — unresolvable on streaming
     // memory-sink plans) so a disjoint pair still aggregates to
     // inter=0 and gets its J=0 verdict (verifyPairs is called with
-    // threshold 0 by the streaming reconciliation tests).
+    // threshold 0 by the streaming reconciliation tests). AQE
+    // broadcasts the candidate-bounded left side of the (b, s) join,
+    // so the corpus-sized shingle frame is never re-shuffled; an
+    // explicit candidate-id semi-prune of sh was measured SLOWER at
+    // bench SF (two extra materialization jobs) — revisit only if a
+    // profile shows the (b, s) join shuffling at scale.
     cands
       .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"), "left")
       .join(sh.select(col("doc_id").as("b2"), col("s").as("s2")),
@@ -141,7 +146,12 @@ object Dedup {
   def minhashLsh(documents: DataFrame, numHashes: Int = 32, bands: Int = 16,
                  threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    val sh = shingleRows(documents, 3)
+    // The shingle frame feeds the signature aggregation AND three
+    // verify-stage references (both candidate sides + per-doc sizes);
+    // materializing it once (eager localCheckpoint, ContextCleaner-
+    // freed, MEMORY_AND_DISK so 100 TB spills rather than OOMs) turns
+    // four corpus tokenize+explode scans into one.
+    val sh = shingleRows(documents, 3).localCheckpoint(true)
     // Signatures are internal (the oracle is the brute-force Jaccard
     // answer, not the sketch), so use codegen'd seeded xxhash64 —
     // hᵢ = xxhash64(i, s) — instead of 32 md5 rounds per shingle.
@@ -290,7 +300,10 @@ object Dedup {
     // even on a tiny vocabulary, so the prefix-filter join stays
     // near-linear (w=2 on a 40-word vocab put hundreds of docs in
     // every bucket → a quadratic candidate join).
-    val sh = shingleRows(documents, 4)
+    // Five consumers (freq, the ranked join, and three verify-stage
+    // references) — one materialized scan, same rationale as
+    // [[minhashLsh]].
+    val sh = shingleRows(documents, 4).localCheckpoint(true)
     // Prefix ordering only has to be SOME consistent total order —
     // the PPJoin bound holds for any — so exact global counts are
     // only needed where they differ from 1. The repeated-shingle

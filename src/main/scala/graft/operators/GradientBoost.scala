@@ -53,22 +53,29 @@ object GradientBoost {
 
   private def fitOn(df: DataFrame, iters: Int, lr: Double): (Double, Seq[Stump]) = {
     val base = df.agg(sum(dec2(col("y"))).cast("double") / count(lit(1))).head().getDouble(0)
+    // Bin populations never change across iterations — count them once.
+    val countAggs = featureBins.flatMap { case (f, bins) =>
+      bins.map(b => sum(when(col(f) === b, 1L).otherwise(0L)).as(s"n_${f}_$b"))
+    }
+    val nRow = df.agg(countAggs.head, countAggs.tail: _*).head()
+    def n(f: String, b: Int): Long = nRow.getLong(nRow.fieldIndex(s"n_${f}_$b"))
     var predExpr: Column = lit(base)
     val stumps = Seq.newBuilder[Stump]
     for (_ <- 1 to iters) {
-      val r = round(col("y") - predExpr, 6).cast(DecimalType(18, 6))
-      val aggs = featureBins.flatMap { case (f, bins) =>
-        bins.flatMap { b =>
-          Seq(sum(when(col(f) === b, r)).as(s"s_${f}_$b"),
-            sum(when(col(f) === b, 1L).otherwise(0L)).as(s"n_${f}_$b"))
-        }
+      // The residual is PROJECTED once per row before aggregating —
+      // referencing the (iteration-deep) prediction expression inside
+      // all 43 conditional sums would inline 43 copies of it into the
+      // aggregate and blow up codegen time.
+      val scored = df.withColumn("r",
+        round(col("y") - predExpr, 6).cast(DecimalType(18, 6)))
+      val sumAggs = featureBins.flatMap { case (f, bins) =>
+        bins.map(b => sum(when(col(f) === b, col("r"))).as(s"s_${f}_$b"))
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val row = scored.agg(sumAggs.head, sumAggs.tail: _*).head()
       def s(f: String, b: Int): Double = {
         val v = row.getDecimal(row.fieldIndex(s"s_${f}_$b"))
         if (v == null) 0.0 else v.doubleValue()
       }
-      def n(f: String, b: Int): Long = row.getLong(row.fieldIndex(s"n_${f}_$b"))
       // Best split maximizes S_L²/n_L + S_R²/n_R (the SSE-reduction
       // surrogate for squared loss); deterministic (feature,
       // threshold) iteration order breaks exact ties.
