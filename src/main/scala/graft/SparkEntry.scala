@@ -81,6 +81,10 @@ object SparkEntry {
     "fin_ridge"             -> ((s, d) => Ridge.predict(Tables(s, d).events)),
     // iterative histogram-GBM trainer -> rows-only + GradientBoostSpec
     "fin_gbt"               -> ((s, d) => GradientBoost.predict(Tables(s, d).events)),
+    // per-fold refits -> rows-only + CvEvalSpec; fold sizes scaled to
+    // the smallest gate SF like curate_time_split
+    "fin_cv_eval"           -> ((s, d) => CvEval.ridgeCv(Tables(s, d).events,
+      nSplits = 5, gap = 48, maxTrainSize = 400, testSize = 100)),
     // test/train sizes scaled to the smallest gate SF (sf0.001 has
     // ~1k events); semantics are SF-independent window arithmetic
     "curate_time_split"     -> ((s, d) => Curation.timeSplit(Tables(s, d).events,

@@ -101,8 +101,13 @@ object Ridge {
     * [[fit]] enter the plan as literals, so this is one scan with no
     * shuffle at all. ŷ and residual are 6-dp-rounded doubles.
     */
-  def predict(events: DataFrame, alpha: Double = 1.0): DataFrame = {
-    val beta = fit(events, alpha)
+  def predict(events: DataFrame, alpha: Double = 1.0): DataFrame =
+    predictWith(events, fit(events, alpha))
+
+  /** Score with externally-fitted coefficients (the cross-validation
+    * path: fit on a train slice, predict a disjoint test slice).
+    */
+  def predictWith(events: DataFrame, beta: Array[Double]): DataFrame = {
     val z = zFrame(events)
     val yhat = (0 until D - 1)
       .map(i => col(s"z$i").cast("double") * lit(beta(i)))
