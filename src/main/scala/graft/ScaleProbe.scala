@@ -111,7 +111,13 @@ object ScaleProbe {
       // FIXED query set at both scales, like ann_lsh above
       "ann_pq" -> time("ann_pq")(operators.Similarity.annPq(src.embeddings,
         Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
-        queriesAreCorpusDerived = Some(true)).count()))
+        queriesAreCorpusDerived = Some(true)).count()),
+      // learn/eval family: model size is FIXED (7 coefficients / 10
+      // stumps / 5 folds) — only the histogram/Gram scans grow
+      "ridge" -> time("ridge")(operators.Ridge.predict(e1).count()),
+      "gbt" -> time("gbt")(operators.GradientBoost.predict(e1).count()),
+      "time_split" -> time("time_split")(operators.Curation.timeSplit(e1).count()),
+      "cv_eval" -> time("cv_eval")(operators.CvEval.ridgeCv(e1).count()))
     println("== 10x ==")
     val s = Map(
       "q1_pricing" -> time("q1_pricing")(operators.Analytics.pricingSummary(li10).count()),
@@ -154,7 +160,11 @@ object ScaleProbe {
       "token_budget" -> time("token_budget")(operators.Curation.tokenBudget(docs10, budget = 100000L).count()),
       "ann_pq" -> time("ann_pq")(operators.Similarity.annPq(emb10,
         Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
-        queriesAreCorpusDerived = Some(true)).count()))
+        queriesAreCorpusDerived = Some(true)).count()),
+      "ridge" -> time("ridge")(operators.Ridge.predict(events10).count()),
+      "gbt" -> time("gbt")(operators.GradientBoost.predict(events10).count()),
+      "time_split" -> time("time_split")(operators.Curation.timeSplit(events10).count()),
+      "cv_eval" -> time("cv_eval")(operators.CvEval.ridgeCv(events10).count()))
     println("== scaling factor (10x data / 1x time; 10 = linear) ==")
     b.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-22s ${s(k) / b(k)}%6.1f x")
