@@ -93,6 +93,7 @@ object SparkEntry {
     "fin_feature_snapshot"  -> ((s, d) => FinAnalytics.featureSnapshot(Tables(s, d).events)),
     "fin_spline_features"   -> ((s, d) => FinAnalytics.splineFeatures(Tables(s, d).events)),
     "dedup_exact"         -> ((s, d) => Dedup.exact(Tables(s, d).documents)),
+    "dedup_passages"      -> ((s, d) => Dedup.passages(Tables(s, d).documents)),
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(Tables(s, d).documents)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables(s, d).documents)),
@@ -1192,6 +1193,21 @@ FROM e ORDER BY user_id, day"""
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "dedup_passages" ->
+      (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+         |c AS (SELECT doc_id, i AS chunk_idx,
+         |    array_to_string(w[CAST(i*20+1 AS INT) : CAST(i*20+20 AS INT)], ' ') AS passage
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w) // 20)) AS i FROM t WHERE len(w) >= 20)),
+         |g AS (SELECT md5(passage) AS h, doc_id, chunk_idx,
+         |    row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM c),
+         |d AS (SELECT md5(passage) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM c GROUP BY 1)
+         |SELECT d.h AS passage_hash, d.n_docs, d.n_occurrences,
+         |  g.doc_id AS first_doc, CAST(g.chunk_idx AS BIGINT) AS first_chunk
+         |FROM d JOIN g ON g.h = d.h AND g.rn = 1
+         |WHERE d.n_occurrences >= 2 ORDER BY passage_hash""".stripMargin),
     "dedup_minhash_lsh" -> jaccardOracle(3, "0.8"),
     "dedup_components" ->
       (componentsCtes +

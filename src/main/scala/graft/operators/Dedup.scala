@@ -48,6 +48,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Passage-level exact dedup: chunk every doc into NON-overlapping
+    * `w`-token passages (trailing partial chunk dropped — both
+    * engines agree on ⌊n/w⌋ full chunks), hash each, and report
+    * passages occurring more than once with doc/occurrence counts and
+    * the canonical first location. This is the chunk-granularity
+    * dedup sweep LLM pipelines run between document-level exact dedup
+    * and shingle near-dup: it catches boilerplate shared across
+    * otherwise-distinct documents. One hash-partitioned aggregation
+    * over (passage hash) — no sort, no all-pairs anything; the
+    * explode fans out ~n/w rows per doc on the scan side.
+    */
+  def passages(documents: DataFrame, w: Int = 20): DataFrame = {
+    val parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    val chunks = documents.repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // guard: sequence(0, -1) DESCENDS in Spark, it is not empty —
+      // short docs must map to an explicit empty array
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) >= w,
+          transform(sequence(lit(0), (size(col("toks")) / w).cast("int") - 1),
+            i => concat_ws(" ", slice(col("toks"), i * w + 1, lit(w)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("chunk_idx", "passage")))
+    chunks
+      .groupBy(md5(col("passage")).as("passage_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      .filter(col("n_occurrences") >= 2)
+      .select(col("passage_hash"), col("n_docs"), col("n_occurrences"),
+        col("first.doc_id").as("first_doc"),
+        col("first.chunk_idx").cast("long").as("first_chunk"))
+      .orderBy(col("passage_hash"))
+  }
+
   /** Exact dedup groups: md5(text) → keeper = min(doc_id), group
     * size. One hash-partitioned aggregation; no sort.
     */

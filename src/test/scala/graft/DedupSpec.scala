@@ -130,4 +130,20 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((1L, 2L), (3L, 1L))) // (keep_id, n_dups)
   }
+
+  test("passages flags cross-document repeated chunks at chunk granularity") {
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")   // one full 20-token chunk
+    val uniq = (1 to 20).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $uniq"),            // chunks: [boiler, uniq]
+      (2L, s"$boiler ${uniq.toUpperCase}"), // shares ONLY the boiler chunk
+      (3L, s"$uniq $uniq"),              // self-repeats its own chunk
+      (4L, "short doc under twenty tokens")) // no full chunk at all
+      .toDF("doc_id", "text")
+    val got = Dedup.passages(docs, w = 20).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    // boiler: 2 docs, 2 occurrences, first at (1, 0);
+    // uniq: docs 1 and 3, 3 occurrences total, first at (1, 1)
+    assert(got === Set((2L, 2L, 1L, 0L), (2L, 3L, 1L, 1L)))
+  }
 }
