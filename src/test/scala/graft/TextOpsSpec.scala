@@ -96,6 +96,16 @@ class TextOpsSpec extends SparkSpec {
     assert(got("a") === 0.05 && got("c") === 0.05)
   }
 
+  test("tokenRank's iteration plan never re-tokenizes the corpus") {
+    // edges/nodes/outW are eager localCheckpoints, so the returned
+    // plan must reference stored blocks only — zero source re-scans
+    // and zero tokenize/split expressions across all 3 iterations
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b")).toDF("doc_id", "text")
+    val plan = TextOps.tokenRank(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("split("), s"tokenization leaked into the iteration plan:\n$plan")
+    assert(!plan.contains("LocalTableScan") || !plan.contains("split("))
+  }
+
   test("fingerprint is identical for identical token streams, and falls back on short docs") {
     val docs = Seq(
       (1L, "a b c d e f g"),
