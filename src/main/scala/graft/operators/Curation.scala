@@ -158,7 +158,18 @@ object Curation {
     val offsets = counts
       .withColumn("part_off", coalesce(sum(col("cnt")).over(wPart), lit(0L)))
       .select(col("part"), col("part_off"))
+    // Mirror sklearn's TimeSeriesSplit ValueError: with
+    // n < nSplits·testSize + gap + 1 rows, fold 0's test block would
+    // start at a negative index (truncating it) and its train slice
+    // would be empty — fail loudly with the corpus size instead of
+    // emitting malformed folds. Plan-level (raise_error on the one
+    // aggregated n row), so the guard costs no extra job.
+    val minRows = nSplits * testSize + gap + 1
     val nDf = counts.agg(sum(col("cnt")).as("n"))
+      .select(when(col("n") >= minRows, col("n"))
+        .otherwise(raise_error(concat(
+          lit(s"timeSplit: need >= $minRows rows for $nSplits folds of $testSize test rows"
+            + s" with gap $gap, got "), col("n"))).cast("long")).as("n"))
     val folds = events.sparkSession.range(nSplits).toDF("fold")
     val wIn = Window.partitionBy(col("part")).orderBy(col("ts"), col("event_id"))
     base.join(broadcast(offsets), "part")

@@ -144,13 +144,18 @@ object Dedup {
     */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // LEFT joins (not an inner join + re-join of cands, which would
-    // reference the candidate frame twice — unresolvable on streaming
-    // memory-sink plans) so a disjoint pair still aggregates to
-    // inter=0 and gets its J=0 verdict (verifyPairs is called with
-    // threshold 0 by the streaming reconciliation tests). AQE
-    // broadcasts the candidate-bounded left side of the (b, s) join,
-    // so the corpus-sized shingle frame is never re-shuffled; an
+    // LEFT joins throughout (not an inner join + re-join of cands,
+    // which would reference the candidate frame twice — unresolvable
+    // on streaming memory-sink plans) so a disjoint pair still
+    // aggregates to inter=0 and gets its J=0 verdict (verifyPairs is
+    // called with threshold 0 by the streaming reconciliation tests).
+    // That includes the SIZE joins: a candidate doc with < w tokens
+    // has zero shingles and no sizes row, so an inner join would
+    // silently drop the pair instead of scoring it — left join +
+    // coalesce(n, 0) keeps it, and J is defined 0 when the union is
+    // empty. AQE broadcasts the candidate-bounded left side of the
+    // (b, s) join, so the corpus-sized shingle frame is never
+    // re-shuffled (plan-asserted by DedupSpec's broadcast gate); an
     // explicit candidate-id semi-prune of sh was measured SLOWER at
     // bench SF (two extra materialization jobs) — revisit only if a
     // profile shows the (b, s) join shuffling at scale.
@@ -160,10 +165,14 @@ object Dedup {
         col("b") === col("b2") && col("s") === col("s2"), "left")
       .groupBy(col("a"), col("b"))
       .agg(sum(when(col("s2").isNotNull, 1L).otherwise(0L)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"), "left")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"), "left")
+      .withColumn("na", coalesce(col("na"), lit(0L)))
+      .withColumn("nb", coalesce(col("nb"), lit(0L)))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6) + lit(0.0))
+        when(col("na") + col("nb") - col("inter") === 0, lit(0.0))
+          .otherwise(round(col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")), 6) + lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
@@ -266,26 +275,48 @@ object Dedup {
     * the loop is 2-3 shuffle rounds of |E| rows. The driver only
     * ever sees one change-count per round, never data.
     */
-  def components(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val pairs = minhashLsh(documents, threshold = threshold).select(col("a"), col("b"))
-    val edges = pairs.unionByName(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
-    var cached = edges.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("comp")).cache()
-    var labels = cached
-    var changed = 1L
-    while (changed > 0) {
+  def components(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    componentsFromPairs(minhashLsh(documents, threshold = threshold))
+
+  /** Connected components over an explicit near-dup pair frame
+    * (columns `a`, `b`) — the reusable second stage of [[components]],
+    * so a pipeline that already materialized its candidate pairs (or
+    * wants SimHash/PPJoin pairs instead of MinHash) doesn't re-run
+    * candidate generation to cluster them.
+    *
+    * Job-count design: label propagation runs TWO rounds per
+    * materialized job, and the convergence check reads only the
+    * second round's change flag. Dup clusters are near-cliques
+    * (diameter ≤ 2 is the overwhelming case: every member collides
+    * with the keeper), so round 1 reaches the fixpoint and round 2
+    * proves it — the whole loop is typically ONE cluster job, where
+    * the round-per-job version paid 2-3 sequential cache+count jobs
+    * of fixed scheduler latency each (the round-5 bench-gate spike).
+    * Longer chains still converge: the loop keeps double-stepping
+    * until a quiet round.
+    */
+  def componentsFromPairs(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a"), col("b"))
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b"))).cache()
+    def propagate(labels: DataFrame): DataFrame = {
       val viaNeighbors = labels.join(edges, col("node") === col("a"))
         .groupBy(col("b")).agg(min(col("comp")).as("ncomp"))
         .select(col("b").as("node"), col("ncomp"))
       // Carry the previous label through the update so the
       // convergence check is a filter over the cached frame, not a
       // second labels⋈next join per round.
-      val next = labels.join(viaNeighbors, Seq("node"), "left")
+      labels.select(col("node"), col("comp")).join(viaNeighbors, Seq("node"), "left")
         .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .cache()
+    }
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+    var cached: DataFrame = null
+    var changed = 1L
+    while (changed > 0) {
+      val next = propagate(propagate(labels)).cache()
       changed = next.filter(col("comp") =!= col("prev")).count()
-      cached.unpersist()
+      if (cached != null) cached.unpersist()
       cached = next
       labels = next.select(col("node"), col("comp"))
     }
@@ -310,8 +341,17 @@ object Dedup {
     * hash(doc_id)-style equi-joins with broadcastable right sides at
     * any scale where dup clusters are sparse.
     */
-  def applyDedup(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val comps = components(documents, threshold)
+  def applyDedup(documents: DataFrame, threshold: Double = 0.8): DataFrame =
+    applyDedupWith(documents, components(documents, threshold))
+
+  /** [[applyDedup]] with PRECOMPUTED cluster labels — the overload a
+    * pipeline uses when it already ran [[components]] (keep/drop
+    * lists and cluster reports come from the same labels; re-running
+    * the LSH candidate chain to apply verdicts it already computed
+    * doubles the most expensive stage of the whole dedup family).
+    * Only the two label-sized joins remain here.
+    */
+  def applyDedupWith(documents: DataFrame, comps: DataFrame): DataFrame = {
     val keepers = comps.groupBy(col("comp")).agg(min(col("node")).as("keeper"))
     documents.select(col("doc_id"))
       .join(comps.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")

@@ -167,23 +167,34 @@ object Multimodal {
     } else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff) {
       // JPEG: walk FF-marker segments to the first SOFn (C0-CF minus
       // the non-frame C4/C8/CC); each non-entropy segment is
-      // FF marker len_hi len_lo payload(len-2). The SOF payload is
-      // precision(1) height(u16be) width(u16be) components(1).
+      // FF marker len_hi len_lo payload(len-2). Real-world encoders
+      // may pad BETWEEN segments with extra FF fill bytes (the spec
+      // allows any number before a marker), and TEM (0x01) / RSTn /
+      // SOI / EOI are standalone markers with no length field — both
+      // must be skipped without reading a bogus length. The SOF
+      // payload is precision(1) height(u16be) width(u16be)
+      // components(1).
       def be16(i: Int): Long = ((u8(b, i) << 8) | u8(b, i + 1)).toLong
       var i = 2
       var out: MediaMeta = null
-      while (out == null && i + 3 < b.length && u8(b, i) == 0xff) {
-        val marker = u8(b, i + 1)
-        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
-          out =
-            if (i + 9 < b.length)
-              meta("jpeg", be16(i + 7), be16(i + 5), u8(b, i + 9).toLong)
-            else meta("jpeg", 0L, 0L, 0L)
-        } else {
-          val len =
-            if (marker >= 0xd0 && marker <= 0xd9) 0 // standalone RSTn/SOI/EOI
-            else ((u8(b, i + 2) << 8) | u8(b, i + 3))
-          i += 2 + len
+      var halted = false
+      while (out == null && !halted && i < b.length && u8(b, i) == 0xff) {
+        var m = i + 1
+        while (m < b.length && u8(b, m) == 0xff) m += 1 // FF fill bytes
+        if (m >= b.length) halted = true
+        else {
+          val marker = u8(b, m)
+          if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            out =
+              if (m + 8 < b.length)
+                meta("jpeg", be16(m + 6), be16(m + 4), u8(b, m + 8).toLong)
+              else meta("jpeg", 0L, 0L, 0L)
+          } else if (marker == 0x01 || marker == 0x00 ||
+              (marker >= 0xd0 && marker <= 0xd9)) {
+            i = m + 1 // standalone: TEM / stuffed 00 / RSTn / SOI / EOI
+          } else if (m + 2 < b.length) {
+            i = m + 1 + ((u8(b, m + 1) << 8) | u8(b, m + 2))
+          } else halted = true
         }
       }
       if (out != null) out else meta("jpeg", 0L, 0L, 0L)

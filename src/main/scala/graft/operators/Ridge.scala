@@ -32,35 +32,64 @@ object Ridge {
   /** Augmented-vector width: z0 = intercept, z1..z6 = cyclical
     * features (hour/dow/month sin+cos), z7 = y (the event value).
     */
-  private val D = 8
-  private val upperTriangle: Seq[(Int, Int)] =
+  private[operators] val D = 8
+  private[operators] val upperTriangle: Seq[(Int, Int)] =
     for { i <- 0 until D; j <- i until D } yield (i, j)
 
   /** (event_id, z0..z7), each component a 6-dp-rounded DECIMAL(18,6)
     * so pairwise products (37,12) and their sums (38,12) stay exact.
     * Feature formulas replicate [[FinAnalytics.cyclicalFeatures]]
-    * op-for-op (same literal order as the DuckDB oracle).
+    * op-for-op (same literal order as the DuckDB oracle). The sin/cos
+    * features are bounded, but y is not: dec6 overflows DECIMAL(18,6)
+    * to null for |y| ≥ ~1e12 AFTER isNotNull admitted the row — a
+    * silently inconsistent normal-equation system (row counted in n
+    * but absent from the y sums) — so out-of-domain values fail
+    * loudly instead (same guard as [[FinAnalytics.moments]]).
     */
-  private def zFrame(events: DataFrame): DataFrame = {
+  private[operators] def zFrame(events: DataFrame): DataFrame = {
     def enc(c: Column, period: Int): Seq[Column] = Seq(
       dec6(sin(c * (lit(2.0) * lit(math.Pi) / period))),
       dec6(cos(c * (lit(2.0) * lit(math.Pi) / period))))
+    val guardedY = when(abs(col("value")) < 1e11, dec6(col("value")))
+      .otherwise(raise_error(concat(
+        lit("ridge: |value| >= 1e11 overflows the exact Gram sums: "),
+        col("value"))).cast(DecimalType(18, 6)))
     val zs =
       lit(1.0).cast(DecimalType(18, 6)) +:
         (enc(hour(col("ts")), 24) ++
           enc(dayofweek(col("ts")) - 1, 7) ++
           enc(month(col("ts")), 12)) :+
-        dec6(col("value"))
+        guardedY
     events.filter(col("value").isNotNull)
       .select(col("event_id") +: zs.zipWithIndex.map { case (c, i) => c.as(s"z$i") }: _*)
   }
 
-  private def gramAgg(z: DataFrame): DataFrame =
-    z.agg(
-      sum(col("z0") * col("z0")).as("s_0_0"),
-      upperTriangle.tail.map { case (i, j) =>
-        sum(col(s"z$i") * col(s"z$j")).as(s"s_${i}_$j")
-      }: _*)
+  /** The 36 upper-triangle Σ zᵢzⱼ aggregate expressions — shared by
+    * the single-model fit and [[CvEval]]'s per-fold grouped variant.
+    */
+  private[operators] def gramSumCols: Seq[Column] =
+    upperTriangle.map { case (i, j) =>
+      sum(col(s"z$i") * col(s"z$j")).as(s"s_${i}_$j")
+    }
+
+  private def gramAgg(z: DataFrame): DataFrame = {
+    val cols = gramSumCols
+    z.agg(cols.head, cols.tail: _*)
+  }
+
+  /** Solve the ridge normal equations from a (i ≤ j) → Σ zᵢzⱼ lookup
+    * (driver-side, model-parameter work only). Shared by [[fit]] and
+    * [[CvEval]]'s batched per-fold solves.
+    */
+  private[operators] def solveFromSums(s: (Int, Int) => Double, alpha: Double): Array[Double] = {
+    val d = D - 1 // 7 unknowns: intercept + 6 features
+    val a = Array.tabulate(d, d) { (i, j) =>
+      s(math.min(i, j), math.max(i, j)) +
+        (if (i == j && i > 0) alpha else 0.0) // intercept unpenalized
+    }
+    val b = Array.tabulate(d)(i => s(i, D - 1))
+    solve(a, b)
+  }
 
   /** The Gram sums as rows (i, j, s) over the upper triangle of
     * z zᵀ, 0 ≤ i ≤ j < 8 — the full sufficient statistic for ridge
@@ -80,21 +109,15 @@ object Ridge {
   }
 
   /** Fit coefficients [β₀(intercept), β₁..β₆]: one Gram scan, then a
-    * driver-side 7×7 Gaussian elimination with partial pivoting.
+    * driver-side 7×7 Gaussian elimination.
     */
   def fit(events: DataFrame, alpha: Double = 1.0): Array[Double] = {
     val row = gramAgg(zFrame(events)).head()
     def s(i: Int, j: Int): Double = {
-      val (a, b) = if (i <= j) (i, j) else (j, i)
-      val v = row.getDecimal(upperTriangle.indexOf((a, b)))
+      val v = row.getDecimal(upperTriangle.indexOf((i, j)))
       if (v == null) 0.0 else v.doubleValue()
     }
-    val d = D - 1 // 7 unknowns: intercept + 6 features
-    val a = Array.tabulate(d, d) { (i, j) =>
-      s(i, j) + (if (i == j && i > 0) alpha else 0.0) // intercept unpenalized
-    }
-    val b = Array.tabulate(d)(i => s(i, D - 1))
-    solve(a.map(_.clone()), b)
+    solveFromSums(s, alpha)
   }
 
   /** Predictions + residuals over the full corpus: coefficients from
@@ -119,13 +142,19 @@ object Ridge {
       .orderBy(col("event_id"))
   }
 
-  /** Gaussian elimination with partial pivoting; a is mutated. */
+  /** Gaussian elimination WITHOUT pivoting; a is mutated. The normal
+    * matrix XᵀX + λI is symmetric positive definite whenever it is
+    * nonsingular, and on an SPD system pivot-free elimination is
+    * numerically stable (it is Cholesky up to row scaling) — so no
+    * data-dependent row swaps, which keeps the arithmetic a FIXED
+    * sequence of IEEE ops that the DuckDB oracle replays operation-
+    * for-operation (an unrolled CTE chain) for bit-identical
+    * coefficients. Singularity (collinear features at λ=0) still
+    * fails loudly via the pivot-magnitude require.
+    */
   private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     for (k <- 0 until n) {
-      val piv = (k until n).maxBy(r => math.abs(a(r)(k)))
-      val tr = a(k); a(k) = a(piv); a(piv) = tr
-      val tb = b(k); b(k) = b(piv); b(piv) = tb
       require(math.abs(a(k)(k)) > 1e-12,
         "ridge: singular normal equations (collinear features and alpha=0?)")
       for (r <- k + 1 until n) {
