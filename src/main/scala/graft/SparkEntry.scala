@@ -98,14 +98,15 @@ object SparkEntry {
     "fin_volatility"        -> ((s, d) => FinAnalytics.volatility(Tables(s, d).events)),
     "fin_beta"              -> ((s, d) => FinAnalytics.beta(Tables(s, d).events)),
     "fin_cyclical_features" -> ((s, d) => FinAnalytics.cyclicalFeatures(Tables(s, d).events)),
-    // Gram sums: full oracle. The fitted model composes an iterative-
-    // free driver-side solve on those sums -> rows-only + RidgeSpec.
+    // Full oracles: Gram sums are exact decimals, and the pivot-free
+    // SPD solve is a fixed IEEE op sequence the oracle unrolls as a
+    // CTE chain -> coefficients (hence predictions and the CV
+    // metrics) replay bit-identically in DuckDB.
     "fin_ridge_gram"        -> ((s, d) => Ridge.gram(Tables(s, d).events)),
     "fin_ridge"             -> ((s, d) => Ridge.predict(Tables(s, d).events)),
     // iterative histogram-GBM trainer -> rows-only + GradientBoostSpec
     "fin_gbt"               -> ((s, d) => GradientBoost.predict(Tables(s, d).events)),
-    // per-fold refits -> rows-only + CvEvalSpec; fold sizes scaled to
-    // the smallest gate SF like curate_time_split
+    // fold sizes scaled to the smallest gate SF like curate_time_split
     "fin_cv_eval"           -> ((s, d) => CvEval.ridgeCv(Tables(s, d).events,
       nSplits = 5, gap = 48, maxTrainSize = 400, testSize = 100)),
     // test/train sizes scaled to the smallest gate SF (sf0.001 has
@@ -460,6 +461,121 @@ FROM e ORDER BY user_id, day"""
        |ORDER BY i, j""".stripMargin
   }
 
+  /** The z-vector CTE body shared by the ridge-family oracles —
+    * identical quantization as [[operators.Ridge.zFrame]] (and
+    * [[ridgeGramOracle]]), with event_id carried for fold joins.
+    */
+  private def ridgeZDefs: String = Seq(
+    "event_id",
+    "CAST(1.0 AS DECIMAL(18,6)) AS z0",
+    "CAST(round(sin(date_part('hour', ts) * (2 * pi() / 24)), 6) AS DECIMAL(18,6)) AS z1",
+    "CAST(round(cos(date_part('hour', ts) * (2 * pi() / 24)), 6) AS DECIMAL(18,6)) AS z2",
+    "CAST(round(sin(date_part('dow', ts) * (2 * pi() / 7)), 6) AS DECIMAL(18,6)) AS z3",
+    "CAST(round(cos(date_part('dow', ts) * (2 * pi() / 7)), 6) AS DECIMAL(18,6)) AS z4",
+    "CAST(round(sin(date_part('month', ts) * (2 * pi() / 12)), 6) AS DECIMAL(18,6)) AS z5",
+    "CAST(round(cos(date_part('month', ts) * (2 * pi() / 12)), 6) AS DECIMAL(18,6)) AS z6",
+    "CAST(round(value, 6) AS DECIMAL(18,6)) AS z7").mkString(", ")
+
+  /** The unrolled 7×7 ridge solve as CTE steps — replays
+    * [[operators.Ridge.solve]]'s pivot-free Gaussian elimination
+    * OPERATION-FOR-OPERATION in double arithmetic (the normal matrix
+    * is SPD, so the Scala side does no data-dependent row swaps and
+    * the IEEE op sequence is fixed → bit-identical coefficients).
+    * `src` must provide columns `s_i_j` (exact decimal Gram sums,
+    * upper triangle, i ≤ j) plus any `carry` columns (e.g. fold) to
+    * thread through; emits CTEs `m0, e1..e6, bx6..bx0` where bx0 has
+    * x0..x6. The VARCHAR round-trip forces a correctly-rounded
+    * decimal→double like Spark's BigDecimal.doubleValue.
+    */
+  private def ridgeSolveCtes(src: String, alpha: String, carry: Seq[String]): String = {
+    def sref(i: Int, j: Int): String = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      s"COALESCE(CAST(CAST(s_${a}_$b AS VARCHAR) AS DOUBLE), 0.0)"
+    }
+    val carryCols = carry.map(_ + ", ").mkString
+    val m0 = (for { r <- 0 to 6; c <- 0 to 6 } yield
+      s"(${sref(r, c)}${if (r == c && r > 0) s" + $alpha" else ""}) AS a_${r}_$c")
+      .mkString(", ") + ", " + (0 to 6).map(r => s"${sref(r, 7)} AS b_$r").mkString(", ")
+    // e{k}: state after elimination step k-1 (pivot row k-1 frozen;
+    // rows r >= k updated on columns c >= k).
+    val steps = (1 to 6).map { k =>
+      val p = k - 1
+      val frozen = (for { r <- 0 until k; c <- r to 6 } yield s"a_${r}_$c") ++
+        (0 until k).map(r => s"b_$r")
+      val updated = (for { r <- k to 6; c <- k to 6 } yield
+        s"(a_${r}_$c - (a_${r}_$p / a_${p}_$p) * a_${p}_$c) AS a_${r}_$c") ++
+        (k to 6).map(r => s"(b_$r - (a_${r}_$p / a_${p}_$p) * b_$p) AS b_$r")
+      s"e$k AS (SELECT $carryCols${(frozen ++ updated).mkString(", ")} FROM ${if (k == 1) "m0" else s"e${k - 1}"})"
+    }
+    // Back-substitution, one CTE per unknown (ascending-term sums,
+    // left-associated — the Scala fold order).
+    val backs = (6 to 0 by -1).map { k =>
+      val terms = (k + 1 to 6).map(c => s"a_${k}_$c * x$c")
+      val num = if (terms.isEmpty) s"b_$k" else s"(b_$k - (${terms.mkString(" + ")}))"
+      val from = if (k == 6) "e6" else s"bx${k + 1}"
+      s"bx$k AS (SELECT *, $num / a_${k}_$k AS x$k FROM $from)"
+    }
+    (s"m0 AS (SELECT $carryCols$m0 FROM $src)" +: (steps ++ backs)).mkString(",\n")
+  }
+
+  private def ridgeYhat: String =
+    (0 to 6).map(i => s"CAST(z$i AS DOUBLE) * x$i").mkString(" + ")
+
+  /** fin_ridge oracle — Gram sums, the unrolled solve, and the
+    * prediction/residual scan, all mirroring [[operators.Ridge]]
+    * expression-for-expression.
+    */
+  private def ridgePredictOracle: String = {
+    val pairs = for { i <- 0 until 8; j <- i until 8 } yield (i, j)
+    val sums = pairs.map { case (i, j) => s"sum(z$i * z$j) AS s_${i}_$j" }
+    s"""WITH z AS (SELECT $ridgeZDefs FROM events WHERE value IS NOT NULL),
+       |g AS (SELECT ${sums.mkString(", ")} FROM z),
+       |${ridgeSolveCtes("g", "1.0", Nil)},
+       |p AS (SELECT event_id, CAST(z7 AS DOUBLE) + 0.0 AS value,
+       |  round($ridgeYhat, 6) + 0.0 AS prediction FROM z CROSS JOIN bx0)
+       |SELECT event_id, value, prediction,
+       |  round(value - prediction, 6) + 0.0 AS residual
+       |FROM p ORDER BY event_id""".stripMargin
+  }
+
+  /** fin_cv_eval oracle — TimeSeriesSplit fold membership, per-fold
+    * Gram + unrolled solve (the elimination expressions run rowwise
+    * over the one-row-per-fold frame), and the fold-tagged scoring
+    * pass with exact-decimal MAE/RMSE sums, mirroring
+    * [[operators.CvEval.ridgeCv]] (nSplits=5, gap=48,
+    * maxTrainSize=400, testSize=100, alpha=1.0 — the registered
+    * parameters).
+    */
+  private def cvEvalOracle: String = {
+    val pairs = for { i <- 0 until 8; j <- i until 8 } yield (i, j)
+    val sums = pairs.map { case (i, j) => s"sum(z$i * z$j) AS s_${i}_$j" }
+    s"""WITH r AS (SELECT event_id,
+       |    CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) - 1 AS idx
+       |  FROM events),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+       |foldids AS (SELECT CAST(unnest(range(5)) AS BIGINT) AS fold),
+       |fj AS (SELECT fold, event_id, idx, n - (5 - fold) * 100 AS test_start
+       |       FROM r CROSS JOIN nn CROSS JOIN foldids),
+       |members AS (SELECT fold, event_id,
+       |    CASE WHEN idx >= test_start AND idx < test_start + 100 THEN 'test'
+       |         WHEN idx < test_start - 48 AND idx >= greatest(0, test_start - 48 - 400) THEN 'train'
+       |    END AS role
+       |  FROM fj
+       |  WHERE (idx >= test_start AND idx < test_start + 100)
+       |     OR (idx < test_start - 48 AND idx >= greatest(0, test_start - 48 - 400))),
+       |z AS (SELECT $ridgeZDefs FROM events WHERE value IS NOT NULL),
+       |g AS (SELECT fold, ${sums.mkString(", ")}
+       |      FROM z JOIN members USING (event_id) WHERE role = 'train' GROUP BY fold),
+       |${ridgeSolveCtes("g", "1.0", Seq("fold"))},
+       |scored AS (SELECT fold,
+       |    CAST(round(CAST(z7 AS DOUBLE) - (round($ridgeYhat, 6)), 6) AS DECIMAL(18,6)) AS residual
+       |  FROM z JOIN members USING (event_id) JOIN bx0 USING (fold) WHERE role = 'test')
+       |SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+       |  round(CAST(CAST(sum(abs(residual)) AS VARCHAR) AS DOUBLE) / count(*), 6) + 0.0 AS mae,
+       |  round(sqrt(CAST(CAST(sum(residual * residual) AS VARCHAR) AS DOUBLE) / count(*)), 6) + 0.0 AS rmse
+       |FROM scored GROUP BY fold ORDER BY fold""".stripMargin
+  }
+
   /** mm_binary_meta oracle — builds the IDENTICAL synthetic
     * PNG/GIF/BMP payload bytes as [[operators.Multimodal.synthesize]]
     * (unhex of header hex + text hex) and parses the dimensions back
@@ -505,6 +621,8 @@ FROM e ORDER BY user_id, day"""
   def oracleSql: Map[String, String] = Map(
     "text_token_rank" -> tokenRankOracle(),
     "fin_ridge_gram" -> ridgeGramOracle,
+    "fin_ridge" -> ridgePredictOracle,
+    "fin_cv_eval" -> cvEvalOracle,
     "curate_time_split" ->
       """WITH r AS (SELECT event_id,
         |    CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) - 1 AS idx

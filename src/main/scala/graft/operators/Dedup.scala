@@ -153,9 +153,13 @@ object Dedup {
     // has zero shingles and no sizes row, so an inner join would
     // silently drop the pair instead of scoring it — left join +
     // coalesce(n, 0) keeps it, and J is defined 0 when the union is
-    // empty. AQE broadcasts the candidate-bounded left side of the
-    // (b, s) join, so the corpus-sized shingle frame is never
-    // re-shuffled (plan-asserted by DedupSpec's broadcast gate); an
+    // empty. Join strategy is left to size statistics: at bench SF
+    // the checkpointed shingle frame's stats are small, so it rides
+    // the BUILD side of BroadcastHashJoins (no shuffle at all); at
+    // corpus scale the stats grow past the broadcast threshold and
+    // the same plan degrades to shuffled equi-joins — linear either
+    // way, and never a nested-loop (DedupPlanSpec pins both the
+    // bench-SF broadcast shape and the equi-join-only guarantee). An
     // explicit candidate-id semi-prune of sh was measured SLOWER at
     // bench SF (two extra materialization jobs) — revisit only if a
     // profile shows the (b, s) join shuffling at scale.
