@@ -590,28 +590,45 @@ FROM e ORDER BY user_id, day"""
       s"lpad(hex($w), 8, '0') || lpad(hex($h), 8, '0') || '0802000000'"
     val gif = s"'474946383961' || ${leHex(w, 2)} || ${leHex(h, 2)}"
     val bmp = s"'424D' || '${"0" * 24}' || '28000000' || ${leHex(w, 4)} || ${leHex(h, 4)}"
+    val webp = s"'524946460000000057454250565038580A000000' || " +
+      s"(CASE WHEN doc_id % 2 = 0 THEN '10' ELSE '00' END) || '000000' || " +
+      s"${leHex(s"($w - 1)", 3)} || ${leHex(s"($h - 1)", 3)}"
+    val tiff = s"'49492A0008000000' || '0300' || " +
+      s"'0001030001000000' || ${leHex(w, 4)} || " +
+      s"'0101030001000000' || ${leHex(h, 4)} || " +
+      s"'1501030001000000' || '03000000' || '00000000'"
     def be(s: Int, n: Int) = s"('0x' || substring(hx, ${(s - 1) * 2 + 1}, ${n * 2}))::BIGINT"
     def le(s: Int, n: Int) = "('0x' || " + ((n - 1) to 0 by -1)
       .map(k => s"substring(hx, ${(s - 1 + k) * 2 + 1}, 2)").mkString(" || ") + ")::BIGINT"
     val isPng = "substring(hx, 1, 16) = '89504E470D0A1A0A'"
     val isGif = "substring(hx, 1, 12) IN ('474946383761', '474946383961')"
     val isBmp = "substring(hx, 1, 4) = '424D'"
+    val isWebp = "(substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57454250'" +
+      " AND substring(hx, 25, 8) = '56503858')"
+    val isTiff = "substring(hx, 1, 8) IN ('49492A00', '4D4D002A')"
     s"""WITH m AS (SELECT doc_id, unhex(
-       |    CASE WHEN doc_id % 3 = 0 THEN $png
-       |         WHEN doc_id % 3 = 1 THEN $gif
-       |         ELSE $bmp END || hex(encode(text))) AS payload
+       |    CASE WHEN doc_id % 5 = 0 THEN $png
+       |         WHEN doc_id % 5 = 1 THEN $gif
+       |         WHEN doc_id % 5 = 2 THEN $bmp
+       |         WHEN doc_id % 5 = 3 THEN $webp
+       |         ELSE $tiff END || hex(encode(text))) AS payload
        |  FROM documents),
        |x AS (SELECT doc_id, payload, hex(payload) AS hx FROM m),
        |y AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes, md5(hx) AS digest,
        |    CASE WHEN $isPng THEN 'png' WHEN $isGif THEN 'gif'
-       |         WHEN $isBmp THEN 'bmp' ELSE 'unknown' END AS format,
+       |         WHEN $isBmp THEN 'bmp' WHEN $isWebp THEN 'webp'
+       |         WHEN $isTiff THEN 'tiff' ELSE 'unknown' END AS format,
        |    CASE WHEN $isPng THEN ${be(17, 4)} WHEN $isGif THEN ${le(7, 2)}
-       |         WHEN $isBmp THEN ${le(19, 4)} END AS width,
+       |         WHEN $isBmp THEN ${le(19, 4)} WHEN $isWebp THEN ${le(25, 3)} + 1
+       |         WHEN $isTiff THEN ${le(19, 2)} END AS width,
        |    CASE WHEN $isPng THEN ${be(21, 4)} WHEN $isGif THEN ${le(9, 2)}
-       |         WHEN $isBmp THEN ${le(23, 4)} END AS height,
+       |         WHEN $isBmp THEN ${le(23, 4)} WHEN $isWebp THEN ${le(28, 3)} + 1
+       |         WHEN $isTiff THEN ${le(31, 2)} END AS height,
        |    CASE WHEN $isPng THEN (CASE ${be(26, 1)} WHEN 0 THEN 1 WHEN 2 THEN 3
        |                            WHEN 4 THEN 2 WHEN 6 THEN 4 END)
-       |         WHEN $isGif THEN 3 WHEN $isBmp THEN 3 END::BIGINT AS channels
+       |         WHEN $isGif THEN 3 WHEN $isBmp THEN 3
+       |         WHEN $isWebp THEN (CASE WHEN (${be(21, 1)} & 16) != 0 THEN 4 ELSE 3 END)
+       |         WHEN $isTiff THEN ${le(43, 2)} END::BIGINT AS channels
        |  FROM x)
        |SELECT doc_id, n_bytes, digest, format, width, height, channels,
        |  width * height AS n_pixels

@@ -28,10 +28,16 @@ object Multimodal {
                              width: Long, height: Long, channels: Long)
 
   /** Deterministic synthetic payload: doc_id picks the container
-    * (mod 3: PNG, GIF89a, BMP), dimensions are doc_id-derived, text
-    * bytes follow the header as the "pixel data". Emitted as a real
-    * `binary` column via unhex so everything downstream exercises
-    * binary plumbing, not strings.
+    * (mod 5: PNG, GIF89a, BMP, WebP/VP8X, TIFF/II), dimensions are
+    * doc_id-derived, text bytes follow the header as the "pixel
+    * data". Emitted as a real `binary` column via unhex so everything
+    * downstream exercises binary plumbing, not strings.
+    *
+    * WebP is the RIFF extended-format layout (VP8X chunk: canvas
+    * width−1 / height−1 as u24le, alpha flag 0x10 on even doc_ids);
+    * TIFF is a little-endian ("II") file with one IFD @8 carrying
+    * SHORT entries for ImageWidth(256) / ImageLength(257) /
+    * SamplesPerPixel(277) — real layouts per their public specs.
     */
   def synthesize(documents: DataFrame): DataFrame = {
     def byteHexLe(c: Column, nBytes: Int): Column =
@@ -51,9 +57,25 @@ object Multimodal {
       lit("424D"), lit("0" * 24), // "BM", size/reserved/offset zeroed
       lit("28000000"), // BITMAPINFOHEADER size 40
       byteHexLe(w, 4), byteHexLe(h, 4)) // little-endian i32 dims
-    val headerHex = when(col("doc_id") % 3 === 0, png)
-      .when(col("doc_id") % 3 === 1, gif)
-      .otherwise(bmp)
+    val webp = concat(
+      lit("52494646"), lit("00000000"), // "RIFF", size zeroed
+      lit("57454250"), lit("56503858"), // "WEBP", "VP8X"
+      lit("0A000000"), // VP8X chunk length 10 (u32le)
+      when(col("doc_id") % 2 === 0, lit("10")).otherwise(lit("00")), // alpha flag
+      lit("000000"), // reserved
+      byteHexLe(w - 1, 3), byteHexLe(h - 1, 3)) // canvas−1, u24le
+    val tiff = concat(
+      lit("49492A00"), lit("08000000"), // "II", magic 42, IFD @ 8
+      lit("0300"), // 3 IFD entries (u16le)
+      lit("0001"), lit("0300"), lit("01000000"), byteHexLe(w, 4), // 256 ImageWidth SHORT
+      lit("0101"), lit("0300"), lit("01000000"), byteHexLe(h, 4), // 257 ImageLength SHORT
+      lit("1501"), lit("0300"), lit("01000000"), lit("03000000"), // 277 SamplesPerPixel = 3
+      lit("00000000")) // next-IFD terminator
+    val headerHex = when(col("doc_id") % 5 === 0, png)
+      .when(col("doc_id") % 5 === 1, gif)
+      .when(col("doc_id") % 5 === 2, bmp)
+      .when(col("doc_id") % 5 === 3, webp)
+      .otherwise(tiff)
     documents.select(col("doc_id"),
       unhex(concat(headerHex, hex(col("text")))).as("payload"))
   }
@@ -67,8 +89,14 @@ object Multimodal {
     * Offsets (1-based bytes): PNG w/h = u32be @17/@21, color type
     * @26 (→ channels 0→1, 2→3, 4→2, 6→4); GIF w/h = u16le @7/@9
     * (palette → 3 channels); BMP w/h = i32le @19/@23 (synthesized
-    * 24bpp → 3). Digest is md5 of the hex (DuckDB's md5 is
-    * VARCHAR-only, so the oracle-parity digest hashes the hex form).
+    * 24bpp → 3); WebP/VP8X w/h = u24le canvas−1 @25/@28, alpha flag
+    * bit 0x10 @21 (→ 4 channels else 3); TIFF ("II", IFD @8 with
+    * the synthesized 3-entry layout) w/h = SHORT values @19/@31,
+    * samples @43 — the GENERAL IFD walk lives in [[parseHeader]];
+    * the Column path reads the fixed layout [[synthesize]] emits,
+    * like the other containers. Digest is md5 of the hex (DuckDB's
+    * md5 is VARCHAR-only, so the oracle-parity digest hashes the hex
+    * form).
     */
   def binaryMeta(documents: DataFrame): DataFrame = {
     val media = synthesize(documents)
@@ -81,18 +109,26 @@ object Multimodal {
     val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A"
     val isGif = substring(hx, 1, 12).isin("474946383761", "474946383961")
     val isBmp = substring(hx, 1, 4) === "424D"
+    val isWebp = substring(hx, 1, 8) === "52494646" &&
+      substring(hx, 17, 8) === "57454250" && substring(hx, 25, 8) === "56503858"
+    val isTiff = substring(hx, 1, 8).isin("49492A00", "4D4D002A")
     media.select(
         col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         md5(hx).as("digest"),
         when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp")
+          .when(isWebp, "webp").when(isTiff, "tiff")
           .otherwise("unknown").as("format"),
-        when(isPng, be(17, 4)).when(isGif, le(7, 2)).when(isBmp, le(19, 4)).as("width"),
-        when(isPng, be(21, 4)).when(isGif, le(9, 2)).when(isBmp, le(23, 4)).as("height"),
+        when(isPng, be(17, 4)).when(isGif, le(7, 2)).when(isBmp, le(19, 4))
+          .when(isWebp, le(25, 3) + 1).when(isTiff, le(19, 2)).as("width"),
+        when(isPng, be(21, 4)).when(isGif, le(9, 2)).when(isBmp, le(23, 4))
+          .when(isWebp, le(28, 3) + 1).when(isTiff, le(31, 2)).as("height"),
         when(isPng, // color type → sample count
           when(be(26, 1) === 0, 1L).when(be(26, 1) === 2, 3L)
             .when(be(26, 1) === 4, 2L).when(be(26, 1) === 6, 4L))
-          .when(isGif, 3L).when(isBmp, 3L).as("channels"))
+          .when(isGif, 3L).when(isBmp, 3L)
+          .when(isWebp, when(be(21, 1).bitwiseAND(16) =!= 0, 4L).otherwise(3L))
+          .when(isTiff, le(43, 2)).as("channels"))
       .withColumn("n_pixels", (col("width") * col("height")).cast("long"))
       .orderBy(col("doc_id"))
   }
@@ -164,6 +200,66 @@ object Multimodal {
       meta("gif", le16(b, 6), le16(b, 8), 3L)
     } else if (b.length >= 26 && u8(b, 0) == 'B' && u8(b, 1) == 'M') {
       meta("bmp", le32(b, 18), le32(b, 22), 3L)
+    } else if (b.length >= 16 && b.startsWith("RIFF".getBytes) &&
+        b.slice(8, 12).sameElements("WEBP".getBytes)) {
+      // WebP: real RIFF chunk walk — fourcc(4) size(u32le) payload
+      // (odd sizes pad to even) — until a dimensioned chunk: VP8X
+      // (canvas−1 u24le ×2 + alpha flag 0x10), VP8L (lossless: 14-bit
+      // w−1 / h−1 + alpha bit packed after the 0x2F signature), or
+      // VP8 (lossy: start code 9D 01 2A then 14-bit dims, u16le).
+      def u24le(i: Int): Long = u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+      var i = 12
+      var out: MediaMeta = null
+      while (out == null && i + 8 <= b.length) {
+        val fourcc = new String(b.slice(i, i + 4), "ISO-8859-1")
+        val size = le32(b, i + 4)
+        val p = i + 8 // payload start
+        fourcc match {
+          case "VP8X" if p + 10 <= b.length =>
+            val channels = if ((u8(b, p) & 0x10) != 0) 4L else 3L
+            out = meta("webp", u24le(p + 4) + 1, u24le(p + 7) + 1, channels)
+          case "VP8L" if p + 5 <= b.length && u8(b, p) == 0x2f =>
+            val w = (u8(b, p + 1) | ((u8(b, p + 2) & 0x3f) << 8)) + 1L
+            val h = ((u8(b, p + 2) >> 6) | (u8(b, p + 3) << 2) |
+              ((u8(b, p + 4) & 0x0f) << 10)) + 1L
+            out = meta("webp", w, h, if (((u8(b, p + 4) >> 4) & 1) != 0) 4L else 3L)
+          case "VP8 " if p + 10 <= b.length && u8(b, p + 3) == 0x9d &&
+              u8(b, p + 4) == 0x01 && u8(b, p + 5) == 0x2a =>
+            out = meta("webp", le16(b, p + 6) & 0x3fff, le16(b, p + 8) & 0x3fff, 3L)
+          case _ => i = p + size.toInt + (size.toInt & 1) // skip, even-padded
+        }
+      }
+      if (out != null) out else meta("webp", 0L, 0L, 0L)
+    } else if (b.length >= 8 &&
+        ((u8(b, 0) == 'I' && u8(b, 1) == 'I' && u8(b, 2) == 42 && u8(b, 3) == 0) ||
+         (u8(b, 0) == 'M' && u8(b, 1) == 'M' && u8(b, 2) == 0 && u8(b, 3) == 42))) {
+      // TIFF: real IFD walk honoring the file's byte order — entry
+      // count u16 at the IFD offset, then 12-byte entries
+      // (tag, type, count, value); SHORT values sit in the value
+      // field's first two bytes in file order, LONGs use all four.
+      val le = u8(b, 0) == 'I'
+      def u16(i: Int): Long = if (le) le16(b, i) else ((u8(b, i) << 8) | u8(b, i + 1)).toLong
+      def u32(i: Int): Long = if (le) le32(b, i) else be32(b, i)
+      val ifd = u32(4).toInt
+      if (ifd + 2 <= b.length) {
+        val n = u16(ifd).toInt
+        var width = 0L; var height = 0L
+        var samples = 1L // TIFF default SamplesPerPixel
+        var e = 0
+        while (e < n && ifd + 2 + 12 * (e + 1) <= b.length) {
+          val off = ifd + 2 + 12 * e
+          val tag = u16(off); val typ = u16(off + 2)
+          val value = if (typ == 3L) u16(off + 8) else u32(off + 8)
+          tag match {
+            case 256L => width = value
+            case 257L => height = value
+            case 277L => samples = value
+            case _ => ()
+          }
+          e += 1
+        }
+        meta("tiff", width, height, samples)
+      } else meta("tiff", 0L, 0L, 0L)
     } else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff) {
       // JPEG: walk FF-marker segments to the first SOFn (C0-CF minus
       // the non-frame C4/C8/CC); each non-entropy segment is

@@ -110,6 +110,65 @@ class CurationSpec extends SparkSpec {
     assert((j.format, j.width, j.height, j.channels) === (("jpeg", 800L, 600L, 3L)))
     // truncated/garbage bytes classify as unknown without throwing
     assert(parseHeader(5L, Array[Byte](1, 2, 3)).format === "unknown")
+    // JPEG with FF fill padding between segments and a standalone TEM
+    // marker before SOF — the walk must skip both without reading a
+    // bogus length (real-world encoder quirks the spec permits)
+    val jpegPadded = (Array(0xff, 0xd8, // SOI
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0 len 4
+      0xff, 0xff, 0xff, 0x01, // two fill bytes + standalone TEM
+      0xff, 0xff, 0xc0, 0x00, 0x11, 0x08, 0x02, 0x58, 0x03, 0x20, 0x03) ++ // fill + SOF0
+      Array.fill(14)(0)).map(_.toByte)
+    val jp = parseHeader(6L, jpegPadded)
+    assert((jp.format, jp.width, jp.height, jp.channels) === (("jpeg", 800L, 600L, 3L)))
+  }
+
+  test("parseHeader walks real WebP RIFF chunks and TIFF IFDs (both byte orders)") {
+    import Multimodal.parseHeader
+    // WebP VP8X 1000x500 with alpha, preceded by a junk chunk the
+    // walk must skip (fourcc JUNK, odd size 3 -> even-padded to 4)
+    def rb(s: String) = s.getBytes("ISO-8859-1")
+    val vp8x = (rb("RIFF") ++ Array[Byte](0, 0, 0, 0) ++ rb("WEBP")
+      ++ rb("JUNK") ++ Array[Byte](3, 0, 0, 0) ++ Array.fill(4)(0.toByte)
+      ++ rb("VP8X") ++ Array[Byte](10, 0, 0, 0)
+      ++ Array(0x10, 0, 0, 0, 0xe7, 0x03, 0x00, 0xf3, 0x01, 0x00).map(_.toByte)) // 999/499 u24le
+    val wx = parseHeader(1L, vp8x)
+    assert((wx.format, wx.width, wx.height, wx.channels) === (("webp", 1000L, 500L, 4L)))
+    // WebP VP8L (lossless) 2x2 without alpha: sig 0x2F, then
+    // 14-bit w-1=1, 14-bit h-1=1 LSB-first => bytes 01 40 00 00
+    val vp8l = (rb("RIFF") ++ Array[Byte](0, 0, 0, 0) ++ rb("WEBP")
+      ++ rb("VP8L") ++ Array[Byte](5, 0, 0, 0)
+      ++ Array(0x2f, 0x01, 0x40, 0x00, 0x00).map(_.toByte))
+    val wl = parseHeader(2L, vp8l)
+    assert((wl.format, wl.width, wl.height, wl.channels) === (("webp", 2L, 2L, 3L)))
+    // WebP VP8 (lossy) 640x480: 3-byte frame tag, start code
+    // 9D 01 2A, then u16le dims
+    val vp8 = (rb("RIFF") ++ Array[Byte](0, 0, 0, 0) ++ rb("WEBP")
+      ++ rb("VP8 ") ++ Array[Byte](10, 0, 0, 0)
+      ++ Array(0, 0, 0, 0x9d, 0x01, 0x2a, 0x80, 0x02, 0xe0, 0x01).map(_.toByte))
+    val wv = parseHeader(3L, vp8)
+    assert((wv.format, wv.width, wv.height) === (("webp", 640L, 480L)))
+    // TIFF little-endian: IFD @8, entries for width 320 / height 200
+    // (SHORT) / samples 4, plus an unrelated tag the walk skips
+    def entryLE(tag: Int, v: Int) = Array[Byte](
+      (tag & 0xff).toByte, (tag >> 8).toByte, 3, 0, 1, 0, 0, 0,
+      (v & 0xff).toByte, (v >> 8).toByte, 0, 0)
+    val tiffLE = (rb("II") ++ Array[Byte](42, 0, 8, 0, 0, 0, 4, 0)
+      ++ entryLE(256, 320) ++ entryLE(257, 200) ++ entryLE(259, 1) ++ entryLE(277, 4)
+      ++ Array[Byte](0, 0, 0, 0))
+    val tl = parseHeader(4L, tiffLE)
+    assert((tl.format, tl.width, tl.height, tl.channels) === (("tiff", 320L, 200L, 4L)))
+    // TIFF big-endian (MM): same image, LONG-typed width
+    def entryBEShort(tag: Int, v: Int) = Array[Byte](
+      (tag >> 8).toByte, (tag & 0xff).toByte, 0, 3, 0, 0, 0, 1,
+      (v >> 8).toByte, (v & 0xff).toByte, 0, 0)
+    def entryBELong(tag: Int, v: Int) = Array[Byte](
+      (tag >> 8).toByte, (tag & 0xff).toByte, 0, 4, 0, 0, 0, 1,
+      (v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val tiffBE = (rb("MM") ++ Array[Byte](0, 42, 0, 0, 0, 8, 0, 3)
+      ++ entryBELong(256, 320) ++ entryBEShort(257, 200) ++ entryBEShort(277, 1)
+      ++ Array[Byte](0, 0, 0, 0))
+    val tb = parseHeader(5L, tiffBE)
+    assert((tb.format, tb.width, tb.height, tb.channels) === (("tiff", 320L, 200L, 1L)))
   }
 
   test("packSequences is the concat-then-chunk packing with exact offsets") {
