@@ -28,19 +28,37 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val fails = results.values.count(_ < 0)
+    // Previous run's per-query map (read BEFORE overwriting the
+    // detail file) -> cross-round deltas without tail parsing.
+    val (prevTotal, prevQueries) = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_DETAIL.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val pv = """"value":(-?[0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+      val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
+      val pq = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(
+        body.substring(0, body.indexOf('}')))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      (pv, pq)
+    } catch { case _: Throwable => (None, Map.empty[String, Double]) }
+    val deltas = results.flatMap { case (k, v) =>
+      prevQueries.get(k).filter(_ >= 0).filter(_ => v >= 0)
+        .map(p => s"\"" + k + "\":" + fmt(v - p))
+    }.mkString("{", ",", "}")
+    val prevField = prevTotal.map(p => s""","prev_total":${fmt(p)}""").getOrElse("")
     // Per-query detail goes to a file (and an early stdout line): the
-    // full 110-query map is ~4.5 KB, which overflows the driver's ~2 KB
+    // full 116-query map is ~4.5 KB, which overflows the driver's ~2 KB
     // stdout tail window and truncated BENCH_r01-r04 mid-JSON. The
     // FINAL stdout line must be the short (<200 byte) parseable summary.
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$prevField,"deltas":$deltas}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     println(detail)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"fails":$fails,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"fails":$fails$prevField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

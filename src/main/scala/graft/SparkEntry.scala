@@ -56,6 +56,9 @@ object SparkEntry {
     "q_above_avg"          -> ((s, d) => Analytics.aboveAvg(Tables(s, d).orders)),
     "fin_bollinger"        -> ((s, d) => FinAnalytics.bollinger(Tables(s, d).events)),
     "fin_rsi"              -> ((s, d) => FinAnalytics.rsi(Tables(s, d).events)),
+    "fin_vwap"             -> ((s, d) => FinAnalytics.vwap(Tables(s, d).events)),
+    "fin_stochastic"       -> ((s, d) => FinAnalytics.stochastic(Tables(s, d).events)),
+    "fin_obv"              -> ((s, d) => FinAnalytics.obv(Tables(s, d).events)),
     "events_rfm"           -> ((s, d) => Events.rfm(Tables(s, d).events)),
     "events_transitions"   -> ((s, d) => Events.transitions(Tables(s, d).events)),
     "events_json_props"    -> ((s, d) => Events.jsonProps(Tables(s, d).events)),
@@ -966,6 +969,49 @@ FROM e ORDER BY user_id, day"""
         |SELECT user_id, day, close, ma20, std20, upper, lower,
         |  CASE WHEN upper > lower THEN round((close - lower) / (upper - lower), 6) + 0.0 END AS pct_b
         |FROM u ORDER BY user_id, day""".stripMargin),
+    "fin_vwap" -> (closesCte +
+      """
+        |, v AS (SELECT user_id, day, close, volume,
+        |    sum(CAST(close AS DECIMAL(12,2)) * volume) OVER w AS pv,
+        |    sum(volume) OVER w AS v
+        |  FROM closes
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day, close, CAST(volume AS BIGINT) AS volume,
+        |  round(CAST(pv AS DOUBLE) / CAST(v AS DOUBLE), 6) + 0.0 AS vwap10
+        |FROM v ORDER BY user_id, day""".stripMargin),
+    "fin_stochastic" -> (closesCte +
+      """
+        |, hl AS (SELECT user_id, day, close,
+        |    min(CAST(close AS DECIMAL(12,2))) OVER w AS lo,
+        |    max(CAST(close AS DECIMAL(12,2))) OVER w AS hi
+        |  FROM closes
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT user_id, day, close,
+        |    CASE WHEN hi > lo THEN round(100.0 * CAST(CAST(close AS DECIMAL(12,2)) - lo AS DOUBLE)
+        |      / CAST(hi - lo AS DOUBLE), 6) + 0.0 END AS pct_k
+        |  FROM hl),
+        |kk AS (SELECT user_id, day, close, pct_k,
+        |    lag(pct_k, 1) OVER (PARTITION BY user_id ORDER BY day) AS k1,
+        |    lag(pct_k, 2) OVER (PARTITION BY user_id ORDER BY day) AS k2
+        |  FROM k)
+        |SELECT user_id, day, close, pct_k,
+        |  CASE WHEN pct_k IS NOT NULL AND k1 IS NOT NULL AND k2 IS NOT NULL
+        |       THEN round((pct_k + k1 + k2) / 3.0, 6) + 0.0 END AS pct_d
+        |FROM kk ORDER BY user_id, day""".stripMargin),
+    "fin_obv" -> (closesCte +
+      """
+        |, d AS (SELECT user_id, day, close, volume,
+        |    lag(CAST(close AS DECIMAL(12,2)), 1) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM closes),
+        |s AS (SELECT user_id, day, close, volume,
+        |    CASE WHEN prev IS NULL THEN 0
+        |         WHEN CAST(close AS DECIMAL(12,2)) > prev THEN 1
+        |         WHEN CAST(close AS DECIMAL(12,2)) < prev THEN -1 ELSE 0 END AS dir
+        |  FROM d)
+        |SELECT user_id, day, close, CAST(volume AS BIGINT) AS volume,
+        |  CAST(sum(dir * volume) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+        |FROM s ORDER BY user_id, day""".stripMargin),
     "fin_rsi" -> (closesCte +
       """
         |, d AS (SELECT user_id, day, close,

@@ -384,6 +384,72 @@ object FinAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Trailing volume-weighted average close (VWAP over `bars` days):
+    * Σ(close·volume) / Σ(volume), both sums exact (decimal × long),
+    * one double division at the end — the volume-aware price average
+    * the reference's financialData carries next to averageVolume.
+    * Rides the shared closes-family shuffle (one window, no extra
+    * Exchange).
+    */
+  def vwap(events: DataFrame, bars: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-(bars - 1), 0)
+    closes(events)
+      .withColumn("pv", sum(dec2(col("close")) * col("volume")).over(w))
+      .withColumn("v", sum(col("volume")).over(w))
+      .withColumn("vwap10",
+        round(col("pv").cast("double") / col("v").cast("double"), 6) + lit(0.0))
+      .select(col("user_id"), col("day"), col("close"), col("volume"), col("vwap10"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Stochastic oscillator: %K = 100·(close − low14)/(high14 − low14)
+    * over the trailing 14 days (null on a flat window — no division
+    * convention to disagree on), %D = 3-day mean of %K as an explicit
+    * left-associated (k + k₁ + k₂)/3 so the double arithmetic is a
+    * fixed op sequence, not an engine-ordered aggregate. One
+    * closes-family shuffle, three window passes over it.
+    */
+  def stochastic(events: DataFrame, bars: Int = 14): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w = ord.rowsBetween(-(bars - 1), 0)
+    closes(events)
+      .withColumn("lo", min(dec2(col("close"))).over(w))
+      .withColumn("hi", max(dec2(col("close"))).over(w))
+      .withColumn("pct_k", when(col("hi") > col("lo"),
+        round(lit(100.0) * (dec2(col("close")) - col("lo")).cast("double")
+          / (col("hi") - col("lo")).cast("double"), 6) + lit(0.0)))
+      .withColumn("k1", lag(col("pct_k"), 1).over(ord))
+      .withColumn("k2", lag(col("pct_k"), 2).over(ord))
+      .withColumn("pct_d",
+        when(col("pct_k").isNotNull && col("k1").isNotNull && col("k2").isNotNull,
+          round((col("pct_k") + col("k1") + col("k2")) / lit(3.0), 6) + lit(0.0)))
+      .select(col("user_id"), col("day"), col("close"), col("pct_k"), col("pct_d"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** On-balance volume: running Σ sign(Δclose)·volume per instrument
+    * — the classic volume-flow accumulation indicator. Direction is
+    * decided on 2-dp-quantized closes and the product/sum stay in
+    * LONG arithmetic, so the running total is exact integer math on
+    * any partitioning/engine. One closes-family shuffle, two ordered
+    * windows over the same clustering.
+    */
+  def obv(events: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
+    closes(events)
+      .withColumn("prev", lag(dec2(col("close")), 1).over(ord))
+      .withColumn("dir",
+        when(col("prev").isNull, 0L)
+          .when(dec2(col("close")) > col("prev"), 1L)
+          .when(dec2(col("close")) < col("prev"), -1L)
+          .otherwise(0L))
+      .withColumn("obv", sum(col("dir") * col("volume")).over(cum))
+      .select(col("user_id"), col("day"), col("close"), col("volume"), col("obv"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Maximum drawdown per key: largest peak-to-trough loss ratio of
     * the daily close series (running peak via unbounded-preceding
     * window max — one pass, no self-join). Zero/negative peaks have

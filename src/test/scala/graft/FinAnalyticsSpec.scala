@@ -204,6 +204,43 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(got((3L, "2026-01-03")) === Some(0.0))
   }
 
+  test("vwap weights closes by per-day tick volume") {
+    // user 1 day 1 has volume 2 (two ticks), days 2-3 volume 1:
+    // vwap(day3) = (10*2 + 20 + 30) / 4 = 17.5; day1 = close itself.
+    val rows = FinAnalytics.vwap(events).collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getDate(1).toString, r.getDouble(4)))
+    assert(rows.toSeq === Seq(
+      ("2026-01-01", 10.0), ("2026-01-02", 13.333333), ("2026-01-03", 17.5)))
+  }
+
+  test("stochastic %K spans 0..100 over the window; %D needs three K values; flat is null") {
+    val k1 = FinAnalytics.stochastic(events).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getDate(1).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    // day1: window = {10} flat -> null K; day2: (20-10)/(20-10)=100;
+    // day3: (30-10)/(30-10)=100; %D defined nowhere (day1 K is null).
+    assert(k1.toSeq === Seq(
+      ("2026-01-01", None, None),
+      ("2026-01-02", Some(100.0), None),
+      ("2026-01-03", Some(100.0), None)))
+    // user 2 constant 50 -> flat windows, all null
+    val k2 = FinAnalytics.stochastic(events).collect()
+      .filter(_.getLong(0) == 2L).map(r => Option(r.get(3)))
+    assert(k2.forall(_.isEmpty))
+  }
+
+  test("obv accumulates signed volume on close direction and is exact integer math") {
+    val rows = FinAnalytics.obv(events).collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getDate(1).toString, r.getLong(4)))
+    // day1: first bar dir 0 -> 0; day2: up, +vol(1) -> 1; day3: up -> 2
+    assert(rows.toSeq === Seq(("2026-01-01", 0L), ("2026-01-02", 1L), ("2026-01-03", 2L)))
+    val flat = FinAnalytics.obv(events).collect()
+      .filter(_.getLong(0) == 2L).map(_.getLong(4))
+    assert(flat.toSeq === Seq(0L, 0L, 0L))
+  }
+
   test("macd is zero on a constant series and positive when fast memory sees higher closes") {
     val rows = FinAnalytics.macd(events).collect()
     // user 2: constant 50 -> both ewmas 50, macd exactly 0
