@@ -178,6 +178,10 @@ object SparkEntry {
     "maint_upsert"        -> ((s, d) => Maintenance.upsert(Tables(s, d).events)),
     "maint_cdc_apply"     -> ((s, d) => Maintenance.cdcApply(Tables(s, d).events)),
     "text_vocab"          -> ((s, d) => TextOps.vocab(Tables(s, d).documents)),
+    "text_surprisal"      -> ((s, d) => TextOps.surprisal(Tables(s, d).documents)),
+    "events_histogram"    -> ((s, d) => Events.histogram(Tables(s, d).events)),
+    // end-to-end curation verdict; shares the dedup label stage
+    "curate_pipeline"     -> ((s, d) => Curation.pipeline(Tables(s, d).documents, memoComponents(s, d))),
   )
 
   /** DuckDB token/shingle building blocks shared by the text oracles. */
@@ -1426,6 +1430,59 @@ FROM e ORDER BY user_id, day"""
         |FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
         |LEFT JOIN keep k ON k.comp = c.comp
         |ORDER BY d.doc_id""".stripMargin),
+    "curate_pipeline" ->
+      (componentsCtes +
+        s"""
+        |, comps AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+        |keep AS (SELECT comp, min(node) AS keeper FROM comps GROUP BY comp),
+        |dd AS (SELECT d.doc_id, coalesce(k.keeper, d.doc_id) AS keeper_id,
+        |       coalesce(k.keeper, d.doc_id) = d.doc_id AS dedup_kept
+        |       FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+        |       LEFT JOIN keep k ON k.comp = c.comp),
+        |q AS ($qualityOracleSql),
+        |r AS ($repetitionOracleSql),
+        |l AS ($langidOracleSql),
+        |sp AS (SELECT doc_id,
+        |       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |       FROM (SELECT doc_id,
+        |               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 100 AS BIGINT) AS bucket
+        |             FROM documents))
+        |SELECT d.doc_id, d.lang, sp.split, q.keep AS quality_ok,
+        |  coalesce(r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9, false) AS repetition_ok,
+        |  (l.pred_lang = d.lang) AS lang_ok,
+        |  (q.keep AND coalesce(r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9, false)
+        |    AND l.pred_lang = d.lang) AS filter_ok,
+        |  dd.keeper_id, dd.dedup_kept,
+        |  (q.keep AND coalesce(r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9, false)
+        |    AND l.pred_lang = d.lang AND dd.dedup_kept) AS keep
+        |FROM documents d JOIN q ON q.doc_id = d.doc_id
+        |LEFT JOIN r ON r.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id
+        |JOIN dd ON dd.doc_id = d.doc_id JOIN sp ON sp.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+    "events_histogram" ->
+      """WITH mm AS (SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |b AS (SELECT e.event_type,
+        |    CASE WHEN hi > lo THEN least(CAST(floor((value - lo) / (hi - lo) * 20.0) AS BIGINT), 19)
+        |         ELSE 0 END AS bin, lo, hi
+        |  FROM events e JOIN mm USING (event_type) WHERE e.value IS NOT NULL),
+        |g AS (SELECT event_type, bin, lo, hi, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY event_type, bin, lo, hi)
+        |SELECT event_type, bin,
+        |  round(lo + bin * (hi - lo) / 20.0, 6) + 0.0 AS bin_lo,
+        |  round(lo + (bin + 1) * (hi - lo) / 20.0, 6) + 0.0 AS bin_hi, n
+        |FROM g ORDER BY event_type, bin""".stripMargin,
+    "text_surprisal" ->
+      (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq),
+        |s AS (SELECT doc_id, CAST(length(bin(total // f)) - 1 AS BIGINT) AS bits
+        |      FROM tok JOIN freq USING (token) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  round(CAST(sum(bits) AS DOUBLE) / count(*), 6) + 0.0 AS mean_bits
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> jaccardOracle(4, "0.5"),
     "dedup_simhash" ->
       (s"""WITH ${shinglesCte(3)},

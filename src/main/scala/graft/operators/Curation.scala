@@ -271,6 +271,33 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The end-to-end curation verdict — the composition a real
+    * training-data run executes as ONE plan: content filtering
+    * ([[filterGate]]: quality + repetition + language agreement),
+    * near-dup survival ([[Dedup.applyDedupWith]] over precomputed
+    * cluster labels), and the train/val/test assignment
+    * ([[splitAssign]]), joined on doc_id into a single per-document
+    * decision row (`keep` = passes the filter AND survives dedup).
+    * Each stage keeps its own scale shape (one corpus scan + keyed
+    * joins; labels are cluster-sized); Catalyst sees the whole
+    * composition, so shared scans/columns prune once.
+    */
+  def pipeline(documents: DataFrame, comps: DataFrame): DataFrame = {
+    import graft.operators.Dedup
+    val fg = filterGate(documents)
+      .select(col("doc_id"), col("lang"), col("quality_ok"),
+        col("repetition_ok"), col("lang_ok"), col("keep").as("filter_ok"))
+    val dd = Dedup.applyDedupWith(documents, comps)
+      .select(col("doc_id"), col("keeper_id"), col("kept").as("dedup_kept"))
+    val sp = splitAssign(documents).select(col("doc_id"), col("split"))
+    fg.join(dd, "doc_id").join(sp, "doc_id")
+      .select(col("doc_id"), col("lang"), col("split"),
+        col("quality_ok"), col("repetition_ok"), col("lang_ok"),
+        col("filter_ok"), col("keeper_id"), col("dedup_kept"),
+        (col("filter_ok") && col("dedup_kept")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language corpus statistics: doc/char/token totals and the
     * keep-rate under the [[TextOps.quality]] length gate. Map-side
     * partial aggregation; the shuffle carries one row per language.

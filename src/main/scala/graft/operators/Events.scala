@@ -485,6 +485,34 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Fixed-width value histogram per event type: 20 equal bins over
+    * each type's [min, max] span, empty bins omitted. The per-type
+    * extrema are a dimension-sized aggregate that BROADCASTS back
+    * onto one corpus scan (no self-join, no sort); binning is fixed
+    * double arithmetic — ((v−lo)/(hi−lo))·bins, floored, clamped —
+    * so both engines land every value in the same bin, and the final
+    * count is one map-side-combined shuffle on (type, bin). A
+    * degenerate flat type (hi = lo) collapses to bin 0.
+    */
+  def histogram(events: DataFrame, bins: Int = 20): DataFrame = {
+    val nn = events.filter(col("value").isNotNull)
+    val mm = nn.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    nn.join(broadcast(mm), "event_type")
+      .withColumn("bin", when(col("hi") > col("lo"),
+        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * lit(bins.toDouble))
+          .cast("long"), lit(bins - 1L))).otherwise(0L))
+      .groupBy(col("event_type"), col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        (round(col("lo") + col("bin") * (col("hi") - col("lo")) / lit(bins.toDouble), 6)
+          + lit(0.0)).as("bin_lo"),
+        (round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / lit(bins.toDouble), 6)
+          + lit(0.0)).as("bin_hi"),
+        col("n"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   /** Revenue per part ranked within brand (dense_rank ≤ 3) — the
     * windowed top-N pattern. part scales with SF, so the join carries
     * no broadcast hint (AQE decides).

@@ -181,6 +181,40 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Per-document unigram surprisal, quantized to WHOLE BITS so it is
+    * exact on any engine: a token with corpus frequency f carries
+    * ⌊log₂(total/f)⌋ bits, and ⌊log₂⌋ of a rational is pure integer
+    * arithmetic — bit_length(total DIV f) − 1 — so no engine-varying
+    * ln() ulps enter the oracle compare (the same parity rule that
+    * shaped [[tfidf]]'s rational score). High mean-bits docs are
+    * rare-token-dense (jargon, noise, other-language leakage); low
+    * ones are stopword soup — the perplexity-proxy quality signal an
+    * LLM pipeline cuts on before it can afford a model pass.
+    *
+    * Scale shape: one tokenize+explode scan feeds both the frequency
+    * aggregate (vocabulary-sized, map-side combined) and the scoring
+    * join; the corpus-total is a 1-row broadcast. The token join is
+    * hash-partitioned on token — Zipf head keys are skewed, which is
+    * exactly what AQE skew-join splitting handles (value rows are a
+    * few dozen bytes).
+    */
+  def surprisal(documents: DataFrame): DataFrame = {
+    val parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    val tok = documents.repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
+    val total = freq.agg(sum(col("f")).as("total"))
+    tok.join(freq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        (length(conv(expr("total DIV f"), 10, 2)) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("total_bits"),
+        (round(sum(col("bits")).cast("double") / count(lit(1)), 6) + lit(0.0)).as("mean_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): hash every w-token
     * shingle, slide a window of `window` hashes, keep each window's
     * minimum, dedup. Guarantees any sufficiently long shared

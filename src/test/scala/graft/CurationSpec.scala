@@ -285,4 +285,27 @@ class CurationSpec extends SparkSpec {
     assert(jsonBack.toSeq === want.toSeq)
     assert(orcBack.toSeq === want.toSeq)
   }
+
+  test("pipeline composes filter, dedup, and split into one verdict per doc") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "en", "an entirely different document with plenty of normal english words inside"),
+      (4L, "en", "xy")
+    ).toDF("doc_id", "lang", "text").withColumn("source", lit("src0"))
+    val comps = Dedup.components(docs)
+    val out = Curation.pipeline(docs, comps).collect()
+    assert(out.length === 4, "one verdict row per input doc")
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 2 is an exact near-dup of doc 1 -> loses to keeper 1
+    assert(byId(2L).getLong(7) === 1L && !byId(2L).getBoolean(8))
+    assert(byId(1L).getBoolean(8), "keeper survives dedup")
+    // keep == filter_ok && dedup_kept, row by row
+    out.foreach { r =>
+      assert(r.getBoolean(9) === (r.getBoolean(6) && r.getBoolean(8)))
+    }
+    // split column is one of the three partitions
+    assert(out.forall(r => Set("train", "val", "test")(r.getString(2))))
+  }
 }

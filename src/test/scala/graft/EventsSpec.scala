@@ -298,4 +298,26 @@ class EventsSpec extends SparkSpec {
       ("a", 2L, 2L, Some(5L), Some(7L), Some(12L), Some(6.0)),
       ("b", 1L, 0L, None, None, None, None)))
   }
+
+  test("histogram bins partition each type's values; flat types collapse to bin 0") {
+    val events = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "view", Some(0.0)),
+      (2L, 1L, java.sql.Timestamp.valueOf("2026-01-01 11:00:00"), "view", Some(10.0)),
+      (3L, 1L, java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), "view", Some(20.0)),
+      (4L, 1L, java.sql.Timestamp.valueOf("2026-01-01 13:00:00"), "flat", Some(5.0)),
+      (5L, 1L, java.sql.Timestamp.valueOf("2026-01-01 14:00:00"), "flat", Some(5.0)),
+      (6L, 1L, java.sql.Timestamp.valueOf("2026-01-01 15:00:00"), "view", None: Option[Double])
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = Events.histogram(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    // view: lo=0 hi=20 -> 0 in bin 0, 10 in bin 10, 20 clamps to bin 19
+    assert(rows.filter(_._1 == "view").map(r => (r._2, r._5)).toSeq
+      === Seq((0L, 1L), (10L, 1L), (19L, 1L)))
+    // flat type: hi == lo -> everything in bin 0
+    assert(rows.filter(_._1 == "flat").map(r => (r._2, r._5)).toSeq === Seq((0L, 2L)))
+    // counts partition the non-null rows
+    assert(rows.map(_._5).sum === 5L)
+    // edges are consistent: bin_lo < bin_hi wherever the span is positive
+    assert(rows.filter(_._1 == "view").forall(r => r._3 < r._4))
+  }
 }

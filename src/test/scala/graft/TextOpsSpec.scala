@@ -115,4 +115,24 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(1L) === fps(2L))
     assert(fps(3L).nonEmpty && fps(3L) != fps(1L))
   }
+
+  test("surprisal counts whole bits of inverse unigram frequency, exactly") {
+    // corpus: "a a a b" + "b c" -> total 6; f(a)=3, f(b)=2, f(c)=1
+    // bits = bitlen(total DIV f) - 1: a -> bitlen(2)-1=1, b -> bitlen(3)-1=1,
+    // c -> bitlen(6)-1=2
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextOps.surprisal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1L, 4L, 4L, 1.0),      // 1+1+1+1 over 4 tokens
+      (2L, 2L, 3L, 1.5)))     // 1+2 over 2 tokens
+  }
+
+  test("surprisal is deterministic across partitionings (integer arithmetic)") {
+    val docs = (0 until 200).map(i => (i.toLong, s"w${i % 7} w${i % 13} common common"))
+      .toDF("doc_id", "text")
+    val a = TextOps.surprisal(docs.repartition(1)).collect().map(_.toString).toSeq
+    val b = TextOps.surprisal(docs.repartition(16)).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
 }
