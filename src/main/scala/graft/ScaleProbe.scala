@@ -117,7 +117,12 @@ object ScaleProbe {
       "ridge" -> time("ridge")(operators.Ridge.predict(e1).count()),
       "gbt" -> time("gbt")(operators.GradientBoost.predict(e1).count()),
       "time_split" -> time("time_split")(operators.Curation.timeSplit(e1).count()),
-      "cv_eval" -> time("cv_eval")(operators.CvEval.ridgeCv(e1).count()))
+      "cv_eval" -> time("cv_eval")(operators.CvEval.ridgeCv(e1).count()),
+      // round-6 additions: the CC+apply chain (double-step label
+      // propagation + label reuse) and the corpus-wide surprisal join
+      "components" -> time("components")(operators.Dedup.components(d1).count()),
+      "surprisal" -> time("surprisal")(operators.TextOps.surprisal(d1).count()),
+      "histogram" -> time("histogram")(operators.Events.histogram(e1).count()))
     println("== 10x ==")
     val s = Map(
       "q1_pricing" -> time("q1_pricing")(operators.Analytics.pricingSummary(li10).count()),
@@ -164,7 +169,10 @@ object ScaleProbe {
       "ridge" -> time("ridge")(operators.Ridge.predict(events10).count()),
       "gbt" -> time("gbt")(operators.GradientBoost.predict(events10).count()),
       "time_split" -> time("time_split")(operators.Curation.timeSplit(events10).count()),
-      "cv_eval" -> time("cv_eval")(operators.CvEval.ridgeCv(events10).count()))
+      "cv_eval" -> time("cv_eval")(operators.CvEval.ridgeCv(events10).count()),
+      "components" -> time("components")(operators.Dedup.components(docs10).count()),
+      "surprisal" -> time("surprisal")(operators.TextOps.surprisal(docs10).count()),
+      "histogram" -> time("histogram")(operators.Events.histogram(events10).count()))
     println("== scaling factor (10x data / 1x time; 10 = linear) ==")
     b.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-22s ${s(k) / b(k)}%6.1f x")
