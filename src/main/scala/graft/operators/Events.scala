@@ -494,14 +494,30 @@ object Events {
     * count is one map-side-combined shuffle on (type, bin). A
     * degenerate flat type (hi = lo) collapses to bin 0.
     */
+  /** Per-type extrema — the histogram's bin-edge profile. Exposed so
+    * the STREAMING histogram can bin against a frozen batch profile
+    * ([[graft.streaming.EventsStream.histogramStream]]).
+    */
+  def histogramEdges(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+
+  /** Bin index of `value` against `lo`/`hi` columns: fixed IEEE op
+    * order, clamped to [0, bins−1], degenerate flat span → bin 0.
+    * The bottom clamp is a no-op for batch (edges derive from the
+    * same rows, so value ≥ lo) but catches downward drift when the
+    * STREAMING histogram bins live values against a frozen profile.
+    */
+  private[graft] def binIndex(bins: Int) = when(col("hi") > col("lo"),
+    least(greatest(
+      floor((col("value") - col("lo")) / (col("hi") - col("lo")) * lit(bins.toDouble))
+        .cast("long"), lit(0L)), lit(bins - 1L))).otherwise(0L)
+
   def histogram(events: DataFrame, bins: Int = 20): DataFrame = {
     val nn = events.filter(col("value").isNotNull)
-    val mm = nn.groupBy(col("event_type"))
-      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    nn.join(broadcast(mm), "event_type")
-      .withColumn("bin", when(col("hi") > col("lo"),
-        least(floor((col("value") - col("lo")) / (col("hi") - col("lo")) * lit(bins.toDouble))
-          .cast("long"), lit(bins - 1L))).otherwise(0L))
+    nn.join(broadcast(histogramEdges(events)), "event_type")
+      .withColumn("bin", binIndex(bins))
       .groupBy(col("event_type"), col("bin"), col("lo"), col("hi"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"), col("bin"),

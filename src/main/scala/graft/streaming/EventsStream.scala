@@ -83,6 +83,31 @@ object EventsStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"), col("n_users"))
 
+  /** Windowed value histogram over FROZEN bin edges — the streaming
+    * form of [[graft.operators.Events.histogram]], and the standard
+    * streaming distribution-monitoring shape: the per-type [lo, hi)
+    * profile comes from a BATCH pass over history
+    * ([[graft.operators.Events.histogramEdges]]) and joins the stream
+    * as a broadcast static frame, so the windowed count is stateless
+    * per (window, type, bin) — O(bins) state per window×type, no
+    * unbounded per-window extrema. Drift shows up as mass in the
+    * clamp bins (0 and bins−1); re-profile offline when it does.
+    * Binning reuses the batch operator's exact expression, so a
+    * closed window's counts equal the batch histogram of the same
+    * rows binned against the same edges.
+    */
+  def histogramStream(events: DataFrame, edges: DataFrame, bins: Int = 20,
+                      windowLen: String = "1 hour",
+                      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("value").isNotNull)
+      .join(broadcast(edges), "event_type")
+      .withColumn("bin", graft.operators.Events.binIndex(bins))
+      .groupBy(window(col("ts"), windowLen), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("bin"), col("n"))
+
   /** Gap-based sessionization via the built-in `session_window`
     * aggregation — the declarative alternative to the
     * flatMapGroupsWithState form below when only per-session

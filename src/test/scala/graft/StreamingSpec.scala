@@ -562,4 +562,33 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((3L, 1L), (3L, 2L)))
     } finally q.stop()
   }
+
+  test("streaming histogram bins against the frozen batch profile; closed windows match hand counts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // history profiles type "view" to lo=0, hi=20
+    val history = Seq(
+      (1L, 1L, ts("2026-01-01 08:00:00"), "view", Some(0.0)),
+      (2L, 1L, ts("2026-01-01 08:30:00"), "view", Some(20.0))
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val edges = Events.histogramEdges(history)
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val stream = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = EventsStream.histogramStream(stream, edges).writeStream
+      .format("memory").queryName("hist_out").outputMode("append").start()
+    try {
+      input.addData(
+        (10L, 1L, ts("2026-01-01 10:05:00"), "view", 0.0),   // bin 0
+        (11L, 1L, ts("2026-01-01 10:10:00"), "view", 10.0),  // bin 10
+        (12L, 1L, ts("2026-01-01 10:20:00"), "view", 20.0),  // top clamp -> 19
+        (13L, 1L, ts("2026-01-01 10:25:00"), "view", 25.0),  // drift above -> 19
+        (14L, 1L, ts("2026-01-01 10:40:00"), "view", -5.0))  // drift below -> 0
+      q.processAllAvailable()
+      input.addData((99L, 9L, ts("2026-06-01 00:00:00"), "view", 0.0)) // watermark flush
+      q.processAllAvailable()
+      val got = spark.table("hist_out")
+        .filter(col("bucket") === ts("2026-01-01 10:00:00"))
+        .collect().map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+      assert(got === Seq((0L, 2L), (10L, 1L), (19L, 2L)))
+    } finally q.stop()
+  }
 }
