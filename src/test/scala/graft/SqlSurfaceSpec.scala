@@ -15,7 +15,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "q1_pricing_summary", "q_topk_orders", "q_case_bucketing",
     "fin_daily_ohlc", "fin_last_update", "fin_moving_avg",
     "text_quality", "text_langid", "dedup_exact",
-    "curate_split", "events_hourly_rollup", "mm_binary_meta")
+    "curate_split", "events_hourly_rollup", "mm_binary_meta",
+    // trainer-backed view: the fit runs at registration, the scored
+    // frame composes like any other relation
+    "fin_ridge", "fin_vwap", "events_histogram", "text_surprisal")
 
   private lazy val registered: Seq[String] =
     GraftSql.register(spark, dir, viewNames)

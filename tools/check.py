@@ -16,7 +16,10 @@ import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
-OUT = "/tmp/graft_verify"
+# Scratch dir is PER SCALE FACTOR: two concurrent check.py runs on
+# different SF dirs must not clobber each other's dumps mid-compare
+# (a shared dir once turned an sf0.1 sweep into 40 phantom fails).
+OUT = "/tmp/graft_verify_" + os.path.basename(SF.rstrip("/"))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 ADD_OPENS = []
