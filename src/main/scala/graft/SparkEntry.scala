@@ -975,14 +975,17 @@ FROM e ORDER BY user_id, day"""
         |FROM u ORDER BY user_id, day""".stripMargin),
     "fin_vwap" -> (closesCte +
       """
-        |, v AS (SELECT user_id, day, close, volume,
+        |, v0 AS (SELECT user_id, day, close, volume,
         |    sum(CAST(close AS DECIMAL(12,2)) * volume) OVER w AS pv,
         |    sum(volume) OVER w AS v
         |  FROM closes
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+        |q AS (SELECT user_id, day, close, volume, CAST(pv * 100 AS BIGINT) AS pv2, v FROM v0)
         |SELECT user_id, day, close, CAST(volume AS BIGINT) AS volume,
-        |  round(CAST(pv AS DOUBLE) / CAST(v AS DOUBLE), 6) + 0.0 AS vwap10
-        |FROM v ORDER BY user_id, day""".stripMargin),
+        |  CAST((CASE WHEN pv2 < 0 THEN -((2 * abs(pv2) * 10000 + v) // (2 * v))
+        |             ELSE (2 * abs(pv2) * 10000 + v) // (2 * v) END) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS vwap10
+        |FROM q ORDER BY user_id, day""".stripMargin),
     "fin_stochastic" -> (closesCte +
       """
         |, hl AS (SELECT user_id, day, close,

@@ -397,8 +397,18 @@ object FinAnalytics {
     closes(events)
       .withColumn("pv", sum(dec2(col("close")) * col("volume")).over(w))
       .withColumn("v", sum(col("volume")).over(w))
+      // The 6-dp rounding happens in EXACT INTEGER arithmetic, not
+      // round(double): pv/v can land on a true binary .xxxxxx5 tie
+      // (volume sums are often powers of two, making the division
+      // exact), and double-round ties split between engines — sf0.1
+      // surfaced 7 such rows. Half-up on the magnitude:
+      // (2·|pv·10⁶| + v) DIV (2v), sign reapplied; fits BIGINT while
+      // |pv| < 4.6e12 (price·volume windows at any realistic scale).
+      .withColumn("pv2", (col("pv") * 100).cast("long"))
+      .withColumn("mag", expr("(2 * abs(pv2) * 10000 + v) DIV (2 * v)"))
       .withColumn("vwap10",
-        round(col("pv").cast("double") / col("v").cast("double"), 6) + lit(0.0))
+        (when(col("pv2") < 0, -col("mag")).otherwise(col("mag")).cast("double")
+          / lit(1e6)) + lit(0.0))
       .select(col("user_id"), col("day"), col("close"), col("volume"), col("vwap10"))
       .orderBy(col("user_id"), col("day"))
   }
