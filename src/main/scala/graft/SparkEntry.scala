@@ -576,11 +576,15 @@ FROM e ORDER BY user_id, day"""
        |${ridgeSolveCtes("g", "1.0", Seq("fold"))},
        |scored AS (SELECT fold,
        |    CAST(round(CAST(z7 AS DOUBLE) - (round($ridgeYhat, 6)), 6) AS DECIMAL(18,6)) AS residual
-       |  FROM z JOIN members USING (event_id) JOIN bx0 USING (fold) WHERE role = 'test')
-       |SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
-       |  round(CAST(CAST(sum(abs(residual)) AS VARCHAR) AS DOUBLE) / count(*), 6) + 0.0 AS mae,
-       |  round(sqrt(CAST(CAST(sum(residual * residual) AS VARCHAR) AS DOUBLE) / count(*)), 6) + 0.0 AS rmse
-       |FROM scored GROUP BY fold ORDER BY fold""".stripMargin
+       |  FROM z JOIN members USING (event_id) JOIN bx0 USING (fold) WHERE role = 'test'),
+       |agg AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(abs(residual)) * 1000000 AS BIGINT) AS sum_abs_u,
+       |    round(sqrt(CAST(CAST(sum(residual * residual) AS VARCHAR) AS DOUBLE) / count(*)), 6) + 0.0 AS rmse
+       |  FROM scored GROUP BY fold)
+       |SELECT fold, n_test,
+       |  CAST((2 * sum_abs_u + n_test) // (2 * n_test) AS DOUBLE) / 1000000.0 + 0.0 AS mae,
+       |  rmse
+       |FROM agg ORDER BY fold""".stripMargin
   }
 
   /** mm_binary_meta oracle — builds the IDENTICAL synthetic
@@ -1481,11 +1485,13 @@ FROM e ORDER BY user_id, day"""
         |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY token),
         |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq),
         |s AS (SELECT doc_id, CAST(length(bin(total // f)) - 1 AS BIGINT) AS bits
-        |      FROM tok JOIN freq USING (token) CROSS JOIN tot)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(bits) AS BIGINT) AS total_bits,
-        |  round(CAST(sum(bits) AS DOUBLE) / count(*), 6) + 0.0 AS mean_bits
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |      FROM tok JOIN freq USING (token) CROSS JOIN tot),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, total_bits,
+        |  CAST((2 * total_bits * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS mean_bits
+        |FROM g ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> jaccardOracle(4, "0.5"),
     "dedup_simhash" ->
       (s"""WITH ${shinglesCte(3)},

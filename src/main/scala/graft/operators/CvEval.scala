@@ -80,9 +80,17 @@ object CvEval {
         round(col("z7").cast("double") - col("prediction"), 6).cast(DecimalType(18, 6)))
       .groupBy(col("fold"))
       .agg(count(lit(1)).as("n_test"),
-        outD(sum(abs(col("residual"))).cast("double") / count(lit(1)), 6).as("mae"),
+        (sum(abs(col("residual"))) * 1000000).cast("long").as("sum_abs_u"),
         (round(sqrt(sum(col("residual") * col("residual")).cast("double") / count(lit(1))), 6)
           + lit(0.0)).as("rmse"))
+      // MAE rounds half-up in EXACT integer arithmetic (residuals are
+      // 1e-6 units): with a power-of-two testSize the mean is
+      // binary-exact and round(double) tie behavior splits between
+      // engines (the fin_vwap lesson). RMSE keeps double rounding —
+      // sqrt output has no exact-tie structure.
+      .withColumn("mae",
+        (expr("(2 * sum_abs_u + n_test) DIV (2 * n_test)").cast("double") / lit(1e6))
+          + lit(0.0))
       .select(col("fold"), col("n_test"), col("mae"), col("rmse"))
       .orderBy(col("fold"))
   }

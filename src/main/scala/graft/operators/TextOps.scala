@@ -209,9 +209,14 @@ object TextOps {
       .withColumn("bits",
         (length(conv(expr("total DIV f"), 10, 2)) - 1).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("bits")).as("total_bits"),
-        (round(sum(col("bits")).cast("double") / count(lit(1)), 6) + lit(0.0)).as("mean_bits"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      // mean in EXACT integer half-up (not round(double)): with a
+      // power-of-two token count the quotient is binary-exact and can
+      // sit on a true .xxxxxx5 tie, where engines' double rounding
+      // splits (the fin_vwap lesson).
+      .withColumn("mean_bits",
+        (expr("(2 * total_bits * 1000000 + n_tokens) DIV (2 * n_tokens)").cast("double")
+          / lit(1e6)) + lit(0.0))
       .orderBy(col("doc_id"))
   }
 
