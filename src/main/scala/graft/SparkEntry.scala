@@ -345,12 +345,11 @@ FROM e ORDER BY user_id, day"""
         |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
         |  FROM t)
         |SELECT doc_id, n_chars, n_words, sum_word_len, n_punct, n_stop,
-        |  CASE WHEN n_words > 0 THEN round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 END AS avg_word_len,
-        |  CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 END AS punct_ratio,
-        |  CASE WHEN n_words > 0 THEN round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 END AS stop_ratio,
-        |  (n_words >= 5 AND round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0.0 <= 0.1
-        |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 >= 2.0
-        |   AND round(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0 <= 12.0) AS keep
+        |  CASE WHEN n_words > 0 THEN CAST((2 * sum_word_len * 1000000 + n_words) // (2 * n_words) AS DOUBLE) / 1000000.0 + 0.0 END AS avg_word_len,
+        |  CASE WHEN n_chars > 0 THEN CAST((2 * n_punct * 1000000 + n_chars) // (2 * n_chars) AS DOUBLE) / 1000000.0 + 0.0 END AS punct_ratio,
+        |  CASE WHEN n_words > 0 THEN CAST((2 * n_stop * 1000000 + n_words) // (2 * n_words) AS DOUBLE) / 1000000.0 + 0.0 END AS stop_ratio,
+        |  (n_words >= 5 AND punct_ratio <= 0.1
+        |   AND avg_word_len >= 2.0 AND avg_word_len <= 12.0) AS keep
         |FROM m ORDER BY doc_id""".stripMargin)
   private val repetitionOracleSql: String =
     (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
@@ -379,9 +378,9 @@ FROM e ORDER BY user_id, day"""
         |rl AS (SELECT doc_id, run_id, count(*) AS run_len FROM rid GROUP BY doc_id, run_id),
         |agg3 AS (SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run FROM rl GROUP BY doc_id)
         |SELECT doc_id, n_tokens, top_token, top_n,
-        |  round(CAST(top_n AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS top_frac,
-        |  round(CAST(dup_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0.0 AS dup_token_frac,
-        |  round(CAST(dup2 AS DOUBLE) / CAST(total2 AS DOUBLE), 6) + 0.0 AS dup_2gram_frac,
+        |  CAST((2 * top_n * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000.0 + 0.0 AS top_frac,
+        |  CAST((2 * dup_tok * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000.0 + 0.0 AS dup_token_frac,
+        |  CAST((2 * dup2 * 1000000 + total2) // (2 * total2) AS DOUBLE) / 1000000.0 + 0.0 AS dup_2gram_frac,
         |  max_run
         |FROM agg1 JOIN top USING (doc_id) JOIN agg2 USING (doc_id) JOIN agg3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin)
@@ -801,7 +800,7 @@ FROM e ORDER BY user_id, day"""
         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
         |s AS (SELECT doc_id, token, tf, df,
-        |        round(CAST(tf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE), 6) + 0.0 AS score
+        |        CAST((2 * (tf * (n_docs + 1)) * 1000000 + (df + 1)) // (2 * (df + 1)) AS DOUBLE) / 1000000.0 + 0.0 AS score
         |      FROM tf JOIN df USING (token) CROSS JOIN n),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rank FROM s)
         |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
@@ -1603,8 +1602,8 @@ FROM e ORDER BY user_id, day"""
       (s"""WITH t AS (SELECT doc_id, text, $toksExpr AS w FROM documents)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(w) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
-        |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) > 0
-        |       THEN round(CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS DOUBLE), 6) + 0.0
+        |  CASE WHEN bpe_tokens > 0
+        |       THEN CAST((2 * n_chars * 1000000 + bpe_tokens) // (2 * bpe_tokens) AS DOUBLE) / 1000000.0 + 0.0
         |  END AS chars_per_token
         |FROM t ORDER BY doc_id""".stripMargin),
     "text_fingerprint" ->
@@ -1702,7 +1701,7 @@ FROM e ORDER BY user_id, day"""
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
         |  CAST(sum(CASE WHEN n_toks >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) + 0.0 AS avg_chars
+        |  CAST((2 * total_chars * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0 + 0.0 AS avg_chars
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
     "salted_enrich" ->
       """SELECT event_id, user_id, c_name, c_mktsegment, value

@@ -78,12 +78,19 @@ object TextOps {
         regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
         size(filter(toks, t => t.isInCollection(en))).cast("long").as("n_stop"))
       // Guards: empty docs make these ANSI division errors, not NaNs.
+      // Ratios round half-up in EXACT integer arithmetic: count/count
+      // quotients with power-of-two denominators (n_words = 128 ...)
+      // are binary-exact and can sit on true .xxxxxx5 ties, where
+      // engines' double rounding splits (the fin_vwap lesson).
       .withColumn("avg_word_len", when(col("n_words") > 0,
-        round(col("sum_word_len").cast("double") / col("n_words").cast("double"), 6) + lit(0.0)))
+        (expr("(2 * sum_word_len * 1000000 + n_words) DIV (2 * n_words)").cast("double")
+          / lit(1e6)) + lit(0.0)))
       .withColumn("punct_ratio", when(col("n_chars") > 0,
-        round(col("n_punct").cast("double") / col("n_chars").cast("double"), 6) + lit(0.0)))
+        (expr("(2 * n_punct * 1000000 + n_chars) DIV (2 * n_chars)").cast("double")
+          / lit(1e6)) + lit(0.0)))
       .withColumn("stop_ratio", when(col("n_words") > 0,
-        round(col("n_stop").cast("double") / col("n_words").cast("double"), 6) + lit(0.0)))
+        (expr("(2 * n_stop * 1000000 + n_words) DIV (2 * n_words)").cast("double")
+          / lit(1e6)) + lit(0.0)))
       .withColumn("keep",
         col("n_words") >= 5 && col("punct_ratio") <= 0.1 &&
           col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0)
@@ -99,9 +106,10 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars"),
         size(tokens(col("text"))).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
-      .withColumn("chars_per_token",
+      .withColumn("chars_per_token", // tie-exact integer half-up (fin_vwap lesson)
         when(col("bpe_tokens") > 0,
-          round(col("n_chars").cast("double") / col("bpe_tokens").cast("double"), 6) + lit(0.0)))
+          (expr("(2 * n_chars * 1000000 + bpe_tokens) DIV (2 * bpe_tokens)").cast("double")
+            / lit(1e6)) + lit(0.0)))
       .orderBy(col("doc_id"))
 
   /** Corpus vocabulary: global token frequencies, top-k by count.
@@ -173,8 +181,13 @@ object TextOps {
     // typos), so no forced broadcast; AQE broadcasts it while small.
     tf.join(df, "token")
       .crossJoin(broadcast(nDocs))
+      // tie-exact integer half-up: tf*(N+1)/(df+1) is an exact
+      // integer quotient, and df+1 = 128 is perfectly plausible at
+      // corpus scale (fin_vwap lesson)
+      .withColumn("num", col("tf") * (col("n_docs") + 1))
+      .withColumn("den", col("df") + 1)
       .withColumn("score",
-        round((col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1).cast("double"), 6) + lit(0.0))
+        (expr("(2 * num * 1000000 + den) DIV (2 * den)").cast("double") / lit(1e6)) + lit(0.0))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rank"))
@@ -291,11 +304,17 @@ object TextOps {
       .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("run_len"))
       .groupBy(col("doc_id")).agg(max(col("run_len")).as("max_run"))
     perTok.join(gram, "doc_id").join(runs, "doc_id")
+      .withColumn("top_n", -col("top.nc"))
+      // fracs round half-up in exact integer arithmetic — count/count
+      // ties split between engines under double round (fin_vwap lesson)
       .select(col("doc_id"), col("n_tokens"),
-        col("top.t").as("top_token"), (-col("top.nc")).as("top_n"),
-        (round((-col("top.nc")).cast("double") / col("n_tokens").cast("double"), 6) + lit(0.0)).as("top_frac"),
-        (round(col("dup_tok").cast("double") / col("n_tokens").cast("double"), 6) + lit(0.0)).as("dup_token_frac"),
-        (round(col("dup2").cast("double") / col("total2").cast("double"), 6) + lit(0.0)).as("dup_2gram_frac"),
+        col("top.t").as("top_token"), col("top_n"),
+        ((expr("(2 * top_n * 1000000 + n_tokens) DIV (2 * n_tokens)").cast("double")
+          / lit(1e6)) + lit(0.0)).as("top_frac"),
+        ((expr("(2 * dup_tok * 1000000 + n_tokens) DIV (2 * n_tokens)").cast("double")
+          / lit(1e6)) + lit(0.0)).as("dup_token_frac"),
+        ((expr("(2 * dup2 * 1000000 + total2) DIV (2 * total2)").cast("double")
+          / lit(1e6)) + lit(0.0)).as("dup_2gram_frac"),
         col("max_run"))
       .orderBy(col("doc_id"))
   }
