@@ -59,6 +59,7 @@ object SparkEntry {
     "fin_vwap"             -> ((s, d) => FinAnalytics.vwap(Tables(s, d).events)),
     "fin_stochastic"       -> ((s, d) => FinAnalytics.stochastic(Tables(s, d).events)),
     "fin_obv"              -> ((s, d) => FinAnalytics.obv(Tables(s, d).events)),
+    "fin_atr"              -> ((s, d) => FinAnalytics.atr(Tables(s, d).events)),
     "events_rfm"           -> ((s, d) => Events.rfm(Tables(s, d).events)),
     "events_transitions"   -> ((s, d) => Events.transitions(Tables(s, d).events)),
     "events_json_props"    -> ((s, d) => Events.jsonProps(Tables(s, d).events)),
@@ -1022,6 +1023,31 @@ FROM e ORDER BY user_id, day"""
         |  CAST(sum(dir * volume) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
         |FROM s ORDER BY user_id, day""".stripMargin),
+    "fin_atr" ->
+      """WITH o AS (
+        |  SELECT user_id, day,
+        |    max(value) AS high, min(value) AS low,
+        |    max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |  FROM (
+        |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+        |           row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn_d
+        |    FROM events)
+        |  GROUP BY user_id, day),
+        |p AS (SELECT user_id, day,
+        |    CAST(high AS DECIMAL(12,2)) AS h, CAST(low AS DECIMAL(12,2)) AS l,
+        |    lag(CAST(close AS DECIMAL(12,2)), 1) OVER (PARTITION BY user_id ORDER BY day) AS pc
+        |  FROM o),
+        |t AS (SELECT user_id, day, greatest(h - l, abs(h - pc), abs(l - pc)) AS tr
+        |  FROM p WHERE pc IS NOT NULL),
+        |a AS (SELECT user_id, day, tr,
+        |    CAST(sum(tr) OVER w * 100 AS BIGINT) AS s2,
+        |    CAST(count(*) OVER w AS BIGINT) AS n
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day, CAST(tr AS DOUBLE) + 0.0 AS tr,
+        |  CAST((2 * s2 * 10000 + n) // (2 * n) AS DOUBLE) / 1000000.0 + 0.0 AS atr14
+        |FROM a ORDER BY user_id, day""".stripMargin,
     "fin_rsi" -> (closesCte +
       """
         |, d AS (SELECT user_id, day, close,

@@ -438,6 +438,34 @@ object FinAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Average true range (Wilder's volatility indicator, window-mean
+    * form like [[rsi]]): per daily bar, TR = max(high−low,
+    * |high−prev_close|, |low−prev_close|) on 2-dp-quantized prices —
+    * exact decimal comparisons, no rounding ambiguity — and ATR14 is
+    * the trailing 14-bar mean of TR, rounded 6-dp in tie-exact
+    * integer arithmetic (TR units are 1e-2, counts can be 2^k — the
+    * fin_vwap lesson). First bar has no prev_close → no TR row.
+    * One OHLC shuffle, two ordered windows over the same clustering.
+    */
+  def atr(events: DataFrame, bars: Int = 14): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w = ord.rowsBetween(-(bars - 1), 0)
+    dailyOhlc(events)
+      .withColumn("pc", lag(dec2(col("close")), 1).over(ord))
+      .filter(col("pc").isNotNull)
+      .withColumn("tr", greatest(
+        dec2(col("high")) - dec2(col("low")),
+        abs(dec2(col("high")) - col("pc")),
+        abs(dec2(col("low")) - col("pc"))))
+      .withColumn("s2", (sum(col("tr")).over(w) * 100).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("atr14",
+        (expr("(2 * s2 * 10000 + n) DIV (2 * n)").cast("double") / lit(1e6)) + lit(0.0))
+      .select(col("user_id"), col("day"),
+        (col("tr").cast("double") + lit(0.0)).as("tr"), col("atr14"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** On-balance volume: running Σ sign(Δclose)·volume per instrument
     * — the classic volume-flow accumulation indicator. Direction is
     * decided on 2-dp-quantized closes and the product/sum stay in

@@ -241,6 +241,18 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(flat.toSeq === Seq(0L, 0L, 0L))
   }
 
+  test("atr: true range spans the bar plus the gap from prior close") {
+    val rows = FinAnalytics.atr(events).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
+    // day2: pc=10, TR = max(20-20, |20-10|, |20-10|) = 10, ATR = 10
+    // day3: pc=20, TR = max(0, 10, 10) = 10, ATR = (10+10)/2 = 10
+    assert(rows.toSeq === Seq(("2026-01-02", 10.0, 10.0), ("2026-01-03", 10.0, 10.0)))
+    val flat = FinAnalytics.atr(events).collect().filter(_.getLong(0) == 2L)
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(flat.forall(_ == ((0.0, 0.0))))
+  }
+
   test("macd is zero on a constant series and positive when fast memory sees higher closes") {
     val rows = FinAnalytics.macd(events).collect()
     // user 2: constant 50 -> both ewmas 50, macd exactly 0
