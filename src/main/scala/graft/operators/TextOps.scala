@@ -213,16 +213,27 @@ object TextOps {
     */
   def surprisal(documents: DataFrame): DataFrame = {
     val parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    val tok = documents.repartition(parallelism, col("doc_id"))
+    // ONE tokenize scan for the whole operator: the per-(doc, token)
+    // count frame is materialized once (eager localCheckpoint, the
+    // tokenRank pattern) and feeds the vocabulary frequencies, the
+    // corpus total, AND the scoring join — inline, each consumer
+    // would re-run the regex tokenization over the corpus (3 scans).
+    // Scoring then weights each distinct (doc, token) by its count
+    // instead of fanning out per occurrence, so the token join
+    // carries vocabulary-bounded rows per doc.
+    val tf = documents.repartition(parallelism, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val freq = tf.groupBy(col("token")).agg(sum(col("cnt")).as("f"))
     val total = freq.agg(sum(col("f")).as("total"))
-    tok.join(freq, "token")
+    tf.join(freq, "token")
       .crossJoin(broadcast(total))
       .withColumn("bits",
         (length(conv(expr("total DIV f"), 10, 2)) - 1).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("total_bits"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("bits")).as("total_bits"))
       // mean in EXACT integer half-up (not round(double)): with a
       // power-of-two token count the quotient is binary-exact and can
       // sit on a true .xxxxxx5 tie, where engines' double rounding

@@ -128,6 +128,17 @@ class TextOpsSpec extends SparkSpec {
       (2L, 2L, 3L, 1.5)))     // 1+2 over 2 tokens
   }
 
+  test("surprisal's scoring plan never re-tokenizes the corpus") {
+    val docs = Seq((1L, "a b c a"), (2L, "b c d")).toDF("doc_id", "text")
+    val df = TextOps.surprisal(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the tokenize+explode happens ONCE inside the checkpointed
+    // count frame; the final plan must only read that RDD back
+    assert(!plan.contains("split("),
+      s"tokenization leaked into the scoring plan:\n$plan")
+  }
+
   test("surprisal is deterministic across partitionings (integer arithmetic)") {
     val docs = (0 until 200).map(i => (i.toLong, s"w${i % 7} w${i % 13} common common"))
       .toDF("doc_id", "text")
