@@ -283,13 +283,20 @@ object Curation {
     * composition, so shared scans/columns prune once.
     */
   def pipeline(documents: DataFrame, comps: DataFrame): DataFrame = {
-    import graft.operators.Dedup
-    val fg = filterGate(documents)
+    import graft.operators.{Dedup, TextOps}
+    // ONE corpus scan + ONE tokenization for the whole composition:
+    // the three filter sub-operators each tokenize their input, so
+    // feeding them the raw frame would regex-split the corpus three
+    // times (the CPU-dominant step at scale). The pre-tokenized
+    // projection is materialized once (eager localCheckpoint,
+    // ContextCleaner-freed) and every stage reads it back.
+    val base = TextOps.withToks(documents).localCheckpoint(true)
+    val fg = filterGate(base)
       .select(col("doc_id"), col("lang"), col("quality_ok"),
         col("repetition_ok"), col("lang_ok"), col("keep").as("filter_ok"))
-    val dd = Dedup.applyDedupWith(documents, comps)
+    val dd = Dedup.applyDedupWith(base, comps)
       .select(col("doc_id"), col("keeper_id"), col("kept").as("dedup_kept"))
-    val sp = splitAssign(documents).select(col("doc_id"), col("split"))
+    val sp = splitAssign(base).select(col("doc_id"), col("split"))
     fg.join(dd, "doc_id").join(sp, "doc_id")
       .select(col("doc_id"), col("lang"), col("split"),
         col("quality_ok"), col("repetition_ok"), col("lang_ok"),

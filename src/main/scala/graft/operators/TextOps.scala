@@ -25,6 +25,24 @@ object TextOps {
 
   private val langs = markers.keys.toSeq.sorted // de, en, es, fr, zh
 
+  /** Pre-tokenized corpus projection for multi-operator compositions:
+    * (doc_id, lang, text, toks). Operators in this file resolve
+    * their token array via [[toksOf]], so passing this frame —
+    * typically eagerly materialized by the caller — lets a
+    * composition like [[graft.operators.Curation.pipeline]] tokenize
+    * the corpus ONCE instead of once per sub-operator (the regex
+    * split is the CPU-dominant step at scale).
+    */
+  def withToks(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"), col("text"),
+      tokens(col("text")).as("toks"))
+
+  /** The token array: the precomputed `toks` column when the caller
+    * supplied one, else tokenized from `text` in place.
+    */
+  private def toksOf(df: DataFrame): Column =
+    if (df.columns.contains("toks")) col("toks") else tokens(col("text"))
+
   /** Text canonicalization for dedup keying: lowercase + collapse
     * every whitespace run to one space + trim, plus the md5 of the
     * canonical form — the normalization pass that runs BEFORE exact
@@ -49,7 +67,7 @@ object TextOps {
     * profile scoring in miniature.
     */
   def langId(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = toksOf(documents)
     def score(l: String): Column =
       size(filter(toks, t => t.isInCollection(markers(l)))).cast("long")
     val scored = documents.select(
@@ -68,7 +86,7 @@ object TextOps {
     * classic length/punctuation/stopword heuristics.
     */
   def quality(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = toksOf(documents)
     val en = markers("en")
     documents.select(
         col("doc_id"),
@@ -293,7 +311,7 @@ object TextOps {
     */
   def repetition(documents: DataFrame): DataFrame = {
     val base = documents.repartition(col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), toksOf(documents).as("toks"))
     val tok = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
     val tokCounts = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
     val perTok = tokCounts.groupBy(col("doc_id"))

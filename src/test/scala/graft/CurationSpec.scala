@@ -307,5 +307,9 @@ class CurationSpec extends SparkSpec {
     }
     // split column is one of the three partitions
     assert(out.forall(r => Set("train", "val", "test")(r.getString(2))))
+    // the composition tokenizes ONCE, inside the checkpointed shared
+    // projection — no regex split survives into the verdict plan
+    val plan = Curation.pipeline(docs, comps).queryExecution.executedPlan.toString
+    assert(!plan.contains("split("), s"tokenization leaked into the pipeline plan:\n$plan")
   }
 }
