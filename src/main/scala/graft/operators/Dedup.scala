@@ -209,6 +209,11 @@ object Dedup {
     val sigs = sh.groupBy(col("doc_id")).agg(
       min(hi(0)).as("h0"),
       (1 until numHashes).map(i => min(hi(i)).as(s"h$i")): _*)
+      // One row per doc (32 longs). The banded frame feeds BOTH sides
+      // of the candidate self-join; without materializing, each side
+      // recomputes the 32-min signature aggregation from the shingle
+      // blocks (round-6 plan audit: 12 RDD-block reads).
+      .localCheckpoint(true)
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band_id"),
         xxhash64((0 until rows).map(r => col(s"h${j * rows + r}")): _*).as("bh"))
@@ -245,6 +250,12 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 60).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
           .reduce(_.bitwiseOR(_)).as("sig"))
+      // One row per doc (16 bytes) — materialize before the pigeonhole
+      // self-join. Inline, both join sides replay the full
+      // shingle→hash→60-bit-sum chain (one under a BroadcastExchange,
+      // so ReuseExchange can't fire — round-6 plan audit: two complete
+      // tokenize chains). Checkpointing makes the corpus scan run ONCE.
+      .localCheckpoint(true)
     // Pigeonhole: split 60 bits into maxHamming+1 chunks; any pair
     // within the Hamming budget must agree on at least one chunk.
     val nChunks = maxHamming + 1
@@ -403,6 +414,11 @@ object Dedup {
     // margin before ceil only ever LENGTHENS the prefix — safe.
     val prefix = ranked.filter(
       col("rk") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      // Prefix rows are a (1−t) fraction of the shingle frame, narrow
+      // (s, doc_id, f, rk, n). Both self-join sides consume it;
+      // without materializing, each replays the broadcast-freq join +
+      // ranking window (round-6 plan audit: 16 block reads).
+      .localCheckpoint(true)
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()

@@ -188,10 +188,17 @@ object TextOps {
     */
   def tfidf(documents: DataFrame, k: Int = 3): DataFrame = {
     val parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    // ONE tokenize scan for the whole operator (the surprisal
+    // pattern): the (doc_id, token, tf) frame feeds BOTH sides of the
+    // tf⋈df join — inline, Catalyst plans the tokenize+explode+agg
+    // chain twice (plan-verified in round 6: six parquet scans, zero
+    // ReusedExchange). Materialize it once; at 100 TB this halves the
+    // dominant stage.
     val tf = documents.repartition(parallelism, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))

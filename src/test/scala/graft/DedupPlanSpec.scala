@@ -38,6 +38,43 @@ class DedupPlanSpec extends SparkSpec {
       s"(b,s) x (b2,s2) BroadcastHashJoin not found in:\n$verifiedPlan")
   }
 
+  test("the banded self-join reads checkpointed signatures, not a replayed min-aggregation") {
+    // sigs is an eager localCheckpoint: the 32-min signature
+    // aggregation runs once at materialization, and neither side of
+    // the band-bucket self-join may replay it (round 6: 12 RDD-block
+    // reads through two copies of the aggregation).
+    assert(!verifiedPlan.contains("min(xxhash64"),
+      s"signature aggregation replayed in the candidate plan:\n$verifiedPlan")
+  }
+
+  test("simhash's candidate self-join never re-tokenizes the corpus") {
+    // sig is one checkpointed row per doc; both pigeonhole join sides
+    // must read it back — zero tokenize/shingle/md5 work in the final
+    // plan (round 6: two complete shingle→hash→bit-sum chains, one
+    // under a BroadcastExchange where ReuseExchange cannot fire).
+    val df = Dedup.simhash(Tables(spark, "/root/testdata/sf0.01").documents)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("split(") && !plan.contains("md5("),
+      s"tokenize/hash chain replayed in the simhash candidate plan:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"corpus re-scanned in the simhash candidate plan:\n$plan")
+  }
+
+  test("ngramJaccard's self-join reads the checkpointed prefix, not a replayed ranking window") {
+    // prefix is checkpointed after the frequency join + row_number
+    // ranking; the candidate self-join and verify stages must contain
+    // no window operator at all (round 6: the ranking window ran on
+    // both join sides — 16 block reads).
+    val df = Dedup.ngramJaccard(Tables(spark, "/root/testdata/sf0.01").documents)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"ranking window replayed in the ngramJaccard candidate plan:\n$plan")
+    assert(!plan.contains("split("),
+      s"tokenization replayed in the ngramJaccard candidate plan:\n$plan")
+  }
+
   test("the checkpointed shingle frame shuffles at most once (its doc_id repartition)") {
     // Every Exchange directly over the ExistingRDD scan is the
     // user-numbered repartition from shingleRows; the verify joins

@@ -139,6 +139,19 @@ class TextOpsSpec extends SparkSpec {
       s"tokenization leaked into the scoring plan:\n$plan")
   }
 
+  test("tfidf's scoring plan never re-tokenizes the corpus") {
+    val docs = Seq((1L, "a b c a"), (2L, "b c d"), (3L, "a d e")).toDF("doc_id", "text")
+    val df = TextOps.tfidf(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the tokenize+explode+count chain runs ONCE inside the
+    // checkpointed tf frame; both sides of the tf⋈df join and the
+    // ranking window read the stored blocks back (round 6 planned the
+    // whole chain twice — six source scans)
+    assert(!plan.contains("split("),
+      s"tokenization leaked into the scoring plan:\n$plan")
+  }
+
   test("surprisal is deterministic across partitionings (integer arithmetic)") {
     val docs = (0 until 200).map(i => (i.toLong, s"w${i % 7} w${i % 13} common common"))
       .toDF("doc_id", "text")
