@@ -30,17 +30,27 @@ object Bench {
     val fails = results.values.count(_ < 0)
     // Previous run's per-query map (read BEFORE overwriting the
     // detail file) -> cross-round deltas without tail parsing.
+    // Parsed with Jackson (on the Spark classpath) rather than a
+    // regex: the regex version silently zeroed every delta whenever
+    // the emit format drifted (key order, scientific notation). A
+    // missing/unreadable file is expected on the first run and is
+    // LOGGED to stderr, never silently swallowed.
     val (prevTotal, prevQueries) = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_DETAIL.json")),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val pv = """"value":(-?[0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
-      val body = txt.substring(txt.indexOf("\"queries\":{") + 11)
-      val pq = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(
-        body.substring(0, body.indexOf('}')))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Paths.get("BENCH_DETAIL.json").toFile)
+      val pv = Option(root.get("value")).map(_.asDouble)
+      val pq = Option(root.get("queries")).map { q =>
+        val b = Map.newBuilder[String, Double]
+        q.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble)
+        b.result()
+      }.getOrElse(Map.empty[String, Double])
       (pv, pq)
-    } catch { case _: Throwable => (None, Map.empty[String, Double]) }
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] no previous BENCH_DETAIL.json state (${e.getClass.getSimpleName}: ${e.getMessage}); deltas start empty")
+        (None, Map.empty[String, Double])
+    }
     val deltas = results.flatMap { case (k, v) =>
       prevQueries.get(k).filter(_ >= 0).filter(_ => v >= 0)
         .map(p => s"\"" + k + "\":" + fmt(v - p))

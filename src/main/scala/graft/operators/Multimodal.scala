@@ -226,7 +226,14 @@ object Multimodal {
           case "VP8 " if p + 10 <= b.length && u8(b, p + 3) == 0x9d &&
               u8(b, p + 4) == 0x01 && u8(b, p + 5) == 0x2a =>
             out = meta("webp", le16(b, p + 6) & 0x3fff, le16(b, p + 8) & 0x3fff, 3L)
-          case _ => i = p + size.toInt + (size.toInt & 1) // skip, even-padded
+          case _ =>
+            // untrusted u32le chunk size: values >= 2^31 cast toInt go
+            // negative and would walk the cursor backwards into an
+            // ArrayIndexOutOfBounds. Advance in Long space and stop
+            // the walk (zero-dims fallback) when the skip leaves the
+            // buffer.
+            val next = p.toLong + size + (size & 1L)
+            i = if (next < 0 || next > b.length.toLong) b.length else next.toInt
         }
       }
       if (out != null) out else meta("webp", 0L, 0L, 0L)

@@ -55,13 +55,17 @@ object FileDrop {
       .csv(watchDir)
 
   /** Last-writer-wins bar per (ticker, date): the reference's
-    * redundancy.sql dedup, keyed on provenance recency. The
-    * deterministic tiebreak (close, volume) pins a total order even
-    * when two drops share a date_added second.
+    * redundancy.sql dedup, keyed on provenance recency. The tiebreak
+    * covers EVERY value column so the pick is a total order — two
+    * drops that tie on (date_added, close, volume) but differ in
+    * open/high/low would otherwise choose a nondeterministic winner
+    * and let the streamed target diverge from the pinned
+    * batch-recompute semantics.
     */
   def latestPerBar(bars: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("ticker"), col("date"))
-      .orderBy(col("date_added").desc, col("close").desc, col("volume").desc)
+      .orderBy(col("date_added").desc, col("close").desc, col("volume").desc,
+        col("open").desc, col("high").desc, col("low").desc)
     bars.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }

@@ -169,6 +169,14 @@ class CurationSpec extends SparkSpec {
       ++ Array[Byte](0, 0, 0, 0))
     val tb = parseHeader(5L, tiffBE)
     assert((tb.format, tb.width, tb.height, tb.channels) === (("tiff", 320L, 200L, 1L)))
+    // untrusted oversized chunk size (u32le >= 2^31): the walk must
+    // stop and degrade to the zero-dims fallback, never cast the size
+    // through Int (which went negative and threw AIOOBE)
+    val huge = (rb("RIFF") ++ Array[Byte](0, 0, 0, 0) ++ rb("WEBP")
+      ++ rb("JUNK") ++ Array(0xff, 0xff, 0xff, 0xff).map(_.toByte)
+      ++ Array.fill(4)(0.toByte))
+    val hw = parseHeader(6L, huge)
+    assert((hw.format, hw.width, hw.height, hw.channels) === (("webp", 0L, 0L, 0L)))
   }
 
   test("packSequences is the concat-then-chunk packing with exact offsets") {
