@@ -131,9 +131,11 @@ object SparkEntry {
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "ann_centroids"       -> ((s, d) => Similarity.labelCentroids(Tables(s, d).embeddings)),
-    // iterative trainer -> rows-only gate (not one-shot SQL-expressible)
+    // iterative trainer in exact integer units -> FULL oracle via the
+    // unrolled Lloyd CTE chain (lloydCtes)
     "ann_kmeans"          -> ((s, d) => Similarity.kmeans(Tables(s, d).embeddings)),
-    // trained-quantizer IVF composes the kmeans trainer -> rows-only too
+    // trained-quantizer IVF: the same Lloyd chain feeds the ann_ivf
+    // ranking SQL -> full oracle too
     "ann_ivf_trained"     -> ((s, d) => Similarity.annIvfTrained(Tables(s, d).embeddings)),
     // PQ codebooks come from the iterative trainer -> rows-only gate
     // + determinism/recall specs (SimilaritySpec)
@@ -247,6 +249,49 @@ object SparkEntry {
        |${basis.mkString(",\n")}
        |FROM events ORDER BY event_id""".stripMargin
   }
+  /** Unrolled Lloyd-iteration CTE chain (the fin_ridge unroll
+    * technique) — k-means in exact 1e-8 integer units, mirroring
+    * Similarity.train/assignCells op-for-op: `ex` quantizes
+    * components (round(double · 1e8) — the ann_lsh fixed-point
+    * pattern), `c0` is the md5-ordered seed, and each round t
+    * computes integer squared distances `d{t}`, the argmin
+    * assignment `a{t}` (lowest-cluster tiebreak), and half-up
+    * integer means `c{t}` (sign split so `//` only sees nonnegative
+    * operands; empty clusters keep their previous centroid). Ends
+    * with `a_fin(vec_id, cluster, du)` — the assignment under the
+    * final centroids. DuckDB sums BIGINTs into HUGEINT, so no
+    * overflow on its side; Spark's Long bound is documented at
+    * Similarity.units.
+    */
+  private def lloydCtes(k: Int, iters: Int): String = {
+    val header =
+      s"""ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 100000000, 0) AS BIGINT) AS u
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+         |init AS (SELECT vec_id, rn - 1 AS cluster FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+         |  FROM embeddings) WHERE rn <= $k),
+         |c0 AS (SELECT init.cluster, ex.dim, ex.u AS cu FROM init JOIN ex ON ex.vec_id = init.vec_id)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""d$t AS (SELECT ex.vec_id, c.cluster, sum((ex.u - c.cu) * (ex.u - c.cu)) AS du
+         |  FROM ex JOIN c${t - 1} c ON c.dim = ex.dim GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn FROM d$t) WHERE rn = 1),
+         |c$t AS (SELECT p.cluster, p.dim, coalesce(m.cu, p.cu) AS cu FROM c${t - 1} p LEFT JOIN (
+         |  SELECT a.cluster, ex.dim, CAST(CASE WHEN sum(ex.u) < 0
+         |      THEN -((2 * (-sum(ex.u)) + count(*)) // (2 * count(*)))
+         |      ELSE (2 * sum(ex.u) + count(*)) // (2 * count(*)) END AS BIGINT) AS cu
+         |  FROM a$t a JOIN ex ON ex.vec_id = a.vec_id GROUP BY 1, 2) m
+         |  ON m.cluster = p.cluster AND m.dim = p.dim)""".stripMargin
+    }
+    val fin =
+      s"""d_fin AS (SELECT ex.vec_id, c.cluster, sum((ex.u - c.cu) * (ex.u - c.cu)) AS du
+         |  FROM ex JOIN c$iters c ON c.dim = ex.dim GROUP BY 1, 2),
+         |a_fin AS (SELECT vec_id, cluster, du FROM (
+         |  SELECT vec_id, cluster, du, row_number() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn FROM d_fin) WHERE rn = 1)""".stripMargin
+    (Seq(header) ++ rounds ++ Seq(fin)).mkString(",\n")
+  }
+
   private val normsCte =
     s"""norms AS (SELECT vec_id, sum(p) AS nrm FROM (
        |  SELECT vec_id, unnest([${dec8("embedding[i]")} * ${dec8("embedding[i]")}
@@ -1600,6 +1645,36 @@ FROM e ORDER BY user_id, day"""
         |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
         |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
         |  SELECT query_id, nvec, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // Iterative Lloyd trainer, fully replayed: exact integer units
+    // end to end, so assignment, centroids, and the half-up dist all
+    // match bit-for-bit (see lloydCtes).
+    "ann_kmeans" ->
+      (s"""WITH ${lloydCtes(8, 5)}
+        |SELECT vec_id, cluster,
+        |  CAST((2 * du + 10000000000) // 20000000000 AS DOUBLE) / 1000000.0 + 0.0 AS dist
+        |FROM a_fin ORDER BY vec_id""".stripMargin),
+    // The trained-quantizer IVF: the same Lloyd chain (nlist=8,
+    // iters=3) labels corpus and queries, then the ann_ivf ranking
+    // runs inside the query's trained cell.
+    "ann_ivf_trained" ->
+      (s"""WITH ${lloydCtes(8, 3)},
+        |lab AS (SELECT vec_id, cluster AS label FROM a_fin),
+        |$normsCte,
+        |q AS (SELECT e.vec_id AS query_id, e.embedding AS qe, l.label AS qlabel
+        |      FROM embeddings e JOIN lab l ON l.vec_id = e.vec_id WHERE e.vec_id % 100 = 0),
+        |dots AS (SELECT query_id, qlabel, vec_id, sum(p) AS dot FROM (
+        |  SELECT q.query_id, q.qlabel, e.vec_id,
+        |         unnest([${dec8("q.qe[i]")} * ${dec8("e.embedding[i]")}
+        |           FOR i IN range(1, len(q.qe) + 1)]) AS p
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        |         JOIN lab le ON le.vec_id = e.vec_id AND le.label = q.qlabel) GROUP BY 1, 2, 3),
+        |scored AS (SELECT query_id, qlabel AS label, dots.vec_id AS nvec,
+        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id)
+        |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
+        |  SELECT query_id, label, nvec, cosine,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "ann_centroids" ->

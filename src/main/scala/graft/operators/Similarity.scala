@@ -135,58 +135,87 @@ object Similarity {
     * cluster instead of a given one).
     *
     * Distributed shape: centroids are model parameters (k×dim
-    * doubles — kilobytes), so they live in plan literals broadcast
+    * integers — kilobytes), so they live in plan literals broadcast
     * with the closure; each iteration is ONE scan computing the
     * argmin-distance assignment (k fold expressions, no join, no
     * shuffle) plus one partial-aggregated per-cluster mean (shuffle
     * carries k×dim rows). Init is the first k vectors in
     * md5(vec_id) order — seeded, reproducible anywhere.
     *
-    * Iterative and driver-coordinated by nature (like every
-    * production k-means) → rows-only gate; the spec asserts
-    * determinism and monotone objective.
+    * ALL arithmetic is exact integer fixed-point (see [[units]]):
+    * components quantize to 1e-8 units, squared distances and
+    * half-up means stay in Long space, and the reported dist is an
+    * integer half-up of du/1e16 at 6 dp — so training, assignment,
+    * and output are bit-identical on any engine, and the iterative
+    * trainer carries a FULL DuckDB oracle (the unrolled-iteration
+    * CTE chain, the fin_ridge technique).
     */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =
     assignCells(embeddings, train(embeddings, k, iters))
       .select(col("vec_id"), col("cluster"),
-        (round(col("dist"), 6) + lit(0.0)).as("dist"))
+        (expr("(2 * du + 10000000000) DIV 20000000000").cast("double") / lit(1e6)
+          + lit(0.0)).as("dist"))
       .orderBy(col("vec_id"))
 
-  /** Nearest-centroid assignment of any (vec_id, embedding) frame —
-    * one scan, `centroids.size` codegen l2 kernels per row, argmin
-    * with lowest-cluster tiebreak (same chain shape as langId).
+  /** 1e-8 fixed-point quantization of one embedding component — the
+    * integer-units trick from [[annLsh]]: round(double(e) · 1e8) is
+    * the same correctly-rounded double product and half-up round on
+    * every engine, and everything downstream stays in exact integer
+    * space. Bounds (|e| < 0.6 measured, dim = 64): |u| < 6e7,
+    * squared diff < 1.5e16, per-vector distance < 1e18 — inside Long
+    * with ANSI overflow checks as the loud guard.
     */
-  private def assignCells(df: DataFrame, centroids: Seq[Array[Double]]): DataFrame = {
-    def l2(centroid: Array[Double]): Column =
-      graft.plans.GraftExpressions.l2F64(col("embedding"), lit(centroid))
-    val ds = centroids.indices.map(i => l2(centroids(i)).as(s"d$i"))
+  private def units(e: Column): Column =
+    round(e.cast("double") * lit(1e8), 0).cast("long")
+
+  /** Nearest-centroid assignment of any (vec_id, embedding) frame —
+    * one scan, `centroids.size` exact integer L2 fold expressions per
+    * row, argmin with lowest-cluster tiebreak (same chain shape as
+    * langId). `du` is the squared distance in 1e-16 units.
+    */
+  private def assignCells(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
+    def d2(c: Array[Long]): Column =
+      aggregate(
+        zip_with(col("embedding"), lit(c), (e, cu) => {
+          val d = units(e) - cu
+          d * d
+        }),
+        lit(0L), (acc, x) => acc + x)
+    val ds = centroids.indices.map(i => d2(centroids(i)).as(s"d$i"))
     val scored = df.select(col("vec_id") +: col("embedding") +: ds: _*)
     val cluster = centroids.indices.init.foldRight(lit(centroids.size - 1)) { (i, rest) =>
       when(col(s"d$i") <= (i + 1 until centroids.size).map(j => col(s"d$j")).reduce(least(_, _)), i)
         .otherwise(rest)
     }
     scored.withColumn("cluster", cluster.cast("long"))
-      .withColumn("dist", least(centroids.indices.map(i => col(s"d$i")): _*))
-      .select(col("vec_id"), col("embedding"), col("cluster"), col("dist"))
+      .withColumn("du", least(centroids.indices.map(i => col(s"d$i")): _*))
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("du"))
   }
 
-  /** Lloyd's training loop — returns the trained centroids (k×dim
-    * model parameters; the only thing the driver ever collects).
+  /** Lloyd's training loop — returns the trained centroids in 1e-8
+    * units (k×dim model parameters; the only thing the driver ever
+    * collects). Means are integer half-up (sign split so DIV only
+    * ever sees nonnegative operands); an empty cluster keeps its
+    * previous centroid.
     */
-  private def train(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Double]] = {
+  private def train(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
-    var centroids: Seq[Array[Double]] = vecs
+    var centroids: Seq[Array[Long]] = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+      .select(transform(col("embedding"), units(_)).as("u"))
+      .collect().map(_.getSeq[Long](0).toArray).toSeq
     for (_ <- 1 to iters) {
       val means = assignCells(vecs, centroids)
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "c")))
+        .select(col("cluster"), posexplode(transform(col("embedding"), units(_))).as(Seq("dim", "u")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("c").cast("double")).as("m"))
+        .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          when(col("s") < 0, -expr("(2 * (-s) + n) DIV (2 * n)"))
+            .otherwise(expr("(2 * s + n) DIV (2 * n)")).cast("long").as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
         .select(col("cluster"), col("ms.m").as("centroid"))
-        .collect().map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray).toMap
+        .collect().map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
     centroids
@@ -198,9 +227,11 @@ object Similarity {
     * the corpus is assigned in ONE scan, and the (small) query frame
     * is assigned independently against the same centroids — external
     * query vectors that are not corpus members work, and the corpus
-    * assignment scan runs exactly once per action. Inherits kmeans'
-    * rows-only gate (iterative trainer); the spec asserts determinism
-    * and recall@k against the exact scan.
+    * assignment scan runs exactly once per action. Shares kmeans'
+    * exact integer-units arithmetic, so the trained labels — and the
+    * whole search — carry a full DuckDB oracle (the unrolled Lloyd
+    * CTE chain feeding the ann_ivf ranking SQL); the spec also
+    * asserts determinism and recall@k against the exact scan.
     */
   def annIvfTrained(embeddings: DataFrame, queries: Option[DataFrame] = None,
                     k: Int = 5, nlist: Int = 8, iters: Int = 3): DataFrame = {
