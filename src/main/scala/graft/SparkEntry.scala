@@ -119,6 +119,7 @@ object SparkEntry {
       nSplits = 5, gap = 48, maxTrainSize = 400, testSize = 100)),
     "fin_company_enrich"    -> ((s, d) => { val t = Tables(s, d); FinAnalytics.companyEnrich(t.events, t.customer) }),
     "fin_feature_snapshot"  -> ((s, d) => FinAnalytics.featureSnapshot(Tables(s, d).events)),
+    "fin_info_snapshot"     -> ((s, d) => { val t = Tables(s, d); FinAnalytics.infoSnapshot(t.events, t.customer) }),
     "fin_spline_features"   -> ((s, d) => FinAnalytics.splineFeatures(Tables(s, d).events)),
     "dedup_exact"         -> ((s, d) => Dedup.exact(Tables(s, d).documents)),
     "dedup_passages"      -> ((s, d) => Dedup.passages(Tables(s, d).documents)),
@@ -1475,6 +1476,69 @@ FROM e ORDER BY user_id, day"""
     "fin_company_enrich" ->
       """SELECT event_id, user_id, c_name, c_mktsegment, value
         |FROM events JOIN customer ON user_id = c_custkey ORDER BY event_id""".stripMargin,
+    // financialData-shaped wide snapshot at the latest bar: the ma
+    // family replays fin_moving_avg's exact-decimal pattern, the
+    // extremes are exact, average_volume is one double division of
+    // exact integer sums, and beta reuses fin_beta's moments CTEs.
+    "fin_info_snapshot" -> (closesCte +
+      """
+        |, bars AS (
+        |  SELECT user_id, day,
+        |    max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |    max(value) AS high, min(value) AS low,
+        |    max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |    count(*) AS n_ticks
+        |  FROM (
+        |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+        |           row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                              ORDER BY ts, event_id) AS rn_a,
+        |           row_number() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                              ORDER BY ts DESC, event_id DESC) AS rn_d
+        |    FROM events)
+        |  GROUP BY user_id, day),
+        |snap AS (
+        |  SELECT user_id, day, open, high, low, close, n_ticks,
+        |    CAST(sum(CAST(close AS DECIMAL(12,2))) OVER w50 AS DOUBLE) / count(*) OVER w50 AS fifty_day_average,
+        |    CAST(sum(CAST(close AS DECIMAL(12,2))) OVER w200 AS DOUBLE) / count(*) OVER w200 AS two_hundred_day_average,
+        |    max(high) OVER w252 AS fifty_two_week_high,
+        |    min(low) OVER w252 AS fifty_two_week_low,
+        |    CAST(sum(n_ticks) OVER wa AS DOUBLE) / count(*) OVER wa AS average_volume,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+        |  FROM bars
+        |  WINDOW w50 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+        |         w200 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 199 PRECEDING AND CURRENT ROW),
+        |         w252 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 251 PRECEDING AND CURRENT ROW),
+        |         wa AS (PARTITION BY user_id)),
+        |market AS (
+        |  SELECT day, sum(CAST(close AS DECIMAL(12,2))) AS mkt_value FROM closes GROUP BY day),
+        |mret AS (
+        |  SELECT day, CAST(mkt_value AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0 AS mret FROM (
+        |    SELECT day, mkt_value, lag(mkt_value, 1) OVER (ORDER BY day) AS prev FROM market)
+        |  WHERE prev IS NOT NULL AND prev <> 0),
+        |uret AS (
+        |  SELECT user_id, day, close / prev - 1.0 AS ret FROM (
+        |    SELECT user_id, day, close, lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |    FROM closes) WHERE prev IS NOT NULL AND prev <> 0),
+        |moments AS (
+        |  SELECT user_id, count(*) AS n,
+        |         sum(CAST(round(ret, 6) AS DECIMAL(19,6))) AS sr, sum(CAST(round(mret, 6) AS DECIMAL(19,6))) AS sm,
+        |         sum(CAST(round(ret, 6) AS DECIMAL(19,6)) * CAST(round(mret, 6) AS DECIMAL(19,6))) AS srm,
+        |         sum(CAST(round(mret, 6) AS DECIMAL(19,6)) * CAST(round(mret, 6) AS DECIMAL(19,6))) AS sm2
+        |  FROM uret JOIN mret USING (day) GROUP BY user_id),
+        |betas AS (
+        |  SELECT user_id,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) <> 0
+        |         THEN round((CAST(n AS DOUBLE) * CAST(srm AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sm AS DOUBLE))
+        |              / (CAST(n AS DOUBLE) * CAST(sm2 AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6) + 0.0
+        |    END AS beta
+        |  FROM moments WHERE n > 1)
+        |SELECT s.user_id, c.c_name, s.day, s.close AS current_price, s.open,
+        |  s.high AS day_high, s.low AS day_low, s.n_ticks AS volume,
+        |  s.average_volume, s.fifty_day_average, s.two_hundred_day_average,
+        |  s.fifty_two_week_high, s.fifty_two_week_low, b.beta
+        |FROM snap s LEFT JOIN betas b ON b.user_id = s.user_id
+        |JOIN customer c ON c.c_custkey = s.user_id
+        |WHERE s.rn = 1 ORDER BY s.user_id""".stripMargin),
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -32,7 +32,15 @@ object FinAnalytics {
     * Open/close are selected by a total order (ts, event_id) so the
     * result is deterministic even with duplicate timestamps.
     */
-  def ohlcBars(events: DataFrame, unit: String): DataFrame = {
+  def ohlcBars(events: DataFrame, unit: String): DataFrame =
+    barsCore(events, unit)
+      .orderBy(col("user_id"), col(if (unit == "day") "day" else unit))
+
+  /** The unsorted bar aggregation behind [[ohlcBars]] — reused by
+    * [[infoSnapshot]], whose downstream windows re-cluster by
+    * user_id and would waste the presentation sort.
+    */
+  private def barsCore(events: DataFrame, unit: String): DataFrame = {
     // Sub-day units must keep the timestamp: casting "hour" bars to
     // date would silently collapse them back to daily bars.
     val calendarUnits = Set("day", "week", "month", "quarter", "year")
@@ -50,7 +58,6 @@ object FinAnalytics {
            max(when(col("rn_d") === 1, col("value"))).as("close"),
            count(lit(1)).as("n_ticks"))
       .withColumnRenamed("bar", if (unit == "day") "day" else unit)
-      .orderBy(col("user_id"), col(if (unit == "day") "day" else unit))
   }
 
   /** Close-price series per key/day (shared input for the window
@@ -244,7 +251,13 @@ object FinAnalytics {
           col("mkt_value").cast("double") / col("prev").cast("double") - lit(1.0)).as("mret"))
   }
 
-  def beta(events: DataFrame): DataFrame = {
+  def beta(events: DataFrame): DataFrame = betaPerUser(events).orderBy(col("user_id"))
+
+  /** Unsorted per-user beta — shared by [[beta]] (which adds the
+    * presentation sort) and [[infoSnapshot]] (which joins it and
+    * would waste the sort).
+    */
+  private def betaPerUser(events: DataFrame): DataFrame = {
     val c = closes(events)
     val marketRet = marketReturns(c).filter(col("mret").isNotNull)
       .select(col("day"), col("mret"))
@@ -269,7 +282,6 @@ object FinAnalytics {
             - col("sr").cast("double") * col("sm").cast("double")) / den, 6) + lit(0.0))
           .as("beta")
       })
-      .orderBy(col("user_id"))
   }
 
   /** Cyclical time features — sin/cos encodings of hour-of-day,
@@ -930,6 +942,58 @@ object FinAnalytics {
     * broadcast() hint: AQE broadcasts it while it fits under the
     * threshold and falls back to a shuffled join once it doesn't.
     */
+  /** The reference's wide `financialData` snapshot re-derived from
+    * the OHLC facts (sqlrequests.sql:56-160, filled per (namesId,
+    * today) by findatabase.py:174 `insert_info_from_web`): one row
+    * per key at its LATEST bar date carrying every info metric the
+    * bars determine — currentPrice/dayHigh/dayLow/volume (the last
+    * bar), averageVolume (all-history), fiftyDayAverage /
+    * twoHundredDayAverage (the fin_moving_avg exact-decimal ma
+    * pattern), fiftyTwoWeekHigh/Low (252-bar extremes), and beta
+    * (the fin_beta moments) — enriched with the company name
+    * (namesCompanies join, fin_company_enrich-style). Externally
+    * sourced fundamentals (ebitda, marketCap, …) arrive via
+    * [[graft.sources.InfoDrop]] instead — they are not derivable
+    * from bars.
+    *
+    * Scale shape: ONE fact shuffle — the bars input is pre-clustered
+    * on hash(user_id), which satisfies every downstream requirement
+    * (the (user_id, day) bar windows, the user_id analytics windows,
+    * the final row_number pick), so EnsureRequirements adds no
+    * second Exchange; the beta join is per-key aggregates against
+    * per-key aggregates, and the customer join is a plain equi-join
+    * AQE is free to broadcast at small SF but never forced to.
+    */
+  def infoSnapshot(events: DataFrame, customer: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val w50 = ord.rowsBetween(-49, 0)
+    val w200 = ord.rowsBetween(-199, 0)
+    val w252 = ord.rowsBetween(-251, 0)
+    val wAll = Window.partitionBy(col("user_id"))
+    val wDesc = Window.partitionBy(col("user_id")).orderBy(col("day").desc)
+    val snap = barsCore(events.repartition(col("user_id")), "day")
+      .withColumn("fifty_day_average",
+        sum(dec2(col("close"))).over(w50).cast("double") / count(lit(1)).over(w50))
+      .withColumn("two_hundred_day_average",
+        sum(dec2(col("close"))).over(w200).cast("double") / count(lit(1)).over(w200))
+      .withColumn("fifty_two_week_high", max(col("high")).over(w252))
+      .withColumn("fifty_two_week_low", min(col("low")).over(w252))
+      .withColumn("average_volume",
+        sum(col("n_ticks")).over(wAll).cast("double") / count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+    snap
+      .join(betaPerUser(events).select(col("user_id"), col("beta")), Seq("user_id"), "left")
+      .join(customer.select(col("c_custkey"), col("c_name")), col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("c_name"), col("day"),
+        col("close").as("current_price"), col("open"),
+        col("high").as("day_high"), col("low").as("day_low"),
+        col("n_ticks").as("volume"), col("average_volume"),
+        col("fifty_day_average"), col("two_hundred_day_average"),
+        col("fifty_two_week_high"), col("fifty_two_week_low"), col("beta"))
+      .orderBy(col("user_id"))
+  }
+
   def companyEnrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(customer, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"), col("value"))
