@@ -475,8 +475,17 @@ object Events {
     * (two-pass histogram rank selection — facts never sorted); the
     * 5-row threshold table broadcasts back over one scan.
     */
+  /** Per-type p99 clamp thresholds — the winsorize profile. Exposed
+    * so the STREAMING winsorizer can clamp live values against a
+    * frozen batch profile
+    * ([[graft.streaming.EventsStream.winsorizeStream]]), the same
+    * batch-profile/stream-apply split as [[histogramEdges]].
+    */
+  def winsorizeThresholds(events: DataFrame): DataFrame =
+    FinAnalytics.valueQuantiles(events).select(col("event_type"), col("p99"))
+
   def winsorize(events: DataFrame): DataFrame = {
-    val q = FinAnalytics.valueQuantiles(events).select(col("event_type"), col("p99"))
+    val q = winsorizeThresholds(events)
     events.filter(col("value").isNotNull)
       .join(broadcast(q), "event_type")
       .select(col("event_id"), col("event_type"), col("value"),

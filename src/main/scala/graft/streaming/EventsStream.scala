@@ -108,6 +108,30 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("event_type"), col("bin"), col("n"))
 
+  /** Streaming winsorization against FROZEN batch thresholds — the
+    * streaming form of [[graft.operators.Events.winsorize]], closing
+    * the monitoring pair with [[histogramStream]]: the per-type p99
+    * clamp comes from a BATCH pass over history
+    * ([[graft.operators.Events.winsorizeThresholds]] — exact
+    * two-pass histogram rank selection, not a sketch) and joins the
+    * stream as a broadcast static frame. The clamp itself is
+    * stateless row-at-a-time (no window, no state store), so the
+    * operator is pure map-side work per micro-batch; a static frame
+    * is re-planned each batch, so re-profiling offline takes effect
+    * on the next batch with no restart. Rows clamp with the batch
+    * operator's exact expression, so the streamed output over any
+    * prefix equals the batch winsorize of the same rows against the
+    * same thresholds. Threshold drift shows up as the `clipped` rate
+    * moving away from 1%; re-profile when it does.
+    */
+  def winsorizeStream(events: DataFrame, thresholds: DataFrame): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .join(broadcast(thresholds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(col("value"), col("p99")).as("value_w"),
+        (col("value") > col("p99")).as("clipped"))
+
   /** Gap-based sessionization via the built-in `session_window`
     * aggregation — the declarative alternative to the
     * flatMapGroupsWithState form below when only per-session

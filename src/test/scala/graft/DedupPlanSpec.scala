@@ -75,6 +75,31 @@ class DedupPlanSpec extends SparkSpec {
       s"tokenization replayed in the ngramJaccard candidate plan:\n$plan")
   }
 
+  test("with broadcasting disabled the verify degrades to shuffled EQUI-joins — the 100 TB shape") {
+    // The inverse pin of the bench-SF broadcast assertions above:
+    // Dedup.scala's verify commentary claims that past the broadcast
+    // threshold the SAME plan degrades to shuffled equi-joins —
+    // linear, never a nested-loop. Prove it by forcing the
+    // over-threshold regime (threshold = -1 disables broadcast
+    // entirely, static and AQE-runtime alike) instead of waiting for
+    // corpus stats to cross it.
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val df = Dedup.minhashLsh(Tables(spark, "/root/testdata/sf0.01").documents)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin")
+        && !plan.contains("CartesianProduct"),
+        s"non-equi join under disabled broadcast:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast join planned with the threshold disabled:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffled equi-joins in the degraded plan:\n$plan")
+    } finally spark.conf.set(thresholdKey, prev)
+  }
+
   test("the checkpointed shingle frame shuffles at most once (its doc_id repartition)") {
     // Every Exchange directly over the ExistingRDD scan is the
     // user-numbered repartition from shingleRows; the verify joins

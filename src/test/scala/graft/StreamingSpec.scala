@@ -591,4 +591,39 @@ class StreamingSpec extends SparkSpec {
       assert(got === Seq((0L, 2L), (10L, 1L), (19L, 2L)))
     } finally q.stop()
   }
+
+  test("streaming winsorize clamps against the frozen batch profile; output matches the batch recompute") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 100 history rows for type "api": values 1..100 → exact p99 = 99;
+    // one "view" row so a second profile exists.
+    val history = ((1L to 100L).map(i =>
+        (i, 1L, ts("2026-01-01 08:00:00"), "api", Some(i.toDouble))) :+
+      (200L, 2L, ts("2026-01-01 08:30:00"), "view", Some(5.0)))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val thresholds = Events.winsorizeThresholds(history)
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val stream = input.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = EventsStream.winsorizeStream(stream, thresholds).writeStream
+      .format("memory").queryName("wins_out").outputMode("append").start()
+    try {
+      // replay the history rows split across micro-batches
+      input.addData((1L to 60L).map(i =>
+        (i, 1L, ts("2026-01-01 08:00:00"), "api", i.toDouble)))
+      q.processAllAvailable()
+      input.addData((61L to 100L).map(i =>
+        (i, 1L, ts("2026-01-01 08:00:00"), "api", i.toDouble)))
+      input.addData(Seq((200L, 2L, ts("2026-01-01 08:30:00"), "view", 5.0)))
+      q.processAllAvailable()
+      val got = spark.table("wins_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+        .sortBy(_._1).toSeq
+      val batch = Events.winsorize(history).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+        .toSeq
+      assert(got === batch, "streamed clamp must equal the batch winsorize of the same rows")
+      // the clamp actually fired exactly where the profile says
+      assert(got.count(_._5) === 1)
+      assert(got.find(_._1 == 100L).get._4 === 99.0)
+    } finally q.stop()
+  }
 }
