@@ -366,7 +366,14 @@ object Dedup {
     * doubles the most expensive stage of the whole dedup family).
     * Only the two label-sized joins remain here.
     */
-  def applyDedupWith(documents: DataFrame, comps: DataFrame): DataFrame = {
+  def applyDedupWith(documents: DataFrame, comps: DataFrame): DataFrame =
+    labelCore(documents, comps).orderBy(col("doc_id"))
+
+  /** The unsorted verdict labels behind [[applyDedupWith]] — reused
+    * by [[writeCurated]], whose bucketed write clusters by keeper_id
+    * and would waste the presentation sort.
+    */
+  private def labelCore(documents: DataFrame, comps: DataFrame): DataFrame = {
     val keepers = comps.groupBy(col("comp")).agg(min(col("node")).as("keeper"))
     documents.select(col("doc_id"))
       .join(comps.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
@@ -374,8 +381,25 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("keeper"), col("doc_id")).as("keeper_id"),
         (coalesce(col("keeper"), col("doc_id")) === col("doc_id")).as("kept"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Write the dedup verdicts joined back onto the full document
+    * rows as a BUCKETED table keyed on keeper_id — "write the
+    * pipeline output the way the next job wants to read it". Every
+    * downstream per-cluster pass (cluster reports, keeper rollups,
+    * per-cluster quality stats, the keeper⋈member self-join) then
+    * scans pre-hash-partitioned storage and plans with ZERO
+    * exchanges; at 100 TB that deletes a full corpus shuffle from
+    * every consumer of the curated output. Labels come precomputed
+    * (the [[applyDedupWith]] contract — never re-run the LSH chain
+    * to apply verdicts it already produced); the payload join is a
+    * plain doc_id equi-join with a label-sized right side.
+    */
+  def writeCurated(documents: DataFrame, comps: DataFrame,
+                   table: String, buckets: Int = 16): Unit =
+    graft.sources.Bucketed.write(
+      documents.join(labelCore(documents, comps), Seq("doc_id")),
+      table, "keeper_id", buckets)
 
   /** Exact n-gram (w=4) Jaccard self-join with prefix filtering:
     * order shingles by global frequency (rarest first), keep only the

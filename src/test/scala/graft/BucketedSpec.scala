@@ -41,6 +41,31 @@ class BucketedSpec extends SparkSpec {
     spark.sql("DROP TABLE events_bucketed")
   }
 
+  test("curated dedup output buckets by keeper_id; cluster rollups plan without a shuffle") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val comps = graft.operators.Dedup.components(docs)
+    spark.sql("DROP TABLE IF EXISTS curated_docs")
+    rmrf(new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:") + "/curated_docs"))
+    graft.operators.Dedup.writeCurated(docs, comps, "curated_docs", 8)
+    val b = spark.table("curated_docs")
+
+    // the next job's shape: per-cluster report over the curated table
+    val report = b.groupBy(col("keeper_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("n_chars")).as("chars"))
+    assert(!report.queryExecution.executedPlan.toString.contains("ShuffleExchange"),
+      "keeper_id rollup over the bucketed curated table should not shuffle")
+
+    // verdicts survive the write exactly: labels equal the batch apply
+    val got = b.select(col("doc_id"), col("keeper_id"), col("kept")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val want = graft.operators.Dedup.applyDedupWith(docs, comps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === want)
+    assert(b.count() === docs.count())
+    spark.sql("DROP TABLE curated_docs")
+  }
+
   test("compaction merges small files, preserves data, and range mode clusters keys") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
