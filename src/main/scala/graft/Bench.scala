@@ -60,8 +60,11 @@ object Bench {
     // full 116-query map is ~4.5 KB, which overflows the driver's ~2 KB
     // stdout tail window and truncated BENCH_r01-r04 mid-JSON. The
     // FINAL stdout line must be the short (<200 byte) parseable summary.
+    // fails is FIRST-CLASS in both emitted lines: a total that sums
+    // only passing queries reads as a speedup when queries crash
+    // (round 7: 69 fails deflated the headline by ~22 s).
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$prevField,"deltas":$deltas}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","fails":$fails,"queries":$qs,"sf":"$sfDir"$prevField,"deltas":$deltas}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),

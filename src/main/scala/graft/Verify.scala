@@ -8,13 +8,29 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.get("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // A failed query must still produce output: with no parquet dir
+    // the driver's compare simply omits the query from
+    // CORRECTNESS_r{N}.json and the gate reads clean while verifying
+    // nothing (round 7: 69 crashed queries vanished this way). Write
+    // a marker row whose schema can never match any oracle, so the
+    // crash surfaces as an explicit rows/schema/hash FAIL entry.
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(("__QUERY_FAILED__", s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"))
+            .toDF("__query_failed__", "__error__")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: ${failed.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -22,32 +22,45 @@ final class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default. Read it as a raw nanosecond long and truncate to
-    * microseconds (integer DIV — a double division would lose
-    * precision above 2^53 ns). Truncation is monotone, so orderings
-    * and second-aligned cutoff comparisons agree with ns-native
-    * engines.
+  /** `events.ts` has shipped in two parquet encodings: TIMESTAMP(NANOS)
+    * (which Spark only reads as a raw nanosecond long under the
+    * `nanosAsLong` legacy flag) and plain TIMESTAMP(MICROS). Read
+    * under the flag — it is a no-op for micros files — then branch on
+    * the RESOLVED type: a LongType `ts` is nanoseconds and gets
+    * truncated to micros; a TimestampType `ts` passes through
+    * unchanged. Hard-coding either path breaks on the other encoding
+    * (DIV on a TimestampType fails analysis; a bare read of a nanos
+    * file throws).
     */
   def events: DataFrame = {
     // The legacy flag has no per-read option form (probed: a
     // DataFrameReader option is ignored and the read throws), so set
     // it only around the eager schema resolution and restore the
     // caller's value after. Execution of the returned (lazy) frame is
-    // safe post-restore: the file schema was already resolved to LONG
+    // safe post-restore: the file schema was already resolved
     // (probed on this Spark version — see VerifySpec round-trip).
     // Synchronized on the session: the set/resolve/restore triple is
     // not atomic, so two concurrent events() calls could interleave
     // (one restoring while the other resolves, or recording the
     // other's transient "true" as the previous value).
     spark.synchronized {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try table("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+      // nanosAsLong: lets a TIMESTAMP(NANOS) file resolve (as LONG)
+      // instead of throwing. inferTimestampNTZ=false: a
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) file resolves
+      // directly to TimestampType at the SCAN, so ts filters stay
+      // pushable — casting NTZ->LTZ after the fact would wrap the
+      // column and block parquet predicate pushdown. Session TZ is
+      // pinned to UTC, so the NTZ-as-LTZ reading is the same instant
+      // the nanos path produced.
+      val flags = Seq(
+        "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+      val prev = flags.map { case (k, _) => k -> spark.conf.getOption(k) }
+      flags.foreach { case (k, v) => spark.conf.set(k, v) }
+      try Tables.normalizeEventsTs(table("events"))
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
     }
   }
@@ -104,4 +117,28 @@ object Formats {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Normalize the `ts` column of an events frame to TimestampType.
+    *
+    * LongType means the file stored TIMESTAMP(NANOS) and was read
+    * under `nanosAsLong`: truncate to microseconds with integer DIV
+    * (a double division would lose precision above 2^53 ns;
+    * truncation is monotone, so orderings and second-aligned cutoff
+    * comparisons agree with ns-native engines). TimestampType means
+    * the file already stored micros: pass through untouched — the
+    * column stays a plain scan output, so pushdown/pruning on `ts`
+    * is preserved.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Fallback for an NTZ-resolved frame (e.g. a caller that read
+        // events without the inferTimestampNTZ flag). Session TZ is
+        // UTC, so the cast re-labels the same micros value.
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }
