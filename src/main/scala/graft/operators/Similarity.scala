@@ -157,39 +157,43 @@ object Similarity {
           + lit(0.0)).as("dist"))
       .orderBy(col("vec_id"))
 
-  /** 1e-8 fixed-point quantization of one embedding component — the
+  /** 1e-8 fixed-point quantization of a whole embedding — the
     * integer-units trick from [[annLsh]]: round(double(e) · 1e8) is
     * the same correctly-rounded double product and half-up round on
     * every engine, and everything downstream stays in exact integer
     * space. Bounds (|e| < 0.6 measured, dim = 64): |u| < 6e7,
     * squared diff < 1.5e16, per-vector distance < 1e18 — inside Long
-    * with ANSI overflow checks as the loud guard.
+    * with the kernels' Math.*Exact checks as the loud guard.
+    *
+    * One codegen kernel call per ROW (vs the per-component
+    * `round(e · 1e8)` fold it replaced, which re-quantized inside
+    * every centroid's HOF lambda — k×dim BigDecimal rounds per row,
+    * the round-7 ann_kmeans 5.6× regression). Value parity with
+    * Spark's `round` is argued in [[graft.plans.QuantizeUnitsI64]]
+    * and pinned by SimilaritySpec + the DuckDB oracles.
     */
   private def units(e: Column): Column =
-    round(e.cast("double") * lit(1e8), 0).cast("long")
+    graft.plans.IntegerUnits.quantizeUnits(e)
 
   /** Nearest-centroid assignment of any (vec_id, embedding) frame —
-    * one scan, `centroids.size` exact integer L2 fold expressions per
-    * row, argmin with lowest-cluster tiebreak (same chain shape as
-    * langId). `du` is the squared distance in 1e-16 units.
+    * one scan: quantize once per row, then `centroids.size` codegen
+    * integer-L2 kernels, argmin with lowest-cluster tiebreak (same
+    * chain shape as langId). `du` is the squared distance in 1e-16
+    * units; `u` (the quantized vector) rides along for the trainer's
+    * mean step.
     */
   private def assignCells(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
-    def d2(c: Array[Long]): Column =
-      aggregate(
-        zip_with(col("embedding"), lit(c), (e, cu) => {
-          val d = units(e) - cu
-          d * d
-        }),
-        lit(0L), (acc, x) => acc + x)
-    val ds = centroids.indices.map(i => d2(centroids(i)).as(s"d$i"))
-    val scored = df.select(col("vec_id") +: col("embedding") +: ds: _*)
+    import graft.plans.IntegerUnits.l2Units
+    val withU = df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
+    val ds = centroids.indices.map(i => l2Units(col("u"), lit(centroids(i))).as(s"d$i"))
+    val scored = withU.select(col("vec_id") +: col("embedding") +: col("u") +: ds: _*)
     val cluster = centroids.indices.init.foldRight(lit(centroids.size - 1)) { (i, rest) =>
       when(col(s"d$i") <= (i + 1 until centroids.size).map(j => col(s"d$j")).reduce(least(_, _)), i)
         .otherwise(rest)
     }
     scored.withColumn("cluster", cluster.cast("long"))
       .withColumn("du", least(centroids.indices.map(i => col(s"d$i")): _*))
-      .select(col("vec_id"), col("embedding"), col("cluster"), col("du"))
+      .select(col("vec_id"), col("embedding"), col("u"), col("cluster"), col("du"))
   }
 
   /** Lloyd's training loop — returns the trained centroids in 1e-8
@@ -202,11 +206,11 @@ object Similarity {
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     var centroids: Seq[Array[Long]] = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-      .select(transform(col("embedding"), units(_)).as("u"))
+      .select(units(col("embedding")).as("u"))
       .collect().map(_.getSeq[Long](0).toArray).toSeq
     for (_ <- 1 to iters) {
       val means = assignCells(vecs, centroids)
-        .select(col("cluster"), posexplode(transform(col("embedding"), units(_))).as(Seq("dim", "u")))
+        .select(col("cluster"), posexplode(col("u")).as(Seq("dim", "u")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
         .select(col("cluster"), col("dim"),

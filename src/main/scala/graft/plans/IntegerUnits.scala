@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Codegen kernels for the exact 1e-8 fixed-point ("integer units")
+  * embedding arithmetic used by the k-means family
+  * ([[graft.operators.Similarity]]).
+  *
+  * The semantics are FROZEN by the DuckDB oracles: a component
+  * quantizes as `cast(round(cast(e as double) * 1e8, 0) as long)` —
+  * Spark's `round` is decimal HALF_UP via `BigDecimal.valueOf`. The
+  * kernels reproduce that without BigDecimal: for `v = e * 1e8` with
+  * `|v| < 2^52`, truncate-then-compare-the-exact-fraction is the same
+  * half-up (away from zero) result. Why the shortcut is exact:
+  * `t = (long) v` and `f = v - t` are both exact doubles in this
+  * range, so `f` compares against 0.5 with no error; and Spark's
+  * `BigDecimal.valueOf` (shortest decimal repr) can only disagree
+  * with the exact binary value about an `n.5` boundary if the two
+  * were more than half an ulp apart — impossible for a shortest
+  * repr. Embedding bound |e| < 0.6 gives |v| < 6e7, far inside 2^52.
+  *
+  * The fold these kernels replace (`aggregate(zip_with(...))` over a
+  * per-element `round`) evaluated one BigDecimal round per component
+  * PER CENTROID and dispatched two lambdas per element outside
+  * whole-stage codegen — the round-7 ann_kmeans 5.6× regression.
+  */
+
+/** `array<float>` → `array<long>`: quantize every component to 1e-8
+  * units, once per row. Null elements are not expected (embedding
+  * columns are dense); a null element in interpreted eval surfaces as
+  * a NullPointerException rather than silently zeroing.
+  */
+case class QuantizeUnitsI64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantize_units expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_units"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = QuantizeUnitsI64.quantize(x.getFloat(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val v = ctx.freshName("v")
+      val t = ctx.freshName("t"); val f = ctx.freshName("f")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ((double) $arr.getFloat($i)) * 1.0E8D;
+         |  long $t = (long) $v;
+         |  double $f = $v - (double) $t;
+         |  $out[$i] = ($v >= 0.0D) ? ($f >= 0.5D ? $t + 1L : $t)
+         |                          : ($f <= -0.5D ? $t - 1L : $t);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeUnitsI64 {
+  /** Exact half-up (away from zero) of `e * 1e8` — see class doc for
+    * why this equals Spark's `cast(round(double(e) * 1e8, 0) as long)`
+    * in the |v| < 2^52 range.
+    */
+  def quantize(e: Float): Long = {
+    val v = e.toDouble * 1.0e8
+    val t = v.toLong
+    val f = v - t.toDouble
+    if (v >= 0.0) { if (f >= 0.5) t + 1 else t }
+    else { if (f <= -0.5) t - 1 else t }
+  }
+}
+
+/** Squared L2 distance of two `array<long>` unit vectors, accumulated
+  * in overflow-checked Long arithmetic (`Math.multiplyExact` /
+  * `addExact` — the same loud-failure guard the ANSI fold gave).
+  * Bounds from the class doc: |u| < 6e7 → per-term < 1.5e16, 64-dim
+  * sum < 1e18, inside Long.
+  */
+case class L2UnitsI64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"l2_units expects two array<long> arguments, got $l / $r")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2_units"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr1, arr2) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $arr1.getLong($i) - $arr2.getLong($i);
+         |  $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntegerUnits {
+  /** Column API for the quantizer. */
+  def quantizeUnits(e: Column): Column =
+    ColumnBridge.column(QuantizeUnitsI64(ColumnBridge.expression(e)))
+
+  /** Column API for the integer squared-L2 kernel. */
+  def l2Units(a: Column, b: Column): Column =
+    ColumnBridge.column(L2UnitsI64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
