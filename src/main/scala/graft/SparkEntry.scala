@@ -138,7 +138,7 @@ object SparkEntry {
     // trained-quantizer IVF: the same Lloyd chain feeds the ann_ivf
     // ranking SQL -> full oracle too
     "ann_ivf_trained"     -> ((s, d) => Similarity.annIvfTrained(Tables(s, d).embeddings)),
-    // PQ codebooks come from the iterative trainer -> rows-only gate
+    // PQ: exact integer-units training/encode/ADC -> full oracle (pqCtes)
     // + determinism/recall specs (SimilaritySpec)
     "ann_pq"              -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
@@ -297,6 +297,56 @@ object SparkEntry {
     s"""norms AS (SELECT vec_id, sum(p) AS nrm FROM (
        |  SELECT vec_id, unnest([${dec8("embedding[i]")} * ${dec8("embedding[i]")}
        |    FOR i IN range(1, len(embedding) + 1)]) AS p FROM embeddings) GROUP BY vec_id)""".stripMargin
+
+  /** Unrolled joint-subspace PQ training chain — mirrors
+    * Similarity.annPq op-for-op in exact integer units: `nu`
+    * normalizes by the exact-decimal norm (scalar IEEE ops: sqrt,
+    * divide, float narrowing — all correctly rounded in both
+    * engines) and quantizes to 1e-8 units; `sx` splits the 64 dims
+    * into m subspaces; each round t computes per-subspace integer
+    * squared distances, the lowest-index argmin, and half-up integer
+    * means (empty cells keep their previous centroid). Ends with
+    * `pcode(vec_id, j, cl)` — the final per-subspace code — and
+    * `qd(query_id, j, cl, du)` — the queries' ADC tables.
+    * Requires `norms` (normsCte) earlier in the WITH chain.
+    */
+  private def pqCtes(cb: Int, iters: Int, dsub: Int): String = {
+    val header =
+      s"""nu AS (SELECT e.vec_id, CAST(i - 1 AS BIGINT) AS gdim,
+         |    CAST(round(CAST(
+         |      CASE WHEN sqrt(CAST(n.nrm AS DOUBLE)) > 0
+         |        THEN CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) AS REAL)
+         |        ELSE e.embedding[CAST(i AS INT)] END
+         |    AS DOUBLE) * 100000000, 0) AS BIGINT) AS u
+         |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) e
+         |  JOIN norms n ON n.vec_id = e.vec_id),
+         |sx AS (SELECT vec_id, gdim // $dsub AS j, gdim % $dsub AS sdim, u FROM nu),
+         |pinit AS (SELECT vec_id, rn - 1 AS cl FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+         |  FROM embeddings) WHERE rn <= $cb),
+         |b0 AS (SELECT p.cl, s.j, s.sdim, s.u AS cu FROM pinit p JOIN sx s ON s.vec_id = p.vec_id)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""pd$t AS (SELECT s.vec_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
+         |  FROM sx s JOIN b${t - 1} b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3),
+         |pa$t AS (SELECT vec_id, j, cl FROM (
+         |  SELECT vec_id, j, cl, row_number() OVER (PARTITION BY vec_id, j ORDER BY du, cl) AS rn FROM pd$t) WHERE rn = 1),
+         |b$t AS (SELECT p.cl, p.j, p.sdim, coalesce(m.cu, p.cu) AS cu FROM b${t - 1} p LEFT JOIN (
+         |  SELECT a.cl, s.j, s.sdim, CAST(CASE WHEN sum(s.u) < 0
+         |      THEN -((2 * (-sum(s.u)) + count(*)) // (2 * count(*)))
+         |      ELSE (2 * sum(s.u) + count(*)) // (2 * count(*)) END AS BIGINT) AS cu
+         |  FROM pa$t a JOIN sx s ON s.vec_id = a.vec_id AND s.j = a.j GROUP BY 1, 2, 3) m
+         |  ON m.cl = p.cl AND m.j = p.j AND m.sdim = p.sdim)""".stripMargin
+    }
+    val fin =
+      s"""pdf AS (SELECT s.vec_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
+         |  FROM sx s JOIN b$iters b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3),
+         |pcode AS (SELECT vec_id, j, cl FROM (
+         |  SELECT vec_id, j, cl, row_number() OVER (PARTITION BY vec_id, j ORDER BY du, cl) AS rn FROM pdf) WHERE rn = 1),
+         |qd AS (SELECT s.vec_id AS query_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
+         |  FROM sx s JOIN b$iters b ON b.j = s.j AND b.sdim = s.sdim
+         |  WHERE s.vec_id % 100 = 0 GROUP BY 1, 2, 3)""".stripMargin
+    (Seq(header) ++ rounds ++ Seq(fin)).mkString(",\n")
+  }
 
   // ---- oracle SQL (DuckDB dialect), mirroring each query's exact
   //      arithmetic: decimal casts, total-order tiebreaks, and
@@ -1739,6 +1789,31 @@ FROM e ORDER BY user_id, day"""
         |  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id)
         |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
         |  SELECT query_id, label, nvec, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // PQ search fully replayed: exact-decimal-norm normalization,
+    // integer-units joint codebook training (unrolled), integer ADC
+    // candidate order, exact decimal cosine re-rank (see pqCtes).
+    "ann_pq" ->
+      (s"""WITH $normsCte,
+        |${pqCtes(8, 3, 8)},
+        |adist AS (SELECT qd.query_id, c.vec_id, sum(qd.du) AS adist
+        |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
+        |  WHERE c.vec_id <> qd.query_id GROUP BY 1, 2),
+        |cand AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
+        |  FROM adist) WHERE ra <= 50),
+        |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+        |  SELECT c.query_id, c.vec_id,
+        |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+        |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+        |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2),
+        |scored AS (SELECT query_id, cdots.vec_id AS nvec,
+        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+        |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
+        |  SELECT query_id, nvec, cosine,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     "ann_centroids" ->

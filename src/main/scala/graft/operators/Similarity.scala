@@ -334,39 +334,56 @@ object Similarity {
     * At 100 TB the codes table is the only thing the scan touches
     * (raw vectors are fetched just for the ≤ rerank×queries
     * survivors), which is what makes billion-vector search feasible.
-    * Iterative trainer → rows-only gate (like [[kmeans]]); the spec
-    * asserts determinism and recall@k vs the exact scan.
+    *
+    * Like [[kmeans]], every step up to the re-rank runs in EXACT
+    * integer units, so the whole search — normalization, joint
+    * codebook training, encoding, ADC candidate order — replays as a
+    * DuckDB CTE chain and ann_pq carries a full value oracle:
+    * normalization divides by the exact-decimal norm (a per-row
+    * scalar chain of correctly-rounded IEEE ops — no fold-order
+    * dependence), components quantize to 1e-8 units, and training
+    * means are half-up integer division.
     */
   def annPq(embeddings: DataFrame, queries: Option[DataFrame] = None,
             k: Int = 5, m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
             rerank: Int = 50, queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    import graft.plans.IntegerUnits.{l2Units, quantizeUnits}
     val dim = LshPlanes.dim
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
-    def sub(e: Column, j: Int): Column = slice(e, j * dsub + 1, dsub)
+    def sub(u: Column, j: Int): Column = slice(u, j * dsub + 1, dsub)
     // PQ quantizes L2 space, but the ranking truth is COSINE — so
     // train/encode/search all run on L2-NORMALIZED vectors, where
     // ‖u−v‖² = 2 − 2·cos(u,v) makes the ADC order the cosine order.
     // Without this the two orders disagree and recall collapses
     // (recall@5 measured 0.28 unnormalized → 0.56 normalized on the
     // weakly-structured test corpus).
-    def normalized(e: Column): Column = {
-      // ‖e‖² through the native L2 kernel (distance to the zero
-      // vector) — same left-to-right accumulation as the HOF fold it
-      // replaced, so values are bit-identical, minus the per-element
-      // lambda dispatch on every training/encode scan.
-      val nrm = sqrt(graft.plans.GraftExpressions.l2F64(e, lit(Array.fill(dim)(0.0))))
-      when(nrm > 0.0, transform(e, x => x / nrm)).otherwise(e).cast("array<float>")
-    }
-    val corpusN = embeddings.select(col("vec_id"), normalized(col("embedding")).as("embedding"))
-    def l2(e: Column, c: Array[Double]): Column =
-      graft.plans.GraftExpressions.l2F64(e, lit(c))
+    //
+    // Exactness: ‖e‖² is the order-free decimal sum; sqrt, the
+    // division, the float narrowing, and the 1e-8 half-up quantize
+    // are all correctly-rounded scalar ops — deterministic on any
+    // partitioning and bit-replayable in SQL. One codegen kernel per
+    // row (the interpreted decimal-HOF chain it replaces was
+    // ~5 ms/row — the whole ann_pq budget); IntegerUnitsSpec pins the
+    // kernel to the reference chain value-for-value.
+    def unitsNormalized(e: Column): Column =
+      graft.plans.IntegerUnits.normalizeUnits(e)
+    // MATERIALIZED once (localCheckpoint): the decimal-norm fold is
+    // interpreted (non-codegen) and `un` is referenced by all m×cb
+    // distance columns — without a hard barrier CollapseProject
+    // inlines the fold into every reference and every training scan
+    // re-runs it (measured 53 s vs 3 s at bench SF). The units frame
+    // is the PQ working set (n × dim longs — 512 B/row); an iterative
+    // trainer would persist exactly this projection on a cluster too.
+    val corpusU = embeddings
+      .select(col("vec_id"), unitsNormalized(col("embedding")).as("un"))
+      .localCheckpoint()
     // Shared projection/argmin machinery: every subspace distance is
     // projected ONCE (no re-evaluation inside the fold), and the fold
     // picks the lowest index on ties (same rule as assignCells).
-    def distCols(books: IndexedSeq[IndexedSeq[Array[Double]]]) =
+    def distCols(books: IndexedSeq[IndexedSeq[Array[Long]]], u: String) =
       for (j <- 0 until m; c <- 0 until codebookSize)
-        yield l2(sub(col("embedding"), j), books(j)(c)).as(s"d${j}_$c")
+        yield l2Units(sub(col(u), j), lit(books(j)(c))).as(s"d${j}_$c")
     def argmin(j: Int): Column =
       (0 until codebookSize - 1).foldRight(lit(codebookSize - 1)) { (c, rest) =>
         when(col(s"d${j}_$c") <=
@@ -379,10 +396,10 @@ object Similarity {
     // init collects for the identical math (same md5-order init rows,
     // same argmin tie rule, same mean update) — measured 35.9 s vs
     // ~4 s at bench SF for no result difference.
-    val codebooks: IndexedSeq[IndexedSeq[Array[Double]]] = {
-      val initRows = corpusN.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val codebooks: IndexedSeq[IndexedSeq[Array[Long]]] = {
+      val initRows = corpusU.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(codebookSize).collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        .map(_.getSeq[Long](1).toArray)
       require(initRows.nonEmpty, "annPq needs a non-empty corpus")
       // a corpus smaller than the codebook pads by reuse: duplicate
       // centroids never win the lowest-index argmin, so they are
@@ -390,39 +407,46 @@ object Similarity {
       var books = IndexedSeq.tabulate(m, codebookSize)((j, c) =>
         initRows(c % initRows.length).slice(j * dsub, (j + 1) * dsub))
       for (_ <- 1 to iters) {
-        val assigned = corpusN
-          .select(col("embedding") +: distCols(books): _*)
+        val assigned = corpusU
+          .select(col("un") +: distCols(books, "un"): _*)
           .select((0 until m).map(j =>
-            struct(argmin(j).as("cl"), sub(col("embedding"), j).as("sv")).as(s"a$j")): _*)
+            struct(argmin(j).as("cl"), sub(col("un"), j).as("sv")).as(s"a$j")): _*)
         val means = assigned
           .select(posexplode(array((0 until m).map(j => col(s"a$j")): _*)).as(Seq("j", "a")))
-          .select(col("j"), col("a.cl").as("cl"), posexplode(col("a.sv")).as(Seq("dim", "comp")))
+          .select(col("j"), col("a.cl").as("cl"), posexplode(col("a.sv")).as(Seq("dim", "u")))
           .groupBy(col("j"), col("cl"), col("dim"))
-          .agg(avg(col("comp").cast("double")).as("mu"))
+          .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
+          // half-up integer mean, sign-split like train()
+          .select(col("j"), col("cl"), col("dim"),
+            when(col("s") < 0, -expr("(2 * (-s) + n) DIV (2 * n)"))
+              .otherwise(expr("(2 * s + n) DIV (2 * n)")).cast("long").as("mu"))
           .groupBy(col("j"), col("cl"))
           .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("ms"))
           .select(col("j"), col("cl"), col("ms.mu").as("centroid"))
           .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
         // empty cells keep their previous centroid (like train())
         books = IndexedSeq.tabulate(m, codebookSize)((j, c) => means.getOrElse((j, c), books(j)(c)))
       }
       books
     }
-    val codes = corpusN
-      .select(col("vec_id") +: col("embedding") +: distCols(codebooks): _*)
+    val codes = corpusU
+      .select(col("vec_id") +: col("un") +: distCols(codebooks, "un"): _*)
       .select(col("vec_id"), array((0 until m).map(argmin): _*).as("codes"))
-    // queries carry their ADC table as a column (m×k doubles per row)
+    // queries carry their ADC table as a column (m×k longs per row)
     val qtable = array((0 until m).map(j =>
-      array((0 until codebookSize).map(c => l2(sub(col("qe"), j), codebooks(j)(c))): _*)): _*)
+      array((0 until codebookSize).map(c =>
+        l2Units(sub(col("qun"), j), lit(codebooks(j)(c)))): _*)): _*)
     val qs = queries.getOrElse(defaultQueries(embeddings))
-      .select(col("vec_id").as("query_id"), normalized(col("embedding")).as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        unitsNormalized(col("embedding")).as("qun"))
       .withColumn("qtable", qtable)
+      .drop("qun")
     // ADC distance as a STATIC m-term element_at chain: m is a plan
     // constant, so the two-level table lookup codegens to plain array
     // reads — no zip_with materialization, no fold lambda dispatch on
     // the corpus×queries hot path (measured ~2× on the whole query).
-    // Addition order matches the fold it replaced (j ascending).
+    // All-Long sums — exact in any order.
     val adist = (0 until m).map(j =>
       element_at(element_at(col("qtable"), j + 1), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
@@ -433,7 +457,9 @@ object Similarity {
       .withColumn("ra", row_number().over(wA))
       .filter(col("ra") <= rerank)
       .select(col("query_id"), col("qe"), col("vec_id"))
-    // exact decimal re-rank of the ≤ rerank×queries survivors only
+    // exact decimal re-rank of the ≤ rerank×queries survivors only —
+    // on the ORIGINAL vectors (cosine is scale-invariant, and the
+    // other ann_* oracles share this exact form)
     val wC = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     cands.join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("cosine",

@@ -145,6 +145,102 @@ case class L2UnitsI64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `array<float>` → `array<long>`: L2-normalize by the EXACT decimal
+  * norm, then quantize to 1e-8 units — the PQ working-set projection,
+  * one codegen kernel per row.
+  *
+  * Bit-equal to the Column-API chain it replaces
+  * (`quantizeUnits(when(nrm > 0, transform(e, x → float(double(x)/nrm)))
+  * .otherwise(e))` with `nrm = sqrt(double(decNorm2(e)))`), which at
+  * ~5 ms/row of interpreted decimal-HOF work was the whole ann_pq
+  * budget. Equality argument, step by step:
+  *  - `dec8(x)` is `round(double(x), 8)` (Spark: `BigDecimal.valueOf`
+  *    + `setScale(8, HALF_UP)`) cast losslessly to DECIMAL(14,8) —
+  *    here the same `valueOf/setScale` call, keeping the unscaled
+  *    long `n` directly (|x| < 1 → n < 1e8; the ≤15-significant-digit
+  *    round-trip makes unscaled-of-double-of-n·1e-8 = n).
+  *  - Σ dec8(x)² in DECIMAL(30,16) ≡ Σ n² · 1e-16 with Σ n² exact in
+  *    Long (64 · (6e7)² < 2.4e17; addExact is the loud guard).
+  *  - Decimal→double cast ≡ `BigDecimal.valueOf(Σn², 16).doubleValue()`
+  *    (one correctly-rounded conversion — NOT two chained roundings).
+  *  - sqrt / divide / float-narrow / 1e-8 half-up quantize are the
+  *    same correctly-rounded IEEE scalar ops as [[QuantizeUnitsI64]].
+  */
+case class NormalizeUnitsI64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"normalize_units expects array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "normalize_units"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val n8 = NormalizeUnitsI64.dec8Unscaled(x.getFloat(i))
+      acc = Math.addExact(acc, Math.multiplyExact(n8, n8))
+      i += 1
+    }
+    val nrm = math.sqrt(java.math.BigDecimal.valueOf(acc, 16).doubleValue())
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (nrm > 0.0) QuantizeUnitsI64.quantize((x.getFloat(i).toDouble / nrm).toFloat)
+        else QuantizeUnitsI64.quantize(x.getFloat(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val n8 = ctx.freshName("n8")
+      val nrm = ctx.freshName("nrm"); val out = ctx.freshName("out")
+      val v = ctx.freshName("v"); val t = ctx.freshName("t"); val f = ctx.freshName("f")
+      val helper = NormalizeUnitsI64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int $n = $arr.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $n8 = $helper.dec8Unscaled($arr.getFloat($i));
+         |  $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($n8, $n8));
+         |}
+         |double $nrm = java.lang.Math.sqrt(java.math.BigDecimal.valueOf($acc, 16).doubleValue());
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ($nrm > 0.0D)
+         |    ? ((double) (float) (((double) $arr.getFloat($i)) / $nrm)) * 1.0E8D
+         |    : ((double) $arr.getFloat($i)) * 1.0E8D;
+         |  long $t = (long) $v;
+         |  double $f = $v - (double) $t;
+         |  $out[$i] = ($v >= 0.0D) ? ($f >= 0.5D ? $t + 1L : $t)
+         |                          : ($f <= -0.5D ? $t - 1L : $t);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeUnitsI64 {
+  /** Unscaled long of `round(double(x), 8)` as DECIMAL(_, 8) — the
+    * exact `dec8` digits (see class doc).
+    */
+  def dec8Unscaled(x: Float): Long =
+    java.math.BigDecimal.valueOf(x.toDouble)
+      .setScale(8, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+}
+
 object IntegerUnits {
   /** Column API for the quantizer. */
   def quantizeUnits(e: Column): Column =
@@ -153,4 +249,8 @@ object IntegerUnits {
   /** Column API for the integer squared-L2 kernel. */
   def l2Units(a: Column, b: Column): Column =
     ColumnBridge.column(L2UnitsI64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the normalize-then-quantize kernel. */
+  def normalizeUnits(e: Column): Column =
+    ColumnBridge.column(NormalizeUnitsI64(ColumnBridge.expression(e)))
 }

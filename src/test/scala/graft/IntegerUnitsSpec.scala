@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.plans.IntegerUnits._
+import org.apache.spark.sql.functions._
+
+/** The integer-units codegen kernels must be bit-equal to the
+  * Column-API reference chains they replaced — the DuckDB oracles
+  * replay THOSE semantics, so any divergence is an oracle break.
+  * Pinned over the real embeddings corpus (all 500 sf0.001 vectors,
+  * 64 dims each: every float that actually flows through ann_*).
+  */
+class IntegerUnitsSpec extends SparkSpec {
+
+  private lazy val emb =
+    graft.sources.Tables(spark, "/root/testdata/sf0.001").embeddings
+
+  test("quantizeUnits equals round(double(e) * 1e8) per component") {
+    val reference = transform(col("embedding"),
+      e => round(e.cast("double") * lit(1e8), 0).cast("long"))
+    val diff = emb.select(col("vec_id"), quantizeUnits(col("embedding")).as("k"),
+        reference.as("r"))
+      .filter(col("k") =!= col("r"))
+    assert(diff.count() === 0L)
+  }
+
+  test("l2Units equals the integer zip_with/aggregate fold") {
+    // distance of every vector to one fixed quantized vector
+    val probe = emb.orderBy(col("vec_id")).limit(1)
+      .select(quantizeUnits(col("embedding"))).collect()(0).getSeq[Long](0).toArray
+    val reference = aggregate(
+      zip_with(quantizeUnits(col("embedding")), lit(probe), (a, b) => {
+        val d = a - b
+        d * d
+      }),
+      lit(0L), (acc, x) => acc + x)
+    val diff = emb.select(l2Units(quantizeUnits(col("embedding")), lit(probe)).as("k"),
+        reference.as("r"))
+      .filter(col("k") =!= col("r"))
+    assert(diff.count() === 0L)
+  }
+
+  test("normalizeUnits equals the decimal-norm + quantize reference chain") {
+    val nrm = sqrt(decNorm2(col("embedding")).cast("double"))
+    val reference = quantizeUnits(
+      when(nrm > 0.0, transform(col("embedding"), x => (x.cast("double") / nrm).cast("float")))
+        .otherwise(col("embedding")).cast("array<float>"))
+    val diff = emb.select(col("vec_id"), normalizeUnits(col("embedding")).as("k"),
+        reference.as("r"))
+      .filter(col("k") =!= col("r"))
+    assert(diff.count() === 0L)
+  }
+
+  test("normalizeUnits passes a zero vector through unnormalized") {
+    import spark.implicits._
+    val z = Seq(Tuple1(Array.fill(4)(0.0f))).toDF("embedding")
+    val got = z.select(normalizeUnits(col("embedding"))).collect()(0).getSeq[Long](0)
+    assert(got === Seq(0L, 0L, 0L, 0L))
+  }
+}
