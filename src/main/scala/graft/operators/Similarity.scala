@@ -347,127 +347,215 @@ object Similarity {
   def annPq(embeddings: DataFrame, queries: Option[DataFrame] = None,
             k: Int = 5, m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
             rerank: Int = 50, queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
-    import graft.plans.IntegerUnits.{l2Units, quantizeUnits}
+    val dsub = pqDsub(m)
+    val corpusU = pqCorpusUnits(embeddings)
+    val codebooks = pqTrainCodebooks(corpusU, m, codebookSize, iters, dsub)
+    val codes = pqEncode(corpusU, codebooks, dsub)
+    val qs = pqQueries(queries.getOrElse(defaultQueries(embeddings)), codebooks, dsub)
+    val cands = pqAdcCandidates(
+      codes.join(broadcast(qs), notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty))),
+      m, rerank)
+    pqExactRerank(cands, embeddings, k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ composite search — the billion-vector layout: the trained
+    * Lloyd coarse quantizer ([[train]], raw-vector integer units)
+    * restricts each query to its own cell (1/nlist of the corpus),
+    * and within the cell ranking reads PQ CODES only (global
+    * codebooks on normalized vectors, like [[annPq]]) before the
+    * exact decimal re-rank. At 100 TB the scan touches `codes`+`label`
+    * (9 bytes/vector) for 1/nlist of the corpus — the two pruning
+    * axes compose multiplicatively. (Production refinement — per-cell
+    * RESIDUAL codebooks — changes the trained model, not the plan
+    * shape.)
+    *
+    * Every stage is exact integer units, so the whole search replays
+    * as the Lloyd CTE chain + the PQ CTE chain joined on the cell
+    * filter → full DuckDB oracle.
+    */
+  def annIvfPq(embeddings: DataFrame, queries: Option[DataFrame] = None,
+               k: Int = 5, nlist: Int = 8, ivfIters: Int = 3,
+               m: Int = 8, codebookSize: Int = 8, pqIters: Int = 3,
+               rerank: Int = 50, queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val dsub = pqDsub(m)
+    val centroids = train(embeddings, nlist, ivfIters)
+    def labelOf(df: DataFrame): DataFrame =
+      assignCells(df.select(col("vec_id"), col("embedding")), centroids)
+        .select(col("vec_id"), col("cluster").as("label"))
+    val corpusU = pqCorpusUnits(embeddings)
+    val codebooks = pqTrainCodebooks(corpusU, m, codebookSize, pqIters, dsub)
+    val codes = pqEncode(corpusU, codebooks, dsub)
+      .join(labelOf(embeddings), "vec_id")
+    val qsBase = queries.getOrElse(defaultQueries(embeddings))
+    val qs = pqQueries(qsBase, codebooks, dsub)
+      .join(labelOf(qsBase.select(col("vec_id"), col("embedding")))
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel")), "query_id")
+    val cands = pqAdcCandidates(
+      codes.join(broadcast(qs),
+        col("label") === col("qlabel") &&
+          notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty))),
+      m, rerank, carry = Seq("label"))
+    pqExactRerank(cands, embeddings, k, carry = Seq("label"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def pqDsub(m: Int): Int = {
     val dim = LshPlanes.dim
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val dsub = dim / m
-    def sub(u: Column, j: Int): Column = slice(u, j * dsub + 1, dsub)
-    // PQ quantizes L2 space, but the ranking truth is COSINE — so
-    // train/encode/search all run on L2-NORMALIZED vectors, where
-    // ‖u−v‖² = 2 − 2·cos(u,v) makes the ADC order the cosine order.
-    // Without this the two orders disagree and recall collapses
-    // (recall@5 measured 0.28 unnormalized → 0.56 normalized on the
-    // weakly-structured test corpus).
-    //
-    // Exactness: ‖e‖² is the order-free decimal sum; sqrt, the
-    // division, the float narrowing, and the 1e-8 half-up quantize
-    // are all correctly-rounded scalar ops — deterministic on any
-    // partitioning and bit-replayable in SQL. One codegen kernel per
-    // row (the interpreted decimal-HOF chain it replaces was
-    // ~5 ms/row — the whole ann_pq budget); IntegerUnitsSpec pins the
-    // kernel to the reference chain value-for-value.
-    def unitsNormalized(e: Column): Column =
-      graft.plans.IntegerUnits.normalizeUnits(e)
-    // MATERIALIZED once (localCheckpoint): the decimal-norm fold is
-    // interpreted (non-codegen) and `un` is referenced by all m×cb
-    // distance columns — without a hard barrier CollapseProject
-    // inlines the fold into every reference and every training scan
-    // re-runs it (measured 53 s vs 3 s at bench SF). The units frame
-    // is the PQ working set (n × dim longs — 512 B/row); an iterative
-    // trainer would persist exactly this projection on a cluster too.
-    val corpusU = embeddings
-      .select(col("vec_id"), unitsNormalized(col("embedding")).as("un"))
+    dim / m
+  }
+
+  /** PQ working set: (vec_id, un) with `un` the L2-NORMALIZED vector
+    * in 1e-8 integer units.
+    *
+    * PQ quantizes L2 space, but the ranking truth is COSINE — on
+    * normalized vectors ‖u−v‖² = 2 − 2·cos(u,v) makes the ADC order
+    * the cosine order. Without this the two orders disagree and
+    * recall collapses (recall@5 measured 0.28 unnormalized → 0.56
+    * normalized on the weakly-structured test corpus).
+    *
+    * Exactness: ‖e‖² is the order-free decimal sum; sqrt, the
+    * division, the float narrowing, and the 1e-8 half-up quantize are
+    * all correctly-rounded scalar ops — deterministic on any
+    * partitioning and bit-replayable in SQL. One codegen kernel per
+    * row ([[graft.plans.NormalizeUnitsI64]]; the interpreted
+    * decimal-HOF chain it replaced was ~5 ms/row — the whole ann_pq
+    * budget); IntegerUnitsSpec pins the kernel to the reference chain
+    * value-for-value.
+    *
+    * MATERIALIZED once (localCheckpoint): `un` is referenced by all
+    * m×cb distance columns — without a hard barrier CollapseProject
+    * inlines the kernel into every reference and every training scan
+    * re-runs it. The units frame is the PQ working set (n × dim
+    * longs — 512 B/row); an iterative trainer would persist exactly
+    * this projection on a cluster too.
+    */
+  private def pqCorpusUnits(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), graft.plans.IntegerUnits.normalizeUnits(col("embedding")).as("un"))
       .localCheckpoint()
-    // Shared projection/argmin machinery: every subspace distance is
-    // projected ONCE (no re-evaluation inside the fold), and the fold
-    // picks the lowest index on ties (same rule as assignCells).
-    def distCols(books: IndexedSeq[IndexedSeq[Array[Long]]], u: String) =
-      for (j <- 0 until m; c <- 0 until codebookSize)
-        yield l2Units(sub(col(u), j), lit(books(j)(c))).as(s"d${j}_$c")
-    def argmin(j: Int): Column =
-      (0 until codebookSize - 1).foldRight(lit(codebookSize - 1)) { (c, rest) =>
-        when(col(s"d${j}_$c") <=
-          (c + 1 until codebookSize).map(cc => col(s"d${j}_$cc")).reduce(least(_, _)), c)
-          .otherwise(rest)
-      }
-    // JOINT per-subspace k-means: all m codebooks advance in ONE scan
-    // + one (m×k×dsub)-row shuffle per iteration. Training each
-    // subspace through [[train]] would cost m×iters full scans and m
-    // init collects for the identical math (same md5-order init rows,
-    // same argmin tie rule, same mean update) — measured 35.9 s vs
-    // ~4 s at bench SF for no result difference.
-    val codebooks: IndexedSeq[IndexedSeq[Array[Long]]] = {
-      val initRows = corpusU.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(codebookSize).collect()
-        .map(_.getSeq[Long](1).toArray)
-      require(initRows.nonEmpty, "annPq needs a non-empty corpus")
-      // a corpus smaller than the codebook pads by reuse: duplicate
-      // centroids never win the lowest-index argmin, so they are
-      // permanently-empty cells rather than a driver crash
-      var books = IndexedSeq.tabulate(m, codebookSize)((j, c) =>
-        initRows(c % initRows.length).slice(j * dsub, (j + 1) * dsub))
-      for (_ <- 1 to iters) {
-        val assigned = corpusU
-          .select(col("un") +: distCols(books, "un"): _*)
-          .select((0 until m).map(j =>
-            struct(argmin(j).as("cl"), sub(col("un"), j).as("sv")).as(s"a$j")): _*)
-        val means = assigned
-          .select(posexplode(array((0 until m).map(j => col(s"a$j")): _*)).as(Seq("j", "a")))
-          .select(col("j"), col("a.cl").as("cl"), posexplode(col("a.sv")).as(Seq("dim", "u")))
-          .groupBy(col("j"), col("cl"), col("dim"))
-          .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
-          // half-up integer mean, sign-split like train()
-          .select(col("j"), col("cl"), col("dim"),
-            when(col("s") < 0, -expr("(2 * (-s) + n) DIV (2 * n)"))
-              .otherwise(expr("(2 * s + n) DIV (2 * n)")).cast("long").as("mu"))
-          .groupBy(col("j"), col("cl"))
-          .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("ms"))
-          .select(col("j"), col("cl"), col("ms.mu").as("centroid"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
-        // empty cells keep their previous centroid (like train())
-        books = IndexedSeq.tabulate(m, codebookSize)((j, c) => means.getOrElse((j, c), books(j)(c)))
-      }
-      books
+
+  /** Shared projection/argmin machinery: every subspace distance is
+    * projected ONCE (no re-evaluation inside the fold), and the fold
+    * picks the lowest index on ties (same rule as assignCells).
+    */
+  private def pqDistCols(books: IndexedSeq[IndexedSeq[Array[Long]]], u: String, dsub: Int) = {
+    import graft.plans.IntegerUnits.l2Units
+    for (j <- books.indices; c <- books(j).indices)
+      yield l2Units(slice(col(u), j * dsub + 1, dsub), lit(books(j)(c))).as(s"d${j}_$c")
+  }
+  private def pqArgmin(j: Int, codebookSize: Int): Column =
+    (0 until codebookSize - 1).foldRight(lit(codebookSize - 1)) { (c, rest) =>
+      when(col(s"d${j}_$c") <=
+        (c + 1 until codebookSize).map(cc => col(s"d${j}_$cc")).reduce(least(_, _)), c)
+        .otherwise(rest)
     }
-    val codes = corpusU
-      .select(col("vec_id") +: col("un") +: distCols(codebooks, "un"): _*)
-      .select(col("vec_id"), array((0 until m).map(argmin): _*).as("codes"))
-    // queries carry their ADC table as a column (m×k longs per row)
-    val qtable = array((0 until m).map(j =>
-      array((0 until codebookSize).map(c =>
-        l2Units(sub(col("qun"), j), lit(codebooks(j)(c)))): _*)): _*)
-    val qs = queries.getOrElse(defaultQueries(embeddings))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        unitsNormalized(col("embedding")).as("qun"))
+
+  /** JOINT per-subspace k-means: all m codebooks advance in ONE scan
+    * + one (m×k×dsub)-row shuffle per iteration. Training each
+    * subspace through [[train]] would cost m×iters full scans and m
+    * init collects for the identical math (same md5-order init rows,
+    * same argmin tie rule, same mean update) — measured 35.9 s vs
+    * ~4 s at bench SF for no result difference.
+    */
+  private def pqTrainCodebooks(corpusU: DataFrame, m: Int, codebookSize: Int,
+                               iters: Int, dsub: Int): IndexedSeq[IndexedSeq[Array[Long]]] = {
+    def sub(u: Column, j: Int): Column = slice(u, j * dsub + 1, dsub)
+    val initRows = corpusU.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(codebookSize).collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(initRows.nonEmpty, "annPq needs a non-empty corpus")
+    // a corpus smaller than the codebook pads by reuse: duplicate
+    // centroids never win the lowest-index argmin, so they are
+    // permanently-empty cells rather than a driver crash
+    var books = IndexedSeq.tabulate(m, codebookSize)((j, c) =>
+      initRows(c % initRows.length).slice(j * dsub, (j + 1) * dsub))
+    for (_ <- 1 to iters) {
+      val assigned = corpusU
+        .select(col("un") +: pqDistCols(books, "un", dsub): _*)
+        .select((0 until m).map(j =>
+          struct(pqArgmin(j, codebookSize).as("cl"), sub(col("un"), j).as("sv")).as(s"a$j")): _*)
+      val means = assigned
+        .select(posexplode(array((0 until m).map(j => col(s"a$j")): _*)).as(Seq("j", "a")))
+        .select(col("j"), col("a.cl").as("cl"), posexplode(col("a.sv")).as(Seq("dim", "u")))
+        .groupBy(col("j"), col("cl"), col("dim"))
+        .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
+        // half-up integer mean, sign-split like train()
+        .select(col("j"), col("cl"), col("dim"),
+          when(col("s") < 0, -expr("(2 * (-s) + n) DIV (2 * n)"))
+            .otherwise(expr("(2 * s + n) DIV (2 * n)")).cast("long").as("mu"))
+        .groupBy(col("j"), col("cl"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("ms"))
+        .select(col("j"), col("cl"), col("ms.mu").as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray).toMap
+      // empty cells keep their previous centroid (like train())
+      books = IndexedSeq.tabulate(m, codebookSize)((j, c) => means.getOrElse((j, c), books(j)(c)))
+    }
+    books
+  }
+
+  /** One corpus scan → (vec_id, codes): per-subspace argmin code. */
+  private def pqEncode(corpusU: DataFrame, books: IndexedSeq[IndexedSeq[Array[Long]]],
+                       dsub: Int): DataFrame =
+    corpusU
+      .select(col("vec_id") +: col("un") +: pqDistCols(books, "un", dsub): _*)
+      .select(col("vec_id"),
+        array(books.indices.map(j => pqArgmin(j, books(j).size)): _*).as("codes"))
+
+  /** Query frame with its ADC table (m×cb longs) and the ORIGINAL
+    * embedding `qe` for the exact re-rank.
+    */
+  private def pqQueries(qs: DataFrame, books: IndexedSeq[IndexedSeq[Array[Long]]],
+                        dsub: Int): DataFrame = {
+    import graft.plans.IntegerUnits.l2Units
+    val qtable = array(books.indices.map(j =>
+      array(books(j).indices.map(c =>
+        l2Units(slice(col("qun"), j * dsub + 1, dsub), lit(books(j)(c)))): _*)): _*)
+    qs.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        graft.plans.IntegerUnits.normalizeUnits(col("embedding")).as("qun"))
       .withColumn("qtable", qtable)
       .drop("qun")
-    // ADC distance as a STATIC m-term element_at chain: m is a plan
-    // constant, so the two-level table lookup codegens to plain array
-    // reads — no zip_with materialization, no fold lambda dispatch on
-    // the corpus×queries hot path (measured ~2× on the whole query).
-    // All-Long sums — exact in any order.
+  }
+
+  /** ADC candidate cut: rank the joined (codes × queries) frame by
+    * the asymmetric distance and keep the top `rerank` per query.
+    *
+    * The ADC distance is a STATIC m-term element_at chain: m is a
+    * plan constant, so the two-level table lookup codegens to plain
+    * array reads — no zip_with materialization, no fold lambda
+    * dispatch on the corpus×queries hot path (measured ~2× on the
+    * whole query). All-Long sums — exact in any order.
+    */
+  private def pqAdcCandidates(joined: DataFrame, m: Int, rerank: Int,
+                              carry: Seq[String] = Nil): DataFrame = {
     val adist = (0 until m).map(j =>
       element_at(element_at(col("qtable"), j + 1), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val wA = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    val cands = codes
-      .join(broadcast(qs), notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
+    joined
       .withColumn("adist", adist)
       .withColumn("ra", row_number().over(wA))
       .filter(col("ra") <= rerank)
-      .select(col("query_id"), col("qe"), col("vec_id"))
-    // exact decimal re-rank of the ≤ rerank×queries survivors only —
-    // on the ORIGINAL vectors (cosine is scale-invariant, and the
-    // other ann_* oracles share this exact form)
+      .select((Seq("query_id", "qe", "vec_id") ++ carry).map(col): _*)
+  }
+
+  /** Exact decimal re-rank of the ≤ rerank×queries survivors only —
+    * on the ORIGINAL vectors (cosine is scale-invariant, and the
+    * other ann_* oracles share this exact form).
+    */
+  private def pqExactRerank(cands: DataFrame, embeddings: DataFrame, k: Int,
+                            carry: Seq[String] = Nil): DataFrame = {
     val wC = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     cands.join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("cosine",
         cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
       .withColumn("rank", row_number().over(wC).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** IVF-style search: the coarse quantizer assignment is the

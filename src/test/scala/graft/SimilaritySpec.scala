@@ -72,6 +72,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@5 = $recall")
   }
 
+  test("annIvfPq is deterministic, stays inside trained cells, and recalls within-cell neighbors") {
+    // nlist=2 like the annIvfTrained spec — production-default cells
+    // are too small for recall to mean anything at this SF
+    val r1 = Similarity.annIvfPq(embeddings, nlist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val r2 = Similarity.annIvfPq(embeddings, nlist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(r1.toSeq === r2.toSeq, "seeded quantizer + codebooks must reproduce")
+    assert(r1.nonEmpty)
+    assert(r1.groupBy(_._1).values.forall(_.length <= 5))
+    // every neighbor must come from the query's own trained cell —
+    // the whole point of the IVF prune
+    val cellOf = Similarity.kmeans(embeddings, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r1.foreach { case (q, label, n, _, _) =>
+      assert(cellOf(q) === label, s"query $q labeled $label but kmeans says ${cellOf(q)}")
+      assert(cellOf(n) === label, s"neighbor $n of query $q escapes cell $label")
+    }
+    // double prune (cell × codes) still recovers within-cell truth:
+    // compare against the cell-restricted exact search, not the
+    // global scan (IVF recall loss is annIvfTrained's concern)
+    val ivfExact = Similarity.annIvfTrained(embeddings, nlist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byQ = r1.map(t => (t._1, t._3)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = ivfExact.map { case (q, want) =>
+      byQ.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    assert(recalls.sum / recalls.size >= 0.4, s"within-cell recall@5 = ${recalls.sum / recalls.size}")
+  }
+
   test("external query frames keep their own id namespace — no self-exclusion on collision") {
     // the true nearest neighbor of corpus vector 0
     val nn = exactTopK(1).collect().find(_.getLong(0) == 0L).get.getLong(1)
