@@ -122,7 +122,18 @@ object ScaleProbe {
       // propagation + label reuse) and the corpus-wide surprisal join
       "components" -> time("components")(operators.Dedup.components(d1).count()),
       "surprisal" -> time("surprisal")(operators.TextOps.surprisal(d1).count()),
-      "histogram" -> time("histogram")(operators.Events.histogram(e1).count()))
+      "histogram" -> time("histogram")(operators.Events.histogram(e1).count()),
+      // round-6/7/8 additions: the indicator family (windowed bar
+      // chains over per-user daily closes), the wide-info snapshot
+      // join, and the IVF-PQ composite (fixed query set, like ann_pq)
+      "vwap" -> time("vwap")(operators.FinAnalytics.vwap(e1).count()),
+      "stochastic" -> time("stochastic")(operators.FinAnalytics.stochastic(e1).count()),
+      "obv" -> time("obv")(operators.FinAnalytics.obv(e1).count()),
+      "atr" -> time("atr")(operators.FinAnalytics.atr(e1).count()),
+      "info_snapshot" -> time("info_snapshot")(operators.FinAnalytics.infoSnapshot(e1, src.customer).count()),
+      "ann_ivfpq" -> time("ann_ivfpq")(operators.Similarity.annIvfPq(src.embeddings,
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
+        queriesAreCorpusDerived = Some(true)).count()))
     println("== 10x ==")
     val s = Map(
       "q1_pricing" -> time("q1_pricing")(operators.Analytics.pricingSummary(li10).count()),
@@ -172,7 +183,17 @@ object ScaleProbe {
       "cv_eval" -> time("cv_eval")(operators.CvEval.ridgeCv(events10).count()),
       "components" -> time("components")(operators.Dedup.components(docs10).count()),
       "surprisal" -> time("surprisal")(operators.TextOps.surprisal(docs10).count()),
-      "histogram" -> time("histogram")(operators.Events.histogram(events10).count()))
+      "histogram" -> time("histogram")(operators.Events.histogram(events10).count()),
+      "vwap" -> time("vwap")(operators.FinAnalytics.vwap(events10).count()),
+      "stochastic" -> time("stochastic")(operators.FinAnalytics.stochastic(events10).count()),
+      "obv" -> time("obv")(operators.FinAnalytics.obv(events10).count()),
+      "atr" -> time("atr")(operators.FinAnalytics.atr(events10).count()),
+      // customer dim stays 1x — the snapshot join's broadcast side is
+      // a bounded dimension at any corpus scale
+      "info_snapshot" -> time("info_snapshot")(operators.FinAnalytics.infoSnapshot(events10, src.customer).count()),
+      "ann_ivfpq" -> time("ann_ivfpq")(operators.Similarity.annIvfPq(emb10,
+        Some(src.embeddings.filter(col("vec_id") % 100 === 0)),
+        queriesAreCorpusDerived = Some(true)).count()))
     println("== scaling factor (10x data / 1x time; 10 = linear) ==")
     b.keys.toSeq.sorted.foreach { k =>
       println(f"$k%-22s ${s(k) / b(k)}%6.1f x")
