@@ -347,15 +347,46 @@ object Similarity {
   def annPq(embeddings: DataFrame, queries: Option[DataFrame] = None,
             k: Int = 5, m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
             rerank: Int = 50, queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val index = pqIndexBuild(embeddings, m, codebookSize, iters)
+    pqSearch(index, queries.getOrElse(defaultQueries(embeddings)), k, rerank,
+      excludeSelf = queriesAreCorpusDerived.getOrElse(queries.isEmpty))
+  }
+
+  /** A trained, materialized PQ index: the serving-side model. The
+    * codebooks are plan literals (m×cb×dsub longs); `codes` is the
+    * encoded corpus, checkpointed so repeated searches (a query
+    * STREAM, a reused index) scan 9-byte codes without re-running the
+    * encode — on a cluster this is the persisted codes table next to
+    * the raw vectors.
+    */
+  final case class PqIndex private[Similarity] (
+      codebooks: IndexedSeq[IndexedSeq[Array[Long]]],
+      codes: DataFrame, corpus: DataFrame, m: Int)
+
+  /** Train the codebooks and encode the corpus ONCE — the index-build
+    * half of [[annPq]] (identical math; annPq composes this with
+    * [[pqSearch]]).
+    */
+  def pqIndexBuild(embeddings: DataFrame, m: Int = 8, codebookSize: Int = 8,
+                   iters: Int = 3): PqIndex = {
     val dsub = pqDsub(m)
     val corpusU = pqCorpusUnits(embeddings)
     val codebooks = pqTrainCodebooks(corpusU, m, codebookSize, iters, dsub)
-    val codes = pqEncode(corpusU, codebooks, dsub)
-    val qs = pqQueries(queries.getOrElse(defaultQueries(embeddings)), codebooks, dsub)
+    PqIndex(codebooks, pqEncode(corpusU, codebooks, dsub).localCheckpoint(),
+      embeddings.select(col("vec_id"), col("embedding")), m)
+  }
+
+  /** Search a trained [[PqIndex]] with any (vec_id, embedding) query
+    * frame: ADC candidate cut over the codes scan, exact decimal
+    * re-rank of the top `rerank`. `excludeSelf` only for
+    * corpus-derived query frames (see [[notSelf]]).
+    */
+  def pqSearch(index: PqIndex, queries: DataFrame, k: Int = 5, rerank: Int = 50,
+               excludeSelf: Boolean = false): DataFrame = {
+    val qs = pqQueries(queries, index.codebooks, pqDsub(index.m))
     val cands = pqAdcCandidates(
-      codes.join(broadcast(qs), notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty))),
-      m, rerank)
-    pqExactRerank(cands, embeddings, k)
+      index.codes.join(broadcast(qs), notSelf(excludeSelf)), index.m, rerank)
+    pqExactRerank(cands, index.corpus, k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+/** Streaming PQ serving must score every micro-batch with EXACTLY the
+  * batch search result for the same query frame against the same
+  * frozen index — same codebooks (deterministic trainer), same codes,
+  * same exact re-rank.
+  */
+class SimilarityStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("served micro-batches match the batch pqSearch result on a frozen index") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val queryRows = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (batch1, batch2) = queryRows.splitAt(queryRows.size / 2)
+    assert(batch1.nonEmpty && batch2.nonEmpty)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val served = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val q = graft.streaming.SimilarityStream.annPqServe(
+      input.toDF().toDF("vec_id", "embedding"), corpus) {
+      (df, id) => served.synchronized { served(id) = df.collect().map(_.toString).toSeq }
+    }
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // The batch oracle: one pqSearch per batch's query frame against
+    // an index built identically (deterministic md5 init + integer
+    // units → bit-equal codebooks and codes).
+    val index = Similarity.pqIndexBuild(corpus)
+    def want(rows: Seq[(Long, Array[Float])]): Seq[String] =
+      Similarity.pqSearch(index, rows.toDF("vec_id", "embedding"))
+        .collect().map(_.toString).toSeq
+    val got = served.synchronized(served.toMap)
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L) === want(batch1))
+    assert(got(1L) === want(batch2))
+    // external query frames: a query must be able to return the
+    // corpus vector with its OWN id (no self-exclusion in serving)
+    val self = got(0L) ++ got(1L)
+    val qids = queryRows.map(_._1).toSet
+    assert(self.nonEmpty)
+    // each query returns itself at rank 1 with cosine 1.0 — its
+    // vector IS in the corpus under the same id
+    queryRows.foreach { case (id, _) =>
+      assert(self.exists(s => s.startsWith(s"[$id,$id,1,")), s"query $id missing self at rank 1: corpus contains it")
+    }
+    assert(qids.nonEmpty)
+  }
+}
