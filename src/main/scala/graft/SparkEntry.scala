@@ -151,6 +151,7 @@ object SparkEntry {
     "text_winnow"         -> ((s, d) => TextOps.winnow(Tables(s, d).documents)),
     "mm_binary_meta"      -> ((s, d) => Multimodal.binaryMeta(Tables(s, d).documents)),
     "mm_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables(s, d).documents)),
+    "mm_resize_plan"      -> ((s, d) => Multimodal.resizePlan(Tables(s, d).documents)),
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
@@ -716,7 +717,44 @@ FROM e ORDER BY user_id, day"""
     val isWebp = "(substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57454250'" +
       " AND substring(hx, 25, 8) = '56503858')"
     val isTiff = "substring(hx, 1, 8) IN ('49492A00', '4D4D002A')"
-    s"""WITH m AS (SELECT doc_id, unhex(
+    s"""WITH $mmPayloadCtes
+       |SELECT doc_id, n_bytes, digest, format, width, height, channels,
+       |  width * height AS n_pixels
+       |FROM y ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared payload-reconstruction CTE chain (`m`/`x`/`y`) for the
+    * mm_* oracles: identical synthetic container bytes as
+    * [[operators.Multimodal.synthesize]], dimensions parsed back with
+    * the same byte arithmetic. Ends with
+    * `y(doc_id, n_bytes, digest, format, width, height, channels)`.
+    */
+  private def mmPayloadCtes: String = {
+    def leHex(e: String, n: Int) = (0 until n)
+      .map(k => s"lpad(hex(($e >> ${8 * k}) % 256), 2, '0')").mkString(" || ")
+    val w = "(doc_id % 1000 + 1)"
+    val h = "(doc_id % 777 + 1)"
+    val png = s"'89504E470D0A1A0A' || '0000000D49484452' || " +
+      s"lpad(hex($w), 8, '0') || lpad(hex($h), 8, '0') || '0802000000'"
+    val gif = s"'474946383961' || ${leHex(w, 2)} || ${leHex(h, 2)}"
+    val bmp = s"'424D' || '${"0" * 24}' || '28000000' || ${leHex(w, 4)} || ${leHex(h, 4)}"
+    val webp = s"'524946460000000057454250565038580A000000' || " +
+      s"(CASE WHEN doc_id % 2 = 0 THEN '10' ELSE '00' END) || '000000' || " +
+      s"${leHex(s"($w - 1)", 3)} || ${leHex(s"($h - 1)", 3)}"
+    val tiff = s"'49492A0008000000' || '0300' || " +
+      s"'0001030001000000' || ${leHex(w, 4)} || " +
+      s"'0101030001000000' || ${leHex(h, 4)} || " +
+      s"'1501030001000000' || '03000000' || '00000000'"
+    def be(s: Int, n: Int) = s"('0x' || substring(hx, ${(s - 1) * 2 + 1}, ${n * 2}))::BIGINT"
+    def le(s: Int, n: Int) = "('0x' || " + ((n - 1) to 0 by -1)
+      .map(k => s"substring(hx, ${(s - 1 + k) * 2 + 1}, 2)").mkString(" || ") + ")::BIGINT"
+    val isPng = "substring(hx, 1, 16) = '89504E470D0A1A0A'"
+    val isGif = "substring(hx, 1, 12) IN ('474946383761', '474946383961')"
+    val isBmp = "substring(hx, 1, 4) = '424D'"
+    val isWebp = "(substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57454250'" +
+      " AND substring(hx, 25, 8) = '56503858')"
+    val isTiff = "substring(hx, 1, 8) IN ('49492A00', '4D4D002A')"
+    s"""m AS (SELECT doc_id, unhex(
        |    CASE WHEN doc_id % 5 = 0 THEN $png
        |         WHEN doc_id % 5 = 1 THEN $gif
        |         WHEN doc_id % 5 = 2 THEN $bmp
@@ -739,11 +777,25 @@ FROM e ORDER BY user_id, day"""
        |         WHEN $isGif THEN 3 WHEN $isBmp THEN 3
        |         WHEN $isWebp THEN (CASE WHEN (${be(21, 1)} & 16) != 0 THEN 4 ELSE 3 END)
        |         WHEN $isTiff THEN ${le(43, 2)} END::BIGINT AS channels
-       |  FROM x)
-       |SELECT doc_id, n_bytes, digest, format, width, height, channels,
-       |  width * height AS n_pixels
-       |FROM y ORDER BY doc_id""".stripMargin
+       |  FROM x)""".stripMargin
   }
+
+  /** mm_resize_plan oracle — same letterbox arithmetic over the
+    * reconstructed dims: exact half-up integer scaling clamped to
+    * ≥ 1, centered pads, upscale flag.
+    */
+  private def mmResizePlanOracle: String =
+    s"""WITH $mmPayloadCtes,
+       |r AS (SELECT doc_id, format, width, height,
+       |    CASE WHEN width >= height THEN 224
+       |         ELSE greatest(1, (2 * width * 224 + height) // (2 * height)) END AS out_w,
+       |    CASE WHEN width >= height THEN greatest(1, (2 * height * 224 + width) // (2 * width))
+       |         ELSE 224 END AS out_h
+       |  FROM y)
+       |SELECT doc_id, format, width, height, out_w, out_h,
+       |  (224 - out_w) // 2 AS pad_left, (224 - out_h) // 2 AS pad_top,
+       |  (width < 224 AND height < 224) AS upscale
+       |FROM r ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "text_token_rank" -> tokenRankOracle(),
@@ -1896,6 +1948,7 @@ FROM e ORDER BY user_id, day"""
         |SELECT doc_id, unnest(fps) AS fingerprint FROM f
         |ORDER BY doc_id, fingerprint""".stripMargin),
     "mm_binary_meta" -> mmBinaryMetaOracle,
+    "mm_resize_plan" -> mmResizePlanOracle,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(length(f) AS BIGINT) AS frame_chars, md5(f) AS digest

@@ -133,6 +133,35 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Decode-free resize PLANNER — the metadata half of the resize
+    * step in an image-training pipeline: aspect-preserving letterbox
+    * fit of each image into a `target`×`target` box, from the header
+    * dimensions alone. Emits the scaled size (exact half-up integer
+    * rounding — `(2·w·t + h) DIV (2·h)` keeps every engine
+    * bit-identical, clamped to ≥ 1 px), the centering pads, and an
+    * upscale flag. The pixel resample itself needs a codec (out of
+    * scope, like pixel decode in [[decodePipeline]]); at 100 TB this
+    * planner is the cheap metadata pass that sizes batches and
+    * buffers BEFORE any pixel work is scheduled.
+    */
+  def resizePlan(documents: DataFrame, target: Int = 224): DataFrame = {
+    val t = lit(target.toLong)
+    binaryMeta(documents)
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        when(col("width") >= col("height"), t)
+          .otherwise(greatest(lit(1L), expr(s"(2 * width * $target + height) DIV (2 * height)")))
+          .as("out_w"),
+        when(col("width") >= col("height"),
+          greatest(lit(1L), expr(s"(2 * height * $target + width) DIV (2 * width)")))
+          .otherwise(t).as("out_h"))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("out_w"), col("out_h"),
+        expr(s"($target - out_w) DIV 2").as("pad_left"),
+        expr(s"($target - out_h) DIV 2").as("pad_top"),
+        (col("width") < t && col("height") < t).as("upscale"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampling over binary payloads: split each payload into
     * fixed-size frames (a stand-in for video GOP/frame boundaries),
     * keep every Nth, emit per-frame metadata. Pure Column algebra —

@@ -81,6 +81,23 @@ class CurationSpec extends SparkSpec {
     assert(viaKernel === viaColumns)
   }
 
+  test("resizePlan letterbox-fits every image with centered pads and bounded aspect error") {
+    val plans = Multimodal.resizePlan(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    assert(plans.nonEmpty)
+    plans.foreach { case (id, w, h, ow, oh, padL, padT, up) =>
+      assert(ow >= 1 && ow <= 224 && oh >= 1 && oh <= 224, s"doc $id out of box: ${ow}x$oh")
+      assert(ow == 224 || oh == 224, s"doc $id: neither side reaches the box")
+      // centered letterbox: pads split the leftover (floor on the odd px)
+      assert(padL == (224 - ow) / 2 && padT == (224 - oh) / 2, s"doc $id pads off-center")
+      assert(up === (w < 224 && h < 224), s"doc $id upscale flag wrong")
+      // aspect preserved within half-pixel rounding of the scaled side
+      if (w >= h) assert(math.abs(oh.toDouble - 224.0 * h / w) <= 0.5, s"doc $id aspect drift")
+      else assert(math.abs(ow.toDouble - 224.0 * w / h) <= 0.5, s"doc $id aspect drift")
+    }
+  }
+
   test("parseHeader reads real PNG/GIF/BMP/JPEG header bytes") {
     import Multimodal.parseHeader
     // PNG 640x480 RGBA, built per spec: magic, IHDR len+tag, dims,
