@@ -152,6 +152,7 @@ object SparkEntry {
     "mm_binary_meta"      -> ((s, d) => Multimodal.binaryMeta(Tables(s, d).documents)),
     "mm_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables(s, d).documents)),
     "mm_resize_plan"      -> ((s, d) => Multimodal.resizePlan(Tables(s, d).documents)),
+    "mm_byte_histogram"   -> ((s, d) => Multimodal.byteHistogram(Tables(s, d).documents)),
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
@@ -1949,6 +1950,14 @@ FROM e ORDER BY user_id, day"""
         |ORDER BY doc_id, fingerprint""".stripMargin),
     "mm_binary_meta" -> mmBinaryMetaOracle,
     "mm_resize_plan" -> mmResizePlanOracle,
+    // 16-bin high-nibble histogram over the same reconstructed bytes
+    "mm_byte_histogram" ->
+      (s"""WITH $mmPayloadCtes
+        |SELECT doc_id, b AS bin,
+        |  CAST(len([i FOR i IN range(1, octet_length(payload) + 1)
+        |            IF substring(hx, CAST(2 * i - 1 AS INT), 1) = substring('0123456789ABCDEF', CAST(b + 1 AS INT), 1)]) AS BIGINT) AS n
+        |FROM x CROSS JOIN (SELECT unnest(range(16)) AS b)
+        |ORDER BY doc_id, bin""".stripMargin),
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(length(f) AS BIGINT) AS frame_chars, md5(f) AS digest

@@ -162,6 +162,35 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature-extraction stub with REAL distributed plumbing: a 16-bin
+    * byte-class histogram per payload (high nibble of each byte — a
+    * deterministic, decode-free stand-in for the per-image feature
+    * vector a codec-backed extractor would emit). All 16 bin counts
+    * are computed INSIDE the row over the hex form (`size(filter(…))`
+    * per bin — no per-byte explode, so the shuffle carries 16 rows
+    * per document, not one row per byte; at 100 TB that is the
+    * difference between a metadata-sized and a corpus-sized
+    * exchange). Bins with zero hits are emitted (fixed 16-row shape
+    * per doc — the downstream feature matrix is dense).
+    */
+  def byteHistogram(documents: DataFrame): DataFrame = {
+    val media = synthesize(documents)
+    val hx = hex(col("payload"))
+    val n = (length(hx) / 2).cast("long")
+    // odd hex positions = high nibbles, one per payload byte; empty
+    // payloads guard to an empty array (sequence(1, 0) would emit a
+    // DESCENDING [1, 0], not an empty range)
+    val nibbles = when(n >= 1,
+      transform(sequence(lit(1L), n), i => hx.substr((i * 2 - 1).cast("int"), lit(1))))
+      .otherwise(array().cast("array<string>"))
+    val counts = array("0123456789ABCDEF".map(d =>
+      size(filter(nibbles, x => x === lit(d.toString))).cast("long")): _*)
+    media
+      .select(col("doc_id"), posexplode(counts).as(Seq("bin", "n")))
+      .select(col("doc_id"), col("bin").cast("long").as("bin"), col("n"))
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
   /** Frame sampling over binary payloads: split each payload into
     * fixed-size frames (a stand-in for video GOP/frame boundaries),
     * keep every Nth, emit per-frame metadata. Pure Column algebra —

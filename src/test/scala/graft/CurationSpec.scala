@@ -98,6 +98,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("byteHistogram emits 16 dense bins per doc summing to the payload size") {
+    val hist = Multimodal.byteHistogram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sizes = Multimodal.binaryMeta(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = hist.groupBy(_._1)
+    assert(byDoc.keySet === sizes.keySet)
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (0L until 16L), s"doc $id bins not dense")
+      assert(rows.map(_._3).sum === sizes(id), s"doc $id histogram mass != n_bytes")
+      assert(rows.forall(_._3 >= 0))
+    }
+  }
+
   test("parseHeader reads real PNG/GIF/BMP/JPEG header bytes") {
     import Multimodal.parseHeader
     // PNG 640x480 RGBA, built per spec: magic, IHDR len+tag, dims,
