@@ -173,23 +173,13 @@ object Multimodal {
     * exchange). Bins with zero hits are emitted (fixed 16-row shape
     * per doc — the downstream feature matrix is dense).
     */
-  def byteHistogram(documents: DataFrame): DataFrame = {
-    val media = synthesize(documents)
-    val hx = hex(col("payload"))
-    val n = (length(hx) / 2).cast("long")
-    // odd hex positions = high nibbles, one per payload byte; empty
-    // payloads guard to an empty array (sequence(1, 0) would emit a
-    // DESCENDING [1, 0], not an empty range)
-    val nibbles = when(n >= 1,
-      transform(sequence(lit(1L), n), i => hx.substr((i * 2 - 1).cast("int"), lit(1))))
-      .otherwise(array().cast("array<string>"))
-    val counts = array("0123456789ABCDEF".map(d =>
-      size(filter(nibbles, x => x === lit(d.toString))).cast("long")): _*)
-    media
-      .select(col("doc_id"), posexplode(counts).as(Seq("bin", "n")))
+  def byteHistogram(documents: DataFrame): DataFrame =
+    synthesize(documents)
+      .select(col("doc_id"),
+        posexplode(graft.plans.NibbleHistogram.nibbleHistogram(col("payload")))
+          .as(Seq("bin", "n")))
       .select(col("doc_id"), col("bin").cast("long").as("bin"), col("n"))
       .orderBy(col("doc_id"), col("bin"))
-  }
 
   /** Frame sampling over binary payloads: split each payload into
     * fixed-size frames (a stand-in for video GOP/frame boundaries),
