@@ -26,16 +26,30 @@ object VectorFunctions {
     */
   private def dec8(c: Column): Column = round(c.cast("double"), 8).cast(Dec8)
 
-  /** Exact decimal dot product Σ aᵢ·bᵢ. The merge result is cast
-    * back to the accumulator type (same scale — lossless), which
-    * Spark's `aggregate` requires to typecheck.
+  /** Exact decimal dot product Σ aᵢ·bᵢ — the codegen kernel
+    * ([[graft.plans.DecDotF32]]), bit-equal to [[decDotFold]] (the
+    * HOF reference the spec pins it against). The fold ran its
+    * lambdas interpreted and was re-evaluated by WindowGroupLimit
+    * prepasses in every exact re-rank's ranking stage.
     */
   def decDot(a: Column, b: Column): Column =
+    graft.plans.IntegerUnits.decDotKernel(a, b)
+
+  /** Exact decimal squared norm Σ aᵢ² (= decDot(a, a)). */
+  def decNorm2(a: Column): Column =
+    graft.plans.IntegerUnits.decDotKernel(a, a)
+
+  /** Reference HOF implementation of [[decDot]] — kept for the
+    * kernel-equivalence spec. The merge result is cast back to the
+    * accumulator type (same scale — lossless), which Spark's
+    * `aggregate` requires to typecheck.
+    */
+  def decDotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => dec8(x) * dec8(y)),
       lit(0).cast(DecAcc), (acc, v) => (acc + v).cast(DecAcc))
 
-  /** Exact decimal squared norm Σ aᵢ². */
-  def decNorm2(a: Column): Column =
+  /** Reference HOF implementation of [[decNorm2]]. */
+  def decNorm2Fold(a: Column): Column =
     aggregate(transform(a, x => dec8(x) * dec8(x)),
       lit(0).cast(DecAcc), (acc, v) => (acc + v).cast(DecAcc))
 

@@ -298,12 +298,31 @@ object Similarity {
         .select(col("vec_id").as("query_id"), col("embedding")), "query_id")
       .withColumnRenamed("embedding", "qe")
       .withColumnRenamed("band", "qband").withColumnRenamed("sig", "qsig")
+    // Candidate dedup on IDS ONLY: a band can match a (query, vector)
+    // pair up to `bands` times, and the distinct is a shuffle — so it
+    // must carry two longs per row, not two longs plus two 64-float
+    // vectors (512 B/row; the same narrow-shuffle rule as the dedup
+    // verify stage). Vectors re-attach AFTER the dedup: the query
+    // side from the (small, broadcast) query frame, the corpus side
+    // from a scan co-joined on vec_id.
     val cands = corpus.join(broadcast(qBanded),
         col("band") === col("qband") && col("sig") === col("qsig") &&
           notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
-      .select(col("query_id"), col("qe"), col("vec_id"), col("embedding")).distinct()
+      .select(col("query_id"), col("vec_id")).distinct()
+    val qVecs = queries.getOrElse(defaultQueries(embeddings))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // Two-phase re-rank like annBruteForce/annIvf: the candidate
+    // window sorts on the CODEGEN double cosine (WindowGroupLimit
+    // prepasses re-evaluate the sort key — on the interpreted decimal
+    // fold that re-evaluation dominated the whole query), the value
+    // cut keeps every possible true top-k member, and the exact
+    // decimal cosine prices only the survivors.
+    val scanned = cands
+      .join(broadcast(qVecs), "query_id")
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("fast", cosineFast(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    cands
+    keepFastSurvivors(scanned, k)
       .withColumn("cosine",
         cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
       .withColumn("rank", row_number().over(w).cast("long"))

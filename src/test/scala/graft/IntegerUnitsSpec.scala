@@ -51,6 +51,18 @@ class IntegerUnitsSpec extends SparkSpec {
     assert(diff.count() === 0L)
   }
 
+  test("decDot kernel equals the decimal HOF fold (dot and norm forms)") {
+    val probe = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val diff = emb.select(col("vec_id"),
+        decDot(col("embedding"), lit(probe)).as("kd"),
+        decDotFold(col("embedding"), lit(probe)).as("rd"),
+        decNorm2(col("embedding")).as("kn"),
+        decNorm2Fold(col("embedding")).as("rn"))
+      .filter(col("kd") =!= col("rd") || col("kn") =!= col("rn"))
+    assert(diff.count() === 0L)
+  }
+
   test("normalizeUnits passes a zero vector through unnormalized") {
     import spark.implicits._
     val z = Seq(Tuple1(Array.fill(4)(0.0f))).toDF("embedding")
