@@ -18,7 +18,10 @@ class SqlSurfaceSpec extends SparkSpec {
     "curate_split", "events_hourly_rollup", "mm_binary_meta",
     // trainer-backed view: the fit runs at registration, the scored
     // frame composes like any other relation
-    "fin_ridge", "fin_vwap", "events_histogram", "text_surprisal")
+    "fin_ridge", "fin_vwap", "events_histogram", "text_surprisal",
+    // round-8 additions: the IVF-PQ composite (two trainers at
+    // registration) and the multimodal planner/feature views
+    "ann_ivfpq", "mm_resize_plan", "mm_byte_histogram")
 
   private lazy val registered: Seq[String] =
     GraftSql.register(spark, dir, viewNames)
