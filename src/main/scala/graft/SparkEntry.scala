@@ -95,6 +95,7 @@ object SparkEntry {
     "fin_incremental_delta" -> ((s, d) => Maintenance.incrementalDelta(Tables(s, d).events)),
     "fin_daily_ohlc"        -> ((s, d) => FinAnalytics.dailyOhlc(Tables(s, d).events)),
     "fin_weekly_ohlc"       -> ((s, d) => FinAnalytics.ohlcBars(Tables(s, d).events, "week")),
+    "fin_monthly_ohlc"      -> ((s, d) => FinAnalytics.ohlcBars(Tables(s, d).events, "month")),
     "fin_drawdown"          -> ((s, d) => FinAnalytics.drawdown(Tables(s, d).events)),
     "fin_moving_avg"        -> ((s, d) => FinAnalytics.movingAvg(Tables(s, d).events)),
     "fin_rolling_hilo"      -> ((s, d) => FinAnalytics.rollingHiLo(Tables(s, d).events)),
@@ -108,7 +109,8 @@ object SparkEntry {
     // metrics) replay bit-identically in DuckDB.
     "fin_ridge_gram"        -> ((s, d) => Ridge.gram(Tables(s, d).events)),
     "fin_ridge"             -> ((s, d) => Ridge.predict(Tables(s, d).events)),
-    // iterative histogram-GBM trainer -> rows-only + GradientBoostSpec
+    // integer-units histogram GBM: the boosting loop replays as an
+    // unrolled CTE chain (gbtOracle) -> full oracle since round 9
     "fin_gbt"               -> ((s, d) => GradientBoost.predict(Tables(s, d).events)),
     // fold sizes scaled to the smallest gate SF like curate_time_split
     "fin_cv_eval"           -> ((s, d) => CvEval.ridgeCv(Tables(s, d).events,
@@ -688,41 +690,84 @@ FROM e ORDER BY user_id, day"""
        |FROM agg ORDER BY fold""".stripMargin
   }
 
-  /** mm_binary_meta oracle — builds the IDENTICAL synthetic
-    * PNG/GIF/BMP payload bytes as [[operators.Multimodal.synthesize]]
-    * (unhex of header hex + text hex) and parses the dimensions back
-    * with the same byte arithmetic over hex(payload).
+  /** fin_gbt oracle — the ann_kmeans unroll technique applied to the
+    * boosting loop of [[operators.GradientBoost]] (iters=10, lr=0.1 —
+    * the registered defaults). Everything lives on the 1e-6 integer
+    * grid: `cells` carries Σ dec6(y) as BIGINT units, `p0` seeds the
+    * half-up base score, and each round t computes the per-(feature,
+    * bin) residual marginals (`mg`), the cumulative split statistics
+    * (`sp`), the winning stump + half-up leaf values (`best` — score
+    * doubles are built from Long-ranged sums with correctly-rounded
+    * casts and ordered DESC with (fidx, thr) tiebreak = the Scala
+    * first-strict-max iteration order), and the updated per-cell
+    * integer prediction (`p{t}`). Absent-bin thresholds can never win
+    * (they tie the previous present threshold's score, and ties keep
+    * the earlier one), so cumulating over PRESENT bins only is exact.
     */
-  private def mmBinaryMetaOracle: String = {
-    def leHex(e: String, n: Int) = (0 until n)
-      .map(k => s"lpad(hex(($e >> ${8 * k}) % 256), 2, '0')").mkString(" || ")
-    val w = "(doc_id % 1000 + 1)"
-    val h = "(doc_id % 777 + 1)"
-    val png = s"'89504E470D0A1A0A' || '0000000D49484452' || " +
-      s"lpad(hex($w), 8, '0') || lpad(hex($h), 8, '0') || '0802000000'"
-    val gif = s"'474946383961' || ${leHex(w, 2)} || ${leHex(h, 2)}"
-    val bmp = s"'424D' || '${"0" * 24}' || '28000000' || ${leHex(w, 4)} || ${leHex(h, 4)}"
-    val webp = s"'524946460000000057454250565038580A000000' || " +
-      s"(CASE WHEN doc_id % 2 = 0 THEN '10' ELSE '00' END) || '000000' || " +
-      s"${leHex(s"($w - 1)", 3)} || ${leHex(s"($h - 1)", 3)}"
-    val tiff = s"'49492A0008000000' || '0300' || " +
-      s"'0001030001000000' || ${leHex(w, 4)} || " +
-      s"'0101030001000000' || ${leHex(h, 4)} || " +
-      s"'1501030001000000' || '03000000' || '00000000'"
-    def be(s: Int, n: Int) = s"('0x' || substring(hx, ${(s - 1) * 2 + 1}, ${n * 2}))::BIGINT"
-    def le(s: Int, n: Int) = "('0x' || " + ((n - 1) to 0 by -1)
-      .map(k => s"substring(hx, ${(s - 1 + k) * 2 + 1}, 2)").mkString(" || ") + ")::BIGINT"
-    val isPng = "substring(hx, 1, 16) = '89504E470D0A1A0A'"
-    val isGif = "substring(hx, 1, 12) IN ('474946383761', '474946383961')"
-    val isBmp = "substring(hx, 1, 4) = '424D'"
-    val isWebp = "(substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57454250'" +
-      " AND substring(hx, 25, 8) = '56503858')"
-    val isTiff = "substring(hx, 1, 8) IN ('49492A00', '4D4D002A')"
+  private def gbtOracle(iters: Int = 10): String = {
+    val header =
+      s"""WITH feat AS MATERIALIZED (
+         |  SELECT event_id, CAST(date_part('hour', ts) AS INT) AS hour,
+         |         CAST(date_part('dow', ts) AS INT) AS dow,
+         |         CAST(date_part('month', ts) AS INT) AS month,
+         |         CAST(value AS DOUBLE) AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |cells AS (
+         |  SELECT hour, dow, month,
+         |         CAST(sum(CAST(round(y, 6) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS syu,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM feat GROUP BY 1, 2, 3),
+         |tot AS (SELECT sum(syu) AS sy, sum(n) AS nn FROM cells),
+         |p0 AS MATERIALIZED (SELECT c.hour, c.dow, c.month, c.syu, c.n,
+         |    CAST(CASE WHEN t.sy < 0 THEN -((2 * (-t.sy) + t.nn) // (2 * t.nn))
+         |              ELSE (2 * t.sy + t.nn) // (2 * t.nn) END AS BIGINT) AS pu
+         |  FROM cells c CROSS JOIN tot t)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""mg$t AS (SELECT fidx, bin, sum(syu - pu * n) AS s, sum(n) AS nb FROM (
+         |    SELECT 0 AS fidx, hour AS bin, syu, pu, n FROM p${t - 1}
+         |    UNION ALL SELECT 1, dow, syu, pu, n FROM p${t - 1}
+         |    UNION ALL SELECT 2, month, syu, pu, n FROM p${t - 1})
+         |  GROUP BY 1, 2),
+         |sp$t AS (SELECT fidx, bin AS thr,
+         |    sum(s) OVER w AS sl, sum(nb) OVER w AS nl,
+         |    sum(s) OVER f AS st, sum(nb) OVER f AS nt
+         |  FROM mg$t
+         |  WINDOW w AS (PARTITION BY fidx ORDER BY bin ROWS UNBOUNDED PRECEDING),
+         |         f AS (PARTITION BY fidx)),
+         |best$t AS (SELECT fidx, thr,
+         |    CAST(CASE WHEN sl < 0 THEN -((2 * (-sl) + 10 * nl) // (20 * nl))
+         |              ELSE (2 * sl + 10 * nl) // (20 * nl) END AS BIGINT) AS lv,
+         |    CAST(CASE WHEN st - sl < 0 THEN -((2 * (sl - st) + 10 * (nt - nl)) // (20 * (nt - nl)))
+         |              ELSE (2 * (st - sl) + 10 * (nt - nl)) // (20 * (nt - nl)) END AS BIGINT) AS rv
+         |  FROM sp$t WHERE nl > 0 AND nt - nl > 0
+         |  ORDER BY CAST(CAST(sl AS BIGINT) AS DOUBLE) * CAST(CAST(sl AS BIGINT) AS DOUBLE) / CAST(nl AS DOUBLE)
+         |         + CAST(CAST(st - sl AS BIGINT) AS DOUBLE) * CAST(CAST(st - sl AS BIGINT) AS DOUBLE) / CAST(nt - nl AS DOUBLE) DESC,
+         |    fidx, thr
+         |  LIMIT 1),
+         |p$t AS MATERIALIZED (SELECT p.hour, p.dow, p.month, p.syu, p.n,
+         |    p.pu + CASE WHEN (CASE b.fidx WHEN 0 THEN p.hour WHEN 1 THEN p.dow ELSE p.month END) <= b.thr
+         |                THEN b.lv ELSE b.rv END AS pu
+         |  FROM p${t - 1} p CROSS JOIN best$t b)""".stripMargin
+    }
+    val fin =
+      s"""SELECT f.event_id, f.y AS value,
+         |  CAST(p.pu AS DOUBLE) / 1000000.0 AS prediction,
+         |  round(f.y - CAST(p.pu AS DOUBLE) / 1000000.0, 6) + 0.0 AS residual
+         |FROM feat f JOIN p$iters p
+         |  ON p.hour = f.hour AND p.dow = f.dow AND p.month = f.month
+         |ORDER BY f.event_id""".stripMargin
+    (Seq(header) ++ rounds).mkString(",\n") + "\n" + fin
+  }
+
+  /** mm_binary_meta oracle — the shared [[mmPayloadCtes]] container
+    * grammar (single source of the synthetic payload bytes + header
+    * parses), projected to the metadata row.
+    */
+  private def mmBinaryMetaOracle: String =
     s"""WITH $mmPayloadCtes
        |SELECT doc_id, n_bytes, digest, format, width, height, channels,
        |  width * height AS n_pixels
        |FROM y ORDER BY doc_id""".stripMargin
-  }
 
   /** Shared payload-reconstruction CTE chain (`m`/`x`/`y`) for the
     * mm_* oracles: identical synthetic container bytes as
@@ -803,6 +848,7 @@ FROM e ORDER BY user_id, day"""
     "fin_ridge_gram" -> ridgeGramOracle,
     "fin_ridge" -> ridgePredictOracle,
     "fin_cv_eval" -> cvEvalOracle,
+    "fin_gbt" -> gbtOracle(),
     "curate_time_split" ->
       """WITH r AS (SELECT event_id,
         |    CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) - 1 AS idx
@@ -1436,6 +1482,20 @@ FROM e ORDER BY user_id, day"""
         |                            ORDER BY ts DESC, event_id DESC) AS rn_d
         |  FROM events)
         |GROUP BY user_id, week ORDER BY user_id, week""".stripMargin,
+    "fin_monthly_ohlc" ->
+      """SELECT user_id, month,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_ticks
+        |FROM (
+        |  SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month, value,
+        |         row_number() OVER (PARTITION BY user_id, CAST(date_trunc('month', ts) AS DATE)
+        |                            ORDER BY ts, event_id) AS rn_a,
+        |         row_number() OVER (PARTITION BY user_id, CAST(date_trunc('month', ts) AS DATE)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |GROUP BY user_id, month ORDER BY user_id, month""".stripMargin,
     "fin_drawdown" -> (closesCte +
       """
         |, dd AS (SELECT user_id,

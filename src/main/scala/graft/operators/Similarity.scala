@@ -31,10 +31,16 @@ object Similarity {
     * cosine ties the k-th fast value within 1e-6. A fixed rank margin
     * (k+c) silently drops true neighbors when > c corpus vectors sit
     * within double-vs-exact error of the k-th score (duplicate/near-
-    * identical vectors); the value cut is immune — double and exact
-    * cosine differ < 1e-9 ≪ 1e-6, so no true top-k member can fall
-    * below kth_fast − 1e-6. NULL kth_fast (fewer than k candidates)
-    * keeps everything.
+    * identical vectors); the value cut is immune. Margin budget: the
+    * double summation itself is exact to ~1e-12, but the EXACT path
+    * first quantizes each component through dec8 (up to 5e-9 absolute
+    * per component), so across 64-dim dot/norm sums the double-vs-
+    * exact cosine gap is really ~1e-7..4e-7 for the ~unit-norm
+    * vectors admitted here — still below the 1e-6 cut, but by ~2.5×,
+    * not the ~1000× a naive 1e-9 estimate suggests. If small-norm
+    * vectors are ever admitted, the dec8 perturbation amplifies by
+    * 1/‖v‖ and the margin must widen accordingly. NULL kth_fast
+    * (fewer than k candidates) keeps everything.
     */
   private def keepFastSurvivors(df: DataFrame, k: Int): DataFrame = {
     val wFast = Window.partitionBy(col("query_id")).orderBy(col("fast").desc, col("vec_id"))
@@ -596,7 +602,10 @@ object Similarity {
 
   /** Exact decimal re-rank of the ≤ rerank×queries survivors only —
     * on the ORIGINAL vectors (cosine is scale-invariant, and the
-    * other ann_* oracles share this exact form).
+    * other ann_* oracles share this exact form). Output is the
+    * explicit (query_id, vec_id, rank, cosine) + `carry` projection,
+    * so carried columns (e.g. annIvfPq's label) survive by contract
+    * rather than by the absence of a select.
     */
   private def pqExactRerank(cands: DataFrame, embeddings: DataFrame, k: Int,
                             carry: Seq[String] = Nil): DataFrame = {
@@ -606,6 +615,7 @@ object Similarity {
         cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
       .withColumn("rank", row_number().over(wC).cast("long"))
       .filter(col("rank") <= k)
+      .select((Seq("query_id", "vec_id", "rank", "cosine") ++ carry).map(col): _*)
   }
 
   /** IVF-style search: the coarse quantizer assignment is the

@@ -68,6 +68,7 @@ case class QuantizeUnitsI64(child: Expression) extends UnaryExpression {
          |long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  double $v = ((double) $arr.getFloat($i)) * 1.0E8D;
+         |  ${QuantizeUnitsI64.guardJava(v)}
          |  long $t = (long) $v;
          |  double $f = $v - (double) $t;
          |  $out[$i] = ($v >= 0.0D) ? ($f >= 0.5D ? $t + 1L : $t)
@@ -82,24 +83,43 @@ case class QuantizeUnitsI64(child: Expression) extends UnaryExpression {
 }
 
 object QuantizeUnitsI64 {
+  /** 2^52 — above this |e·1e8| the truncate-compare shortcut stops
+    * matching Spark's decimal round (and the +1 step could wrap), so
+    * out-of-range input throws instead of silently diverging — the
+    * same loud policy as the addExact guards below. NaN/±Inf fail the
+    * `<` test and throw too.
+    */
+  private val ExactBound = 4.503599627370496e15
+
   /** Exact half-up (away from zero) of `e * 1e8` — see class doc for
     * why this equals Spark's `cast(round(double(e) * 1e8, 0) as long)`
-    * in the |v| < 2^52 range.
+    * in the |v| < 2^52 range (enforced loudly).
     */
   def quantize(e: Float): Long = {
     val v = e.toDouble * 1.0e8
+    if (!(math.abs(v) < ExactBound))
+      throw new ArithmeticException(
+        s"quantize_units: |e*1e8| = $v not < 2^52; exact half-up shortcut would diverge")
     val t = v.toLong
     val f = v - t.toDouble
     if (v >= 0.0) { if (f >= 0.5) t + 1 else t }
     else { if (f <= -0.5) t - 1 else t }
   }
+
+  /** The codegen-inlined guard mirroring [[quantize]]'s range check. */
+  private[plans] def guardJava(v: String): String =
+    s"""if (!(java.lang.Math.abs($v) < 4.503599627370496E15D)) """ +
+      s"""throw new ArithmeticException("quantize_units: |e*1e8| = " + $v + " not < 2^52");"""
 }
 
 /** Squared L2 distance of two `array<long>` unit vectors, accumulated
   * in overflow-checked Long arithmetic (`Math.multiplyExact` /
   * `addExact` — the same loud-failure guard the ANSI fold gave).
   * Bounds from the class doc: |u| < 6e7 → per-term < 1.5e16, 64-dim
-  * sum < 1e18, inside Long.
+  * sum < 1e18, inside Long. Mismatched lengths throw (the zip_with
+  * fold this replaces null-padded to a loud NULL; silently truncating
+  * to the shorter array would instead return a plausible wrong value
+  * for a malformed embedding).
   */
 case class L2UnitsI64(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -115,7 +135,7 @@ case class L2UnitsI64(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = IntegerUnits.requireSameLength(x.numElements(), y.numElements(), "l2_units")
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -131,7 +151,7 @@ case class L2UnitsI64(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |${IntegerUnits.sameLengthJava(n, arr1, arr2, "l2_units")}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $d = $arr1.getLong($i) - $arr2.getLong($i);
@@ -218,6 +238,7 @@ case class NormalizeUnitsI64(child: Expression) extends UnaryExpression {
          |  double $v = ($nrm > 0.0D)
          |    ? ((double) (float) (((double) $arr.getFloat($i)) / $nrm)) * 1.0E8D
          |    : ((double) $arr.getFloat($i)) * 1.0E8D;
+         |  ${QuantizeUnitsI64.guardJava(v)}
          |  long $t = (long) $v;
          |  double $f = $v - (double) $t;
          |  $out[$i] = ($v >= 0.0D) ? ($f >= 0.5D ? $t + 1L : $t)
@@ -252,7 +273,8 @@ object NormalizeUnitsI64 {
   * as the loud guard), and the result is the scale-16 decimal of the
   * sum. The interpreted fold ran at ~15 µs/row and was re-evaluated
   * by WindowGroupLimit prepasses in every exact re-rank — the
-  * dominant cost of ann_lsh's ranking stage.
+  * dominant cost of ann_lsh's ranking stage. Mismatched lengths
+  * throw, like [[L2UnitsI64]].
   */
 case class DecDotF32(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -268,7 +290,7 @@ case class DecDotF32(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = IntegerUnits.requireSameLength(x.numElements(), y.numElements(), "dec_dot")
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -285,7 +307,7 @@ case class DecDotF32(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
       val helper = NormalizeUnitsI64.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
-         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |${IntegerUnits.sameLengthJava(n, arr1, arr2, "dec_dot")}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact(
@@ -301,6 +323,22 @@ case class DecDotF32(left: Expression, right: Expression)
 }
 
 object IntegerUnits {
+  /** Loud equal-length check for the binary kernels — the zip_with
+    * folds they replace null-padded mismatched arrays to a visible
+    * NULL; truncating would yield a plausible wrong value instead.
+    */
+  def requireSameLength(a: Int, b: Int, op: String): Int = {
+    if (a != b)
+      throw new IllegalArgumentException(s"$op: array lengths differ ($a vs $b)")
+    a
+  }
+
+  /** Codegen twin of [[requireSameLength]]: declares `int nVar`. */
+  private[plans] def sameLengthJava(nVar: String, arr1: String, arr2: String, op: String): String =
+    s"""int $nVar = $arr1.numElements();
+       |if ($nVar != $arr2.numElements()) throw new IllegalArgumentException(
+       |  "$op: array lengths differ (" + $nVar + " vs " + $arr2.numElements() + ")");""".stripMargin
+
   /** Column API for the quantizer. */
   def quantizeUnits(e: Column): Column =
     ColumnBridge.column(QuantizeUnitsI64(ColumnBridge.expression(e)))

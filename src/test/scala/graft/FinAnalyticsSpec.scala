@@ -31,6 +31,18 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(d1.getLong(6) === 2L)     // n_ticks
   }
 
+  test("ohlcBars('month') folds a whole month into one bar per key") {
+    val withFeb = events.union(Seq(
+      (8L, 1L, ts("2026-02-10 10:00:00"), "t", 7.0)).toDF(events.columns: _*))
+    val rows = FinAnalytics.ohlcBars(withFeb, "month").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(5), r.getLong(6)))
+    assert(rows.toSeq === Seq(
+      (1L, "2026-01-01", 5.0, 30.0, 4L),  // open=first tick, close=last
+      (1L, "2026-02-01", 7.0, 7.0, 1L),
+      (2L, "2026-01-01", 50.0, 50.0, 3L)))
+  }
+
   test("movingAvg is the trailing mean of daily closes") {
     val rows = FinAnalytics.movingAvg(events).collect()
       .filter(_.getLong(0) == 1L).map(r => (r.getDate(1).toString, r.getDouble(3)))
