@@ -138,14 +138,15 @@ object SparkEntry {
     // unrolled Lloyd CTE chain (lloydCtes)
     "ann_kmeans"          -> ((s, d) => Similarity.kmeans(Tables(s, d).embeddings)),
     // trained-quantizer IVF: the same Lloyd chain feeds the ann_ivf
-    // ranking SQL -> full oracle too
-    "ann_ivf_trained"     -> ((s, d) => Similarity.annIvfTrained(Tables(s, d).embeddings)),
+    // ranking SQL -> full oracle too; nprobe=2 exercises the
+    // multi-cell recall knob under the gate
+    "ann_ivf_trained"     -> ((s, d) => Similarity.annIvfTrained(Tables(s, d).embeddings, nprobe = 2)),
     // PQ: exact integer-units training/encode/ADC -> full oracle (pqCtes)
     // + determinism/recall specs (SimilaritySpec)
     "ann_pq"              -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings)),
     // IVF-PQ composite: trained-cell prune x PQ codes scan -> full
-    // oracle (lloydCtes + pqCtes joined on the cell filter)
-    "ann_ivfpq"           -> ((s, d) => Similarity.annIvfPq(Tables(s, d).embeddings)),
+    // oracle (lloydCtes + pqCtes joined on the cell filter); nprobe=2
+    "ann_ivfpq"           -> ((s, d) => Similarity.annIvfPq(Tables(s, d).embeddings, nprobe = 2)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),
@@ -299,6 +300,17 @@ object SparkEntry {
          |  SELECT vec_id, cluster, du, row_number() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn FROM d_fin) WHERE rn = 1)""".stripMargin
     (Seq(header) ++ rounds ++ Seq(fin)).mkString(",\n")
   }
+
+  /** Query-side nprobe probing over the Lloyd chain's final
+    * centroids: the top-`nprobe` (du, cluster)-ordered cells per
+    * query vector, mirroring Similarity.assignTopCells (nprobe=1
+    * degenerates to a_fin's argmin). Requires `d_fin` (lloydCtes)
+    * earlier in the WITH chain.
+    */
+  private def qProbeCte(nprobe: Int): String =
+    s"""q_probe AS (SELECT vec_id, cluster FROM (
+       |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn
+       |  FROM d_fin WHERE vec_id % 100 = 0) WHERE rn <= $nprobe)""".stripMargin
 
   private val normsCte =
     s"""norms AS (SELECT vec_id, sum(p) AS nrm FROM (
@@ -1886,14 +1898,17 @@ FROM e ORDER BY user_id, day"""
         |  CAST((2 * du + 10000000000) // 20000000000 AS DOUBLE) / 1000000.0 + 0.0 AS dist
         |FROM a_fin ORDER BY vec_id""".stripMargin),
     // The trained-quantizer IVF: the same Lloyd chain (nlist=8,
-    // iters=3) labels corpus and queries, then the ann_ivf ranking
-    // runs inside the query's trained cell.
+    // iters=3) labels the corpus; each query probes its top-2
+    // (du, cluster)-ordered cells (q_probe) and the ann_ivf ranking
+    // runs across the probed cells' union. qlabel = the matched
+    // corpus cell, so `label` stays the neighbor's cell.
     "ann_ivf_trained" ->
       (s"""WITH ${lloydCtes(8, 3)},
         |lab AS (SELECT vec_id, cluster AS label FROM a_fin),
+        |${qProbeCte(2)},
         |$normsCte,
-        |q AS (SELECT e.vec_id AS query_id, e.embedding AS qe, l.label AS qlabel
-        |      FROM embeddings e JOIN lab l ON l.vec_id = e.vec_id WHERE e.vec_id % 100 = 0),
+        |q AS (SELECT e.vec_id AS query_id, e.embedding AS qe, p.cluster AS qlabel
+        |      FROM embeddings e JOIN q_probe p ON p.vec_id = e.vec_id),
         |dots AS (SELECT query_id, qlabel, vec_id, sum(p) AS dot FROM (
         |  SELECT q.query_id, q.qlabel, e.vec_id,
         |         unnest([${dec8("q.qe[i]")} * ${dec8("e.embedding[i]")}
@@ -1933,16 +1948,17 @@ FROM e ORDER BY user_id, day"""
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
     // IVF-PQ: the Lloyd chain labels cells, the PQ chain supplies
-    // codes + ADC tables; candidates come only from the query's own
-    // trained cell, then the standard exact re-rank.
+    // codes + ADC tables; candidates come from the query's top-2
+    // probed cells (q_probe), then the standard exact re-rank.
     "ann_ivfpq" ->
       (s"""WITH $normsCte,
         |${lloydCtes(8, 3)},
+        |${qProbeCte(2)},
         |${pqCtes(8, 3, 8)},
         |adist AS (SELECT qd.query_id, lq.cluster AS label, c.vec_id, sum(qd.du) AS adist
         |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
         |  JOIN a_fin lv ON lv.vec_id = c.vec_id
-        |  JOIN a_fin lq ON lq.vec_id = qd.query_id
+        |  JOIN q_probe lq ON lq.vec_id = qd.query_id
         |  WHERE lv.cluster = lq.cluster AND c.vec_id <> qd.query_id GROUP BY 1, 2, 3),
         |cand AS (SELECT query_id, label, vec_id FROM (
         |  SELECT query_id, label, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra

@@ -202,6 +202,31 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("u"), col("cluster"), col("du"))
   }
 
+  /** Top-`nprobe` nearest-centroid assignments — one row per probed
+    * cell, (du, cluster) ascending, so nprobe=1 reduces exactly to
+    * [[assignCells]]' argmin (same lowest-cluster tiebreak). This is
+    * the IVF recall knob: imbalanced cells put true neighbors just
+    * across a Voronoi boundary, and probing the next-nearest cells
+    * buys recall back at candidate cost nprobe/nlist of the corpus.
+    * Shuffle-free: the per-row (du, cluster) struct array sorts
+    * lexicographically (du first) and slices — no window needed, so
+    * probing a billion queries costs one map pass.
+    */
+  private def assignTopCells(df: DataFrame, centroids: Seq[Array[Long]], nprobe: Int): DataFrame = {
+    import graft.plans.IntegerUnits.l2Units
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    val withU = df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
+    val ds = centroids.indices.map(i => l2Units(col("u"), lit(centroids(i))).as(s"d$i"))
+    val pairs = array(centroids.indices.map(i =>
+      struct(col(s"d$i").as("du"), lit(i.toLong).as("cluster"))): _*)
+    withU.select(col("vec_id") +: col("embedding") +: ds: _*)
+      .select(col("vec_id"), col("embedding"),
+        explode(slice(array_sort(pairs), 1, nprobe)).as("p"))
+      .select(col("vec_id"), col("embedding"),
+        col("p.cluster").as("cluster"), col("p.du").as("du"))
+  }
+
   /** Lloyd's training loop — returns the trained centroids in 1e-8
     * units (k×dim model parameters; the only thing the driver ever
     * collects). Means are integer half-up (sign split so DIV only
@@ -242,17 +267,27 @@ object Similarity {
     * whole search — carry a full DuckDB oracle (the unrolled Lloyd
     * CTE chain feeding the ann_ivf ranking SQL); the spec also
     * asserts determinism and recall@k against the exact scan.
+    *
+    * `nprobe` probes the query's nearest `nprobe` cells
+    * ([[assignTopCells]]): candidates grow to nprobe/nlist of the
+    * corpus and recall@k is monotonically non-decreasing in nprobe
+    * (candidate sets are nested — SimilaritySpec pins this, and that
+    * nprobe = nlist recovers the exact brute-force result). Each
+    * (query, neighbor) pair still appears once: a corpus vector lives
+    * in exactly one cell. Output `label` is the NEIGHBOR's cell.
     */
   def annIvfTrained(embeddings: DataFrame, queries: Option[DataFrame] = None,
-                    k: Int = 5, nlist: Int = 8, iters: Int = 3): DataFrame = {
+                    k: Int = 5, nlist: Int = 8, iters: Int = 3,
+                    nprobe: Int = 1): DataFrame = {
     val centroids = train(embeddings, nlist, iters)
-    def labeled(df: DataFrame): DataFrame =
-      assignCells(df.select(col("vec_id"), col("embedding")), centroids)
-        .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
+    val corpus = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
+    val qsBase = queries.getOrElse(defaultQueries(embeddings))
+    val probed = assignTopCells(qsBase.select(col("vec_id"), col("embedding")), centroids, nprobe)
+      .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
     // self-exclusion follows OUR caller's query provenance, not the
     // always-Some frame handed to annIvf (see notSelf)
-    annIvf(labeled(embeddings),
-      Some(labeled(queries.getOrElse(defaultQueries(embeddings)))), k,
+    annIvf(corpus, Some(probed), k,
       queriesAreCorpusDerived = Some(queries.isEmpty))
   }
 
@@ -422,8 +457,10 @@ object Similarity {
     * and within the cell ranking reads PQ CODES only (global
     * codebooks on normalized vectors, like [[annPq]]) before the
     * exact decimal re-rank. At 100 TB the scan touches `codes`+`label`
-    * (9 bytes/vector) for 1/nlist of the corpus — the two pruning
-    * axes compose multiplicatively. (Production refinement — per-cell
+    * (9 bytes/vector) for nprobe/nlist of the corpus — the two
+    * pruning axes compose multiplicatively, and `nprobe` (the
+    * [[assignTopCells]] recall knob) trades candidate volume back
+    * for recall when cells are imbalanced. (Production refinement — per-cell
     * RESIDUAL codebooks — changes the trained model, not the plan
     * shape.)
     *
@@ -434,7 +471,8 @@ object Similarity {
   def annIvfPq(embeddings: DataFrame, queries: Option[DataFrame] = None,
                k: Int = 5, nlist: Int = 8, ivfIters: Int = 3,
                m: Int = 8, codebookSize: Int = 8, pqIters: Int = 3,
-               rerank: Int = 50, queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+               rerank: Int = 50, nprobe: Int = 1,
+               queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
     val dsub = pqDsub(m)
     val centroids = train(embeddings, nlist, ivfIters)
     def labelOf(df: DataFrame): DataFrame =
@@ -445,9 +483,12 @@ object Similarity {
     val codes = pqEncode(corpusU, codebooks, dsub)
       .join(labelOf(embeddings), "vec_id")
     val qsBase = queries.getOrElse(defaultQueries(embeddings))
+    // nprobe rows per query (assignTopCells): the ADC scan reads
+    // codes from the query's nprobe nearest cells; the per-query
+    // rerank window then cuts across all probed cells at once.
     val qs = pqQueries(qsBase, codebooks, dsub)
-      .join(labelOf(qsBase.select(col("vec_id"), col("embedding")))
-        .select(col("vec_id").as("query_id"), col("label").as("qlabel")), "query_id")
+      .join(assignTopCells(qsBase.select(col("vec_id"), col("embedding")), centroids, nprobe)
+        .select(col("vec_id").as("query_id"), col("cluster").as("qlabel")), "query_id")
     val cands = pqAdcCandidates(
       codes.join(broadcast(qs),
         col("label") === col("qlabel") &&

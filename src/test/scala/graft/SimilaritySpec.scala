@@ -138,6 +138,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.4, s"recall@5 = ${recalls.sum / recalls.size}")
   }
 
+  test("IVF recall@5 is monotone in nprobe and exact at nprobe = nlist") {
+    val exact = exactTopK(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(nprobe: Int): (Double, Set[(Long, Long, Long, Double)]) = {
+      val rows = Similarity.annIvfTrained(embeddings, nlist = 8, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      val byQ = rows.map(t => (t._1, t._2)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rec = exact.map { case (q, want) =>
+        byQ.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+      }
+      (rec.sum / rec.size, rows.toSet)
+    }
+    val (rec1, _) = recallAt(1)
+    val (rec2, _) = recallAt(2)
+    val (rec8, rows8) = recallAt(8)
+    // probed candidate sets are nested, so recall can only grow
+    assert(rec1 <= rec2 + 1e-12 && rec2 <= rec8 + 1e-12,
+      s"recall not monotone: nprobe 1/2/8 -> $rec1 / $rec2 / $rec8")
+    assert(rec2 > rec1, s"nprobe=2 bought no recall on this corpus ($rec1 -> $rec2)")
+    // all cells probed = the exact scan, bit for bit
+    val want = exactTopK(5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows8 === want, "nprobe = nlist must recover the exact brute-force result")
+  }
+
   test("kmeans is deterministic, covers all vectors, and iterating improves the objective") {
     val a1 = Similarity.kmeans(embeddings, k = 4, iters = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
