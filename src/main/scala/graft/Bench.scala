@@ -6,8 +6,18 @@ object Bench {
     val spark = GraftSession.get("graft-bench")
     // Warm up the JVM (codegen compiler, shuffle machinery, parquet
     // footer reads) so the first timed query isn't charged for it.
+    // The warmup is also the LOAD CANARY: its work is fixed, so a
+    // slow warmup_s (plus the 1-minute loadavg) tells the round
+    // driver "this sample ran on a loaded box" without a manual
+    // re-adjudication of every per-query outlier (round 8 cost one).
+    val warmT0 = System.nanoTime()
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q_filter_project").foreach(fn => fn(spark, sfDir).count())
+    val warmupS = (System.nanoTime() - warmT0) / 1e9
+    val load1 = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
     // min of two runs per query: the second run reuses compiled
     // codegen classes, so this measures the operator's steady-state
     // throughput (what dominates at real scale) rather than one-time
@@ -64,14 +74,14 @@ object Bench {
     // only passing queries reads as a speedup when queries crash
     // (round 7: 69 fails deflated the headline by ~22 s).
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","fails":$fails,"queries":$qs,"sf":"$sfDir"$prevField,"deltas":$deltas}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","fails":$fails,"warmup_s":${fmt(warmupS)},"load1":${fmt(load1)},"queries":$qs,"sf":"$sfDir"$prevField,"deltas":$deltas}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     println(detail)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"fails":$fails$prevField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"fails":$fails,"warmup_s":${fmt(warmupS)},"load1":${fmt(load1)}$prevField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
