@@ -77,17 +77,37 @@ object Similarity {
     * (#22/#23) and [[annLsh]]. Per-pair cost stays cheap: codegen
     * double-cosine prefilter (1e-3 margin ≫ the ~1e-12 double-vs-
     * exact error), exact decimal verification only on survivors.
+    *
+    * Sizing `blocks` (the one knob a scaled-up caller must get
+    * right, or discover by OOM): a join group holds ~n/blocks rows
+    * of each side in executor memory, so blocks must GROW with the
+    * corpus — `blocks = 0` (the default) auto-derives
+    * `max(16, ceil(n / 200k))` from one cheap id-column count,
+    * capping a group's side at ~200k vectors (~60 MB of 64-dim
+    * floats) regardless of n. Under that rule the replicated
+    * shuffle carries n²/200k rows total — each shuffled row
+    * amortizes ~100k pair evaluations, so the shuffle never
+    * dominates the (inherent) Θ(n²) compute, and group count
+    * blocks²/2 grows fast enough to feed any executor fleet.
+    * Results are invariant to `blocks`; it is purely physical
+    * layout.
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.45,
-                       blocks: Int = 16): DataFrame = {
+                       blocks: Int = 0): DataFrame = {
+    val b =
+      if (blocks > 0) blocks
+      else {
+        val n = embeddings.select(col("vec_id")).count()
+        math.max(16L, (n + 199999L) / 200000L).toInt
+      }
     val e = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(b)).cast("int"))
     // Roles are BLOCK-ordered (side A = the lower block, side B = the
     // higher): group (p, q), p < q, meets each cross-block pair once;
     // only the diagonal (p = p) needs the id-order filter. Output ids
     // are then normalized with least/greatest (cosine is symmetric).
     val sideA = e.select(col("vec_id").as("ia"), col("embedding").as("ea"), col("blk").as("bi"))
-      .withColumn("bj", explode(sequence(col("bi"), lit(blocks - 1))))
+      .withColumn("bj", explode(sequence(col("bi"), lit(b - 1))))
     val sideB = e.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("blk").as("bj"))
       .withColumn("bi", explode(sequence(lit(0), col("bj"))))
     sideA.join(sideB, Seq("bi", "bj"))

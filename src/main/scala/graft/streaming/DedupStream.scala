@@ -57,6 +57,61 @@ object DedupStream {
   /** Timestamped input for the TTL-bounded dedup variant. */
   case class TsDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+  /** [[Verdict]] carrying the document's event time through, so a
+    * windowed aggregation can be chained AFTER the dedup in the same
+    * continuous query.
+    */
+  case class TsVerdict(doc_id: Long, ts: java.sql.Timestamp, keep: Boolean, keeper_id: Long)
+
+  /** [[exactDedup]] preserving event time — identical keeper
+    * semantics (first-seen wins across batches, min doc_id within a
+    * batch), but the verdict keeps `ts` so downstream event-time
+    * operators still see it.
+    */
+  def exactDedupTs(docs: Dataset[TsDoc]): Dataset[TsVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => contentHash(d.text))
+      .flatMapGroupsWithState[Long, TsVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, batch: Iterator[TsDoc], state: GroupState[Long]) =>
+          val ds = batch.toVector.sortBy(_.doc_id)
+          val keeper = state.getOption.getOrElse(ds.head.doc_id)
+          if (!state.exists) state.update(keeper)
+          ds.iterator.map(d => TsVerdict(d.doc_id, d.ts, d.doc_id == keeper, keeper))
+      }
+  }
+
+  /** The composed ingestion pipeline: document stream → lifetime
+    * exact dedup → windowed rollup of KEPT (canonical) documents, in
+    * ONE continuous query. Spark permits a streaming aggregation
+    * after an Append-mode flatMapGroupsWithState, so the file-source
+    * log, the dedup keeper state, and the window state all live under
+    * a single checkpoint and restore TOGETHER on restart — the seam a
+    * two-query composition (separate checkpoints, an intermediate
+    * sink) cannot make atomic.
+    *
+    * The watermark is declared on the dedup OUTPUT's `ts` — a
+    * flatMapGroupsWithState produces fresh output attributes, so the
+    * input's event-time tag does not survive it and the downstream
+    * aggregation needs its own `withWatermark` (the documented
+    * agg-after-fMGWS pattern). In append mode a window then emits
+    * exactly once, when the watermark passes its end. Scale
+    * shape matches the batch pair ([[graft.operators.Dedup.exact]] →
+    * hourly rollup): dedup state is O(distinct content), window state
+    * O(open windows), and the only shuffles are the content-hash
+    * grouping and the window aggregation.
+    */
+  def dedupedRollup(docs: Dataset[TsDoc], watermarkDelay: String = "10 minutes",
+                    windowLen: String = "1 hour"): DataFrame = {
+    exactDedupTs(docs)
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("keep"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("kept_docs"))
+      .select(col("window.start").as("window_start"), col("kept_docs"))
+  }
+
   /** [[exactDedup]] with EVENT-TIME TTL eviction — the variant for a
     * truly unbounded stream where O(distinct-content-ever) state is
     * not acceptable: a content key whose last sighting falls `ttl`

@@ -626,4 +626,80 @@ class StreamingSpec extends SparkSpec {
       assert(got.find(_._1 == 100L).get._4 === 99.0)
     } finally q.stop()
   }
+
+  test("file-drop → exact dedup → windowed rollup composes in one query and survives a mid-pipeline restart") {
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.TsDoc
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compose").toString
+    val watch = s"$dir/watch"; java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watch))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def drop(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val body = rows.map { case (id, t, tx) => s"$id,$t,$tx" }.mkString("\n")
+      // atomic-ish: write then move, so the file source never reads a
+      // half-written drop
+      val tmp = java.nio.file.Paths.get(s"$dir/$name.tmp")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$watch/$name"))
+    }
+    // One query: file source → flatMapGroupsWithState dedup → window
+    // agg → parquet sink, all under ONE checkpoint. The three state
+    // surfaces (file log, keeper state, window state) must restore
+    // together.
+    def start() = DedupStream.dedupedRollup(
+        spark.readStream.schema(docSchema).csv(watch).as[TsDoc])
+      .writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .start()
+
+    drop("d1.csv", Seq(
+      (1L, "2026-01-01 10:05:00", "alpha"),
+      (2L, "2026-01-01 10:15:00", "alpha"), // in-batch dup
+      (3L, "2026-01-01 10:20:00", "beta"),
+      (4L, "2026-01-01 11:10:00", "gamma")))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // mid-pipeline restart: doc 5 duplicates run-1 content (keeper
+    // state check), doc 6 is fresh, doc 7 pushes the watermark
+    drop("d2.csv", Seq(
+      (5L, "2026-01-01 11:20:00", "alpha"), // cross-RESTART dup
+      (6L, "2026-01-01 11:30:00", "delta"),
+      (7L, "2026-01-01 18:00:00", "flush-1")))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // one more drop so the post-restart watermark (17:50) emits the
+      // closed 11:00 window
+      drop("d3.csv", Seq((8L, "2026-01-01 23:00:00", "flush-2")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(s"$dir/out")
+      .filter(col("window_start") < lit(ts("2026-01-01 12:00:00")))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    // batch parity: exact dedup keepers over ALL dropped docs → hourly
+    // counts of kept docs for the closed windows
+    val all = Seq(
+      (1L, ts("2026-01-01 10:05:00"), "alpha"), (2L, ts("2026-01-01 10:15:00"), "alpha"),
+      (3L, ts("2026-01-01 10:20:00"), "beta"), (4L, ts("2026-01-01 11:10:00"), "gamma"),
+      (5L, ts("2026-01-01 11:20:00"), "alpha"), (6L, ts("2026-01-01 11:30:00"), "delta"),
+      (7L, ts("2026-01-01 18:00:00"), "flush-1"), (8L, ts("2026-01-01 23:00:00"), "flush-2"))
+      .toDF("doc_id", "ts", "text")
+    val batch = all.join(Dedup.exact(all).select(col("keep_id")), col("doc_id") === col("keep_id"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("kept_docs"))
+      .filter(col("window_start") < lit(ts("2026-01-01 12:00:00")))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(got === batch,
+      "composed stream must equal the batch dedup+rollup recompute")
+    // and the cross-restart dup was actually suppressed: 11:00 window
+    // keeps gamma + delta only
+    assert(got === Set((ts("2026-01-01 10:00:00"), 2L), (ts("2026-01-01 11:00:00"), 2L)))
+  }
 }
