@@ -101,6 +101,8 @@ object SparkEntry {
     "fin_rolling_hilo"      -> ((s, d) => FinAnalytics.rollingHiLo(Tables(s, d).events)),
     "fin_returns"           -> ((s, d) => FinAnalytics.returns(Tables(s, d).events)),
     "fin_volatility"        -> ((s, d) => FinAnalytics.volatility(Tables(s, d).events)),
+    "fin_sharpe"            -> ((s, d) => FinAnalytics.sharpe(Tables(s, d).events)),
+    "fin_var_es"            -> ((s, d) => FinAnalytics.varEs(Tables(s, d).events)),
     "fin_beta"              -> ((s, d) => FinAnalytics.beta(Tables(s, d).events)),
     "fin_cyclical_features" -> ((s, d) => FinAnalytics.cyclicalFeatures(Tables(s, d).events)),
     // Full oracles: Gram sums are exact decimals, and the pivot-free
@@ -156,6 +158,7 @@ object SparkEntry {
     "mm_frame_sample"     -> ((s, d) => Multimodal.frameSample(Tables(s, d).documents)),
     "mm_resize_plan"      -> ((s, d) => Multimodal.resizePlan(Tables(s, d).documents)),
     "mm_byte_histogram"   -> ((s, d) => Multimodal.byteHistogram(Tables(s, d).documents)),
+    "mm_neardup"          -> ((s, d) => Multimodal.payloadNearDup(Tables(s, d).documents)),
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
@@ -1575,6 +1578,49 @@ FROM e ORDER BY user_id, day"""
         |  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) + 0.0 AS volatility
         |FROM (SELECT user_id, count(*) AS n, sum(r) AS sr, sum(r * r) AS sr2
         |      FROM rets GROUP BY user_id) WHERE n > 1 ORDER BY user_id""".stripMargin),
+    "fin_sharpe" -> (closesCte +
+      """
+        |, rets AS (SELECT user_id, close / prev_close - 1.0 AS ret FROM (
+        |    SELECT user_id, close,
+        |           lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+        |    FROM closes) WHERE prev_close IS NOT NULL AND prev_close <> 0),
+        |d AS (SELECT user_id, CAST(round(ret, 6) AS DECIMAL(19,6)) AS r,
+        |    CAST(round(least(ret, 0.0), 6) AS DECIMAL(19,6)) AS dn FROM rets),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    sum(r) AS sr, sum(r * r) AS sr2, sum(dn * dn) AS sd2
+        |  FROM d GROUP BY user_id),
+        |f AS (SELECT user_id, n,
+        |    CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sr2 AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS std,
+        |    sqrt(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE)) AS down
+        |  FROM m WHERE n > 1)
+        |SELECT user_id, n,
+        |  CASE WHEN std > 0.0 THEN round(mean / std * sqrt(252.0), 6) + 0.0 END AS sharpe,
+        |  CASE WHEN down > 0.0 THEN round(mean / down * sqrt(252.0), 6) + 0.0 END AS sortino
+        |FROM f ORDER BY user_id""".stripMargin),
+    "fin_var_es" -> (closesCte +
+      """
+        |, rets AS (SELECT user_id, day, close / prev_close - 1.0 AS ret FROM (
+        |    SELECT user_id, day, close,
+        |           lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+        |    FROM closes) WHERE prev_close IS NOT NULL AND prev_close <> 0),
+        |r2 AS (SELECT user_id, ret,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ret, day) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        |  FROM rets),
+        |v AS (SELECT user_id, ret, n,
+        |    max(CASE WHEN rn = (n * 5 + 99) // 100 THEN ret END)
+        |      OVER (PARTITION BY user_id) AS var_ret
+        |  FROM r2),
+        |g AS (SELECT user_id, max(n) AS n, max(var_ret) AS var_ret,
+        |    sum(CASE WHEN ret <= var_ret THEN CAST(round(ret, 6) AS DECIMAL(19,6)) END) AS tail_sum,
+        |    CAST(count(CASE WHEN ret <= var_ret THEN 1 END) AS BIGINT) AS tail_n
+        |  FROM v GROUP BY user_id)
+        |SELECT user_id, n, var_ret,
+        |  round(CAST(tail_sum AS DOUBLE) / CAST(tail_n AS DOUBLE), 6) + 0.0 AS es
+        |FROM g WHERE n > 1 ORDER BY user_id""".stripMargin),
     "fin_beta" -> (closesCte +
       """
         |, market AS (
@@ -2034,6 +2080,20 @@ FROM e ORDER BY user_id, day"""
         |            IF substring(hx, CAST(2 * i - 1 AS INT), 1) = substring('0123456789ABCDEF', CAST(b + 1 AS INT), 1)]) AS BIGINT) AS n
         |FROM x CROSS JOIN (SELECT unnest(range(16)) AS b)
         |ORDER BY doc_id, bin""".stripMargin),
+    "mm_neardup" ->
+      (s"""WITH $mmPayloadCtes,
+        |h AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS len, b,
+        |    CAST(len([i FOR i IN range(1, octet_length(payload) + 1)
+        |              IF substring(hx, CAST(2 * i - 1 AS INT), 1) = substring('0123456789ABCDEF', CAST(b + 1 AS INT), 1)]) AS BIGINT) AS n
+        |  FROM x CROSS JOIN (SELECT unnest(range(16)) AS b)),
+        |hh AS (SELECT doc_id, len, list(n ORDER BY b) AS hist
+        |  FROM h GROUP BY doc_id, len),
+        |p AS (SELECT ha.doc_id AS ia, hb.doc_id AS ib, ha.len AS la, hb.len AS lb,
+        |    CAST(list_sum([abs(ha.hist[i+1] * hb.len - hb.hist[i+1] * ha.len) FOR i IN range(16)]) AS BIGINT) AS num
+        |  FROM hh ha JOIN hh hb ON ha.doc_id < hb.doc_id)
+        |SELECT ia AS a, ib AS b, (num * 1000000) // (la * lb) AS dist_ppm
+        |FROM p WHERE num * 200 <= la * lb
+        |ORDER BY a, b""".stripMargin),
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(length(f) AS BIGINT) AS frame_chars, md5(f) AS digest

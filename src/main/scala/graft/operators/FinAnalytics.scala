@@ -226,6 +226,71 @@ object FinAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Annualized Sharpe and Sortino ratios per key — the
+    * risk-adjusted-return pair next to [[volatility]] (the reference
+    * stores beta/earningsGrowth-style derived metrics per
+    * instrument; sql/sqlrequests.sql:60). Same exact-decimal moment
+    * discipline: n, Σr, Σr², and the DOWNSIDE second moment
+    * Σ min(r,0)² (the standard Sortino denominator — full-count RMS
+    * of the clamped returns, not the negative-subset variance) are
+    * order-independent decimal sums; only the final ratio runs in
+    * doubles, with round(…,6) absorbing last-ulp engine divergence.
+    * Annualization uses √252 (daily bars → trading year).
+    */
+  def sharpe(events: DataFrame): DataFrame = {
+    val r = dec6(col("ret"))
+    val dn = dec6(least(col("ret"), lit(0.0)))
+    returns(events)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(r).as("sr"), sum(r * r).as("sr2"),
+        sum(dn * dn).as("sd2"))
+      .filter(col("n") > 1)
+      .select({
+        val nD = col("n").cast("double")
+        val mean = col("sr").cast("double") / nD
+        val std = sqrt((nD * col("sr2").cast("double")
+          - col("sr").cast("double") * col("sr").cast("double"))
+          / (nD * (col("n") - 1).cast("double")))
+        val down = sqrt(col("sd2").cast("double") / nD)
+        Seq(col("user_id"), col("n"),
+          when(std > 0.0, round(mean / std * sqrt(lit(252.0)), 6) + lit(0.0)).as("sharpe"),
+          when(down > 0.0, round(mean / down * sqrt(lit(252.0)), 6) + lit(0.0)).as("sortino"))
+      }: _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Historical Value-at-Risk and Expected Shortfall per key at the
+    * `pct` percent tail. VaR is an ORDER STATISTIC — element
+    * ⌈n·pct/100⌉ of the per-key returns sorted ascending — so it
+    * always returns an input value and there is no interpolation
+    * arithmetic to diverge between engines (the [[rollingMedian]]
+    * argument). ES is the mean of the returns at or below the VaR
+    * (value-based, so duplicate boundary returns are all included,
+    * independent of sort tiebreaks), computed as an exact dec6 sum
+    * over the tail with one double division + round(…,6) at the end.
+    * Scale shape: the rank window rides the one closes-family
+    * hash(user_id) shuffle, and the tail aggregation reuses the same
+    * clustering — no extra Exchange.
+    */
+  def varEs(events: DataFrame, pct: Int = 5): DataFrame = {
+    val byRet = Window.partitionBy(col("user_id")).orderBy(col("ret"), col("day"))
+    val whole = Window.partitionBy(col("user_id"))
+    returns(events)
+      .withColumn("rn", row_number().over(byRet))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("k", expr(s"(n * $pct + 99) DIV 100"))
+      .withColumn("var_ret", max(when(col("rn") === col("k"), col("ret"))).over(whole))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n"), max(col("var_ret")).as("var_ret"),
+        sum(when(col("ret") <= col("var_ret"), dec6(col("ret")))).as("tail_sum"),
+        count(when(col("ret") <= col("var_ret"), lit(1))).as("tail_n"))
+      .filter(col("n") > 1)
+      .select(col("user_id"), col("n"), col("var_ret"),
+        (round(col("tail_sum").cast("double") / col("tail_n").cast("double"), 6)
+          + lit(0.0)).as("es"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-key beta vs the market: market value per day = exact sum of
     * closes, beta = (n·Σ(r·m) − Σr·Σm) / (n·Σm² − (Σm)²) over
     * matched daily returns. Market series is tiny (one row per day)

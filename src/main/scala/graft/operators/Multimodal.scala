@@ -181,6 +181,58 @@ object Multimodal {
       .select(col("doc_id"), col("bin").cast("long").as("bin"), col("n"))
       .orderBy(col("doc_id"), col("bin"))
 
+  /** Near-duplicate payload pairs by byte-class histogram distance —
+    * the decode-free perceptual-dup pass of an image/media pipeline
+    * (the pHash-bucket analog): two payloads whose length-normalized
+    * 16-bin nibble histograms sit within `1/thresholdDen` L1 distance
+    * are near-dups. ENTIRELY integer arithmetic: normalized L1 ≤ 1/t
+    * ⟺ t·Σᵢ|hᵃᵢ·lenᵇ − hᵇᵢ·lenᵃ| ≤ lenᵃ·lenᵇ (cross-multiplied — no
+    * division, bit-exact in any engine), and the reported distance is
+    * integer-floor ppm. The 16-term sum is UNROLLED over `element_at`
+    * columns so it stays inside whole-stage codegen (a `zip_with`/
+    * `aggregate` HOF here would run interpreted per pair — the §5
+    * perf trap).
+    *
+    * Scale shape mirrors [[graft.operators.Similarity.embeddingNearDup]]:
+    * the histogram frame is metadata-sized (17 longs/doc, computed by
+    * the one-pass [[graft.plans.NibbleHistogram]] kernel at scan
+    * speed), and the Θ(n²) pair space is spread over a block-pair
+    * triangle equi-join — no BNLJ, no cartesian, no full-corpus
+    * broadcast. The same auto-sizing rule applies (~200k rows per
+    * block side), though a histogram row is ~20× smaller than an
+    * embedding row.
+    */
+  def payloadNearDup(documents: DataFrame, thresholdDen: Long = 200L,
+                     blocks: Int = 0): DataFrame = {
+    val hists = synthesize(documents).select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("len"),
+      graft.plans.NibbleHistogram.nibbleHistogram(col("payload")).as("hist"))
+    val b =
+      if (blocks > 0) blocks
+      else {
+        val n = documents.select(col("doc_id")).count()
+        math.max(16L, (n + 199999L) / 200000L).toInt
+      }
+    val e = hists.withColumn("blk", pmod(xxhash64(col("doc_id")), lit(b)).cast("int"))
+    val sideA = e.select(col("doc_id").as("ia"), col("len").as("la"),
+        col("hist").as("ha"), col("blk").as("bi"))
+      .withColumn("bj", explode(sequence(col("bi"), lit(b - 1))))
+    val sideB = e.select(col("doc_id").as("ib"), col("len").as("lb"),
+        col("hist").as("hb"), col("blk").as("bj"))
+      .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+    val num = (0 until 16).map(i =>
+      abs(element_at(col("ha"), i + 1) * col("lb")
+        - element_at(col("hb"), i + 1) * col("la"))).reduce(_ + _)
+    sideA.join(sideB, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ia") < col("ib"))
+      .withColumn("num", num)
+      .filter(col("num") * thresholdDen <= col("la") * col("lb"))
+      .select(least(col("ia"), col("ib")).as("a"), greatest(col("ia"), col("ib")).as("b"),
+        expr("(num * 1000000) DIV (la * lb)").as("dist_ppm"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Frame sampling over binary payloads: split each payload into
     * fixed-size frames (a stand-in for video GOP/frame boundaries),
     * keep every Nth, emit per-frame metadata. Pure Column algebra —

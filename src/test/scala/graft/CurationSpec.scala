@@ -112,6 +112,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("payloadNearDup equals a local brute-force histogram compare and plans no BNLJ/cartesian") {
+    val df = Multimodal.payloadNearDup(docs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pair join must stay an equi-join:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // local reference: nibble histograms + cross-multiplied L1
+    val payloads = Multimodal.synthesize(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val hists = payloads.map { case (id, b) =>
+      val h = new Array[Long](16)
+      b.foreach(x => h((x & 0xf0) >> 4) += 1)
+      (id, b.length.toLong, h)
+    }
+    val want = (for {
+      (ia, la, ha) <- hists; (ib, lb, hb) <- hists if ia < ib
+      num = (0 until 16).map(i => math.abs(ha(i) * lb - hb(i) * la)).sum
+      if num * 200L <= la * lb
+    } yield (ia, ib, num * 1000000L / (la * lb))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "threshold should admit some pairs on the test corpus")
+  }
+
   test("parseHeader reads real PNG/GIF/BMP/JPEG header bytes") {
     import Multimodal.parseHeader
     // PNG 640x480 RGBA, built per spec: magic, IHDR len+tag, dims,

@@ -322,4 +322,32 @@ class FinAnalyticsSpec extends SparkSpec {
       assert(Set(3, 4).contains(basis.count(_ > 1e-9)))
     }
   }
+
+  test("sharpe computes the annualized ratios and nulls out degenerate denominators") {
+    val rows = FinAnalytics.sharpe(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // user 1: returns 1.0, 0.5 → mean .75, std √.125, no downside
+    val u1 = rows(1L)
+    assert(math.abs(u1.getDouble(2) - 0.75 / math.sqrt(0.125) * math.sqrt(252.0)) < 1e-5)
+    assert(u1.isNullAt(3), "all-positive returns have no downside deviation")
+    // user 2: constant closes → zero-variance returns → both null
+    val u2 = rows(2L)
+    assert(u2.isNullAt(2) && u2.isNullAt(3))
+  }
+
+  test("varEs picks the tail order statistic and averages the value-based tail") {
+    // closes 100, 110, 99, 108.9 → returns ≈ 0.1, −0.1, 0.1; n=3 →
+    // k = ⌈3·5/100⌉ = 1 → VaR = the single most-negative return
+    val ev = Seq(
+      (1L, 9L, ts("2026-01-01 12:00:00"), "t", 100.0),
+      (2L, 9L, ts("2026-01-02 12:00:00"), "t", 110.0),
+      (3L, 9L, ts("2026-01-03 12:00:00"), "t", 99.0),
+      (4L, 9L, ts("2026-01-04 12:00:00"), "t", 108.9),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val r = FinAnalytics.varEs(ev).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 3L)
+    assert(math.abs(r(0).getDouble(2) - (-0.1)) < 1e-12) // VaR: raw input return
+    assert(r(0).getDouble(3) === -0.1)                   // ES: dec6 tail mean
+  }
 }
