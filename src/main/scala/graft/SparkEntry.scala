@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(Tables(s, d).documents)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhash(Tables(s, d).documents)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables(s, d).documents)),
+    "dedup_containment"   -> ((s, d) => Dedup.containment(Tables(s, d).documents)),
     "dedup_components"    -> ((s, d) => freshComponents(s, d)),
     "dedup_embedding"     -> ((s, d) => Similarity.embeddingNearDup(Tables(s, d).embeddings)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
@@ -160,6 +161,7 @@ object SparkEntry {
     "mm_byte_histogram"   -> ((s, d) => Multimodal.byteHistogram(Tables(s, d).documents)),
     "mm_neardup"          -> ((s, d) => Multimodal.payloadNearDup(Tables(s, d).documents)),
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
+    "events_debounce"     -> ((s, d) => Events.debounce(Tables(s, d).events)),
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
     "top_parts_heap"      -> ((s, d) => { val t = Tables(s, d); Events.topPartsHeap(t.lineitem, t.part) }),
@@ -177,6 +179,7 @@ object SparkEntry {
     "fin_ewma"            -> ((s, d) => FinAnalytics.ewma(Tables(s, d).events)),
     "events_interval_join" -> ((s, d) => Events.intervalJoin(Tables(s, d).events)),
     "curate_split"        -> ((s, d) => Curation.splitAssign(Tables(s, d).documents)),
+    "curate_shard"        -> ((s, d) => Curation.shardManifest(Tables(s, d).documents)),
     "curate_mix"          -> ((s, d) => Curation.mixSources(Tables(s, d).documents)),
     "curate_balance"      -> ((s, d) => Curation.balanceStrata(Tables(s, d).documents)),
     "curate_sample"       -> ((s, d) => Curation.sampleStratified(Tables(s, d).documents)),
@@ -1851,6 +1854,18 @@ FROM e ORDER BY user_id, day"""
         |    / 1000000.0 + 0.0 AS mean_bits
         |FROM g ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" -> jaccardOracle(4, "0.5"),
+    // overlap-coefficient containment (inter / min set size) — same
+    // shingle CTEs, asymmetric score; the oracle enumerates ALL
+    // intersecting pairs, so it also proves the one-sided prefix
+    // filter in Dedup.containment generates a complete candidate set
+    "dedup_containment" ->
+      s"""WITH ${shinglesCte(4)},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT a, b, round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) + 0.0 AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) + 0.0 >= 0.8 ORDER BY a, b""".stripMargin,
     "dedup_simhash" ->
       (s"""WITH ${shinglesCte(3)},
         |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::UBIGINT AS h FROM sh),
@@ -2111,6 +2126,19 @@ FROM e ORDER BY user_id, day"""
         |SELECT user_id, session_id, count(*) AS n_events, min(tsec) AS start_ts, max(tsec) AS end_ts,
         |       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) + 0.0 AS total_value
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "events_debounce" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |        CAST(date_trunc('second', ts) AS TIMESTAMP) AS tsec FROM events),
+        |f AS (SELECT user_id, event_type, event_id, tsec,
+        |        CASE WHEN prev IS NULL OR tsec > prev + INTERVAL 300 SECOND THEN 1 ELSE 0 END AS new_burst
+        |      FROM (SELECT *, lag(tsec) OVER (PARTITION BY user_id, event_type ORDER BY tsec, event_id) AS prev FROM e)),
+        |s AS (SELECT *, CAST(sum(new_burst) OVER (PARTITION BY user_id, event_type ORDER BY tsec, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst_id FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst_id ORDER BY tsec, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY user_id, event_type, burst_id) AS cnt FROM s)
+        |SELECT user_id, event_type, burst_id, event_id AS keeper_id, tsec AS start_ts,
+        |       CAST(cnt - 1 AS BIGINT) AS n_suppressed
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type, burst_id""".stripMargin,
     "events_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type,
         |        CAST(date_trunc('second', ts) AS TIMESTAMP) AS tsec FROM events),
@@ -2136,6 +2164,16 @@ FROM e ORDER BY user_id, day"""
         | AND e.ts >= date_trunc('second', w.ts)
         | AND e.ts < date_trunc('second', w.ts) + INTERVAL 2 DAY
         |ORDER BY e.event_id, win_id""".stripMargin,
+    "curate_shard" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    len($toksExpr) AS n_toks, length(text) AS n_chars,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 15))::UBIGINT % 16 AS BIGINT) AS shard,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars, min(doc_id) AS min_doc,
+         |  max(doc_id) AS max_doc, bit_xor(h) AS content_sig
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
     "curate_split" ->
       """SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split

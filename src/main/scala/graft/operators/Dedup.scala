@@ -448,4 +448,70 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     verifyJaccard(cands, sh, threshold)
   }
+
+  /** Asymmetric containment pairs: overlap coefficient
+    * C = |A∩B| / min(|A|,|B|) ≥ threshold over w=4 shingle sets —
+    * the quote-inclusion detector. A short document pasted inside a
+    * long one scores C ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so the
+    * symmetric near-dup passes ([[ngramJaccard]], [[minhashLsh]])
+    * structurally cannot see it; containment is the standard
+    * companion pass in web-scale dedup.
+    *
+    * Candidate generation is the ONE-SIDED prefix filter: order
+    * shingles rarest-first (same broadcast-freq ranking as
+    * [[ngramJaccard]]), keep the first n − ⌈t·n⌉ + 1 per doc, and
+    * join that prefix against the FULL inverted index restricted to
+    * docs at least as large. Completeness: with |A| ≤ |B|, C ≥ t
+    * needs ≥ ⌈t·|A|⌉ shared shingles; if none sat in A's prefix the
+    * intersection would fit in the remaining ⌈t·|A|⌉ − 1 slots —
+    * contradiction, so the prefix of the SMALLER side always hits
+    * the intersection. (Probing the full index, not prefix×prefix,
+    * is what the asymmetric bound costs: a one-sided filter is
+    * inherent to containment, which is why this stays a separate
+    * operator instead of a threshold knob on ngramJaccard.)
+    * Candidate volume stays near-linear because the prefix holds the
+    * doc's globally RAREST shingles — small inverted-index buckets —
+    * and the size constraint (nx ≤ ny) halves the probe space.
+    * Verification is the same count-based narrow-row join as
+    * [[verifyJaccard]], scored as inter/min instead of inter/union.
+    */
+  def containment(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleRows(documents, 4).localCheckpoint(true)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f")).filter(col("f") >= 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
+    val ranked = sh.join(broadcast(freq), Seq("s"), "left")
+      .withColumn("f", coalesce(col("f"), lit(1L)))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .localCheckpoint(true)
+    // Same ulp-guarded ceil as ngramJaccard: the margin only ever
+    // lengthens the prefix, never shortens it below the bound.
+    val prefix = ranked.filter(
+      col("rk") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+    // Probe side x = the prefix (smaller-or-equal doc), index side y =
+    // ALL shingle rows of docs with ny ≥ nx. Ties in n keep both
+    // orientations eligible; least/greatest + distinct collapses them.
+    val cands = prefix.as("x").join(ranked.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id") &&
+          col("x.n") <= col("y.n"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cands
+      .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"), "left")
+      .join(sh.select(col("doc_id").as("b2"), col("s").as("s2")),
+        col("b") === col("b2") && col("s") === col("s2"), "left")
+      .groupBy(col("a"), col("b"))
+      .agg(sum(when(col("s2").isNotNull, 1L).otherwise(0L)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"), "left")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"), "left")
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 6) + lit(0.0))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+      .orderBy(col("a"), col("b"))
+  }
 }

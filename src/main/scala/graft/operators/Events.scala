@@ -60,6 +60,41 @@ object Events {
       .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path")).limit(k)
 
+  /** Event debounce: collapse bursts of the same (user, event_type)
+    * into one representative — the retry/double-click/duplicate-
+    * delivery suppressor that runs before any event analytics. A
+    * burst is a gap-group at the (user_id, event_type) grain (same
+    * lag + running-sum machinery as [[sessionIds]], gap in seconds):
+    * consecutive same-type events ≤ `gapSeconds` apart chain into
+    * one burst regardless of burst length, and the FIRST event (by
+    * second-truncated ts, event_id tiebreak) is the keeper.
+    * Gap-grouping — not "distance to previous KEPT event" — keeps
+    * the semantics one window + one aggregate on a single
+    * (user_id, event_type) shuffle, with no iterative dependency;
+    * it is also what a Structured Streaming mirror can hold as
+    * per-key state. Emits one row per burst: the keeper id, burst
+    * start, and how many duplicates were suppressed.
+    */
+  def debounce(events: DataFrame, gapSeconds: Int = 300): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tsec"), col("event_id"))
+    events
+      .withColumn("tsec", date_trunc("second", col("ts")))
+      .withColumn("prev", lag(col("tsec"), 1).over(ord))
+      .withColumn("new_burst",
+        when(col("prev").isNull ||
+          col("tsec") > col("prev") + expr(s"INTERVAL $gapSeconds SECONDS"), 1L).otherwise(0L))
+      .withColumn("burst_id", sum(col("new_burst")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("event_type"), col("burst_id"))
+      .agg(min(struct(col("tsec"), col("event_id"))).as("first"),
+        count(lit(1)).as("n_burst"))
+      .select(col("user_id"), col("event_type"), col("burst_id"),
+        col("first.event_id").as("keeper_id"), col("first.tsec").as("start_ts"),
+        (col("n_burst") - 1).as("n_suppressed"))
+      .orderBy(col("user_id"), col("event_type"), col("burst_id"))
+  }
+
   /** Tumbling 1-hour rollup per event_type — the batch mirror of the
     * streaming watermark+window job. Map-side partial aggs; the
     * shuffle carries (buckets × types) rows.

@@ -47,6 +47,27 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("shardManifest partitions the corpus exactly and carries an order-invariant signature") {
+    val m = Curation.shardManifest(docs, shards = 8).cache()
+    assert(m.count() === 8)
+    // manifest totals reconcile with the corpus (no doc lost/duplicated)
+    val (nd, tc) = m.agg(sum("n_docs"), sum("total_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    assert(nd === docs.count())
+    assert(tc === docs.agg(sum(length(col("text")))).collect().head.getLong(0))
+    // signature is invariant to input ordering/partitioning …
+    val shuffled = Curation.shardManifest(
+      docs.orderBy(col("n_chars"), col("doc_id")).repartition(7), shards = 8)
+    assert(m.select("shard", "content_sig").collect().toSet ===
+      shuffled.select("shard", "content_sig").collect().toSet)
+    // … but detects a dropped document in whichever shard held it
+    val victim = docs.limit(1).select("doc_id").collect().head.getLong(0)
+    val tampered = Curation.shardManifest(docs.filter(col("doc_id") =!= victim), shards = 8)
+    assert(m.select("shard", "content_sig").collect().toSet !==
+      tampered.select("shard", "content_sig").collect().toSet)
+    m.unpersist()
+  }
+
   test("mixSources membership is independent of splitAssign buckets") {
     // the :mix salt must decorrelate the two hash decisions: if they
     // shared a hash, every kept doc of a rate-2500 source would land

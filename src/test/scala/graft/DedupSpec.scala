@@ -48,6 +48,41 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, j)).toSet
   }
 
+  /** Independent all-pairs overlap coefficient (inter / min size). */
+  private def bruteContainment(w: Int, t: Double): Set[(Long, Long, Double)] = {
+    val sets = corpus.map { case (id, txt) => id -> shingleSet(txt, w) }.toMap
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      c = BigDecimal(inter.toDouble / math.min(sa.size, sb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= t
+    } yield (a, b, c)).toSet
+  }
+
+  test("containment reproduces the brute-force overlap >= 0.8 pairs") {
+    val got = Dedup.containment(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === bruteContainment(4, 0.8))
+    assert(got.nonEmpty, "corpus must actually contain containment pairs")
+  }
+
+  test("containment catches quote-inclusion pairs Jaccard misses") {
+    // 1: a 40-token host; 2: a 10-token contiguous quote of it;
+    // 3: unrelated. C(2 in 1) = 1.0 but J ≈ 7/37 — below every
+    // symmetric near-dup threshold in the suite.
+    val host = (0 until 40).map(i => s"w${i % 25}").mkString(" ")
+    val quote = (8 until 18).map(i => s"w${i % 25}").mkString(" ")
+    val other = (0 until 20).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, host), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containment(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 })
+    assert(!got.exists { case (a, b, _) => b == 3L || a == 3L })
+    val j = Dedup.ngramJaccard(df, 0.5).collect()
+    assert(j.isEmpty, "the quote pair must be invisible to symmetric Jaccard at 0.5")
+  }
+
   test("minhashLsh reproduces the brute-force Jaccard >= 0.8 pairs") {
     val got = Dedup.minhashLsh(corpus.toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

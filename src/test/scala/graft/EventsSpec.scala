@@ -30,6 +30,29 @@ class EventsSpec extends SparkSpec {
       (2L, 1L, 2L, ts("2026-01-01 09:10:00"), ts("2026-01-01 09:30:00"), 24.0)))
   }
 
+  test("debounce chains <=300s same-type bursts and keeps the first event") {
+    val events = Seq(
+      // user 1 clicks: burst of three chained (<=300s consecutive
+      // gaps even though first->last spans 390s), then a fresh burst
+      (1L, 1L, ts("2026-01-01 10:00:00"), "click", 1.0),
+      (2L, 1L, ts("2026-01-01 10:03:00"), "click", 1.0),
+      (3L, 1L, ts("2026-01-01 10:06:30"), "click", 1.0),
+      (4L, 1L, ts("2026-01-01 10:20:00"), "click", 1.0),
+      // same user, different type inside the click burst: own burst
+      (5L, 1L, ts("2026-01-01 10:01:00"), "view", 1.0),
+      // other user untouched by user 1's bursts
+      (6L, 2L, ts("2026-01-01 10:00:30"), "click", 1.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+
+    val got = Events.debounce(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1L, "click", 1L, 1L, 2L), // keeper 1, suppressed 2 and 3
+      (1L, "click", 2L, 4L, 0L),
+      (1L, "view", 1L, 5L, 0L),
+      (2L, "click", 1L, 6L, 0L)))
+  }
+
   test("intervalJoin equals the naive range join, honors boundaries, and plans no BNLJ") {
     import org.apache.spark.sql.functions.{col, date_trunc, expr}
     val events = Seq(
