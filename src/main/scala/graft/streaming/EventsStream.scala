@@ -507,4 +507,103 @@ object EventsStream {
           }
       }
   }
+
+  /** Input row for typed debounce (keyed by user × type). */
+  case class DebEvent(user_id: Long, event_type: String, event_id: Long, ts: Timestamp)
+
+  /** Open burst kept per (user, type) between micro-batches: the
+    * keeper so far, the last event time (the gap anchor), and the
+    * burst size. O(1) per key.
+    */
+  case class OpenBurst(burstId: Long, keeperId: Long, startMs: Long,
+                       lastMs: Long, nBurst: Long)
+
+  /** Per-key debounce state — like [[SessState]], the burst counter
+    * must survive burst closure so ids never repeat.
+    */
+  case class DebState(nextBurstId: Long, open: Option[OpenBurst])
+
+  /** Emitted closed burst — same shape as the batch
+    * [[graft.operators.Events.debounce]] output row.
+    */
+  case class Burst(user_id: Long, event_type: String, burst_id: Long,
+                   keeper_id: Long, start_ts: Timestamp, n_suppressed: Long)
+
+  private def toBurst(e: DebEvent, b: OpenBurst): Burst =
+    Burst(e.user_id, e.event_type, b.burstId, b.keeperId,
+      new Timestamp(b.startMs), b.nBurst - 1)
+
+  /** Streaming mirror of [[graft.operators.Events.debounce]]: the
+    * retry/double-fire suppressor as keyed state. A burst stays open
+    * while same-(user, type) events keep arriving within `gapSeconds`
+    * of the LAST one; it closes — emitting one append-mode row — when
+    * a later event lands beyond the gap or the event-time timeout
+    * (watermark past last + gap) fires. State per key is one open
+    * burst + the id counter, evicted down to the counter on timeout —
+    * O(distinct (user, type) keys), the standard bound.
+    *
+    * A late-but-within-watermark event that lands in-gap of the open
+    * burst extends it and may even RETAKE the keeper (the batch rule:
+    * min (tsec, event_id)); a late event disjoint BEFORE the open
+    * burst becomes its own immediate burst, numbered in arrival
+    * order — the same caveat class as [[sessionize]]'s late-event
+    * branch, reconciled by the batch operator when exactness matters.
+    */
+  def debounce(events: Dataset[DebEvent], gapSeconds: Int = 300,
+               watermarkDelay: String = "1 hour"): Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebState, Burst](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), batch: Iterator[DebEvent], state: GroupState[DebState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val out = st.open.map(b =>
+              Burst(key._1, key._2, b.burstId, b.keeperId,
+                new Timestamp(b.startMs), b.nBurst - 1)).toVector
+            state.update(DebState(st.nextBurstId, None))
+            out.iterator
+          } else {
+            val st = state.getOption.getOrElse(DebState(1L, None))
+            var nextId = st.nextBurstId
+            var open = st.open
+            val evs = batch.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Vector.newBuilder[Burst]
+            evs.foreach { e =>
+              val tsec = math.floorDiv(e.ts.getTime, 1000L) * 1000L
+              open match {
+                case Some(b) if tsec >= b.startMs - gapMs && tsec <= b.lastMs + gapMs =>
+                  // In-burst; a late earlier event can retake the keeper.
+                  val retake = tsec < b.startMs ||
+                    (tsec == b.startMs && e.event_id < b.keeperId)
+                  val (ks, ki) =
+                    if (retake) (tsec, e.event_id) else (b.startMs, b.keeperId)
+                  open = Some(b.copy(keeperId = ki, startMs = ks,
+                    lastMs = math.max(b.lastMs, tsec), nBurst = b.nBurst + 1))
+                case Some(b) if tsec < b.startMs - gapMs =>
+                  // Late disjoint burst entirely before the open one.
+                  closed += Burst(e.user_id, e.event_type, nextId, e.event_id,
+                    new Timestamp(tsec), 0L)
+                  nextId += 1
+                case Some(b) =>
+                  closed += toBurst(e, b)
+                  open = Some(OpenBurst(nextId, e.event_id, tsec, tsec, 1L))
+                  nextId += 1
+                case None =>
+                  open = Some(OpenBurst(nextId, e.event_id, tsec, tsec, 1L))
+                  nextId += 1
+              }
+            }
+            state.update(DebState(nextId, open))
+            open.foreach { b =>
+              state.setTimeoutTimestamp(
+                math.max(b.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

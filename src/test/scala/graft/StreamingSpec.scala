@@ -58,6 +58,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming debounce matches batch debounce across micro-batches") {
+    import graft.streaming.EventsStream.DebEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DebEvent]
+    val bursts = EventsStream.debounce(input.toDS())
+    val q = bursts.writeStream.format("memory").queryName("deb_out")
+      .outputMode("append").start()
+    try {
+      // burst of three chained clicks, a separate view, a second
+      // user, then (next micro-batch) a fresh click burst — the
+      // cross-batch chain is the part batch windows get for free
+      val b1 = Seq(
+        DebEvent(1L, "click", 1L, ts("2026-01-01 10:00:00")),
+        DebEvent(1L, "click", 2L, ts("2026-01-01 10:03:00")),
+        DebEvent(1L, "view", 5L, ts("2026-01-01 10:01:00")),
+        DebEvent(2L, "click", 6L, ts("2026-01-01 10:00:30")))
+      val b2 = Seq(
+        DebEvent(1L, "click", 3L, ts("2026-01-01 10:06:30")), // chains onto burst 1
+        DebEvent(1L, "click", 4L, ts("2026-01-01 10:20:00"))) // new burst
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      input.addData(DebEvent(999L, "x", 9999L, ts("2026-06-01 00:00:00")))
+      q.processAllAvailable()
+      input.addData(DebEvent(999L, "x", 10000L, ts("2026-12-01 00:00:00"))) // fire timeouts
+      q.processAllAvailable()
+
+      val got = spark.table("deb_out")
+        .filter(col("user_id") =!= 999L)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getTimestamp(4), r.getLong(5))).toSet
+
+      val batch = Events.debounce(
+          (b1 ++ b2).map(e => (e.event_id, e.user_id, e.ts, e.event_type, 1.0))
+            .toDF("event_id", "user_id", "ts", "event_type", "value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getTimestamp(4), r.getLong(5))).toSet
+
+      assert(got === batch)
+      assert(got.size === 4)
+    } finally q.stop()
+  }
+
   test("session ids keep incrementing after a timeout closes a session") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
