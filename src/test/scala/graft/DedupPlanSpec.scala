@@ -28,6 +28,15 @@ class DedupPlanSpec extends SparkSpec {
       s"non-equi join in the verify plan:\n$verifiedPlan")
   }
 
+  test("containment's one-sided probe and verify plan only equi-joins") {
+    val df = Dedup.containment(Tables(spark, "/root/testdata/sf0.01").documents)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"non-equi join in the containment plan:\n$plan")
+  }
+
   test("the (b, s) intersection join is a broadcast hash join at bench SF") {
     // The exact join of the skew fix: candidate (b, s) rows against
     // the narrow shingle frame. BuildRight = the shingle side while

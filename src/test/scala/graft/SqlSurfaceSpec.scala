@@ -21,7 +21,11 @@ class SqlSurfaceSpec extends SparkSpec {
     "fin_ridge", "fin_vwap", "events_histogram", "text_surprisal",
     // round-8 additions: the IVF-PQ composite (two trainers at
     // registration) and the multimodal planner/feature views
-    "ann_ivfpq", "mm_resize_plan", "mm_byte_histogram")
+    "ann_ivfpq", "mm_resize_plan", "mm_byte_histogram",
+    // round-9 additions: risk ratios, containment dedup, shard
+    // manifests, debounce
+    "fin_sharpe", "fin_var_es", "dedup_containment", "curate_shard",
+    "events_debounce", "mm_neardup")
 
   private lazy val registered: Seq[String] =
     GraftSql.register(spark, dir, viewNames)
