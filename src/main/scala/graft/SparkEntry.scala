@@ -162,6 +162,7 @@ object SparkEntry {
     "mm_neardup"          -> ((s, d) => Multimodal.payloadNearDup(Tables(s, d).documents)),
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
     "events_debounce"     -> ((s, d) => Events.debounce(Tables(s, d).events)),
+    "events_rolling_active" -> ((s, d) => Events.rollingActive(Tables(s, d).events)),
     "events_hourly_rollup" -> ((s, d) => Events.hourlyRollup(Tables(s, d).events)),
     "top_parts_revenue"   -> ((s, d) => { val t = Tables(s, d); Events.topPartsRevenue(t.lineitem, t.part) }),
     "top_parts_heap"      -> ((s, d) => { val t = Tables(s, d); Events.topPartsHeap(t.lineitem, t.part) }),
@@ -2139,6 +2140,15 @@ FROM e ORDER BY user_id, day"""
         |SELECT user_id, event_type, burst_id, event_id AS keeper_id, tsec AS start_ts,
         |       CAST(cnt - 1 AS BIGINT) AS n_suppressed
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type, burst_id""".stripMargin,
+    "events_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, day + CAST(x AS INTEGER) AS day FROM ud
+        |      CROSS JOIN (SELECT unnest(range(7)) AS x)),
+        |w AS (SELECT day, count(DISTINCT user_id) AS wau FROM c GROUP BY day),
+        |d AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+        |SELECT d.day, dau, wau,
+        |       round(CAST(dau AS DOUBLE) / wau, 6) + 0.0 AS stickiness
+        |FROM d JOIN w ON d.day = w.day ORDER BY d.day""".stripMargin,
     "events_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type,
         |        CAST(date_trunc('second', ts) AS TIMESTAMP) AS tsec FROM events),

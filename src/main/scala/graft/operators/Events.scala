@@ -95,6 +95,36 @@ object Events {
       .orderBy(col("user_id"), col("event_type"), col("burst_id"))
   }
 
+  /** Rolling active users: per day, the EXACT distinct-user counts at
+    * 1-day (DAU) and trailing-`window`-day (WAU) grain plus their
+    * ratio (stickiness) — the standard engagement panel. The sliding
+    * distinct is computed by CONTRIBUTION EXPLODE, not a self-join or
+    * a per-day window over raw events: activity first collapses to
+    * distinct (user, day) pairs — the corpus touches one shuffle at
+    * that grain and skew caps at one row per user-day — then each
+    * pair fans out to the `window` report days it contributes to and
+    * a hash aggregate counts distinct users per day. Work is
+    * |user-days| × window narrow rows, independent of per-day event
+    * volume; no window function, no range join. Partial-window
+    * opening days report over what exists (standard), and only days
+    * with actual activity are emitted (the DAU join prunes phantom
+    * future days the fan-out manufactures past each activity burst).
+    */
+  def rollingActive(events: DataFrame, window: Int = 7): DataFrame = {
+    val ud = events
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+      .localCheckpoint(true) // feeds the fan-out AND the DAU side
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(window - 1))).as("x"), col("day"))
+      .select(col("user_id"), expr("date_add(day, x)").as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      .join(wau, "day")
+      .withColumn("stickiness", round(col("dau") / col("wau"), 6) + lit(0.0))
+      .orderBy(col("day"))
+  }
+
   /** Tumbling 1-hour rollup per event_type — the batch mirror of the
     * streaming watermark+window job. Map-side partial aggs; the
     * shuffle carries (buckets × types) rows.

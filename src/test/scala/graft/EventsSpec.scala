@@ -53,6 +53,31 @@ class EventsSpec extends SparkSpec {
       (2L, "click", 1L, 6L, 0L)))
   }
 
+  test("rollingActive equals the naive per-day trailing-window distinct") {
+    val rng = new scala.util.Random(11)
+    val events = (1 to 300).map { i =>
+      val day = 1 + rng.nextInt(12)
+      (i.toLong, 1L + rng.nextInt(9),
+        ts(f"2026-01-$day%02d 0${rng.nextInt(10)}:00:00"), "view", 1.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+
+    val got = Events.rollingActive(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // naive: for every active day, scan all events in [d-6, d]
+    val raw = events.collect().map(r => (r.getLong(1), r.getTimestamp(2).toLocalDateTime.toLocalDate))
+    val days = raw.map(_._2).distinct.sorted(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val naive = days.map { d =>
+      val dau = raw.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = raw.filter(e => !e._2.isAfter(d) && !e._2.isBefore(d.minusDays(6)))
+        .map(_._1).distinct.length.toLong
+      (d.toString, dau, wau,
+        BigDecimal(dau.toDouble / wau).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSeq === naive.toSeq)
+    assert(got.exists { case (_, dau, wau, _) => wau > dau }, "windows must actually accumulate")
+  }
+
   test("intervalJoin equals the naive range join, honors boundaries, and plans no BNLJ") {
     import org.apache.spark.sql.functions.{col, date_trunc, expr}
     val events = Seq(
