@@ -32,8 +32,27 @@ object ScaleProbe {
       val withIds = idCols.foldLeft(r) { (d, c) =>
         d.withColumn(c, col(c) + col("rep") * 100000000L)
       }
+      // Text perturbation must decorrelate at the SHINGLE level, not
+      // the document level. Appending one trailing token (the round-8
+      // recipe) leaves replica copies sharing all but the last
+      // shingle — J ≈ (n−2)/(n+2) ≈ 0.89 on these ~35-token docs, so
+      // every doc gained replicas−1 genuine ≥0.8 near-dup twins and
+      // the pair-based probes (minhash/simhash/ngram/components)
+      // measured a duplicate mass growing QUADRATICALLY in replicas
+      // (first seen as components "161×" at 100×). Partial marker
+      // interleaving is not enough either: cross-replica J ~0.34
+      // still sits ABOVE the 16-band/2-row S-curve midpoint
+      // ((1/16)^(1/2) = 0.25), so ~87% of the quadratic cross-pair
+      // universe still surfaced as LSH candidates for the verify to
+      // reject. The clean construction is a PER-REPLICA TOKEN RENAME
+      // (suffix every token with the replica id): a bijective rename
+      // preserves within-replica Jaccard EXACTLY (the original
+      // near-dup clusters replicate, linear in replicas) while
+      // cross-replica shingle sets are disjoint — J = 0, no band
+      // collisions beyond random 64-bit ones.
       textCol.fold(withIds)(tc =>
-        withIds.withColumn(tc, concat(col(tc), lit(" r"), col("rep")))).drop("rep")
+        withIds.withColumn(tc, regexp_replace(col(tc),
+          lit("(\\S+)"), concat(lit("$1r"), col("rep"))))).drop("rep")
     }
 
     // Replicas are content-deterministic per (source, replicas), so a
