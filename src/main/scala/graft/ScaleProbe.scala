@@ -163,7 +163,13 @@ object ScaleProbe {
       "info_snapshot" -> ((e, _, _, _) =>
         operators.FinAnalytics.infoSnapshot(e, src.customer).count()),
       "ann_ivfpq" -> ((_, _, _, em) => operators.Similarity.annIvfPq(em, fixedQ,
-        queriesAreCorpusDerived = Some(true)).count()))
+        queriesAreCorpusDerived = Some(true)).count()),
+      "containment" -> ((_, d, _, _) => operators.Dedup.containment(d).count()),
+      "debounce" -> ((e, _, _, _) => operators.Events.debounce(e).count()),
+      "rolling_active" -> ((e, _, _, _) => operators.Events.rollingActive(e).count()),
+      "shard" -> ((_, d, _, _) => operators.Curation.shardManifest(d).count()),
+      "sharpe" -> ((e, _, _, _) => operators.FinAnalytics.sharpe(e).count()),
+      "var_es" -> ((e, _, _, _) => operators.FinAnalytics.varEs(e).count()))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }
     require(selected.nonEmpty, s"no probe matches $only")

@@ -59,4 +59,36 @@ class DedupPropertySpec extends SparkSpec {
       assert(got === brute(c, 4, 0.5), s"seed=$seed")
     }
   }
+
+  private def bruteOverlap(corpus: Seq[(Long, String)], w: Int, t: Double): Set[(Long, Long, Double)] = {
+    val sets = corpus.map { case (id, txt) => id -> shingleSet(txt, w) }.toMap
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      c = BigDecimal(inter.toDouble / math.min(sa.size, sb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= t
+    } yield (a, b, c)).toSet
+  }
+
+  test("containment == brute-force overlap on arbitrary corpora incl. embedded quotes") {
+    // The standard corpus plus QUOTE variants — short contiguous
+    // slices embedded in longer hosts — the asymmetric pairs the
+    // one-sided prefix filter exists for.
+    for (seed <- 1L to 5L) {
+      val rng = new scala.util.Random(seed * 6151)
+      val base = corpus(seed * 6151)
+      val quotes = base.filter(_._2.split(" ").length >= 12).take(3).zipWithIndex.map {
+        case ((_, txt), i) =>
+          val toks = txt.split(" ")
+          val from = rng.nextInt(toks.length - 8)
+          (1000L + i, toks.slice(from, from + 6 + rng.nextInt(3)).mkString(" "))
+      }
+      val c = base ++ quotes
+      val got = Dedup.containment(c.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === bruteOverlap(c, 4, 0.8), s"seed=$seed")
+      assert(got.nonEmpty, s"seed=$seed produced no containment pairs")
+    }
+  }
 }
