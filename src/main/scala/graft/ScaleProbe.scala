@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Scale probe: replicate sf0.1 N× into /tmp and measure how the
   * heavy pipelines scale. Replicas perturb identity columns (and
-  * append a replica token to document text) so per-key series grow
-  * N× deep while duplicate structure stays linear — the honest
+  * bijectively rename document tokens per replica) so per-key series
+  * grow N× deep while duplicate structure stays linear — the honest
   * scale-up, not a degenerate N×-duplicates corpus.
   *
   * Usage: `graft.ScaleProbe [replicas] [probe ...]` — replicas
@@ -25,7 +25,11 @@ object ScaleProbe {
     val only: Set[String] = args.drop(1).toSet
     val spark = GraftSession.get("scale-probe")
     val src = Tables(spark, "/root/testdata/sf0.1")
-    val base = s"/tmp/graft_scale$replicas"
+    // The _SUCCESS reuse check below is keyed on this path: bump the
+    // version suffix whenever the replication RECIPE changes, or a
+    // machine that ran the old recipe silently re-measures stale
+    // replicas (the round-8 trailing-token corpus).
+    val base = s"/tmp/graft_scale${replicas}_v2"
 
     def replicate(df: DataFrame, idCols: Seq[String], textCol: Option[String] = None): DataFrame = {
       val r = df.crossJoin(spark.range(replicas).toDF("rep"))
@@ -99,7 +103,12 @@ object ScaleProbe {
     // probe measures the same computation as the gated default path.
     val fixedQ = Some(src.embeddings.filter(col("vec_id") % 100 === 0))
 
-    // name -> (events, docs, lineitem, embeddings) => row count.
+    // name -> (events, docs, lineitem, embeddings, scaleMult) => row
+    // count; scaleMult is 1 on the baseline pass and `replicas` on
+    // the scaled pass, for the probes whose PARAMETER must track
+    // corpus size (token_budget) — a fixed budget at both scales
+    // would compare unlike workloads (1x with a corpus-dwarfing
+    // budget degenerates to keep-everything).
     // Scale notes carried over from the round-6..8 sweeps:
     // - embed_neardup is Θ(n²) BY DEFINITION — recorded to keep the
     //   exact-baseline cost visible next to its sub-quadratic
@@ -114,62 +123,62 @@ object ScaleProbe {
     //   histogram/Gram scans grow.
     // - info_snapshot: customer dim stays 1× — the snapshot join's
     //   broadcast side is a bounded dimension at any corpus scale.
-    val probes: Seq[(String, (DataFrame, DataFrame, DataFrame, DataFrame) => Long)] = Seq(
-      "q1_pricing" -> ((_, _, l, _) => operators.Analytics.pricingSummary(l).count()),
-      "daily_ohlc" -> ((e, _, _, _) => operators.FinAnalytics.dailyOhlc(e).count()),
-      "moving_avg" -> ((e, _, _, _) => operators.FinAnalytics.movingAvg(e).count()),
-      "beta" -> ((e, _, _, _) => operators.FinAnalytics.beta(e).count()),
-      "asof" -> ((e, _, _, _) => operators.FinAnalytics.asofPrice(e).count()),
-      "sessionize" -> ((e, _, _, _) => operators.Events.sessionize(e).count()),
-      "minhash" -> ((_, d, _, _) => operators.Dedup.minhashLsh(d).count()),
-      "simhash" -> ((_, d, _, _) => operators.Dedup.simhash(d).count()),
-      "ngram" -> ((_, d, _, _) => operators.Dedup.ngramJaccard(d).count()),
-      "exact_dedup" -> ((_, d, _, _) => operators.Dedup.exact(d).count()),
-      "quantiles" -> ((e, _, _, _) => operators.FinAnalytics.valueQuantiles(e).count()),
-      "quantiles_sketch" -> ((e, _, _, _) => operators.FinAnalytics.quantileSketch(e).count()),
-      "feature_snapshot" -> ((e, _, _, _) => operators.FinAnalytics.featureSnapshot(e).count()),
-      "funnel" -> ((e, _, _, _) => operators.Events.funnel(e).count()),
-      "rollup" -> ((e, _, _, _) => operators.Events.rollupTypeDay(e).count()),
-      "ewma" -> ((e, _, _, _) => operators.FinAnalytics.ewma(e).count()),
-      "topk_heap" -> ((_, _, l, _) => operators.Events.topPartsHeap(l, src.part).count()),
-      "pack" -> ((_, d, _, _) => operators.Curation.packSequences(d).count()),
-      "tfidf" -> ((_, d, _, _) => operators.TextOps.tfidf(d).count()),
-      "ann_lsh" -> ((_, _, _, em) => operators.Similarity.annLsh(em, fixedQ,
+    val probes: Seq[(String, (DataFrame, DataFrame, DataFrame, DataFrame, Long) => Long)] = Seq(
+      "q1_pricing" -> ((_, _, l, _, _) => operators.Analytics.pricingSummary(l).count()),
+      "daily_ohlc" -> ((e, _, _, _, _) => operators.FinAnalytics.dailyOhlc(e).count()),
+      "moving_avg" -> ((e, _, _, _, _) => operators.FinAnalytics.movingAvg(e).count()),
+      "beta" -> ((e, _, _, _, _) => operators.FinAnalytics.beta(e).count()),
+      "asof" -> ((e, _, _, _, _) => operators.FinAnalytics.asofPrice(e).count()),
+      "sessionize" -> ((e, _, _, _, _) => operators.Events.sessionize(e).count()),
+      "minhash" -> ((_, d, _, _, _) => operators.Dedup.minhashLsh(d).count()),
+      "simhash" -> ((_, d, _, _, _) => operators.Dedup.simhash(d).count()),
+      "ngram" -> ((_, d, _, _, _) => operators.Dedup.ngramJaccard(d).count()),
+      "exact_dedup" -> ((_, d, _, _, _) => operators.Dedup.exact(d).count()),
+      "quantiles" -> ((e, _, _, _, _) => operators.FinAnalytics.valueQuantiles(e).count()),
+      "quantiles_sketch" -> ((e, _, _, _, _) => operators.FinAnalytics.quantileSketch(e).count()),
+      "feature_snapshot" -> ((e, _, _, _, _) => operators.FinAnalytics.featureSnapshot(e).count()),
+      "funnel" -> ((e, _, _, _, _) => operators.Events.funnel(e).count()),
+      "rollup" -> ((e, _, _, _, _) => operators.Events.rollupTypeDay(e).count()),
+      "ewma" -> ((e, _, _, _, _) => operators.FinAnalytics.ewma(e).count()),
+      "topk_heap" -> ((_, _, l, _, _) => operators.Events.topPartsHeap(l, src.part).count()),
+      "pack" -> ((_, d, _, _, _) => operators.Curation.packSequences(d).count()),
+      "tfidf" -> ((_, d, _, _, _) => operators.TextOps.tfidf(d).count()),
+      "ann_lsh" -> ((_, _, _, em, _) => operators.Similarity.annLsh(em, fixedQ,
         queriesAreCorpusDerived = Some(true)).count()),
-      "embed_neardup" -> ((_, _, _, em) => operators.Similarity.embeddingNearDup(em).count()),
-      "attribution" -> ((e, _, _, _) => operators.Events.attribution(e).count()),
-      "cohort" -> ((e, _, _, _) => operators.Events.cohortRetention(e).count()),
-      "resample_ffill" -> ((e, _, _, _) => operators.FinAnalytics.resampleFfill(e).count()),
-      "corr_pairs" -> ((e, _, _, _) => operators.FinAnalytics.corrPairs(e).count()),
-      "range_day_sum" -> ((e, _, _, _) => operators.FinAnalytics.rangeDaySum(e).count()),
-      "macd" -> ((e, _, _, _) => operators.FinAnalytics.macd(e).count()),
-      "gap_quantiles" -> ((e, _, _, _) => operators.Events.gapQuantiles(e).count()),
-      "repetition" -> ((_, d, _, _) => operators.TextOps.repetition(d).count()),
-      "token_budget" -> ((_, d, _, _) =>
-        operators.Curation.tokenBudget(d, budget = 10000L * replicas).count()),
-      "ann_pq" -> ((_, _, _, em) => operators.Similarity.annPq(em, fixedQ,
+      "embed_neardup" -> ((_, _, _, em, _) => operators.Similarity.embeddingNearDup(em).count()),
+      "attribution" -> ((e, _, _, _, _) => operators.Events.attribution(e).count()),
+      "cohort" -> ((e, _, _, _, _) => operators.Events.cohortRetention(e).count()),
+      "resample_ffill" -> ((e, _, _, _, _) => operators.FinAnalytics.resampleFfill(e).count()),
+      "corr_pairs" -> ((e, _, _, _, _) => operators.FinAnalytics.corrPairs(e).count()),
+      "range_day_sum" -> ((e, _, _, _, _) => operators.FinAnalytics.rangeDaySum(e).count()),
+      "macd" -> ((e, _, _, _, _) => operators.FinAnalytics.macd(e).count()),
+      "gap_quantiles" -> ((e, _, _, _, _) => operators.Events.gapQuantiles(e).count()),
+      "repetition" -> ((_, d, _, _, _) => operators.TextOps.repetition(d).count()),
+      "token_budget" -> ((_, d, _, _, k) =>
+        operators.Curation.tokenBudget(d, budget = 10000L * k).count()),
+      "ann_pq" -> ((_, _, _, em, _) => operators.Similarity.annPq(em, fixedQ,
         queriesAreCorpusDerived = Some(true)).count()),
-      "ridge" -> ((e, _, _, _) => operators.Ridge.predict(e).count()),
-      "gbt" -> ((e, _, _, _) => operators.GradientBoost.predict(e).count()),
-      "time_split" -> ((e, _, _, _) => operators.Curation.timeSplit(e).count()),
-      "cv_eval" -> ((e, _, _, _) => operators.CvEval.ridgeCv(e).count()),
-      "components" -> ((_, d, _, _) => operators.Dedup.components(d).count()),
-      "surprisal" -> ((_, d, _, _) => operators.TextOps.surprisal(d).count()),
-      "histogram" -> ((e, _, _, _) => operators.Events.histogram(e).count()),
-      "vwap" -> ((e, _, _, _) => operators.FinAnalytics.vwap(e).count()),
-      "stochastic" -> ((e, _, _, _) => operators.FinAnalytics.stochastic(e).count()),
-      "obv" -> ((e, _, _, _) => operators.FinAnalytics.obv(e).count()),
-      "atr" -> ((e, _, _, _) => operators.FinAnalytics.atr(e).count()),
-      "info_snapshot" -> ((e, _, _, _) =>
+      "ridge" -> ((e, _, _, _, _) => operators.Ridge.predict(e).count()),
+      "gbt" -> ((e, _, _, _, _) => operators.GradientBoost.predict(e).count()),
+      "time_split" -> ((e, _, _, _, _) => operators.Curation.timeSplit(e).count()),
+      "cv_eval" -> ((e, _, _, _, _) => operators.CvEval.ridgeCv(e).count()),
+      "components" -> ((_, d, _, _, _) => operators.Dedup.components(d).count()),
+      "surprisal" -> ((_, d, _, _, _) => operators.TextOps.surprisal(d).count()),
+      "histogram" -> ((e, _, _, _, _) => operators.Events.histogram(e).count()),
+      "vwap" -> ((e, _, _, _, _) => operators.FinAnalytics.vwap(e).count()),
+      "stochastic" -> ((e, _, _, _, _) => operators.FinAnalytics.stochastic(e).count()),
+      "obv" -> ((e, _, _, _, _) => operators.FinAnalytics.obv(e).count()),
+      "atr" -> ((e, _, _, _, _) => operators.FinAnalytics.atr(e).count()),
+      "info_snapshot" -> ((e, _, _, _, _) =>
         operators.FinAnalytics.infoSnapshot(e, src.customer).count()),
-      "ann_ivfpq" -> ((_, _, _, em) => operators.Similarity.annIvfPq(em, fixedQ,
+      "ann_ivfpq" -> ((_, _, _, em, _) => operators.Similarity.annIvfPq(em, fixedQ,
         queriesAreCorpusDerived = Some(true)).count()),
-      "containment" -> ((_, d, _, _) => operators.Dedup.containment(d).count()),
-      "debounce" -> ((e, _, _, _) => operators.Events.debounce(e).count()),
-      "rolling_active" -> ((e, _, _, _) => operators.Events.rollingActive(e).count()),
-      "shard" -> ((_, d, _, _) => operators.Curation.shardManifest(d).count()),
-      "sharpe" -> ((e, _, _, _) => operators.FinAnalytics.sharpe(e).count()),
-      "var_es" -> ((e, _, _, _) => operators.FinAnalytics.varEs(e).count()))
+      "containment" -> ((_, d, _, _, _) => operators.Dedup.containment(d).count()),
+      "debounce" -> ((e, _, _, _, _) => operators.Events.debounce(e).count()),
+      "rolling_active" -> ((e, _, _, _, _) => operators.Events.rollingActive(e).count()),
+      "shard" -> ((_, d, _, _, _) => operators.Curation.shardManifest(d).count()),
+      "sharpe" -> ((e, _, _, _, _) => operators.FinAnalytics.sharpe(e).count()),
+      "var_es" -> ((e, _, _, _, _) => operators.FinAnalytics.varEs(e).count()))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }
     require(selected.nonEmpty, s"no probe matches $only")
@@ -184,11 +193,11 @@ object ScaleProbe {
     // 1× baselines on the same session for a fair ratio
     println("== 1x (sf0.1) ==")
     val b = selected.map { case (n, f) =>
-      n -> time(n)(f(src.events, src.documents, src.lineitem, src.embeddings))
+      n -> time(n)(f(src.events, src.documents, src.lineitem, src.embeddings, 1L))
     }.toMap
     println(s"== ${replicas}x ==")
     val s = selected.map { case (n, f) =>
-      n -> time(n)(f(eventsN, docsN, liN, embN))
+      n -> time(n)(f(eventsN, docsN, liN, embN, replicas.toLong))
     }.toMap
     println(s"== scaling factor (${replicas}x data / 1x time; $replicas = linear) ==")
     b.keys.toSeq.sorted.foreach { k =>

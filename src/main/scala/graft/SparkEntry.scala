@@ -723,6 +723,15 @@ FROM e ORDER BY user_id, day"""
     * (they tie the previous present threshold's score, and ties keep
     * the earlier one), so cumulating over PRESENT bins only is exact.
     */
+  /** Unrolled boosting replay for the fin_gbt gate. `iters` is
+    * threaded, but the learning rate is BAKED IN: the leaf-value
+    * CTEs below encode lr = 0.1 as the `10*`/`20*` literals in the
+    * half-up rational division (lr·s/n on the integer-unit grid =
+    * (2·lrNum·s + lrDen·n) // (2·lrDen·n) with lrNum/lrDen = 1/10).
+    * If fin_gbt is ever registered with a non-default lr, thread
+    * lrNum/lrDen through here the way `iters` is — a mismatched
+    * oracle fails the hash gate with no hint otherwise.
+    */
   private def gbtOracle(iters: Int = 10): String = {
     val header =
       s"""WITH feat AS MATERIALIZED (
@@ -2178,7 +2187,7 @@ FROM e ORDER BY user_id, day"""
       s"""WITH d AS (SELECT doc_id,
          |    len($toksExpr) AS n_toks, length(text) AS n_chars,
          |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 15))::UBIGINT % 16 AS BIGINT) AS shard,
-         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::UBIGINT AS BIGINT) AS h
          |  FROM documents)
          |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars, min(doc_id) AS min_doc,

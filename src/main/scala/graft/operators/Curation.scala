@@ -330,26 +330,29 @@ object Curation {
     * same rationale as [[mixSources]]) and reduce to the per-shard
     * MANIFEST a training-data export actually ships: doc/token/char
     * totals, the doc_id range, and an order-invariant content
-    * signature (bit_xor of the 60-bit id hashes — any engine can
-    * recompute it to audit a delivered shard without re-reading
-    * payloads; xor, unlike sum, cannot overflow and is insensitive
-    * to row order and partitioning). Assignment is per-row math on
-    * the scan; the shuffle carries one row per shard. Writers
-    * consume the assignment (`shardOf`) to partition output files;
-    * the manifest is the integrity sidecar.
+    * signature (bit_xor of the 60-bit hash of `doc_id:text` — any
+    * engine can recompute it to audit a delivered shard; covering
+    * the TEXT means corruption, truncation, or payload swaps between
+    * ids all break the signature, not just dropped rows; xor, unlike
+    * sum, cannot overflow and is insensitive to row order and
+    * partitioning). Assignment is per-row math on the scan; the
+    * shuffle carries one row per shard. Writers consume the
+    * assignment to partition output files; the manifest is the
+    * integrity sidecar.
     */
   def shardManifest(documents: DataFrame, shards: Int = 16): DataFrame =
     documents
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_toks"),
         length(col("text")).cast("long").as("n_chars"),
-        (hex60(concat(col("doc_id").cast("string"), lit(":shard"))) % shards).as("shard"))
+        (hex60(concat(col("doc_id").cast("string"), lit(":shard"))) % shards).as("shard"),
+        hex60(concat(col("doc_id").cast("string"), lit(":"), col("text"))).as("sig"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("total_tokens"),
         sum(col("n_chars")).as("total_chars"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"),
-        bit_xor(hex60(col("doc_id").cast("string"))).as("content_sig"))
+        bit_xor(col("sig")).as("content_sig"))
       .orderBy(col("shard"))
 }

@@ -163,6 +163,25 @@ object Dedup {
     // explicit candidate-id semi-prune of sh was measured SLOWER at
     // bench SF (two extra materialization jobs) — revisit only if a
     // profile shows the (b, s) join shuffling at scale.
+    scoredPairCounts(cands, sh, sizes)
+      .withColumn("jaccard",
+        when(col("na") + col("nb") - col("inter") === 0, lit(0.0))
+          .otherwise(round(col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")), 6) + lit(0.0)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** The shared count-based pair-intersection core behind
+    * [[verifyJaccard]] and [[containment]]'s verify: candidate
+    * (a, b) pairs → (a, b, inter, na, nb) via the narrow-row
+    * shingle joins described above. Scoring (Jaccard vs overlap
+    * coefficient) stays at the call site; the join/agg machinery and
+    * its left-join/coalesce conventions live in exactly one place.
+    */
+  private def scoredPairCounts(cands: DataFrame, sh: DataFrame,
+                               sizes: DataFrame): DataFrame =
     cands
       .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"), "left")
       .join(sh.select(col("doc_id").as("b2"), col("s").as("s2")),
@@ -173,14 +192,6 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"), "left")
       .withColumn("na", coalesce(col("na"), lit(0L)))
       .withColumn("nb", coalesce(col("nb"), lit(0L)))
-      .withColumn("jaccard",
-        when(col("na") + col("nb") - col("inter") === 0, lit(0.0))
-          .otherwise(round(col("inter").cast("double")
-            / (col("na") + col("nb") - col("inter")), 6) + lit(0.0)))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
-      .orderBy(col("a"), col("b"))
-  }
 
   /** MinHash + LSH near-dup pairs (w=3 shingles, 32 permutations,
     * 16 bands × 2 rows, exact-Jaccard verify ≥ 0.8).
@@ -500,14 +511,7 @@ object Dedup {
         greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    cands
-      .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"), "left")
-      .join(sh.select(col("doc_id").as("b2"), col("s").as("s2")),
-        col("b") === col("b2") && col("s") === col("s2"), "left")
-      .groupBy(col("a"), col("b"))
-      .agg(sum(when(col("s2").isNotNull, 1L).otherwise(0L)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"), "left")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"), "left")
+    scoredPairCounts(cands, sh, sizes)
       .withColumn("containment",
         round(col("inter").cast("double") / least(col("na"), col("nb")), 6) + lit(0.0))
       .filter(col("containment") >= threshold)

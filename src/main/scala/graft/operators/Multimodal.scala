@@ -204,9 +204,23 @@ object Multimodal {
     */
   def payloadNearDup(documents: DataFrame, thresholdDen: Long = 200L,
                      blocks: Int = 0): DataFrame = {
+    // Exactness domain, enforced LOUDLY (the addExact/2^52 policy):
+    // num = Σ|hᵃᵢ·lᵇ − hᵇᵢ·lᵃ| ≤ 2·lᵃ·lᵇ, and the ppm projection
+    // computes num·10⁶ on pairs that survive num·den ≤ lᵃ·lᵇ, i.e.
+    // num ≤ lᵃ·lᵇ/den — so Long holds everything iff
+    // lᵃ·lᵇ ≤ 9.2e18·den/10⁶; at den = 200 that is ~1.8e15, met by
+    // capping each payload at 4e7 bytes (40 MB). A payload past the
+    // cap (or empty — it would reach the DIV as a 0 divisor) errors
+    // loudly instead of overflowing or crashing mid-plan. The guard
+    // rides the len projection so column pruning cannot drop it.
+    val lenRaw = length(col("payload")).cast("long")
+    val lenGuarded = when(lenRaw.between(1L, 40000000L), lenRaw)
+      .otherwise(raise_error(format_string(
+        "payload_neardup: payload length %d outside the exact-ppm Long bound [1, 4e7]",
+        lenRaw)).cast("long"))
     val hists = synthesize(documents).select(
       col("doc_id"),
-      length(col("payload")).cast("long").as("len"),
+      lenGuarded.as("len"),
       graft.plans.NibbleHistogram.nibbleHistogram(col("payload")).as("hist"))
     val b =
       if (blocks > 0) blocks

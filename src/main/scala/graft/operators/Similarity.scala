@@ -90,7 +90,13 @@ object Similarity {
     * dominates the (inherent) Θ(n²) compute, and group count
     * blocks²/2 grows fast enough to feed any executor fleet.
     * Results are invariant to `blocks`; it is purely physical
-    * layout.
+    * layout. Auto-sizing makes CONSTRUCTION EAGER: the count() runs
+    * a one-column Spark job before the returned frame exists — a
+    * deliberate trade (it is what makes the 100×-user's OOM knob
+    * disappear), negligible next to the Θ(n²) evaluation it sizes,
+    * and avoided entirely by passing `blocks` explicitly (catalog
+    * stats row counts are not reliably populated without CBO, so a
+    * lazy stats-based variant would silently fall back anyway).
     */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.45,
                        blocks: Int = 0): DataFrame = {

@@ -544,10 +544,13 @@ object EventsStream {
     *
     * A late-but-within-watermark event that lands in-gap of the open
     * burst extends it and may even RETAKE the keeper (the batch rule:
-    * min (tsec, event_id)); a late event disjoint BEFORE the open
-    * burst becomes its own immediate burst, numbered in arrival
-    * order — the same caveat class as [[sessionize]]'s late-event
-    * branch, reconciled by the batch operator when exactness matters.
+    * min (tsec, event_id)); late events disjoint BEFORE the open
+    * burst chain among themselves within the micro-batch (a delayed
+    * retry pair still collapses to one keeper) and flush as one
+    * burst at batch end, numbered in arrival order — the residual
+    * caveat (late bursts cannot be extended by a LATER micro-batch)
+    * is the same class as [[sessionize]]'s late-event branch,
+    * reconciled by the batch operator when exactness matters.
     */
   def debounce(events: Dataset[DebEvent], gapSeconds: Int = 300,
                watermarkDelay: String = "1 hour"): Dataset[Burst] = {
@@ -570,8 +573,20 @@ object EventsStream {
             val st = state.getOption.getOrElse(DebState(1L, None))
             var nextId = st.nextBurstId
             var open = st.open
+            // Late-but-within-watermark events disjoint BEFORE the
+            // open burst chain among THEMSELVES within this batch
+            // (a delayed retry pair must still collapse to one
+            // keeper + n_suppressed=1, not two singletons); the
+            // chained late burst flushes at batch end because state
+            // holds exactly one open burst.
+            var lateOpen: Option[OpenBurst] = None
             val evs = batch.toVector.sortBy(e => (e.ts.getTime, e.event_id))
             val closed = Vector.newBuilder[Burst]
+            def flushLate(e: DebEvent): Unit = lateOpen.foreach { lb =>
+              closed += Burst(e.user_id, e.event_type, lb.burstId, lb.keeperId,
+                new Timestamp(lb.startMs), lb.nBurst - 1)
+              lateOpen = None
+            }
             evs.foreach { e =>
               val tsec = math.floorDiv(e.ts.getTime, 1000L) * 1000L
               open match {
@@ -584,11 +599,20 @@ object EventsStream {
                   open = Some(b.copy(keeperId = ki, startMs = ks,
                     lastMs = math.max(b.lastMs, tsec), nBurst = b.nBurst + 1))
                 case Some(b) if tsec < b.startMs - gapMs =>
-                  // Late disjoint burst entirely before the open one.
-                  closed += Burst(e.user_id, e.event_type, nextId, e.event_id,
-                    new Timestamp(tsec), 0L)
-                  nextId += 1
+                  // Late disjoint before the open burst: chain onto
+                  // the in-batch late burst while within gap of it,
+                  // else flush it and start a fresh one.
+                  lateOpen match {
+                    case Some(lb) if tsec >= lb.startMs - gapMs && tsec <= lb.lastMs + gapMs =>
+                      lateOpen = Some(lb.copy(
+                        lastMs = math.max(lb.lastMs, tsec), nBurst = lb.nBurst + 1))
+                    case _ =>
+                      flushLate(e)
+                      lateOpen = Some(OpenBurst(nextId, e.event_id, tsec, tsec, 1L))
+                      nextId += 1
+                  }
                 case Some(b) =>
+                  flushLate(e)
                   closed += toBurst(e, b)
                   open = Some(OpenBurst(nextId, e.event_id, tsec, tsec, 1L))
                   nextId += 1
@@ -597,6 +621,7 @@ object EventsStream {
                   nextId += 1
               }
             }
+            evs.lastOption.foreach(flushLate)
             state.update(DebState(nextId, open))
             open.foreach { b =>
               state.setTimeoutTimestamp(

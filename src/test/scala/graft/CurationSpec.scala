@@ -65,6 +65,15 @@ class CurationSpec extends SparkSpec {
     val tampered = Curation.shardManifest(docs.filter(col("doc_id") =!= victim), shards = 8)
     assert(m.select("shard", "content_sig").collect().toSet !==
       tampered.select("shard", "content_sig").collect().toSet)
+    // … and detects CONTENT corruption with every id/count/total intact
+    // (the signature must cover text, not just the id set)
+    val corrupted = Curation.shardManifest(
+      docs.withColumn("text",
+        when(col("doc_id") === victim,
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("X")))
+          .otherwise(col("text"))), shards = 8)
+    assert(m.select("shard", "content_sig").collect().toSet !==
+      corrupted.select("shard", "content_sig").collect().toSet)
     m.unpersist()
   }
 

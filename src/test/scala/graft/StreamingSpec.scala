@@ -104,6 +104,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming debounce chains late retry pairs into one suppressed burst") {
+    import graft.streaming.EventsStream.DebEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DebEvent]
+    val bursts = EventsStream.debounce(input.toDS())
+    val q = bursts.writeStream.format("memory").queryName("deb_late_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens a burst at 10:30
+      input.addData(DebEvent(1L, "click", 10L, ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      // batch 2 delivers a delayed retry PAIR from 10:00 — inside
+      // the 1h watermark (which sits at 09:30 after batch 1) but
+      // disjoint before the open burst (10:30 − 300s): must collapse
+      // to ONE burst with one suppression, not two singletons
+      input.addData(
+        DebEvent(1L, "click", 2L, ts("2026-01-01 10:00:00")),
+        DebEvent(1L, "click", 3L, ts("2026-01-01 10:00:10")))
+      q.processAllAvailable()
+
+      val late = spark.table("deb_late_out")
+        .filter(col("keeper_id") === 2L).collect()
+        .map(r => (r.getLong(3), r.getLong(5)))
+      assert(late.toSeq === Seq((2L, 1L)),
+        "late retry pair must flush as one burst with n_suppressed = 1")
+    } finally q.stop()
+  }
+
   test("session ids keep incrementing after a timeout closes a session") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
