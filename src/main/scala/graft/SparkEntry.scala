@@ -102,6 +102,8 @@ object SparkEntry {
     "fin_returns"           -> ((s, d) => FinAnalytics.returns(Tables(s, d).events)),
     "fin_volatility"        -> ((s, d) => FinAnalytics.volatility(Tables(s, d).events)),
     "fin_sharpe"            -> ((s, d) => FinAnalytics.sharpe(Tables(s, d).events)),
+    "fin_calmar"            -> ((s, d) => FinAnalytics.calmar(Tables(s, d).events)),
+    "curate_oversample"     -> ((s, d) => Curation.oversample(Tables(s, d).documents)),
     "fin_var_es"            -> ((s, d) => FinAnalytics.varEs(Tables(s, d).events)),
     "fin_beta"              -> ((s, d) => FinAnalytics.beta(Tables(s, d).events)),
     "fin_cyclical_features" -> ((s, d) => FinAnalytics.cyclicalFeatures(Tables(s, d).events)),
@@ -1591,6 +1593,24 @@ FROM e ORDER BY user_id, day"""
         |  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) + 0.0 AS volatility
         |FROM (SELECT user_id, count(*) AS n, sum(r) AS sr, sum(r * r) AS sr2
         |      FROM rets GROUP BY user_id) WHERE n > 1 ORDER BY user_id""".stripMargin),
+    "fin_calmar" -> (closesCte +
+      """
+        |, rets AS (
+        |  SELECT user_id, CAST(round(close / prev_close - 1.0, 6) AS DECIMAL(19,6)) AS r FROM (
+        |    SELECT user_id, close,
+        |           lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+        |    FROM closes) WHERE prev_close IS NOT NULL AND prev_close <> 0),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, sum(r) AS sr FROM rets GROUP BY user_id),
+        |dd AS (SELECT user_id, max(d) AS max_drawdown FROM (
+        |  SELECT user_id,
+        |         CASE WHEN peak > 0 THEN round(1.0 - close / peak, 6) + 0.0 END AS d
+        |  FROM (SELECT user_id, close,
+        |          max(close) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+        |        FROM closes)) GROUP BY user_id)
+        |SELECT m.user_id, n, max_drawdown,
+        |       CASE WHEN max_drawdown > 0
+        |            THEN round(CAST(sr AS DOUBLE) / n * 252.0 / max_drawdown, 6) + 0.0 END AS calmar
+        |FROM m JOIN dd ON m.user_id = dd.user_id ORDER BY m.user_id""".stripMargin),
     "fin_sharpe" -> (closesCte +
       """
         |, rets AS (SELECT user_id, close / prev_close - 1.0 AS ret FROM (
@@ -2215,6 +2235,16 @@ FROM e ORDER BY user_id, day"""
         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |      FROM documents)
         |SELECT doc_id, lang, rn FROM r CROSS JOIN n WHERE rn <= min_n ORDER BY lang, rn""".stripMargin,
+    "curate_oversample" ->
+      """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT max(n) AS target FROM s),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |      FROM documents)
+        |SELECT doc_id, lang,
+        |       CAST(target // n + CASE WHEN rn <= target % n THEN 1 ELSE 0 END AS BIGINT) AS copies
+        |FROM r JOIN s USING (lang) CROSS JOIN t ORDER BY doc_id""".stripMargin,
     "curate_sample" ->
       """SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang,

@@ -241,6 +241,29 @@ object Curation {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Class rebalancing by UPSAMPLING — the replication-plan
+    * counterpart of [[balanceStrata]]'s downsampling: every stratum
+    * is brought up to the size of the LARGEST one by assigning each
+    * doc a deterministic copy count (⌊target/n⌋ everywhere, +1 for
+    * the first target mod n docs in md5 order), so per-stratum
+    * Σcopies = target exactly and a re-run reproduces the same plan.
+    * Emitting the PLAN (doc_id → copies), not the exploded rows,
+    * keeps the shuffle at corpus width — the consumer explodes at
+    * write time, where the fan-out is free — and the only non-scan
+    * work is the stratum-count aggregate and its broadcast back.
+    */
+  def oversample(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val target = counts.agg(max(col("n")).as("target"))
+    mdRanked(documents)
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(target))
+      .withColumn("copies",
+        expr("target DIV n") + when(col("rn") <= col("target") % col("n"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"), col("copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The quality gate APPLIED — the filter pass that turns the three
     * text-analysis verdicts into one keep/drop decision per document:
     * length/punctuation quality ([[graft.operators.TextOps.quality]]),

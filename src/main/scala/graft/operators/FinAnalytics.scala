@@ -582,6 +582,30 @@ object FinAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Calmar ratio per key: arithmetic-annualized mean daily return
+    * (mean × 252, the [[sharpe]] convention — no compounding `pow`,
+    * whose libm variance SURVEY §5 bans) divided by the maximum
+    * drawdown. Rides the same closes-family shuffle as both inputs;
+    * the return mean is an exact-decimal sum with one double
+    * division at the end, the drawdown the 6-dp-rounded fraction
+    * [[drawdown]] already emits. Keys that never draw down (or have
+    * fewer than 2 closes) carry a NULL ratio rather than an ANSI
+    * division error.
+    */
+  def calmar(events: DataFrame): DataFrame = {
+    val rets = returns(events)
+      .select(col("user_id"), dec6(col("ret")).as("r"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
+    val dd = drawdown(events).select(col("user_id"), col("max_drawdown"))
+    rets.join(dd, "user_id")
+      .select(col("user_id"), col("n"), col("max_drawdown"),
+        when(col("max_drawdown") > 0,
+          round(col("sr").cast("double") / col("n").cast("double")
+            * lit(252.0) / col("max_drawdown"), 6) + lit(0.0)).as("calmar"))
+      .orderBy(col("user_id"))
+  }
+
   /** Lag-1 autocorrelation of daily returns per instrument — the
     * mean-reversion/momentum diagnostic (negative → reverting,
     * positive → trending). Same exact-decimal moment discipline as

@@ -77,6 +77,22 @@ class CurationSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("oversample brings every stratum to exactly the largest stratum's size") {
+    val plan = Curation.oversample(docs).cache()
+    assert(plan.count() === docs.count(), "one plan row per doc")
+    val perLang = plan.groupBy("lang").agg(sum("copies").as("total")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = docs.groupBy("lang").count().collect().map(_.getLong(1)).max
+    assert(perLang.values.toSet === Set(target), s"every stratum must sum to $target")
+    // the largest stratum is untouched (all copies = 1)
+    val biggest = docs.groupBy("lang").count().collect().maxBy(_.getLong(1)).getString(0)
+    assert(plan.filter(col("lang") === biggest).filter(col("copies") =!= 1L).count() === 0)
+    // deterministic across runs
+    val again = Curation.oversample(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toSeq === plan.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq)
+    plan.unpersist()
+  }
+
   test("mixSources membership is independent of splitAssign buckets") {
     // the :mix salt must decorrelate the two hash decisions: if they
     // shared a hash, every kept doc of a rate-2500 source would land

@@ -335,6 +335,25 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(u2.isNullAt(2) && u2.isNullAt(3))
   }
 
+  test("calmar divides the annualized mean return by max drawdown, null when flat") {
+    // user 9: closes 100, 110, 99 → returns 0.1, −0.1 → mean 0;
+    // peak 110, trough 99 → maxdd = 1 − 99/110 = 0.1 → calmar 0.
+    // user 8: monotone rising → maxdd 0 → NULL ratio (no ANSI error).
+    val ev = Seq(
+      (1L, 9L, ts("2026-01-01 12:00:00"), "t", 100.0),
+      (2L, 9L, ts("2026-01-02 12:00:00"), "t", 110.0),
+      (3L, 9L, ts("2026-01-03 12:00:00"), "t", 99.0),
+      (4L, 8L, ts("2026-01-01 12:00:00"), "t", 50.0),
+      (5L, 8L, ts("2026-01-02 12:00:00"), "t", 60.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = FinAnalytics.calmar(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(9L).getDouble(2) === 0.1)
+    assert(rows(9L).getDouble(3) === 0.0)
+    assert(rows(8L).getDouble(2) === 0.0)
+    assert(rows(8L).isNullAt(3), "no drawdown → null calmar, not a division error")
+  }
+
   test("varEs picks the tail order statistic and averages the value-based tail") {
     // closes 100, 110, 99, 108.9 → returns ≈ 0.1, −0.1, 0.1; n=3 →
     // k = ⌈3·5/100⌉ = 1 → VaR = the single most-negative return

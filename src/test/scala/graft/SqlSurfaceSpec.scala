@@ -25,7 +25,8 @@ class SqlSurfaceSpec extends SparkSpec {
     // round-9 additions: risk ratios, containment dedup, shard
     // manifests, debounce
     "fin_sharpe", "fin_var_es", "dedup_containment", "curate_shard",
-    "events_debounce", "mm_neardup")
+    "events_debounce", "mm_neardup", "fin_calmar", "curate_oversample",
+    "events_rolling_active")
 
   private lazy val registered: Seq[String] =
     GraftSql.register(spark, dir, viewNames)
