@@ -1607,10 +1607,10 @@ FROM e ORDER BY user_id, day"""
         |  FROM (SELECT user_id, close,
         |          max(close) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
         |        FROM closes)) GROUP BY user_id)
-        |SELECT m.user_id, n, max_drawdown,
-        |       CASE WHEN max_drawdown > 0
+        |SELECT dd.user_id, CAST(coalesce(n, 0) AS BIGINT) AS n, max_drawdown,
+        |       CASE WHEN max_drawdown > 0 AND n > 0
         |            THEN round(CAST(sr AS DOUBLE) / n * 252.0 / max_drawdown, 6) + 0.0 END AS calmar
-        |FROM m JOIN dd ON m.user_id = dd.user_id ORDER BY m.user_id""".stripMargin),
+        |FROM dd LEFT JOIN m ON m.user_id = dd.user_id ORDER BY dd.user_id""".stripMargin),
     "fin_sharpe" -> (closesCte +
       """
         |, rets AS (SELECT user_id, close / prev_close - 1.0 AS ret FROM (
@@ -2242,9 +2242,9 @@ FROM e ORDER BY user_id, day"""
         |        CAST(row_number() OVER (PARTITION BY lang
         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |      FROM documents)
-        |SELECT doc_id, lang,
+        |SELECT doc_id, r.lang AS lang,
         |       CAST(target // n + CASE WHEN rn <= target % n THEN 1 ELSE 0 END AS BIGINT) AS copies
-        |FROM r JOIN s USING (lang) CROSS JOIN t ORDER BY doc_id""".stripMargin,
+        |FROM r JOIN s ON r.lang IS NOT DISTINCT FROM s.lang CROSS JOIN t ORDER BY doc_id""".stripMargin,
     "curate_sample" ->
       """SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang,

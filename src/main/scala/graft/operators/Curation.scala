@@ -255,8 +255,15 @@ object Curation {
   def oversample(documents: DataFrame): DataFrame = {
     val counts = documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val target = counts.agg(max(col("n")).as("target"))
-    mdRanked(documents)
-      .join(broadcast(counts), "lang")
+    val ranked = mdRanked(documents)
+    // NULL-SAFE stratum join (<=>): a NULL lang is a stratum like any
+    // other — an equi-join would silently drop those docs from the
+    // replication plan (and the groupBy above does emit a null
+    // group, so the counts row exists). Same convention as
+    // balanceStrata, which keeps the null stratum via its window.
+    ranked
+      .join(broadcast(counts), ranked("lang") <=> counts("lang"))
+      .drop(counts("lang"))
       .crossJoin(broadcast(target))
       .withColumn("copies",
         expr("target DIV n") + when(col("rn") <= col("target") % col("n"), 1L).otherwise(0L))

@@ -598,9 +598,12 @@ object FinAnalytics {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
     val dd = drawdown(events).select(col("user_id"), col("max_drawdown"))
-    rets.join(dd, "user_id")
-      .select(col("user_id"), col("n"), col("max_drawdown"),
-        when(col("max_drawdown") > 0,
+    // LEFT from the drawdown side: dd covers every key with ≥1 close,
+    // so a single-close key (no returns row) still gets its output
+    // row — n = 0, NULL ratio — instead of vanishing from the panel.
+    dd.join(rets, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("n"), lit(0L)).as("n"), col("max_drawdown"),
+        when(col("max_drawdown") > 0 && col("n") > 0,
           round(col("sr").cast("double") / col("n").cast("double")
             * lit(252.0) / col("max_drawdown"), 6) + lit(0.0)).as("calmar"))
       .orderBy(col("user_id"))

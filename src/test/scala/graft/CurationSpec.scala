@@ -91,6 +91,12 @@ class CurationSpec extends SparkSpec {
     val again = Curation.oversample(docs).collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(again.toSeq === plan.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq)
     plan.unpersist()
+    // a NULL lang is a stratum, not a silent drop (null-safe join)
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") % 7 === 0, lit(null: String)).otherwise(col("lang")))
+    val nullPlan = Curation.oversample(withNull)
+    assert(nullPlan.count() === docs.count(), "null-lang docs must stay in the plan")
+    assert(nullPlan.filter(col("lang").isNull).count() > 0)
   }
 
   test("mixSources membership is independent of splitAssign buckets") {

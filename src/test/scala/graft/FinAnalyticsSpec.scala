@@ -345,6 +345,8 @@ class FinAnalyticsSpec extends SparkSpec {
       (3L, 9L, ts("2026-01-03 12:00:00"), "t", 99.0),
       (4L, 8L, ts("2026-01-01 12:00:00"), "t", 50.0),
       (5L, 8L, ts("2026-01-02 12:00:00"), "t", 60.0),
+      // user 7: a single close → no returns; must still get a row
+      (6L, 7L, ts("2026-01-01 12:00:00"), "t", 40.0),
     ).toDF("event_id", "user_id", "ts", "event_type", "value")
     val rows = FinAnalytics.calmar(ev).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -352,6 +354,8 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(rows(9L).getDouble(3) === 0.0)
     assert(rows(8L).getDouble(2) === 0.0)
     assert(rows(8L).isNullAt(3), "no drawdown → null calmar, not a division error")
+    assert(rows(7L).getLong(1) === 0L && rows(7L).isNullAt(3),
+      "single-close key keeps its panel row with n = 0 and null ratio")
   }
 
   test("varEs picks the tail order statistic and averages the value-based tail") {
