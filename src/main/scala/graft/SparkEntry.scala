@@ -103,6 +103,7 @@ object SparkEntry {
     "fin_volatility"        -> ((s, d) => FinAnalytics.volatility(Tables(s, d).events)),
     "fin_sharpe"            -> ((s, d) => FinAnalytics.sharpe(Tables(s, d).events)),
     "fin_calmar"            -> ((s, d) => FinAnalytics.calmar(Tables(s, d).events)),
+    "fin_info_ratio"        -> ((s, d) => FinAnalytics.infoRatio(Tables(s, d).events)),
     "curate_oversample"     -> ((s, d) => Curation.oversample(Tables(s, d).documents)),
     "fin_var_es"            -> ((s, d) => FinAnalytics.varEs(Tables(s, d).events)),
     "fin_beta"              -> ((s, d) => FinAnalytics.beta(Tables(s, d).events)),
@@ -1593,6 +1594,33 @@ FROM e ORDER BY user_id, day"""
         |  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) + 0.0 AS volatility
         |FROM (SELECT user_id, count(*) AS n, sum(r) AS sr, sum(r * r) AS sr2
         |      FROM rets GROUP BY user_id) WHERE n > 1 ORDER BY user_id""".stripMargin),
+    "fin_info_ratio" -> (closesCte +
+      """
+        |, market AS (
+        |  SELECT day, sum(CAST(close AS DECIMAL(12,2))) AS mkt_value FROM closes GROUP BY day),
+        |mret AS (
+        |  SELECT day, CAST(mkt_value AS DOUBLE) / CAST(prev AS DOUBLE) - 1.0 AS mret FROM (
+        |    SELECT day, mkt_value, lag(mkt_value, 1) OVER (ORDER BY day) AS prev FROM market)
+        |  WHERE prev IS NOT NULL AND prev <> 0),
+        |uret AS (
+        |  SELECT user_id, day, close / prev - 1.0 AS ret FROM (
+        |    SELECT user_id, day, close, lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |    FROM closes) WHERE prev IS NOT NULL AND prev <> 0),
+        |act AS (SELECT user_id,
+        |    CAST(round(ret, 6) AS DECIMAL(19,6)) - CAST(round(mret, 6) AS DECIMAL(19,6)) AS a
+        |  FROM uret JOIN mret USING (day)),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, sum(a) AS sa, sum(a * a) AS sa2
+        |      FROM act GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sa2 AS DOUBLE)
+        |                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) > 0.0
+        |       THEN round(CAST(sa AS DOUBLE) / n
+        |            / sqrt((CAST(n AS DOUBLE) * CAST(sa2 AS DOUBLE)
+        |                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |            * sqrt(252.0), 6) + 0.0 END AS info_ratio
+        |FROM m WHERE n > 1 ORDER BY user_id""".stripMargin),
     "fin_calmar" -> (closesCte +
       """
         |, rets AS (

@@ -318,6 +318,44 @@ object FinAnalytics {
 
   def beta(events: DataFrame): DataFrame = betaPerUser(events).orderBy(col("user_id"))
 
+  /** Information ratio per key vs the equal-composite market
+    * ([[marketReturns]]' definition): active return
+    * a = dec6(r) − dec6(m) over matched days (the two returns are
+    * rounded SEPARATELY before subtracting, so the decimal active
+    * series is reproducible in any engine), IR = mean(a)/std(a)·√252
+    * with the sample (n−1) std — the [[sharpe]] conventions applied
+    * to active instead of absolute returns, closing the risk-ratio
+    * family (sharpe/sortino/calmar/IR). Same one-shuffle shape as
+    * [[beta]]: bounded market series broadcast back onto the per-key
+    * returns, exact-decimal moment sums, final ratio in doubles.
+    */
+  def infoRatio(events: DataFrame): DataFrame = {
+    val c = closes(events)
+    val marketRet = marketReturns(c).filter(col("mret").isNotNull)
+      .select(col("day"), col("mret"))
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val userRet = c
+      .withColumn("prev", lag(col("close"), 1).over(wu))
+      .filter(col("prev").isNotNull && col("prev") =!= 0.0)
+      .select(col("user_id"), col("day"), (col("close") / col("prev") - lit(1.0)).as("ret"))
+    val a = dec6(col("ret")) - dec6(col("mret"))
+    userRet.join(broadcast(marketRet), "day")
+      .select(col("user_id"), a.as("a"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("a") * col("a")).as("sa2"))
+      .filter(col("n") > 1)
+      .select(col("user_id"), col("n"), {
+        val nD = col("n").cast("double")
+        val mean = col("sa").cast("double") / nD
+        val std = sqrt((nD * col("sa2").cast("double")
+          - col("sa").cast("double") * col("sa").cast("double"))
+          / (nD * (col("n") - 1).cast("double")))
+        when(std > 0.0, round(mean / std * sqrt(lit(252.0)), 6) + lit(0.0)).as("info_ratio")
+      })
+      .orderBy(col("user_id"))
+  }
+
   /** Unsorted per-user beta — shared by [[beta]] (which adds the
     * presentation sort) and [[infoSnapshot]] (which joins it and
     * would waste the sort).

@@ -335,6 +335,30 @@ class FinAnalyticsSpec extends SparkSpec {
     assert(u2.isNullAt(2) && u2.isNullAt(3))
   }
 
+  test("infoRatio measures active return vs the composite, zero for the market itself") {
+    // Two users with OPPOSITE moves around a flat market composite:
+    // u1 closes 100,110,99; u2 closes 100,90,101.2 (sums 200,200,200.2)
+    // → market returns 0, 0.001; active returns differ per user and
+    // the ratios must be negatives-ish of each other in sign.
+    val ev = Seq(
+      (1L, 1L, ts("2026-01-01 12:00:00"), "t", 100.0),
+      (2L, 1L, ts("2026-01-02 12:00:00"), "t", 110.0),
+      (3L, 1L, ts("2026-01-03 12:00:00"), "t", 99.0),
+      (4L, 2L, ts("2026-01-01 12:00:00"), "t", 100.0),
+      (5L, 2L, ts("2026-01-02 12:00:00"), "t", 90.0),
+      (6L, 2L, ts("2026-01-03 12:00:00"), "t", 101.2),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = FinAnalytics.infoRatio(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // hand-check u1: rets .1, -.1; mkt 0, .001 → a = .1, -.101
+    // mean = -.0005, std = sqrt((2*.020201-.000001)/2) ≈ .142131
+    val mean = -0.0005
+    val std = math.sqrt((2 * (0.1 * 0.1 + 0.101 * 0.101) - 0.0005 * 0.0005 * 4) / 2)
+    assert(math.abs(rows(1L).getDouble(2) - mean / std * math.sqrt(252.0)) < 1e-4)
+    assert(rows(1L).getDouble(2) < 0 !== rows(2L).getDouble(2) < 0,
+      "opposite movers vs the composite must sign-split")
+  }
+
   test("calmar divides the annualized mean return by max drawdown, null when flat") {
     // user 9: closes 100, 110, 99 → returns 0.1, −0.1 → mean 0;
     // peak 110, trough 99 → maxdd = 1 − 99/110 = 0.1 → calmar 0.

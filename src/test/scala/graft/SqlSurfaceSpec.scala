@@ -26,7 +26,7 @@ class SqlSurfaceSpec extends SparkSpec {
     // manifests, debounce
     "fin_sharpe", "fin_var_es", "dedup_containment", "curate_shard",
     "events_debounce", "mm_neardup", "fin_calmar", "curate_oversample",
-    "events_rolling_active")
+    "events_rolling_active", "fin_info_ratio")
 
   private lazy val registered: Seq[String] =
     GraftSql.register(spark, dir, viewNames)
