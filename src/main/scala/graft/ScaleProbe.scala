@@ -178,7 +178,10 @@ object ScaleProbe {
       "rolling_active" -> ((e, _, _, _, _) => operators.Events.rollingActive(e).count()),
       "shard" -> ((_, d, _, _, _) => operators.Curation.shardManifest(d).count()),
       "sharpe" -> ((e, _, _, _, _) => operators.FinAnalytics.sharpe(e).count()),
-      "var_es" -> ((e, _, _, _, _) => operators.FinAnalytics.varEs(e).count()))
+      "var_es" -> ((e, _, _, _, _) => operators.FinAnalytics.varEs(e).count()),
+      "calmar" -> ((e, _, _, _, _) => operators.FinAnalytics.calmar(e).count()),
+      "info_ratio" -> ((e, _, _, _, _) => operators.FinAnalytics.infoRatio(e).count()),
+      "oversample" -> ((_, d, _, _, _) => operators.Curation.oversample(d).count()))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }
     require(selected.nonEmpty, s"no probe matches $only")
