@@ -30,6 +30,20 @@ object ScaleProbe {
     // machine that ran the old recipe silently re-measures stale
     // replicas (the round-8 trailing-token corpus).
     val base = s"/tmp/graft_scale${replicas}_v2"
+    // Stale-recipe replicas (the unversioned/_v1 paths) are multi-GB
+    // and nothing re-reads them once the recipe version bumps —
+    // best-effort delete them so they don't linger until the machine
+    // cleans /tmp.
+    Seq(s"/tmp/graft_scale$replicas", s"/tmp/graft_scale${replicas}_v1").foreach { stale =>
+      val p = java.nio.file.Paths.get(stale)
+      if (java.nio.file.Files.exists(p)) {
+        try {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          println(s"deleted stale replica dir $stale")
+        } catch { case e: Exception => println(s"stale-dir cleanup skipped ($stale): $e") }
+      }
+    }
 
     def replicate(df: DataFrame, idCols: Seq[String], textCol: Option[String] = None): DataFrame = {
       val r = df.crossJoin(spark.range(replicas).toDF("rep"))

@@ -35,7 +35,7 @@ case class CosineSimilarityF64(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = IntegerUnits.requireSameLength(x.numElements(), y.numElements(), "cosine_f64")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -53,7 +53,7 @@ case class CosineSimilarityF64(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |${IntegerUnits.sameLengthJava(n, arr1, arr2, "cosine_f64")}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = (double) $arr1.getFloat($i);
@@ -92,7 +92,7 @@ case class L2DistanceF64(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    val n = IntegerUnits.requireSameLength(x.numElements(), y.numElements(), "l2_f64")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -111,7 +111,7 @@ case class L2DistanceF64(left: Expression, right: Expression)
       val getL = if (isFloat(left)) s"(double) $arr1.getFloat($i)" else s"$arr1.getDouble($i)"
       val getR = if (isFloat(right)) s"(double) $arr2.getFloat($i)" else s"$arr2.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |${IntegerUnits.sameLengthJava(n, arr1, arr2, "l2_f64")}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = $getL - $getR;

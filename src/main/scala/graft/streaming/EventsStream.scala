@@ -547,10 +547,14 @@ object EventsStream {
     * min (tsec, event_id)); late events disjoint BEFORE the open
     * burst chain among themselves within the micro-batch (a delayed
     * retry pair still collapses to one keeper) and flush as one
-    * burst at batch end, numbered in arrival order — the residual
-    * caveat (late bursts cannot be extended by a LATER micro-batch)
-    * is the same class as [[sessionize]]'s late-event branch,
-    * reconciled by the batch operator when exactness matters.
+    * burst at batch end, numbered in arrival order; if a backward
+    * keeper-retake later pulls the open burst within gap of the
+    * still-open late burst, the two merge into one (batch parity) —
+    * the residual caveats (late bursts cannot be extended by a LATER
+    * micro-batch, and a late burst already flushed earlier in the
+    * same batch cannot be un-emitted) are the same class as
+    * [[sessionize]]'s late-event branch, reconciled by the batch
+    * operator when exactness matters.
     */
   def debounce(events: Dataset[DebEvent], gapSeconds: Int = 300,
                watermarkDelay: String = "1 hour"): Dataset[Burst] = {
@@ -596,8 +600,26 @@ object EventsStream {
                     (tsec == b.startMs && e.event_id < b.keeperId)
                   val (ks, ki) =
                     if (retake) (tsec, e.event_id) else (b.startMs, b.keeperId)
-                  open = Some(b.copy(keeperId = ki, startMs = ks,
-                    lastMs = math.max(b.lastMs, tsec), nBurst = b.nBurst + 1))
+                  var nb = b.copy(keeperId = ki, startMs = ks,
+                    lastMs = math.max(b.lastMs, tsec), nBurst = b.nBurst + 1)
+                  // A backward retake extends the open burst toward the
+                  // past and can bring the set-aside late burst within
+                  // gap of it — batch semantics would see ONE burst, so
+                  // merge instead of flushing two. The late burst
+                  // started strictly earlier (it was disjoint-before),
+                  // so its keeper wins the min-(ts, id) rule; its
+                  // in-batch id is simply retired (ids must never
+                  //  repeat, holes are fine). Late bursts ALREADY
+                  // flushed to `closed` in this batch are past help —
+                  // that residual stays with the cross-batch caveat.
+                  if (retake) lateOpen.foreach { lb =>
+                    if (lb.lastMs >= nb.startMs - gapMs) {
+                      nb = nb.copy(keeperId = lb.keeperId, startMs = lb.startMs,
+                        nBurst = nb.nBurst + lb.nBurst)
+                      lateOpen = None
+                    }
+                  }
+                  open = Some(nb)
                 case Some(b) if tsec < b.startMs - gapMs =>
                   // Late disjoint before the open burst: chain onto
                   // the in-batch late burst while within gap of it,

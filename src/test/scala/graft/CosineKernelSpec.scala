@@ -60,6 +60,18 @@ class CosineKernelSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("mismatched lengths throw loudly (the requireSameLength policy), both kernels") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val eCos = intercept[Exception] {
+      df.select(graft.plans.GraftExpressions.cosineF64(col("a"), col("b"))).collect()
+    }
+    assert(eCos.getMessage.contains("cosine_f64") || eCos.getCause != null)
+    val eL2 = intercept[Exception] {
+      df.select(graft.plans.GraftExpressions.l2F64(col("a"), col("b"))).collect()
+    }
+    assert(eL2.getMessage.contains("l2_f64") || eL2.getCause != null)
+  }
+
   test("SQL registration via GraftExtensions") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT cosine_f64(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +

@@ -132,6 +132,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming debounce merges the set-aside late burst after a backward keeper retake") {
+    import graft.streaming.EventsStream.DebEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DebEvent]
+    val bursts = EventsStream.debounce(input.toDS())
+    val q = bursts.writeStream.format("memory").queryName("deb_retake_out")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens a burst at 10:30 (keeper 10)
+      input.addData(DebEvent(1L, "click", 10L, ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      // batch 2: event 20 @10:21:30 is disjoint-before the open burst
+      // (< 10:25) and gets set aside as a late burst; event 21 @10:26
+      // then lands in-gap and RETAKES the open burst's start backward
+      // to 10:26, which brings the late burst (10:21:30 >= 10:26−gap)
+      // within gap — batch semantics see ONE burst {20, 21, 10} with
+      // keeper 20. The merge must happen, not a two-burst flush.
+      input.addData(
+        DebEvent(1L, "click", 20L, ts("2026-01-01 10:21:30")),
+        DebEvent(1L, "click", 21L, ts("2026-01-01 10:26:00")))
+      q.processAllAvailable()
+      input.addData(DebEvent(999L, "x", 9999L, ts("2026-06-01 00:00:00")))
+      q.processAllAvailable()
+      input.addData(DebEvent(999L, "x", 10000L, ts("2026-12-01 00:00:00"))) // fire timeout
+      q.processAllAvailable()
+
+      val got = spark.table("deb_retake_out").filter(col("user_id") === 1L)
+        .collect().map(r => (r.getLong(3), r.getTimestamp(4), r.getLong(5))).toSeq
+      assert(got === Seq((20L, ts("2026-01-01 10:21:30"), 2L)),
+        "backward retake must merge the late burst into the open one (keeper 20, 2 suppressed)")
+    } finally q.stop()
+  }
+
   test("session ids keep incrementing after a timeout closes a session") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Event]
