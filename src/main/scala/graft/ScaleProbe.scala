@@ -76,16 +76,34 @@ object ScaleProbe {
     // Replicas are content-deterministic per (source, replicas), so a
     // completed write (marked by _SUCCESS) is reused across probe
     // invocations — a 100× rerun then measures, not re-replicates.
-    val haveReplicas = Seq("events", "documents", "lineitem", "embeddings").forall(t =>
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/$t.parquet/_SUCCESS")))
-    if (!haveReplicas) {
+    // Per-table so adding a new variant table doesn't rewrite the rest.
+    def writeIfMissing(name: String)(df: => DataFrame): Unit =
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$base/$name.parquet/_SUCCESS")))
+        df.write.mode(SaveMode.Overwrite).parquet(s"$base/$name.parquet")
+
     // events: same users (series get N× deeper), new event ids
-    replicate(src.events, Seq("event_id")).write.mode(SaveMode.Overwrite)
-      .parquet(s"$base/events.parquet")
-    replicate(src.documents, Seq("doc_id"), Some("text")).write.mode(SaveMode.Overwrite)
-      .parquet(s"$base/documents.parquet")
-    replicate(src.lineitem, Seq("l_orderkey")).write.mode(SaveMode.Overwrite)
-      .parquet(s"$base/lineitem.parquet")
+    writeIfMissing("events")(replicate(src.events, Seq("event_id")))
+    writeIfMissing("documents")(replicate(src.documents, Seq("doc_id"), Some("text")))
+    // documents_hist: the payload-near-dup variant. The token rename
+    // decorrelates SHINGLES but leaves nibble HISTOGRAMS identical
+    // across replicas ('r' + any digit shifts bins 7 and 3 equally
+    // for every replica id), so every doc would gain replicas−1
+    // byte-histogram twins and the mm probe's output would grow
+    // quadratically in replicas — the same degenerate-corpus trap
+    // the rename fixed for the shingle probes. Appending a
+    // replica-PROPORTIONAL run of a 2-byte UTF-8 char ('Ā' →
+    // C4 80, bins C and 8) shifts each replica's normalized
+    // histogram by ~(rep+1)% — pairwise ≥ 1% apart, far above the
+    // 1/200 threshold — while within-replica near-dup structure is
+    // preserved exactly (same-length docs get same-length runs).
+    writeIfMissing("documents_hist")(
+      src.documents.crossJoin(spark.range(replicas).toDF("rep"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * 100000000L)
+        .withColumn("text", concat(col("text"),
+          expr("repeat(chr(256), CAST((rep + 1) * ceil(length(text) / 100.0) AS INT))")))
+        .drop("rep"))
+    writeIfMissing("lineitem")(replicate(src.lineitem, Seq("l_orderkey")))
     // Embeddings additionally perturb the VECTOR per replica with
     // HASH-decorrelated deterministic noise (uniform-ish ±0.6 per
     // dim; noise norm ~2.3 vs vector norm ~1) so replica-to-original
@@ -95,16 +113,15 @@ object ScaleProbe {
     // Id-only perturbation would leave every vector N-1 cosine-1.0
     // copies: a degenerate corpus where near-dup volume and ANN top-k
     // are dominated by self-copies. Replica 0 keeps the originals.
-    replicate(src.embeddings, Seq("vec_id"))
-      .withColumn("embedding", expr(
-        "transform(embedding, (x, i) -> CAST(x + (hash(vec_id, i) % 1000) / 1000.0 * 0.6" +
-          " * least(vec_id DIV 100000000, 1) AS FLOAT))"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$base/embeddings.parquet")
-    }
+    writeIfMissing("embeddings")(
+      replicate(src.embeddings, Seq("vec_id"))
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> CAST(x + (hash(vec_id, i) % 1000) / 1000.0 * 0.6" +
+            " * least(vec_id DIV 100000000, 1) AS FLOAT))")))
 
     val eventsN = spark.read.parquet(s"$base/events.parquet")
     val docsN = spark.read.parquet(s"$base/documents.parquet")
+    val docsHistN = spark.read.parquet(s"$base/documents_hist.parquet")
     val liN = spark.read.parquet(s"$base/lineitem.parquet")
     val embN = spark.read.parquet(s"$base/embeddings.parquet")
     println(s"rows: events=${eventsN.count()} docs=${docsN.count()} " +
@@ -195,7 +212,16 @@ object ScaleProbe {
       "var_es" -> ((e, _, _, _, _) => operators.FinAnalytics.varEs(e).count()),
       "calmar" -> ((e, _, _, _, _) => operators.FinAnalytics.calmar(e).count()),
       "info_ratio" -> ((e, _, _, _, _) => operators.FinAnalytics.infoRatio(e).count()),
-      "oversample" -> ((_, d, _, _, _) => operators.Curation.oversample(d).count()))
+      "oversample" -> ((_, d, _, _, _) => operators.Curation.oversample(d).count()),
+      // mm near-dup pair: both run over the histogram-decorrelated
+      // documents_hist replicas (closure, not the `d` arg — the
+      // renamed replicas are histogram-degenerate, see above).
+      // mm_exact is Θ(n²) BY DEFINITION (the embed_neardup analog):
+      // recorded next to its banded companion, never run at 100×.
+      "mm_exact" -> ((_, _, _, _, k) => operators.Multimodal.payloadNearDup(
+        if (k == 1L) src.documents else docsHistN).count()),
+      "mm_banded" -> ((_, _, _, _, k) => operators.Multimodal.payloadNearDupBanded(
+        if (k == 1L) src.documents else docsHistN).count()))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }
     require(selected.nonEmpty, s"no probe matches $only")

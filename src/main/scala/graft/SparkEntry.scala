@@ -163,6 +163,8 @@ object SparkEntry {
     "mm_resize_plan"      -> ((s, d) => Multimodal.resizePlan(Tables(s, d).documents)),
     "mm_byte_histogram"   -> ((s, d) => Multimodal.byteHistogram(Tables(s, d).documents)),
     "mm_neardup"          -> ((s, d) => Multimodal.payloadNearDup(Tables(s, d).documents)),
+    "mm_neardup_banded"   -> ((s, d) => Multimodal.payloadNearDupBanded(Tables(s, d).documents)),
+    "mm_av_meta"          -> ((s, d) => Multimodal.avMeta(Tables(s, d).documents)),
     "events_sessionize"   -> ((s, d) => Events.sessionize(Tables(s, d).events)),
     "events_debounce"     -> ((s, d) => Events.debounce(Tables(s, d).events)),
     "events_rolling_active" -> ((s, d) => Events.rollingActive(Tables(s, d).events)),
@@ -855,6 +857,78 @@ FROM e ORDER BY user_id, day"""
        |         WHEN $isWebp THEN (CASE WHEN (${be(21, 1)} & 16) != 0 THEN 4 ELSE 3 END)
        |         WHEN $isTiff THEN ${le(43, 2)} END::BIGINT AS channels
        |  FROM x)""".stripMargin
+  }
+
+  /** Shared nibble-histogram CTE pair (`h`/`hh`) for the near-dup
+    * oracles, over the [[mmPayloadCtes]] payload bytes. Ends with
+    * `hh(doc_id, len, hist)` — hist is the 16-long bin list.
+    */
+  private def mmHistCtes: String =
+    s"""h AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS len, b,
+       |    CAST(len([i FOR i IN range(1, octet_length(payload) + 1)
+       |              IF substring(hx, CAST(2 * i - 1 AS INT), 1) = substring('0123456789ABCDEF', CAST(b + 1 AS INT), 1)]) AS BIGINT) AS n
+       |  FROM x CROSS JOIN (SELECT unnest(range(16)) AS b)),
+       |hh AS (SELECT doc_id, len, list(n ORDER BY b) AS hist
+       |  FROM h GROUP BY doc_id, len)""".stripMargin
+
+  /** mm_av_meta oracle — the audio/video counterpart of
+    * [[mmPayloadCtes]]: identical synthetic WAV / MP4 / FLAC
+    * container bytes as [[operators.Multimodal.synthesizeAv]],
+    * parameters parsed back with the same byte arithmetic (WAV fmt
+    * fields little-endian at fixed offsets, FLAC STREAMINFO packed
+    * bit field, MP4 tkhd 16.16 fixed-point dims).
+    */
+  private def mmAvMetaOracle: String = {
+    def leHex(e: String, n: Int) = (0 until n)
+      .map(k => s"lpad(hex(($e >> ${8 * k}) % 256), 2, '0')").mkString(" || ")
+    def beHex(e: String, n: Int) = ((n - 1) to 0 by -1)
+      .map(k => s"lpad(hex(($e >> ${8 * k}) % 256), 2, '0')").mkString(" || ")
+    val wav = s"'52494646' || ${leHex("(dlen + 36)", 4)} || '57415645' || " +
+      s"'666D7420' || '10000000' || '0100' || ${leHex("ch", 2)} || ${leHex("sr", 4)} || " +
+      s"${leHex("(sr * ch * bps // 8)", 4)} || ${leHex("(ch * bps // 8)", 2)} || " +
+      s"${leHex("bps", 2)} || '64617461' || ${leHex("dlen", 4)}"
+    val mp4 = "'000000106674797069736F6D00000000' || '0000006C6D6F6F76' || " +
+      "'000000647472616B' || '0000005C746B6864' || '00000007' || " +
+      "'000000000000000000000001000000000000000000000000000000000000000001000000' || " +
+      "'000100000000000000000000000000000001000000000000000000000000000040000000' || " +
+      s"${beHex("w", 2)} || '0000' || ${beHex("h", 2)} || '0000'"
+    val flac = "'664C6143' || '80' || '000022' || '10001000' || '000000' || '000000' || " +
+      "lpad(hex(sr >> 12), 2, '0') || lpad(hex((sr >> 4) % 256), 2, '0') || " +
+      "lpad(hex((sr % 16) * 16 + (ch - 1) * 2 + ((bps - 1) >> 4)), 2, '0') || " +
+      "lpad(hex(((bps - 1) % 16) * 16 + ((dlen >> 32) % 16)), 2, '0') || " +
+      s"${beHex("(dlen % 4294967296)", 4)} || '${"0" * 32}'"
+    def be(s: Int, n: Int) = s"('0x' || substring(hx, ${(s - 1) * 2 + 1}, ${n * 2}))::BIGINT"
+    def le(s: Int, n: Int) = "('0x' || " + ((n - 1) to 0 by -1)
+      .map(k => s"substring(hx, ${(s - 1 + k) * 2 + 1}, 2)").mkString(" || ") + ")::BIGINT"
+    s"""WITH p AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS dlen,
+       |    doc_id % 2 + 1 AS ch, (doc_id % 5 + 1) * 8000 AS sr, (doc_id % 3 + 1) * 8 AS bps,
+       |    doc_id % 1920 + 1 AS w, doc_id % 1080 + 1 AS h, text
+       |  FROM documents),
+       |m AS (SELECT doc_id, unhex(
+       |    CASE WHEN doc_id % 3 = 0 THEN $wav
+       |         WHEN doc_id % 3 = 1 THEN $mp4
+       |         ELSE $flac END || hex(encode(text))) AS payload
+       |  FROM p),
+       |x AS (SELECT doc_id, payload, hex(payload) AS hx FROM m),
+       |y AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       |    CASE WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57415645' THEN 'wav'
+       |         WHEN substring(hx, 9, 8) = '66747970' THEN 'mp4'
+       |         WHEN substring(hx, 1, 8) = '664C6143' THEN 'flac'
+       |         ELSE 'unknown' END AS format, hx
+       |  FROM x)
+       |SELECT doc_id, n_bytes, format,
+       |  CASE WHEN format = 'wav' THEN ${le(25, 4)}
+       |       WHEN format = 'flac' THEN ${be(19, 1)} * 4096 + ${be(20, 1)} * 16 + ${be(21, 1)} // 16
+       |       ELSE 0 END AS sample_rate,
+       |  CASE WHEN format = 'wav' THEN ${le(23, 2)}
+       |       WHEN format = 'flac' THEN (${be(21, 1)} // 2) % 8 + 1
+       |       ELSE 0 END AS channels,
+       |  CASE WHEN format = 'wav' THEN ${le(35, 2)}
+       |       WHEN format = 'flac' THEN (${be(21, 1)} % 2) * 16 + ${be(22, 1)} // 16 + 1
+       |       ELSE 0 END AS bit_depth,
+       |  CASE WHEN format = 'mp4' THEN ${be(117, 4)} // 65536 ELSE 0 END AS width,
+       |  CASE WHEN format = 'mp4' THEN ${be(121, 4)} // 65536 ELSE 0 END AS height
+       |FROM y ORDER BY doc_id""".stripMargin
   }
 
   /** mm_resize_plan oracle — same letterbox arithmetic over the
@@ -2144,6 +2218,7 @@ FROM e ORDER BY user_id, day"""
         |SELECT doc_id, unnest(fps) AS fingerprint FROM f
         |ORDER BY doc_id, fingerprint""".stripMargin),
     "mm_binary_meta" -> mmBinaryMetaOracle,
+    "mm_av_meta" -> mmAvMetaOracle,
     "mm_resize_plan" -> mmResizePlanOracle,
     // 16-bin high-nibble histogram over the same reconstructed bytes
     "mm_byte_histogram" ->
@@ -2155,15 +2230,35 @@ FROM e ORDER BY user_id, day"""
         |ORDER BY doc_id, bin""".stripMargin),
     "mm_neardup" ->
       (s"""WITH $mmPayloadCtes,
-        |h AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS len, b,
-        |    CAST(len([i FOR i IN range(1, octet_length(payload) + 1)
-        |              IF substring(hx, CAST(2 * i - 1 AS INT), 1) = substring('0123456789ABCDEF', CAST(b + 1 AS INT), 1)]) AS BIGINT) AS n
-        |  FROM x CROSS JOIN (SELECT unnest(range(16)) AS b)),
-        |hh AS (SELECT doc_id, len, list(n ORDER BY b) AS hist
-        |  FROM h GROUP BY doc_id, len),
+        |$mmHistCtes,
         |p AS (SELECT ha.doc_id AS ia, hb.doc_id AS ib, ha.len AS la, hb.len AS lb,
         |    CAST(list_sum([abs(ha.hist[i+1] * hb.len - hb.hist[i+1] * ha.len) FOR i IN range(16)]) AS BIGINT) AS num
         |  FROM hh ha JOIN hh hb ON ha.doc_id < hb.doc_id)
+        |SELECT ia AS a, ib AS b, (num * 1000000) // (la * lb) AS dist_ppm
+        |FROM p WHERE num * 200 <= la * lb
+        |ORDER BY a, b""".stripMargin),
+    // Banded companion: same payload/histogram grammar, candidates
+    // from the packed 4-band × 2-lattice integer signatures, SAME
+    // exact verify — the result is a subset of mm_neardup's rows.
+    "mm_neardup_banded" ->
+      (s"""WITH $mmPayloadCtes,
+        |$mmHistCtes,
+        |sig AS (SELECT doc_id, band, probe,
+        |    CAST(list_sum([
+        |      (CASE WHEN probe = 0 THEN (hist[CAST(4 * band + k + 1 AS INT)] * 128) // len
+        |            ELSE (2 * hist[CAST(4 * band + k + 1 AS INT)] * 128 + len) // (2 * len) END)
+        |      * (CASE k WHEN 0 THEN 16777216 WHEN 1 THEN 65536 WHEN 2 THEN 256 ELSE 1 END)
+        |      FOR k IN range(4)]) AS BIGINT) AS sig
+        |  FROM hh CROSS JOIN (SELECT unnest(range(4)) AS band)
+        |          CROSS JOIN (SELECT unnest(range(2)) AS probe)),
+        |sigc AS (SELECT doc_id, band, probe, sig FROM sig
+        |  QUALIFY count(*) OVER (PARTITION BY band, probe, sig) <= 1024),
+        |cand AS (SELECT DISTINCT sa.doc_id AS ia, sb.doc_id AS ib
+        |  FROM sigc sa JOIN sigc sb ON sa.band = sb.band AND sa.probe = sb.probe
+        |    AND sa.sig = sb.sig AND sa.doc_id < sb.doc_id),
+        |p AS (SELECT c.ia, c.ib, ha.len AS la, hb.len AS lb,
+        |    CAST(list_sum([abs(ha.hist[i+1] * hb.len - hb.hist[i+1] * ha.len) FOR i IN range(16)]) AS BIGINT) AS num
+        |  FROM cand c JOIN hh ha ON ha.doc_id = c.ia JOIN hh hb ON hb.doc_id = c.ib)
         |SELECT ia AS a, ib AS b, (num * 1000000) // (la * lb) AS dist_ppm
         |FROM p WHERE num * 200 <= la * lb
         |ORDER BY a, b""".stripMargin),

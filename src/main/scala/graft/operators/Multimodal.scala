@@ -204,24 +204,7 @@ object Multimodal {
     */
   def payloadNearDup(documents: DataFrame, thresholdDen: Long = 200L,
                      blocks: Int = 0): DataFrame = {
-    // Exactness domain, enforced LOUDLY (the addExact/2^52 policy):
-    // num = Σ|hᵃᵢ·lᵇ − hᵇᵢ·lᵃ| ≤ 2·lᵃ·lᵇ, and the ppm projection
-    // computes num·10⁶ on pairs that survive num·den ≤ lᵃ·lᵇ, i.e.
-    // num ≤ lᵃ·lᵇ/den — so Long holds everything iff
-    // lᵃ·lᵇ ≤ 9.2e18·den/10⁶; at den = 200 that is ~1.8e15, met by
-    // capping each payload at 4e7 bytes (40 MB). A payload past the
-    // cap (or empty — it would reach the DIV as a 0 divisor) errors
-    // loudly instead of overflowing or crashing mid-plan. The guard
-    // rides the len projection so column pruning cannot drop it.
-    val lenRaw = length(col("payload")).cast("long")
-    val lenGuarded = when(lenRaw.between(1L, 40000000L), lenRaw)
-      .otherwise(raise_error(format_string(
-        "payload_neardup: payload length %d outside the exact-ppm Long bound [1, 4e7]",
-        lenRaw)).cast("long"))
-    val hists = synthesize(documents).select(
-      col("doc_id"),
-      lenGuarded.as("len"),
-      graft.plans.NibbleHistogram.nibbleHistogram(col("payload")).as("hist"))
+    val hists = payloadHistograms(documents)
     val b =
       if (blocks > 0) blocks
       else {
@@ -245,6 +228,238 @@ object Multimodal {
       .select(least(col("ia"), col("ib")).as("a"), greatest(col("ia"), col("ib")).as("b"),
         expr("(num * 1000000) DIV (la * lb)").as("dist_ppm"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Per-payload (doc_id, len, hist) frame shared by the near-dup
+    * detectors. Exactness domain, enforced LOUDLY (the addExact/2^52
+    * policy): num = Σ|hᵃᵢ·lᵇ − hᵇᵢ·lᵃ| ≤ 2·lᵃ·lᵇ, and the ppm
+    * projection computes num·10⁶ on pairs that survive
+    * num·den ≤ lᵃ·lᵇ, i.e. num ≤ lᵃ·lᵇ/den — so Long holds
+    * everything iff lᵃ·lᵇ ≤ 9.2e18·den/10⁶; at den = 200 that is
+    * ~1.8e15, met by capping each payload at 4e7 bytes (40 MB). A
+    * payload past the cap (or empty — it would reach the DIV as a 0
+    * divisor) errors loudly instead of overflowing or crashing
+    * mid-plan. The guard rides the len projection so column pruning
+    * cannot drop it.
+    */
+  private def payloadHistograms(documents: DataFrame): DataFrame = {
+    val lenRaw = length(col("payload")).cast("long")
+    val lenGuarded = when(lenRaw.between(1L, 40000000L), lenRaw)
+      .otherwise(raise_error(format_string(
+        "payload_neardup: payload length %d outside the exact-ppm Long bound [1, 4e7]",
+        lenRaw)).cast("long"))
+    synthesize(documents).select(
+      col("doc_id"),
+      lenGuarded.as("len"),
+      graft.plans.NibbleHistogram.nibbleHistogram(col("payload")).as("hist"))
+  }
+
+  /** Sub-quadratic companion to [[payloadNearDup]] — the banded
+    * (pigeonhole) histogram-signature detector, the payload analog of
+    * the simhash band trick ([[graft.operators.Dedup.simhash]]) in
+    * nibble-histogram space.
+    *
+    * Candidate generation: the 16 bins split into 4 bands of 4; each
+    * band's signature quantizes its bins' length-normalized values to
+    * a 1/`grid` lattice — PURE INTEGER floor((hᵢ·G) / len) — packed
+    * into one Long. Two lattices per band (offset 0 and half-step,
+    * floor((2·hᵢ·G + len) / (2·len))) so a true pair split by a cell
+    * boundary in one lattice collides in the shifted one: for a pair
+    * within the 1/`thresholdDen` L1 threshold, SOME band carries
+    * ≤ 1/(4·den) of the distance (pigeonhole), its per-bin deltas sit
+    * well under the half-step, and a bin pair that close is split by
+    * at most ONE of the two lattices — so non-collision needs
+    * opposite-lattice splits in the same band across all 4 bands, a
+    * measured-rare event (the recall spec pins it). Precision is
+    * exactly 1.0: every candidate passes the SAME cross-multiplied
+    * integer verify as the exact detector, so emitted rows are a
+    * subset of [[payloadNearDup]]'s with identical values.
+    *
+    * Scale shape: signatures are 8 rows × 3 longs per doc (metadata-
+    * sized), candidates come from an equi-join on (band, lattice,
+    * signature) — hash-partitioned, NO block-pair triangle, no Θ(n²)
+    * pair space. Degenerate buckets are the residual quadratic risk:
+    * an all-ASCII corpus has zero mass in nibble bins 8–F, so bands
+    * 2–3 collapse to one corpus-sized bucket (measured: 38.7M of the
+    * 38.8M raw candidate pairs at sf0.1 came from those four
+    * buckets). The `bucketCap` frequency cap drops buckets larger
+    * than the cap from candidate generation — total candidate volume
+    * is then O(#buckets · cap²) instead of Θ(n²). Recall survives
+    * because an oversized bucket is a band where the corpus (and so
+    * any true pair) is near-identical — that band contributes ~0 of
+    * the pair's distance, leaving the full threshold budget to the
+    * informative bands, whose per-bin deltas then sit even deeper
+    * inside the half-step collision guarantee. The recall spec pins
+    * this; the verify join carries ids only until the final
+    * histogram re-join.
+    */
+  def payloadNearDupBanded(documents: DataFrame, thresholdDen: Long = 200L,
+                           grid: Long = 128L, bucketCap: Long = 1024L): DataFrame = {
+    val hists = payloadHistograms(documents)
+    // Packed band signature: 4 quantized bins × 8 bits (q ≤ grid ≤ 255).
+    require(grid > 0 && grid <= 255L, s"grid must be in [1, 255], got $grid")
+    def sigExpr(band: Int, probe: Int): Column =
+      (0 until 4).map { k =>
+        val h = s"hist[${4 * band + k}]"
+        val q =
+          if (probe == 0) expr(s"($h * $grid) DIV len")
+          else expr(s"(2 * $h * $grid + len) DIV (2 * len)")
+        q * math.pow(256.0, 3 - k).toLong
+      }.reduce(_ + _)
+    val sigs = hists.select(col("doc_id"),
+        explode(array((for { b <- 0 until 4; p <- 0 until 2 } yield
+          struct(lit(b).as("band"), lit(p).as("probe"),
+            sigExpr(b, p).as("sig"))): _*)).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"),
+        col("s.probe").as("probe"), col("s.sig").as("sig"))
+    val capped = sigs
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "probe", "sig")))
+      .filter(col("bsz") <= bucketCap)
+      .drop("bsz")
+    val cand = capped.select(col("band"), col("probe"), col("sig"), col("doc_id").as("ia"))
+      .join(capped.select(col("band"), col("probe"), col("sig"), col("doc_id").as("ib")),
+        Seq("band", "probe", "sig"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+      .distinct()
+    val a = hists.select(col("doc_id").as("ia"), col("len").as("la"), col("hist").as("ha"))
+    val b = hists.select(col("doc_id").as("ib"), col("len").as("lb"), col("hist").as("hb"))
+    val num = (0 until 16).map(i =>
+      abs(element_at(col("ha"), i + 1) * col("lb")
+        - element_at(col("hb"), i + 1) * col("la"))).reduce(_ + _)
+    cand.join(a, "ia").join(b, "ib")
+      .withColumn("num", num)
+      .filter(col("num") * thresholdDen <= col("la") * col("lb"))
+      .select(col("ia").as("a"), col("ib").as("b"),
+        expr("(num * 1000000) DIV (la * lb)").as("dist_ppm"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Audio/video "media file" metadata row. Format-inapplicable
+    * fields are 0 (audio has no frame dims; the video track header
+    * carries no sample rate).
+    */
+  final case class AvMeta(doc_id: Long, n_bytes: Long, format: String,
+                          sample_rate: Long, channels: Long, bit_depth: Long,
+                          width: Long, height: Long)
+
+  /** Deterministic synthetic audio/video payload — the WAV / MP4 /
+    * FLAC counterpart of [[synthesize]] (multimodal training data is
+    * not only images): doc_id picks the container (mod 3), the codec
+    * parameters are doc_id-derived, text bytes follow as the "sample
+    * data". Real layouts per the public specs:
+    *
+    *  - WAV: RIFF/WAVE with a 16-byte PCM `fmt ` chunk (audio format
+    *    1, channels u16le, sample rate u32le, byte rate, block align,
+    *    bits per sample) and a `data` chunk sized to the text.
+    *  - MP4: ISO-BMFF `ftyp` (isom) then `moov` > `trak` > `tkhd`
+    *    v0 (92-byte box; width/height as 16.16 fixed-point u32be at
+    *    offsets 84/88 inside the box).
+    *  - FLAC: `fLaC` magic + a last-flagged STREAMINFO metadata
+    *    block (34 bytes: block sizes, frame sizes, then the packed
+    *    sample-rate(20b)/channels−1(3b)/bps−1(5b)/total-samples(36b)
+    *    field, zeroed MD5).
+    */
+  def synthesizeAv(documents: DataFrame): DataFrame = {
+    def byteHexLe(c: Column, nBytes: Int): Column =
+      concat((0 until nBytes).map(k =>
+        lpad(hex(shiftright(c, 8 * k) % 256), 2, "0")): _*)
+    def byteHexBe(c: Column, nBytes: Int): Column =
+      concat(((nBytes - 1) to 0 by -1).map(k =>
+        lpad(hex(shiftright(c, 8 * k) % 256), 2, "0")): _*)
+    val dataLen = length(col("text")).cast("long")
+    val ch = (col("doc_id") % 2 + 1).cast("long")
+    val sr = ((col("doc_id") % 5 + 1) * 8000L).cast("long")
+    val bps = ((col("doc_id") % 3 + 1) * 8L).cast("long")
+    val wav = concat(
+      lit("52494646"), byteHexLe(dataLen + 36L, 4), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"), // "fmt " len=16 pcm
+      byteHexLe(ch, 2), byteHexLe(sr, 4),
+      byteHexLe((sr * ch * bps / 8L).cast("long"), 4), // exact: bps is a multiple of 8
+      byteHexLe((ch * bps / 8L).cast("long"), 2),
+      byteHexLe(bps, 2),
+      lit("64617461"), byteHexLe(dataLen, 4)) // "data" size
+    val w = (col("doc_id") % 1920 + 1).cast("long")
+    val h = (col("doc_id") % 1080 + 1).cast("long")
+    val tkhd = concat(
+      lit("0000005C"), lit("746B6864"), // size 92, "tkhd"
+      lit("00000007"), // version 0, flags enabled|in-movie|in-preview
+      lit("00000000"), lit("00000000"), lit("00000001"), lit("00000000"), // times, track 1
+      lit("00000000"), lit("0" * 16), // duration, reserved u64
+      lit("00000000"), lit("01000000"), // layer+altgroup, volume+reserved
+      // identity matrix: 0x10000, 0, 0 / 0, 0x10000, 0 / 0, 0, 0x40000000
+      lit("000100000000000000000000" + "000000000001000000000000" + "000000000000000040000000"),
+      byteHexBe(w, 2), lit("0000"), byteHexBe(h, 2), lit("0000")) // 16.16 fixed
+    val mp4 = concat(
+      lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000000"), // ftyp isom
+      lit("0000006C"), lit("6D6F6F76"), // moov size 108
+      lit("00000064"), lit("7472616B"), // trak size 100
+      tkhd)
+    val flac = concat(
+      lit("664C6143"), // "fLaC"
+      lit("80"), lit("000022"), // last-block | STREAMINFO, length 34
+      lit("10001000"), lit("000000"), lit("000000"), // block sizes 4096, frame sizes 0
+      // packed: sr(20) ch-1(3) bps-1(5) samples(36); samples = dataLen
+      lpad(hex(shiftright(sr, 12)), 2, "0"),
+      lpad(hex(shiftright(sr, 4) % 256), 2, "0"),
+      lpad(hex((sr % 16) * 16 + (ch - 1) * 2 + shiftright(bps - 1, 4)), 2, "0"),
+      lpad(hex(((bps - 1) % 16) * 16 + (shiftright(dataLen, 32) % 16)), 2, "0"),
+      byteHexBe(dataLen % 4294967296L, 4),
+      lit("0" * 32)) // zeroed MD5
+    val headerHex = when(col("doc_id") % 3 === 0, wav)
+      .when(col("doc_id") % 3 === 1, mp4)
+      .otherwise(flac)
+    documents.select(col("doc_id"),
+      unhex(concat(headerHex, hex(col("text")))).as("payload"))
+  }
+
+  /** Parse the audio/video container metadata back out of the byte
+    * layout — pure Column algebra over hex(payload), like
+    * [[binaryMeta]]: the Column path reads the fixed layout
+    * [[synthesizeAv]] emits (the GENERAL chunk/box/block walks live
+    * in [[parseAvHeader]], spec-gated against this path).
+    *
+    * Offsets (1-based bytes): WAV channels u16le @23, sample rate
+    * u32le @25, bits u16le @35; MP4 tkhd starts @33, width/height =
+    * 16.16 u32be @117/@121 (integer part = DIV 65536); FLAC packed
+    * field @19-22: sr = b19·2¹² + b20·2⁴ + b21 DIV 16, channels =
+    * (b21 DIV 2) & 7 + 1, bps = (b21 & 1)·16 + b22 DIV 16 + 1.
+    */
+  def avMeta(documents: DataFrame): DataFrame = {
+    val media = synthesizeAv(documents)
+    val hx = hex(col("payload"))
+    def be(startByte: Int, nBytes: Int): Column =
+      conv(substring(hx, (startByte - 1) * 2 + 1, nBytes * 2), 16, 10).cast("long")
+    def le(startByte: Int, nBytes: Int): Column =
+      conv(concat(((nBytes - 1) to 0 by -1).map(k =>
+        substring(hx, (startByte - 1 + k) * 2 + 1, 2)): _*), 16, 10).cast("long")
+    val isWav = substring(hx, 1, 8) === "52494646" && substring(hx, 17, 8) === "57415645"
+    val isMp4 = substring(hx, 9, 8) === "66747970"
+    val isFlac = substring(hx, 1, 8) === "664C6143"
+    media.select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        when(isWav, "wav").when(isMp4, "mp4").when(isFlac, "flac")
+          .otherwise("unknown").as("format"),
+        be(19, 1).as("b19"), be(20, 1).as("b20"), be(21, 1).as("b21"), be(22, 1).as("b22"),
+        when(isWav, le(23, 2)).as("wav_ch"), when(isWav, le(25, 4)).as("wav_sr"),
+        when(isWav, le(35, 2)).as("wav_bps"),
+        when(isMp4, be(117, 4)).as("wfix"), when(isMp4, be(121, 4)).as("hfix"))
+      .select(col("doc_id"), col("n_bytes"), col("format"),
+        when(col("format") === "wav", col("wav_sr"))
+          .when(col("format") === "flac",
+            col("b19") * 4096L + col("b20") * 16L + expr("b21 DIV 16"))
+          .otherwise(0L).as("sample_rate"),
+        when(col("format") === "wav", col("wav_ch"))
+          .when(col("format") === "flac", expr("(b21 DIV 2) % 8") + 1L)
+          .otherwise(0L).as("channels"),
+        when(col("format") === "wav", col("wav_bps"))
+          .when(col("format") === "flac", (col("b21") % 2) * 16L + expr("b22 DIV 16") + 1L)
+          .otherwise(0L).as("bit_depth"),
+        when(col("format") === "mp4", expr("wfix DIV 65536")).otherwise(0L).as("width"),
+        when(col("format") === "mp4", expr("hfix DIV 65536")).otherwise(0L).as("height"))
+      .orderBy(col("doc_id"))
   }
 
   /** Frame sampling over binary payloads: split each payload into
@@ -416,5 +631,114 @@ object Multimodal {
       }
       if (out != null) out else meta("jpeg", 0L, 0L, 0L)
     } else meta("unknown", 0L, 0L, 0L)
+  }
+
+  /** Byte-level audio/video header parse — the GENERAL walks the
+    * fixed-offset Column path can't express, exactly like
+    * [[parseHeader]] for images:
+    *
+    *  - WAV: real RIFF chunk walk (fourcc + u32le size, odd sizes
+    *    pad to even) to the `fmt ` chunk, wherever it sits — a
+    *    `LIST`/`JUNK` chunk before it is routine in the wild.
+    *  - MP4: ISO-BMFF box walk at every level (u32be size, size 1 →
+    *    u64 largesize @8, size 0 → to end-of-buffer) descending
+    *    `moov` > `trak` > `tkhd`, handling both tkhd v0 (dims @84)
+    *    and v1 (64-bit times, dims @96), skipping `ftyp`/`free`/
+    *    other siblings.
+    *  - FLAC: metadata block walk (1-byte last-flag|type + u24be
+    *    length) to the STREAMINFO block (type 0), skipping padding/
+    *    application blocks.
+    *
+    * Untrusted sizes advance the cursor in Long space and stop the
+    * walk (zero fallback) when a skip leaves the buffer — same guard
+    * policy as the WebP chunk walk.
+    */
+  def parseAvHeader(docId: Long, b: Array[Byte]): AvMeta = {
+    def av(fmt: String, sr: Long = 0L, ch: Long = 0L, bps: Long = 0L,
+           w: Long = 0L, h: Long = 0L) =
+      AvMeta(docId, b.length.toLong, fmt, sr, ch, bps, w, h)
+    def be16(i: Int): Long = ((u8(b, i) << 8) | u8(b, i + 1)).toLong
+    def u24be(i: Int): Long = ((u8(b, i) << 16) | (u8(b, i + 1) << 8) | u8(b, i + 2)).toLong
+    def be64(i: Int): Long = (be32(b, i) << 32) | be32(b, i + 4)
+
+    if (b.length >= 12 && b.startsWith("RIFF".getBytes) &&
+        b.slice(8, 12).sameElements("WAVE".getBytes)) {
+      var i = 12
+      var out: AvMeta = null
+      while (out == null && i + 8 <= b.length) {
+        val fourcc = new String(b.slice(i, i + 4), "ISO-8859-1")
+        val size = le32(b, i + 4)
+        val p = i + 8
+        if (fourcc == "fmt " && p + 16 <= b.length)
+          out = av("wav", sr = le32(b, p + 4), ch = le16(b, p + 2), bps = le16(b, p + 14))
+        else {
+          val next = p.toLong + size + (size & 1L)
+          i = if (next < 0 || next > b.length.toLong) b.length else next.toInt
+        }
+      }
+      if (out != null) out else av("wav")
+    } else if (b.length >= 4 && b.startsWith("fLaC".getBytes)) {
+      var i = 4
+      var out: AvMeta = null
+      var last = false
+      while (out == null && !last && i + 4 <= b.length) {
+        val hdr = u8(b, i)
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = u24be(i + 1)
+        val p = i + 4
+        if (typ == 0 && p + 21 <= b.length) {
+          // STREAMINFO packed field at p+10: sr(20) ch-1(3) bps-1(5)
+          val sr = (u8(b, p + 10).toLong << 12) | (u8(b, p + 11) << 4) | (u8(b, p + 12) >> 4)
+          val ch = ((u8(b, p + 12) >> 1) & 7) + 1L
+          val bps = (((u8(b, p + 12) & 1) << 4) | (u8(b, p + 13) >> 4)) + 1L
+          out = av("flac", sr = sr, ch = ch, bps = bps)
+        } else {
+          val next = p.toLong + len
+          i = if (next < 0 || next > b.length.toLong) b.length else next.toInt
+        }
+      }
+      if (out != null) out else av("flac")
+    } else if (b.length >= 12 && b.slice(4, 8).sameElements("ftyp".getBytes)) {
+      // Generic box walk over [from, until): returns payload bounds of
+      // the first box with the wanted fourcc, or null.
+      def findBox(want: String, from: Int, until: Int): (Int, Int) = {
+        var i = from
+        while (i + 8 <= until) {
+          val size32 = be32(b, i)
+          val fourcc = new String(b.slice(i + 4, i + 8), "ISO-8859-1")
+          val (payloadStart, boxEnd) =
+            if (size32 == 1L && i + 16 <= until) (i + 16, i.toLong + be64(i + 8))
+            else if (size32 == 0L) (i + 8, until.toLong)
+            else (i + 8, i.toLong + size32)
+          if (boxEnd < payloadStart || boxEnd > until) return null
+          if (fourcc == want) return (payloadStart, boxEnd.toInt)
+          i = boxEnd.toInt
+        }
+        null
+      }
+      val moov = findBox("moov", 0, b.length)
+      val trak = if (moov == null) null else findBox("trak", moov._1, moov._2)
+      val tkhd = if (trak == null) null else findBox("tkhd", trak._1, trak._2)
+      if (tkhd != null) {
+        val p = tkhd._1
+        val v1 = u8(b, p) == 1
+        val dimOff = p + (if (v1) 88 else 76) // v1: 64-bit times push dims out 12 bytes
+        if (dimOff + 8 <= tkhd._2)
+          av("mp4", w = be32(b, dimOff) >> 16, h = be32(b, dimOff + 4) >> 16)
+        else av("mp4")
+      } else av("mp4")
+    } else av("unknown")
+  }
+
+  /** Distributed decode pipeline for the audio/video containers —
+    * the [[decodePipeline]] counterpart over [[synthesizeAv]] bytes,
+    * running [[parseAvHeader]]'s general walks per partition.
+    */
+  def decodeAvPipeline(documents: DataFrame): Dataset[AvMeta] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    synthesizeAv(documents).as[MediaRow]
+      .mapPartitions { rows => rows.map(m => parseAvHeader(m.doc_id, m.payload)) }
   }
 }

@@ -187,6 +187,99 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty, "threshold should admit some pairs on the test corpus")
   }
 
+  test("payloadNearDupBanded: precision 1.0 (subset of exact, same ppm), high recall, no quadratic join") {
+    // Engineered corpus: 40 groups × 5 members sharing a long base
+    // text with tiny per-member tails (histogram L1 well under the
+    // 1/200 threshold within a group, far across groups) — enough
+    // true pairs for recall to mean something, unlike the handful the
+    // parquet corpora admit.
+    // doc_id stride 5 keeps every group member in the SAME container
+    // format (synthesize picks by doc_id % 5), so header bytes differ
+    // only in the dimension fields (≤ 16 bytes) — at ~8k chars the
+    // header + tail perturbations stay well inside the threshold.
+    val rng = new scala.util.Random(7)
+    val corpus = (0 until 40).flatMap { g =>
+      val base = (0 until 6000).map { _ =>
+        val r = rng.nextInt(36)
+        if (r < 26) ('a' + r).toChar else ('0' + (r - 26)).toChar
+      }.mkString + " the quick brown fox " * 100
+      (0 until 5).map(m => (g * 1000L + m * 5, base + ("x" * m)))
+    }.toDF("doc_id", "text")
+    val exact = Multimodal.payloadNearDup(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.size >= 300, s"corpus must admit many true pairs, got ${exact.size}")
+    val bandedDf = Multimodal.payloadNearDupBanded(corpus)
+    val plan = bandedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate join must stay an equi-join:\n$plan")
+    val banded = bandedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded.subsetOf(exact), "banded rows must be a subset of exact with identical ppm values")
+    val recall = banded.size.toDouble / exact.size
+    assert(recall >= 0.98, s"recall vs exact = $recall")
+  }
+
+  test("payloadNearDupBanded recalls every exact pair on the sf0.001 corpus") {
+    val exact = Multimodal.payloadNearDup(docs).collect().map(_.toString).toSet
+    val banded = Multimodal.payloadNearDupBanded(docs).collect().map(_.toString).toSet
+    assert(exact.nonEmpty)
+    assert(banded === exact, "on this corpus the banded candidates cover every exact pair")
+  }
+
+  test("decodeAvPipeline (mapPartitions kernel) agrees with avMeta column algebra") {
+    val viaKernel = Multimodal.decodeAvPipeline(docs).collect()
+      .map(m => (m.doc_id, m.n_bytes, m.format, m.sample_rate, m.channels, m.bit_depth, m.width, m.height)).toSet
+    val viaColumns = Multimodal.avMeta(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(viaKernel === viaColumns)
+    assert(viaKernel.map(_._3) === Set("wav", "mp4", "flac"))
+  }
+
+  test("parseAvHeader walks non-canonical container layouts (the general walks)") {
+    import Multimodal.parseAvHeader
+    def u32le(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def u32be(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16le(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte)
+
+    // WAV with a JUNK chunk (odd size → pad byte) BEFORE fmt — the
+    // chunk walk must skip it, a fixed-offset parse would misread.
+    val fmtBody = Array[Byte](1, 0) ++ u16le(2) ++ u32le(44100) ++
+      u32le(44100 * 2 * 2) ++ u16le(4) ++ u16le(16)
+    val wav = "RIFF".getBytes ++ u32le(200) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ u32le(3) ++ Array[Byte](9, 9, 9, 0) ++ // odd size, padded
+      "fmt ".getBytes ++ u32le(16) ++ fmtBody
+    val wm = parseAvHeader(1L, wav)
+    assert((wm.format, wm.sample_rate, wm.channels, wm.bit_depth) === (("wav", 44100L, 2L, 16L)))
+
+    // FLAC with an APPLICATION block before STREAMINFO — block walk.
+    val streaminfo = Array[Byte](0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0) ++
+      // packed: sr=48000 (0x0BB80), ch=1, bps=24: b0=0x0B, b1=0xB8, b2=0x00|0|1=0x01, b3=0x70
+      Array[Byte](0x0b, 0xb8.toByte, 0x01, 0x70, 0, 0, 0, 0) ++ Array.fill(16)(0.toByte)
+    val flac = "fLaC".getBytes ++
+      Array[Byte](2, 0, 0, 4) ++ "APPL".getBytes ++ // APPLICATION block, len 4
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ streaminfo // last | STREAMINFO
+    val fm = parseAvHeader(2L, flac)
+    assert((fm.format, fm.sample_rate, fm.channels, fm.bit_depth) === (("flac", 48000L, 1L, 24L)))
+
+    // MP4 with a free box between ftyp and moov, an mvhd sibling
+    // before trak, and a VERSION-1 tkhd (64-bit times → dims 12
+    // bytes further out) — the box walk must descend correctly.
+    val tkhdV1Body = Array[Byte](1, 0, 0, 0) ++ Array.fill(8 + 8)(0.toByte) ++ // v1, creation/mod u64
+      u32be(1) ++ u32be(0) ++ Array.fill(8)(0.toByte) ++ // track, reserved, duration u64
+      Array.fill(8)(0.toByte) ++ Array.fill(2 + 2 + 2 + 2)(0.toByte) ++ // reserved, layer/alt/vol/res
+      Array.fill(36)(0.toByte) ++ // matrix
+      u32be(1280L << 16) ++ u32be(720L << 16)
+    val tkhd = u32be(8 + tkhdV1Body.length) ++ "tkhd".getBytes ++ tkhdV1Body
+    val mvhd = u32be(16) ++ "mvhd".getBytes ++ Array.fill(8)(0.toByte)
+    val trak = u32be(8 + tkhd.length) ++ "trak".getBytes ++ tkhd
+    val moov = u32be(8 + mvhd.length + trak.length) ++ "moov".getBytes ++ mvhd ++ trak
+    val mp4 = u32be(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ u32be(0) ++
+      u32be(12) ++ "free".getBytes ++ u32be(0) ++ moov
+    val mm = parseAvHeader(3L, mp4)
+    assert((mm.format, mm.width, mm.height) === (("mp4", 1280L, 720L)))
+  }
+
   test("parseHeader reads real PNG/GIF/BMP/JPEG header bytes") {
     import Multimodal.parseHeader
     // PNG 640x480 RGBA, built per spec: magic, IHDR len+tag, dims,
