@@ -150,6 +150,8 @@ object SparkEntry {
     // PQ: exact integer-units training/encode/ADC -> full oracle (pqCtes)
     // + determinism/recall specs (SimilaritySpec)
     "ann_pq"              -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings)),
+    "ann_pq_served"       -> ((s, d) => Similarity.annPqServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     // IVF-PQ composite: trained-cell prune x PQ codes scan -> full
     // oracle (lloydCtes + pqCtes joined on the cell filter); nprobe=2
     "ann_ivfpq"           -> ((s, d) => Similarity.annIvfPq(Tables(s, d).embeddings, nprobe = 2)),
@@ -858,6 +860,32 @@ FROM e ORDER BY user_id, day"""
        |         WHEN $isTiff THEN ${le(43, 2)} END::BIGINT AS channels
        |  FROM x)""".stripMargin
   }
+
+  /** ann_pq / ann_pq_served oracle (the served path is bit-identical
+    * by construction — see [[operators.Similarity.annPqServed]]).
+    */
+  private def annPqOracle: String =
+    s"""WITH $normsCte,
+       |${pqCtes(8, 3, 8)},
+       |adist AS (SELECT qd.query_id, c.vec_id, sum(qd.du) AS adist
+       |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
+       |  WHERE c.vec_id <> qd.query_id GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
+       |  FROM adist) WHERE ra <= 50),
+       |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2),
+       |scored AS (SELECT query_id, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Shared nibble-histogram CTE pair (`h`/`hh`) for the near-dup
     * oracles, over the [[mmPayloadCtes]] payload bytes. Ends with
@@ -2118,28 +2146,11 @@ FROM e ORDER BY user_id, day"""
     // PQ search fully replayed: exact-decimal-norm normalization,
     // integer-units joint codebook training (unrolled), integer ADC
     // candidate order, exact decimal cosine re-rank (see pqCtes).
-    "ann_pq" ->
-      (s"""WITH $normsCte,
-        |${pqCtes(8, 3, 8)},
-        |adist AS (SELECT qd.query_id, c.vec_id, sum(qd.du) AS adist
-        |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
-        |  WHERE c.vec_id <> qd.query_id GROUP BY 1, 2),
-        |cand AS (SELECT query_id, vec_id FROM (
-        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
-        |  FROM adist) WHERE ra <= 50),
-        |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
-        |  SELECT c.query_id, c.vec_id,
-        |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
-        |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
-        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
-        |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2),
-        |scored AS (SELECT query_id, cdots.vec_id AS nvec,
-        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
-        |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
-        |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
-        |  SELECT query_id, nvec, cosine,
-        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
-        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_pq" -> annPqOracle,
+    // Serve-from-frozen-index path: bit-identical results to ann_pq
+    // (integer units end-to-end survive the parquet round trip), so
+    // the same oracle gates the whole save/load/serve lifecycle.
+    "ann_pq_served" -> annPqOracle,
     // IVF-PQ: the Lloyd chain labels cells, the PQ chain supplies
     // codes + ADC tables; candidates come from the query's top-2
     // probed cells (q_probe), then the standard exact re-rank.

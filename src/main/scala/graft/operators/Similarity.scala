@@ -477,6 +477,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Persist a trained [[PqIndex]] — the frozen-index lifecycle's
+    * write half. `codes` lands as a parquet table (the thing a
+    * 100 TB deployment actually serves from: 9 bytes/vector next to
+    * the raw corpus), the m×cb×dsub codebook units as a single-file
+    * parquet of (subspace, code, units) rows, and `m` in a one-row
+    * meta table. The raw corpus is NOT copied — it is the source
+    * table, re-bound at load.
+    */
+  def pqIndexSave(index: PqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    val cbRows = for {
+      (subCbs, sub) <- index.codebooks.zipWithIndex
+      (units, code) <- subCbs.zipWithIndex
+    } yield (sub, code, units.toSeq)
+    cbRows.toDF("subspace", "code", "units")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    Seq(index.m).toDF("m")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** Load a persisted PQ index and re-bind it to its corpus table.
+    * Codebooks are bounded model parameters (m×cb×dsub longs), so
+    * the collect here is the same class as the training collects.
+    * Results from a loaded index are BIT-EXACT equal to the freshly
+    * built one (integer units end-to-end) — spec-gated.
+    */
+  def pqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  corpus: DataFrame): PqIndex = {
+    val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0).getInt(0)
+    val cbs = spark.read.parquet(s"$dir/codebooks.parquet").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val codebooks = cbs.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq }
+    PqIndex(codebooks, spark.read.parquet(s"$dir/codes.parquet"),
+      corpus.select(col("vec_id"), col("embedding")), m)
+  }
+
+  /** Serve-from-frozen-index batch ANN — the lifecycle composition
+    * (train → save → load → serve) as one oracled query. The first
+    * call in a JVM builds and persists the index under `indexDir`;
+    * subsequent calls (and every other JVM run with the guard cold —
+    * no cross-process staleness risk) rebuild it, while the
+    * IN-process guard lets a repeated-measure bench read the
+    * steady-state serving cost: parquet codes scan + ADC + exact
+    * re-rank, no training. Results are bit-identical to [[annPq]]
+    * with the same parameters, so it shares ann_pq's oracle.
+    */
+  def annPqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                  m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
+                  rerank: Int = 50): DataFrame = {
+    if (servedIndexBuilt.putIfAbsent(indexDir, java.lang.Boolean.TRUE) == null)
+      pqIndexSave(pqIndexBuild(embeddings, m, codebookSize, iters), indexDir)
+    val index = pqIndexLoad(embeddings.sparkSession, indexDir, embeddings)
+    pqSearch(index, defaultQueries(embeddings), k, rerank, excludeSelf = true)
+  }
+  private val servedIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** IVF-PQ composite search — the billion-vector layout: the trained
     * Lloyd coarse quantizer ([[train]], raw-vector integer units)
     * restricts each query to its own cell (1/nlist of the corpus),

@@ -211,6 +211,37 @@ class SimilaritySpec extends SparkSpec {
     assert(want.nonEmpty, "testdata must contain at least one near-dup pair")
   }
 
+  test("PQ index round-trips through parquet bit-exactly (save → load → serve)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_rt").toString
+    val built = Similarity.pqIndexBuild(embeddings)
+    Similarity.pqIndexSave(built, dir)
+    val loaded = Similarity.pqIndexLoad(spark, dir, embeddings)
+    assert(loaded.m === built.m)
+    assert(loaded.codebooks.map(_.map(_.toSeq)) === built.codebooks.map(_.map(_.toSeq)),
+      "codebook units must survive the parquet round trip exactly")
+    assert(loaded.codes.collect().map(_.toString).sorted.toSeq
+      === built.codes.collect().map(_.toString).sorted.toSeq,
+      "encoded corpus must survive the parquet round trip exactly")
+    val queries = embeddings.filter(col("vec_id") % 100 === 0)
+    val servedRows = Similarity.pqSearch(loaded, queries, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    val builtRows = Similarity.pqSearch(built, queries, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    assert(servedRows === builtRows, "serving from the loaded index must be bit-identical")
+  }
+
+  test("annPqServed (train → save → load → serve) equals annPq bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_served").toString
+    val served = Similarity.annPqServed(embeddings, dir).collect().map(_.toString).toSeq
+    val direct = Similarity.annPq(embeddings).collect().map(_.toString).toSeq
+    assert(served === direct)
+    assert(served.nonEmpty)
+    // second call within the JVM serves without rebuilding (the
+    // in-process guard) and still returns the identical rows
+    val again = Similarity.annPqServed(embeddings, dir).collect().map(_.toString).toSeq
+    assert(again === direct)
+  }
+
   test("BandSignatures kernel matches a reference Scala fixed-point computation") {
     import graft.operators.LshPlanes
     val rows = embeddings.select(col("vec_id"), col("embedding"),
