@@ -25,6 +25,13 @@ object GraftSession {
       // CPU-bound stages whose shuffle bytes are small (hashing,
       // HOF-heavy text ops); 1 MB default would serialize them.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // Cached plans pin their shuffle output partitioning unless AQE
+      // is allowed to re-plan it; at high shuffle-partition counts
+      // that turns every .cache() inside an iterative loop (label
+      // propagation) into partitions×iterations scheduler overhead —
+      // PartitionSweep measured components 6.2× SLOWER at 2048
+      // partitions before this flag, invariant-and-flat after.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       // Fact⋈fact path (neither side broadcastable at real scale):
       // inject a runtime Bloom filter built from the selective side

@@ -58,6 +58,12 @@ object PartitionSweep {
 
     val partitionCounts = Seq(32, 512, 2048)
     val results = selected.map { case (name, f) =>
+      // one untimed warmup at the base setting so the p=32 sample
+      // isn't charged for codegen/broadcast warmup the later
+      // settings inherit (first sweep had q1 reading 4.6x faster at
+      // p=512 purely from this bias)
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      f()
       val runs = partitionCounts.map { p =>
         spark.conf.set("spark.sql.shuffle.partitions", p.toString)
         val t0 = System.nanoTime()
