@@ -4,6 +4,7 @@ import graft.functions.Hashing._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.HonestCheckpoint._
 
 /** Dataset-curation operators for training-data pipelines (SURVEY §2
   * #36-38): deterministic splits, stratified sampling, and corpus
@@ -320,7 +321,7 @@ object Curation {
     // times (the CPU-dominant step at scale). The pre-tokenized
     // projection is materialized once (eager localCheckpoint,
     // ContextCleaner-freed) and every stage reads it back.
-    val base = TextOps.withToks(documents).localCheckpoint(true)
+    val base = TextOps.withToks(documents).honestCheckpoint()
     val fg = filterGate(base)
       .select(col("doc_id"), col("lang"), col("quality_ok"),
         col("repetition_ok"), col("lang_ok"), col("keep").as("filter_ok"))

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.Hashing._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.HonestCheckpoint._
 
 /** Document deduplication — the LLM-training-pipeline operators
   * (SURVEY §2 #21-24), generalizing the reference's key-based dedup
@@ -125,7 +126,7 @@ object Dedup {
   def verifyPairs(documents: DataFrame, pairs: DataFrame,
                   threshold: Double = 0.8, w: Int = 3): DataFrame =
     verifyJaccard(pairs.select(col("a"), col("b")).distinct(),
-      shingleRows(documents, w).localCheckpoint(true), threshold)
+      shingleRows(documents, w).honestCheckpoint(), threshold)
 
   /** Exact Jaccard verification of candidate (a, b) pairs against the
     * full shingle sets; emits pairs with round(j, 6) ≥ threshold.
@@ -209,7 +210,7 @@ object Dedup {
     // materializing it once (eager localCheckpoint, ContextCleaner-
     // freed, MEMORY_AND_DISK so 100 TB spills rather than OOMs) turns
     // four corpus tokenize+explode scans into one.
-    val sh = shingleRows(documents, 3).localCheckpoint(true)
+    val sh = shingleRows(documents, 3).honestCheckpoint()
     // Signatures are internal (the oracle is the brute-force Jaccard
     // answer, not the sketch), so use codegen'd seeded xxhash64 —
     // hᵢ = xxhash64(i, s) — instead of 32 md5 rounds per shingle.
@@ -224,7 +225,7 @@ object Dedup {
       // of the candidate self-join; without materializing, each side
       // recomputes the 32-min signature aggregation from the shingle
       // blocks (round-6 plan audit: 12 RDD-block reads).
-      .localCheckpoint(true)
+      .honestCheckpoint()
     val bandCols = (0 until bands).map { j =>
       struct(lit(j).as("band_id"),
         xxhash64((0 until rows).map(r => col(s"h${j * rows + r}")): _*).as("bh"))
@@ -266,7 +267,7 @@ object Dedup {
       // shingle→hash→60-bit-sum chain (one under a BroadcastExchange,
       // so ReuseExchange can't fire — round-6 plan audit: two complete
       // tokenize chains). Checkpointing makes the corpus scan run ONCE.
-      .localCheckpoint(true)
+      .honestCheckpoint()
     // Pigeonhole: split 60 bits into maxHamming+1 chunks; any pair
     // within the Hamming budget must agree on at least one chunk.
     val nChunks = maxHamming + 1
@@ -353,7 +354,7 @@ object Dedup {
     // corpus-sized cache entry per components() call in a session.
     // localCheckpoint blocks are ContextCleaner-managed — freed once
     // the returned frame is unreferenced.
-    val out = labels.localCheckpoint(true)
+    val out = labels.honestCheckpoint()
     cached.unpersist()
     out.orderBy(col("node"))
   }
@@ -427,7 +428,7 @@ object Dedup {
     // Five consumers (freq, the ranked join, and three verify-stage
     // references) — one materialized scan, same rationale as
     // [[minhashLsh]].
-    val sh = shingleRows(documents, 4).localCheckpoint(true)
+    val sh = shingleRows(documents, 4).honestCheckpoint()
     // Prefix ordering only has to be SOME consistent total order —
     // the PPJoin bound holds for any — so exact global counts are
     // only needed where they differ from 1. The repeated-shingle
@@ -453,7 +454,7 @@ object Dedup {
       // (s, doc_id, f, rk, n). Both self-join sides consume it;
       // without materializing, each replays the broadcast-freq join +
       // ranking window (round-6 plan audit: 16 block reads).
-      .localCheckpoint(true)
+      .honestCheckpoint()
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
@@ -487,16 +488,16 @@ object Dedup {
     * [[verifyJaccard]], scored as inter/min instead of inter/union.
     */
   def containment(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleRows(documents, 4).localCheckpoint(true)
+    val sh = shingleRows(documents, 4).honestCheckpoint()
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f")).filter(col("f") >= 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
-    val ranked = sh.join(broadcast(freq), Seq("s"), "left")
+    val ranked = sh.join(freq, Seq("s"), "left")
       .withColumn("f", coalesce(col("f"), lit(1L)))
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
-      .localCheckpoint(true)
+      .honestCheckpoint()
     // Same ulp-guarded ceil as ngramJaccard: the margin only ever
     // lengthens the prefix, never shortens it below the bound.
     val prefix = ranked.filter(

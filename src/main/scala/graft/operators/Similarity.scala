@@ -4,6 +4,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.HonestCheckpoint._
 
 /** Embedding similarity — near-dup pairs and nearest-neighbor search
   * over an `array<float>` column (SURVEY §2 #25-27).
@@ -458,7 +459,7 @@ object Similarity {
     val dsub = pqDsub(m)
     val corpusU = pqCorpusUnits(embeddings)
     val codebooks = pqTrainCodebooks(corpusU, m, codebookSize, iters, dsub)
-    PqIndex(codebooks, pqEncode(corpusU, codebooks, dsub).localCheckpoint(),
+    PqIndex(codebooks, pqEncode(corpusU, codebooks, dsub).honestCheckpoint(),
       embeddings.select(col("vec_id"), col("embedding")), m)
   }
 
@@ -620,7 +621,7 @@ object Similarity {
   private def pqCorpusUnits(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), graft.plans.IntegerUnits.normalizeUnits(col("embedding")).as("un"))
-      .localCheckpoint()
+      .honestCheckpoint()
 
   /** Shared projection/argmin machinery: every subspace distance is
     * projected ONCE (no re-evaluation inside the fold), and the fold

@@ -4,6 +4,7 @@ import graft.functions.Hashing._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.plans.HonestCheckpoint._
 
 /** Text-analysis operators for training-data curation (SURVEY §2
   * #28-31): language scoring, quality features, token statistics,
@@ -198,7 +199,7 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .honestCheckpoint()
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
@@ -249,7 +250,7 @@ object TextOps {
     val tf = documents.repartition(parallelism, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .honestCheckpoint()
     val freq = tf.groupBy(col("token")).agg(sum(col("cnt")).as("f"))
     val total = freq.agg(sum(col("f")).as("total"))
     tf.join(freq, "token")
@@ -394,14 +395,14 @@ object TextOps {
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS src, toks[i] AS dst))")).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("wt"))
-      .localCheckpoint(true)
+      .honestCheckpoint()
     val nodes = toks.select(explode(col("toks")).as("token")).distinct()
-      .localCheckpoint(true)
+      .honestCheckpoint()
     toks.unpersist()
     // vocabulary-sized; checkpointed so each iteration joins stored
     // blocks instead of re-shuffling edges per iteration
     val outW = edges.groupBy(col("src")).agg(sum(col("wt")).as("wout"))
-      .localCheckpoint(true)
+      .honestCheckpoint()
     val nDf = nodes.agg(count(lit(1)).as("n"))
     var r = nodes.crossJoin(broadcast(nDf))
       .select(col("token"), (lit(1.0) / col("n").cast("double")).as("rank"))
