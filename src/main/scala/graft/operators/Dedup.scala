@@ -439,7 +439,7 @@ object Dedup {
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("f")).filter(col("f") >= 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"), col("s"))
-    val ranked = sh.join(broadcast(freq), Seq("s"), "left")
+    val ranked = sh.join(freq, Seq("s"), "left")
       .withColumn("f", coalesce(col("f"), lit(1L)))
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(
