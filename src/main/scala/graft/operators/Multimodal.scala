@@ -648,6 +648,10 @@ object Multimodal {
     *  - FLAC: metadata block walk (1-byte last-flag|type + u24be
     *    length) to the STREAMINFO block (type 0), skipping padding/
     *    application blocks.
+    *  - Ogg: first-page segment-table skip to the codec
+    *    identification header — OpusHead (channels, original input
+    *    rate) or ␁vorbis (channels, rate); lossy codecs report
+    *    bit_depth 0 (no fixed sample width).
     *
     * Untrusted sizes advance the cursor in Long space and stop the
     * walk (zero fallback) when a skip leaves the buffer — same guard
@@ -699,6 +703,24 @@ object Multimodal {
         }
       }
       if (out != null) out else av("flac")
+    } else if (b.length >= 28 && b.startsWith("OggS".getBytes) && u8(b, 4) == 0) {
+      // Ogg: page header is "OggS" ver(0) type granule(8) serial(4)
+      // seq(4) crc(4) nSegs(1) segtable(nSegs); the FIRST page's
+      // payload identifies the codec — "OpusHead" (channels u8 @9,
+      // original input rate u32le @12; Opus itself always decodes at
+      // 48 kHz but the header preserves the source rate) or
+      // "\x01vorbis" (channels u8 @11, rate u32le @12, followed by
+      // bitrates and the blocksize nibbles).
+      val nSegs = u8(b, 26)
+      val p = 27 + nSegs
+      // bit_depth stays 0: lossy codecs have no fixed sample width
+      // (the 0-for-inapplicable convention of [[AvMeta]]).
+      if (p + 19 <= b.length && b.slice(p, p + 8).sameElements("OpusHead".getBytes))
+        av("ogg", sr = le32(b, p + 12), ch = u8(b, p + 9).toLong)
+      else if (p + 16 <= b.length && u8(b, p) == 1 &&
+          b.slice(p + 1, p + 7).sameElements("vorbis".getBytes))
+        av("ogg", sr = le32(b, p + 12), ch = u8(b, p + 11).toLong)
+      else av("ogg")
     } else if (b.length >= 12 && b.slice(4, 8).sameElements("ftyp".getBytes)) {
       // Generic box walk over [from, until): returns payload bounds of
       // the first box with the wanted fourcc, or null.

@@ -278,6 +278,21 @@ class CurationSpec extends SparkSpec {
       u32be(12) ++ "free".getBytes ++ u32be(0) ++ moov
     val mm = parseAvHeader(3L, mp4)
     assert((mm.format, mm.width, mm.height) === (("mp4", 1280L, 720L)))
+
+    // Ogg first page: OggS header with a 1-entry segment table, then
+    // the codec id header — OpusHead (channels u8 @9, input rate
+    // u32le @12) and ␁vorbis (channels u8 @11, rate u32le @12).
+    def oggPage(payload: Array[Byte]): Array[Byte] =
+      "OggS".getBytes ++ Array[Byte](0, 2) ++ Array.fill(8)(0.toByte) ++ // ver, BOS, granule
+        Array.fill(12)(0.toByte) ++ Array[Byte](1, payload.length.toByte) ++ payload
+    val opus = oggPage("OpusHead".getBytes ++ Array[Byte](1, 2) ++ u16le(312) ++
+      u32le(48000) ++ Array[Byte](0, 0, 0))
+    val om = parseAvHeader(4L, opus)
+    assert((om.format, om.sample_rate, om.channels, om.bit_depth) === (("ogg", 48000L, 2L, 0L)))
+    val vorbis = oggPage(Array[Byte](1) ++ "vorbis".getBytes ++ u32le(0) ++
+      Array[Byte](1) ++ u32le(44100) ++ Array.fill(13)(0.toByte))
+    val vm = parseAvHeader(5L, vorbis)
+    assert((vm.format, vm.sample_rate, vm.channels, vm.bit_depth) === (("ogg", 44100L, 1L, 0L)))
   }
 
   test("parseHeader reads real PNG/GIF/BMP/JPEG header bytes") {
