@@ -155,6 +155,9 @@ object SparkEntry {
     // IVF-PQ composite: trained-cell prune x PQ codes scan -> full
     // oracle (lloydCtes + pqCtes joined on the cell filter); nprobe=2
     "ann_ivfpq"           -> ((s, d) => Similarity.annIvfPq(Tables(s, d).embeddings, nprobe = 2)),
+    "ann_ivfpq_served"    -> ((s, d) => Similarity.annIvfPqServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      nprobe = 2)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),
@@ -860,6 +863,39 @@ FROM e ORDER BY user_id, day"""
        |         WHEN $isTiff THEN ${le(43, 2)} END::BIGINT AS channels
        |  FROM x)""".stripMargin
   }
+
+  /** ann_ivfpq / ann_ivfpq_served oracle: Lloyd chain labels cells,
+    * the PQ chain supplies codes + ADC tables; candidates come from
+    * the query's top-2 probed cells (q_probe), then the standard
+    * exact re-rank. The served path is bit-identical by construction
+    * ([[operators.Similarity.annIvfPqServed]]).
+    */
+  private def annIvfPqOracle: String =
+    s"""WITH $normsCte,
+       |${lloydCtes(8, 3)},
+       |${qProbeCte(2)},
+       |${pqCtes(8, 3, 8)},
+       |adist AS (SELECT qd.query_id, lq.cluster AS label, c.vec_id, sum(qd.du) AS adist
+       |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
+       |  JOIN a_fin lv ON lv.vec_id = c.vec_id
+       |  JOIN q_probe lq ON lq.vec_id = qd.query_id
+       |  WHERE lv.cluster = lq.cluster AND c.vec_id <> qd.query_id GROUP BY 1, 2, 3),
+       |cand AS (SELECT query_id, label, vec_id FROM (
+       |  SELECT query_id, label, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
+       |  FROM adist) WHERE ra <= 50),
+       |cdots AS (SELECT query_id, label, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.label, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, label, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, label, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** ann_pq / ann_pq_served oracle (the served path is bit-identical
     * by construction — see [[operators.Similarity.annPqServed]]).
@@ -2154,32 +2190,10 @@ FROM e ORDER BY user_id, day"""
     // IVF-PQ: the Lloyd chain labels cells, the PQ chain supplies
     // codes + ADC tables; candidates come from the query's top-2
     // probed cells (q_probe), then the standard exact re-rank.
-    "ann_ivfpq" ->
-      (s"""WITH $normsCte,
-        |${lloydCtes(8, 3)},
-        |${qProbeCte(2)},
-        |${pqCtes(8, 3, 8)},
-        |adist AS (SELECT qd.query_id, lq.cluster AS label, c.vec_id, sum(qd.du) AS adist
-        |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
-        |  JOIN a_fin lv ON lv.vec_id = c.vec_id
-        |  JOIN q_probe lq ON lq.vec_id = qd.query_id
-        |  WHERE lv.cluster = lq.cluster AND c.vec_id <> qd.query_id GROUP BY 1, 2, 3),
-        |cand AS (SELECT query_id, label, vec_id FROM (
-        |  SELECT query_id, label, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
-        |  FROM adist) WHERE ra <= 50),
-        |cdots AS (SELECT query_id, label, vec_id, sum(p) AS dot FROM (
-        |  SELECT c.query_id, c.label, c.vec_id,
-        |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
-        |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
-        |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
-        |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2, 3),
-        |scored AS (SELECT query_id, label, cdots.vec_id AS nvec,
-        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
-        |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
-        |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
-        |  SELECT query_id, label, nvec, cosine,
-        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
-        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_ivfpq" -> annIvfPqOracle,
+    // Frozen-index serve path: bit-identical to ann_ivfpq (integer
+    // units survive the parquet round trip), same oracle.
+    "ann_ivfpq_served" -> annIvfPqOracle,
     "ann_centroids" ->
       """SELECT label, dim, count(*) AS n,
         |  round(CAST(sum(c) AS DOUBLE) / count(*), 6) + 0.0 AS mean

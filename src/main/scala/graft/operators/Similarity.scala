@@ -560,31 +560,109 @@ object Similarity {
                m: Int = 8, codebookSize: Int = 8, pqIters: Int = 3,
                rerank: Int = 50, nprobe: Int = 1,
                queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val index = ivfPqIndexBuild(embeddings, nlist, ivfIters, m, codebookSize, pqIters)
+    ivfPqSearch(index, queries.getOrElse(defaultQueries(embeddings)), k, rerank, nprobe,
+      excludeSelf = queriesAreCorpusDerived.getOrElse(queries.isEmpty))
+  }
+
+  /** A trained, materialized IVF-PQ index: coarse quantizer
+    * centroids + PQ codebooks (both bounded driver-side model
+    * parameters) and the labeled codes table — the full
+    * billion-vector serving layout.
+    */
+  final case class IvfPqIndex private[Similarity] (
+      codebooks: IndexedSeq[IndexedSeq[Array[Long]]],
+      centroids: Seq[Array[Long]],
+      codes: DataFrame, corpus: DataFrame, m: Int)
+
+  /** Train the coarse quantizer + codebooks and encode/label the
+    * corpus ONCE — the index-build half of [[annIvfPq]].
+    */
+  def ivfPqIndexBuild(embeddings: DataFrame, nlist: Int = 8, ivfIters: Int = 3,
+                      m: Int = 8, codebookSize: Int = 8, pqIters: Int = 3): IvfPqIndex = {
     val dsub = pqDsub(m)
     val centroids = train(embeddings, nlist, ivfIters)
-    def labelOf(df: DataFrame): DataFrame =
-      assignCells(df.select(col("vec_id"), col("embedding")), centroids)
-        .select(col("vec_id"), col("cluster").as("label"))
     val corpusU = pqCorpusUnits(embeddings)
     val codebooks = pqTrainCodebooks(corpusU, m, codebookSize, pqIters, dsub)
     val codes = pqEncode(corpusU, codebooks, dsub)
-      .join(labelOf(embeddings), "vec_id")
-    val qsBase = queries.getOrElse(defaultQueries(embeddings))
+      .join(assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+        .select(col("vec_id"), col("cluster").as("label")), "vec_id")
+    IvfPqIndex(codebooks, centroids, codes,
+      embeddings.select(col("vec_id"), col("embedding")), m)
+  }
+
+  /** Search a trained [[IvfPqIndex]] with any (vec_id, embedding)
+    * query frame — the serve half of [[annIvfPq]], same math.
+    */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int = 5,
+                  rerank: Int = 50, nprobe: Int = 1,
+                  excludeSelf: Boolean = false): DataFrame = {
+    val dsub = pqDsub(index.m)
     // nprobe rows per query (assignTopCells): the ADC scan reads
     // codes from the query's nprobe nearest cells; the per-query
     // rerank window then cuts across all probed cells at once.
-    val qs = pqQueries(qsBase, codebooks, dsub)
-      .join(assignTopCells(qsBase.select(col("vec_id"), col("embedding")), centroids, nprobe)
+    val qs = pqQueries(queries, index.codebooks, dsub)
+      .join(assignTopCells(queries.select(col("vec_id"), col("embedding")),
+          index.centroids, nprobe)
         .select(col("vec_id").as("query_id"), col("cluster").as("qlabel")), "query_id")
     val cands = pqAdcCandidates(
-      codes.join(broadcast(qs),
-        col("label") === col("qlabel") &&
-          notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty))),
-      m, rerank, carry = Seq("label"))
-    pqExactRerank(cands, embeddings, k, carry = Seq("label"))
+      index.codes.join(broadcast(qs),
+        col("label") === col("qlabel") && notSelf(excludeSelf)),
+      index.m, rerank, carry = Seq("label"))
+    pqExactRerank(cands, index.corpus, k, carry = Seq("label"))
       .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
         col("rank"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Persist / load / serve-from a frozen IVF-PQ index — the
+    * [[pqIndexSave]]/[[pqIndexLoad]]/[[annPqServed]] lifecycle for
+    * the composite layout. The centroids ride a third small parquet
+    * next to codebooks + labeled codes; results are bit-identical to
+    * [[annIvfPq]] (integer units end-to-end), so `ann_ivfpq_served`
+    * shares ann_ivfpq's oracle.
+    */
+  def ivfPqIndexSave(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    val cbRows = for {
+      (subCbs, sub) <- index.codebooks.zipWithIndex
+      (units, code) <- subCbs.zipWithIndex
+    } yield (sub, code, units.toSeq)
+    cbRows.toDF("subspace", "code", "units")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    index.centroids.zipWithIndex.map { case (units, cell) => (cell, units.toSeq) }
+      .toDF("cell", "units")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    Seq(index.m).toDF("m")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     corpus: DataFrame): IvfPqIndex = {
+    val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0).getInt(0)
+    val cbs = spark.read.parquet(s"$dir/codebooks.parquet").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val codebooks = cbs.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq }
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
+    IvfPqIndex(codebooks, centroids, spark.read.parquet(s"$dir/codes.parquet"),
+      corpus.select(col("vec_id"), col("embedding")), m)
+  }
+
+  /** Serve-from-frozen-index batch IVF-PQ — train → save → load →
+    * serve as one oracled query, with the same in-process build
+    * guard as [[annPqServed]] so a repeated-measure bench reads the
+    * steady serve-only cost.
+    */
+  def annIvfPqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                     nprobe: Int = 1, rerank: Int = 50): DataFrame = {
+    if (servedIndexBuilt.putIfAbsent(indexDir, java.lang.Boolean.TRUE) == null)
+      ivfPqIndexSave(ivfPqIndexBuild(embeddings), indexDir)
+    val index = ivfPqIndexLoad(embeddings.sparkSession, indexDir, embeddings)
+    ivfPqSearch(index, defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
   }
 
   private def pqDsub(m: Int): Int = {

@@ -242,6 +242,31 @@ class SimilaritySpec extends SparkSpec {
     assert(again === direct)
   }
 
+  test("IVF-PQ index round-trips through parquet bit-exactly and serves identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_rt").toString
+    val built = Similarity.ivfPqIndexBuild(embeddings)
+    Similarity.ivfPqIndexSave(built, dir)
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir, embeddings)
+    assert(loaded.m === built.m)
+    assert(loaded.codebooks.map(_.map(_.toSeq)) === built.codebooks.map(_.map(_.toSeq)))
+    assert(loaded.centroids.map(_.toSeq) === built.centroids.map(_.toSeq),
+      "coarse-quantizer centroids must survive the parquet round trip exactly")
+    val queries = embeddings.filter(col("vec_id") % 100 === 0)
+    val servedRows = Similarity.ivfPqSearch(loaded, queries, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    val builtRows = Similarity.ivfPqSearch(built, queries, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    assert(servedRows === builtRows)
+    // and the composed served entry equals the direct operator
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_served").toString
+    val served = Similarity.annIvfPqServed(embeddings, dir2, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    val direct = Similarity.annIvfPq(embeddings, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
   test("BandSignatures kernel matches a reference Scala fixed-point computation") {
     import graft.operators.LshPlanes
     val rows = embeddings.select(col("vec_id"), col("embedding"),
