@@ -155,6 +155,7 @@ object SparkEntry {
     // IVF-PQ composite: trained-cell prune x PQ codes scan -> full
     // oracle (lloydCtes + pqCtes joined on the cell filter); nprobe=2
     "ann_ivfpq"           -> ((s, d) => Similarity.annIvfPq(Tables(s, d).embeddings, nprobe = 2)),
+    "ann_ivfpq_residual"  -> ((s, d) => Similarity.annIvfPqResidual(Tables(s, d).embeddings, nprobe = 2)),
     "ann_ivfpq_served"    -> ((s, d) => Similarity.annIvfPqServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
       nprobe = 2)),
@@ -289,11 +290,14 @@ object SparkEntry {
     * overflow on its side; Spark's Long bound is documented at
     * Similarity.units.
     */
-  private def lloydCtes(k: Int, iters: Int): String = {
+  private val rawExDef: String =
+    s"""ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 100000000, 0) AS BIGINT) AS u
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings))""".stripMargin
+
+  private def lloydCtes(k: Int, iters: Int, exDef: String = rawExDef): String = {
     val header =
-      s"""ex AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
-         |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 100000000, 0) AS BIGINT) AS u
-         |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+      s"""$exDef,
          |init AS (SELECT vec_id, rn - 1 AS cluster FROM (
          |  SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
          |  FROM embeddings) WHERE rn <= $k),
@@ -346,17 +350,34 @@ object SparkEntry {
     * `qd(query_id, j, cl, du)` — the queries' ADC tables.
     * Requires `norms` (normsCte) earlier in the WITH chain.
     */
-  private def pqCtes(cb: Int, iters: Int, dsub: Int): String = {
+  /** Exact-decimal-norm normalization to 1e-8 units — the shared
+    * first CTE of the PQ chains (and the residual chain's working
+    * space).
+    */
+  private def nuCte: String =
+    s"""nu AS (SELECT e.vec_id, CAST(i - 1 AS BIGINT) AS gdim,
+       |    CAST(round(CAST(
+       |      CASE WHEN sqrt(CAST(n.nrm AS DOUBLE)) > 0
+       |        THEN CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) AS REAL)
+       |        ELSE e.embedding[CAST(i AS INT)] END
+       |    AS DOUBLE) * 100000000, 0) AS BIGINT) AS u
+       |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) e
+       |  JOIN norms n ON n.vec_id = e.vec_id)""".stripMargin
+
+  private def pqCtes(cb: Int, iters: Int, dsub: Int): String =
+    nuCte + ",\n" + pqChain(cb, iters,
+      s"sx AS (SELECT vec_id, gdim // $dsub AS j, gdim % $dsub AS sdim, u FROM nu)",
+      s"""qd AS (SELECT s.vec_id AS query_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
+         |  FROM sx s JOIN b$iters b ON b.j = s.j AND b.sdim = s.sdim
+         |  WHERE s.vec_id % 100 = 0 GROUP BY 1, 2, 3)""".stripMargin)
+
+  /** The joint-subspace PQ training chain over a parameterized
+    * subvector source `sx(vec_id, j, sdim, u)` and query-table CTE —
+    * shared by the raw ([[pqCtes]]) and residual chains.
+    */
+  private def pqChain(cb: Int, iters: Int, sxDef: String, qdDef: String): String = {
     val header =
-      s"""nu AS (SELECT e.vec_id, CAST(i - 1 AS BIGINT) AS gdim,
-         |    CAST(round(CAST(
-         |      CASE WHEN sqrt(CAST(n.nrm AS DOUBLE)) > 0
-         |        THEN CAST(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE)) AS REAL)
-         |        ELSE e.embedding[CAST(i AS INT)] END
-         |    AS DOUBLE) * 100000000, 0) AS BIGINT) AS u
-         |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) e
-         |  JOIN norms n ON n.vec_id = e.vec_id),
-         |sx AS (SELECT vec_id, gdim // $dsub AS j, gdim % $dsub AS sdim, u FROM nu),
+      s"""$sxDef,
          |pinit AS (SELECT vec_id, rn - 1 AS cl FROM (
          |  SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
          |  FROM embeddings) WHERE rn <= $cb),
@@ -378,9 +399,7 @@ object SparkEntry {
          |  FROM sx s JOIN b$iters b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3),
          |pcode AS (SELECT vec_id, j, cl FROM (
          |  SELECT vec_id, j, cl, row_number() OVER (PARTITION BY vec_id, j ORDER BY du, cl) AS rn FROM pdf) WHERE rn = 1),
-         |qd AS (SELECT s.vec_id AS query_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
-         |  FROM sx s JOIN b$iters b ON b.j = s.j AND b.sdim = s.sdim
-         |  WHERE s.vec_id % 100 = 0 GROUP BY 1, 2, 3)""".stripMargin
+         |$qdDef""".stripMargin
     (Seq(header) ++ rounds ++ Seq(fin)).mkString(",\n")
   }
 
@@ -896,6 +915,53 @@ FROM e ORDER BY user_id, day"""
        |  SELECT query_id, label, nvec, cosine,
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_ivfpq_residual oracle — the residual-IVFPQ replay: the
+    * Lloyd chain runs on NORMALIZED units (`ex` redefined from nu),
+    * `rx` subtracts each vector's cell centroid (exact BIGINT), the
+    * PQ chain trains/encodes over residual subvectors, and the
+    * query-side `qd` builds one ADC table per (query, probed cell)
+    * from the query's residual against THAT cell.
+    */
+  private def annIvfPqResidualOracle: String = {
+    val dsub = 8
+    val qdResidual =
+      s"""qrx AS (SELECT n.vec_id, p.cluster, n.gdim // $dsub AS j, n.gdim % $dsub AS sdim,
+         |    n.u - c.cu AS u
+         |  FROM nu n JOIN q_probe p ON p.vec_id = n.vec_id
+         |  JOIN c3 c ON c.cluster = p.cluster AND c.dim = n.gdim),
+         |qd AS (SELECT s.vec_id AS query_id, s.cluster, s.j, b.cl,
+         |    sum((s.u - b.cu) * (s.u - b.cu)) AS du
+         |  FROM qrx s JOIN b3 b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3, 4)""".stripMargin
+    s"""WITH $normsCte,
+       |$nuCte,
+       |${lloydCtes(8, 3, exDef = "ex AS (SELECT vec_id, gdim AS dim, u FROM nu)")},
+       |${qProbeCte(2)},
+       |rx AS (SELECT n.vec_id, n.gdim // $dsub AS j, n.gdim % $dsub AS sdim, n.u - c.cu AS u
+       |  FROM nu n JOIN a_fin l ON l.vec_id = n.vec_id
+       |  JOIN c3 c ON c.cluster = l.cluster AND c.dim = n.gdim),
+       |${pqChain(8, 3, "sx AS (SELECT vec_id, j, sdim, u FROM rx)", qdResidual)},
+       |adist AS (SELECT qd.query_id, qd.cluster AS label, c.vec_id, sum(qd.du) AS adist
+       |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
+       |  JOIN a_fin lv ON lv.vec_id = c.vec_id
+       |  WHERE lv.cluster = qd.cluster AND c.vec_id <> qd.query_id GROUP BY 1, 2, 3),
+       |cand AS (SELECT query_id, label, vec_id FROM (
+       |  SELECT query_id, label, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
+       |  FROM adist) WHERE ra <= 50),
+       |cdots AS (SELECT query_id, label, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.label, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, label, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, label, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** ann_pq / ann_pq_served oracle (the served path is bit-identical
     * by construction — see [[operators.Similarity.annPqServed]]).
@@ -2191,6 +2257,7 @@ FROM e ORDER BY user_id, day"""
     // codes + ADC tables; candidates come from the query's top-2
     // probed cells (q_probe), then the standard exact re-rank.
     "ann_ivfpq" -> annIvfPqOracle,
+    "ann_ivfpq_residual" -> annIvfPqResidualOracle,
     // Frozen-index serve path: bit-identical to ann_ivfpq (integer
     // units survive the parquet round trip), same oracle.
     "ann_ivfpq_served" -> annIvfPqOracle,

@@ -615,6 +615,148 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Residual IVF-PQ — the refinement production IVF-PQ systems
+    * actually ship (FAISS's IndexIVFPQ default): PQ codebooks are
+    * trained on RESIDUALS r = u − c(u) (the normalized vector minus
+    * its cell centroid) instead of raw vectors. Residuals concentrate
+    * near the origin with far less cross-cell variance, so the same
+    * 8×8 codebook budget spends its resolution on WITHIN-cell
+    * structure — the quantization error that actually decides
+    * candidate order inside a probed cell. The coarse quantizer here
+    * trains on the NORMALIZED units too (cosine ranking truth —
+    * residuals must live in the same space as the PQ codes), unlike
+    * [[annIvfPq]]'s raw-vector cells.
+    *
+    * Search: each (query, probed cell) pair builds its OWN ADC table
+    * from the query's residual against that cell — nprobe small
+    * tables per query, the standard residual-IVFPQ query cost. The
+    * exact-decimal re-rank then prices survivors on the ORIGINAL
+    * embeddings, so emitted scores are oracle-grade as everywhere.
+    *
+    * Every stage stays in exact integer units (residual subtraction
+    * is Long arithmetic; |r| ≤ 4e8 keeps 8-dim squared sums below
+    * 1.3e18 ≪ Long.Max), so the whole search replays as a DuckDB
+    * CTE chain: normalized Lloyd → per-cell residuals → the joint
+    * PQ chain over residuals → per-(query, cell) ADC tables.
+    */
+  def annIvfPqResidual(embeddings: DataFrame, queries: Option[DataFrame] = None,
+                       k: Int = 5, nlist: Int = 8, ivfIters: Int = 3,
+                       m: Int = 8, codebookSize: Int = 8, pqIters: Int = 3,
+                       rerank: Int = 50, nprobe: Int = 1,
+                       queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val dsub = pqDsub(m)
+    val corpusU = pqCorpusUnits(embeddings)
+    val centroids = trainUnitsFrame(corpusU, nlist, ivfIters)
+    // cell centroid as a label-dispatched plan literal (nlist × dim
+    // longs — bounded model parameters, like the codebooks)
+    def centroidOf(label: Column): Column =
+      centroids.indices.init.foldRight(lit(centroids.last)) { (i, rest) =>
+        when(label === i, lit(centroids(i))).otherwise(rest)
+      }
+    val labeled = assignUnitsCells(corpusU, centroids)
+      .select(col("vec_id"), col("cluster").as("label"))
+    // residual frame, materialized once: the zip_with subtraction is
+    // an interpreted HOF and every training scan references the
+    // residual column m×cb times — same rationale as pqCorpusUnits.
+    val rx = corpusU.join(labeled, "vec_id")
+      .select(col("vec_id"),
+        zip_with(col("un"), centroidOf(col("label")), (a, b) => a - b).as("un"),
+        col("label"))
+      .honestCheckpoint()
+    val books = pqTrainCodebooks(rx.select(col("vec_id"), col("un")), m, codebookSize,
+      pqIters, dsub)
+    val codes = pqEncode(rx.select(col("vec_id"), col("un")), books, dsub)
+      .join(labeled, "vec_id")
+    val qsBase = queries.getOrElse(defaultQueries(embeddings))
+    val qU = qsBase.select(col("vec_id"), col("embedding"),
+      graft.plans.IntegerUnits.normalizeUnits(col("embedding")).as("un"))
+    // one row per (query, probed cell), each with its OWN residual
+    // ADC table against that cell's centroid
+    val qProbe = assignTopCellsUnits(qU, centroids, nprobe)
+      .select(col("vec_id"), col("embedding"), col("un"), col("cluster").as("qlabel"))
+      .withColumn("qres", zip_with(col("un"), centroidOf(col("qlabel")), (a, b) => a - b))
+    val qtable = array(books.indices.map(j =>
+      array(books(j).indices.map(c =>
+        graft.plans.IntegerUnits.l2Units(
+          slice(col("qres"), j * dsub + 1, dsub), lit(books(j)(c)))): _*)): _*)
+    val qs = qProbe.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("qlabel"), qtable.as("qtable"))
+    val cands = pqAdcCandidates(
+      codes.join(broadcast(qs),
+        col("label") === col("qlabel") &&
+          notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty))),
+      m, rerank, carry = Seq("label"))
+    pqExactRerank(cands, embeddings, k, carry = Seq("label"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Lloyd's loop over a precomputed (vec_id, un) units frame — the
+    * [[train]] math (md5-order init, lowest-index argmin, sign-split
+    * half-up integer means, empty cells keep their centroid) applied
+    * to NORMALIZED units, for quantizers that must live in the same
+    * space as PQ residuals.
+    */
+  private def trainUnitsFrame(unitsDf: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
+    import graft.plans.IntegerUnits.l2Units
+    var centroids: Seq[Array[Long]] = unitsDf
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val ds = centroids.indices.map(i => l2Units(col("un"), lit(centroids(i))).as(s"d$i"))
+      val scored = unitsDf.select(col("vec_id") +: col("un") +: ds: _*)
+      val cluster = centroids.indices.init.foldRight(lit(centroids.size - 1)) { (i, rest) =>
+        when(col(s"d$i") <= (i + 1 until centroids.size).map(j => col(s"d$j")).reduce(least(_, _)), i)
+          .otherwise(rest)
+      }
+      val means = scored.withColumn("cluster", cluster.cast("long"))
+        .select(col("cluster"), posexplode(col("un")).as(Seq("dim", "u")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          when(col("s") < 0, -expr("(2 * (-s) + n) DIV (2 * n)"))
+            .otherwise(expr("(2 * s + n) DIV (2 * n)")).cast("long").as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cluster"), col("ms.m").as("centroid"))
+        .collect().map(r => r.getLong(0).toInt -> r.getSeq[Long](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** [[assignCells]]' argmin over a units frame (single cell). */
+  private def assignUnitsCells(unitsDf: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
+    import graft.plans.IntegerUnits.l2Units
+    val ds = centroids.indices.map(i => l2Units(col("un"), lit(centroids(i))).as(s"d$i"))
+    val scored = unitsDf.select(col("vec_id") +: col("un") +: ds: _*)
+    val cluster = centroids.indices.init.foldRight(lit(centroids.size - 1)) { (i, rest) =>
+      when(col(s"d$i") <= (i + 1 until centroids.size).map(j => col(s"d$j")).reduce(least(_, _)), i)
+        .otherwise(rest)
+    }
+    scored.withColumn("cluster", cluster.cast("long"))
+      .select(col("vec_id"), col("un"), col("cluster"))
+  }
+
+  /** [[assignTopCells]] over a units frame: top-`nprobe`
+    * (du, cluster)-ordered cells per row, shuffle-free.
+    */
+  private def assignTopCellsUnits(unitsDf: DataFrame, centroids: Seq[Array[Long]],
+                                  nprobe: Int): DataFrame = {
+    import graft.plans.IntegerUnits.l2Units
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    val ds = centroids.indices.map(i => l2Units(col("un"), lit(centroids(i))).as(s"d$i"))
+    val pairs = array(centroids.indices.map(i =>
+      struct(col(s"d$i").as("du"), lit(i.toLong).as("cluster"))): _*)
+    unitsDf.select(col("vec_id") +: col("embedding") +: col("un") +: ds: _*)
+      .select(col("vec_id"), col("embedding"), col("un"),
+        explode(slice(array_sort(pairs), 1, nprobe)).as("p"))
+      .select(col("vec_id"), col("embedding"), col("un"),
+        col("p.cluster").as("cluster"), col("p.du").as("du"))
+  }
+
   /** Persist / load / serve-from a frozen IVF-PQ index — the
     * [[pqIndexSave]]/[[pqIndexLoad]]/[[annPqServed]] lifecycle for
     * the composite layout. The centroids ride a third small parquet

@@ -242,6 +242,34 @@ class SimilaritySpec extends SparkSpec {
     assert(again === direct)
   }
 
+  test("residual IVF-PQ is deterministic and its ADC fidelity matches-or-beats raw-vector PQ") {
+    val r1 = Similarity.annIvfPqResidual(embeddings, nlist = 2, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val r2 = Similarity.annIvfPqResidual(embeddings, nlist = 2, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(r1.toSeq === r2.toSeq, "seeded quantizer + residual codebooks must reproduce")
+    assert(r1.nonEmpty)
+    // at nprobe = nlist the IVF prune admits the whole corpus, so
+    // recall@5 vs the exact scan isolates PQ quantization quality —
+    // residual codebooks spend the same budget on within-cell
+    // structure and must not be WORSE than raw-vector codebooks
+    def recallOf(rows: Array[(Long, Long, Long, Long, Double)]): Double = {
+      val want = exactTopK(5).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val got = rows.map(t => (t._1, t._3)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = want.map { case (q, w) => got.getOrElse(q, Set.empty).intersect(w).size.toDouble / w.size }
+      rs.sum / rs.size
+    }
+    val raw = Similarity.annIvfPq(embeddings, nlist = 2, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val (resRecall, rawRecall) = (recallOf(r1), recallOf(raw))
+    info(f"recall@5 vs exact: residual $resRecall%.3f, raw $rawRecall%.3f")
+    assert(resRecall >= rawRecall - 0.05,
+      s"residual recall $resRecall materially below raw $rawRecall")
+    assert(resRecall >= 0.4, s"recall@5 = $resRecall")
+  }
+
   test("IVF-PQ index round-trips through parquet bit-exactly and serves identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_rt").toString
     val built = Similarity.ivfPqIndexBuild(embeddings)
