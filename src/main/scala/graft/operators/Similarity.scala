@@ -496,7 +496,8 @@ object Similarity {
     } yield (sub, code, units.toSeq)
     cbRows.toDF("subspace", "code", "units")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
-    Seq(index.m).toDF("m")
+    // meta LAST: its _SUCCESS is the whole-index commit marker
+    Seq((index.m, indexFormatVersion)).toDF("m", "version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
 
@@ -508,7 +509,11 @@ object Similarity {
     */
   def pqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
                   corpus: DataFrame): PqIndex = {
-    val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0).getInt(0)
+    val meta = spark.read.parquet(s"$dir/meta.parquet").select(col("m"), col("version"))
+      .collect()(0)
+    require(meta.getInt(1) == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getInt(1)}, expected $indexFormatVersion")
+    val m = meta.getInt(0)
     val cbs = spark.read.parquet(s"$dir/codebooks.parquet").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
     val codebooks = cbs.groupBy(_._1).toIndexedSeq.sortBy(_._1)
@@ -518,25 +523,50 @@ object Similarity {
   }
 
   /** Serve-from-frozen-index batch ANN — the lifecycle composition
-    * (train → save → load → serve) as one oracled query. The first
-    * call in a JVM builds and persists the index under `indexDir`;
-    * subsequent calls (and every other JVM run with the guard cold —
-    * no cross-process staleness risk) rebuild it, while the
-    * IN-process guard lets a repeated-measure bench read the
-    * steady-state serving cost: parquet codes scan + ADC + exact
-    * re-rank, no training. Results are bit-identical to [[annPq]]
-    * with the same parameters, so it shares ann_pq's oracle.
+    * (train → save → load → serve) as one oracled query. Build-if-
+    * absent is decided ON DISK ([[frozenIndexComplete]]): a fresh JVM
+    * pointed at a dir holding a complete index LOADS it instead of
+    * silently rebuilding over it — the lifecycle contract a
+    * production consumer assumes — while a missing/partial/stale-
+    * format dir triggers one build+save. Repeated calls (bench,
+    * query streams) therefore read the steady-state serving cost:
+    * parquet codes scan + ADC + exact re-rank, no training. Results
+    * are bit-identical to [[annPq]] with the same parameters
+    * (integer units survive the parquet round trip), so it shares
+    * ann_pq's oracle.
     */
   def annPqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
                   m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
                   rerank: Int = 50): DataFrame = {
-    if (servedIndexBuilt.putIfAbsent(indexDir, java.lang.Boolean.TRUE) == null)
+    val spark = embeddings.sparkSession
+    if (!frozenIndexComplete(spark, indexDir))
       pqIndexSave(pqIndexBuild(embeddings, m, codebookSize, iters), indexDir)
-    val index = pqIndexLoad(embeddings.sparkSession, indexDir, embeddings)
+    val index = pqIndexLoad(spark, indexDir, embeddings)
     pqSearch(index, defaultQueries(embeddings), k, rerank, excludeSelf = true)
   }
-  private val servedIndexBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Frozen-index layout version, persisted in every index's meta
+    * table and checked at detection/load time: an index written by an
+    * incompatible layout (or a pre-version save) reads as ABSENT, so
+    * the serve path rebuilds instead of mis-decoding it.
+    */
+  private[operators] val indexFormatVersion = 2
+
+  /** On-disk completeness check for a frozen index dir. The meta
+    * table is written LAST in every save, so its `_SUCCESS` marker
+    * implies the codes/codebooks/centroids tables all committed —
+    * a partial save (killed writer) never reads as complete.
+    */
+  private def frozenIndexComplete(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(marker) && {
+      val meta = spark.read.parquet(s"$dir/meta.parquet")
+      meta.columns.contains("version") &&
+        meta.select(col("version")).collect()(0).getInt(0) == indexFormatVersion
+    }
+  }
 
   /** IVF-PQ composite search — the billion-vector layout: the trained
     * Lloyd coarse quantizer ([[train]], raw-vector integer units)
@@ -568,12 +598,18 @@ object Similarity {
   /** A trained, materialized IVF-PQ index: coarse quantizer
     * centroids + PQ codebooks (both bounded driver-side model
     * parameters) and the labeled codes table — the full
-    * billion-vector serving layout.
+    * billion-vector serving layout. `residual = true` marks the
+    * [[ivfPqResidualIndexBuild]] layout (normalized-units cells,
+    * codebooks trained on per-cell residuals): the two layouts share
+    * storage but DECODE differently, so the flag rides the index —
+    * and its persisted meta — and each search half requires the
+    * layout it understands.
     */
   final case class IvfPqIndex private[Similarity] (
       codebooks: IndexedSeq[IndexedSeq[Array[Long]]],
       centroids: Seq[Array[Long]],
-      codes: DataFrame, corpus: DataFrame, m: Int)
+      codes: DataFrame, corpus: DataFrame, m: Int,
+      residual: Boolean = false)
 
   /** Train the coarse quantizer + codebooks and encode/label the
     * corpus ONCE — the index-build half of [[annIvfPq]].
@@ -597,6 +633,8 @@ object Similarity {
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int = 5,
                   rerank: Int = 50, nprobe: Int = 1,
                   excludeSelf: Boolean = false): DataFrame = {
+    require(!index.residual,
+      "this index holds residual codebooks — search it with ivfPqResidualSearch")
     val dsub = pqDsub(index.m)
     // nprobe rows per query (assignTopCells): the ADC scan reads
     // codes from the query's nprobe nearest cells; the per-query
@@ -644,15 +682,32 @@ object Similarity {
                        m: Int = 8, codebookSize: Int = 8, pqIters: Int = 3,
                        rerank: Int = 50, nprobe: Int = 1,
                        queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val index = ivfPqResidualIndexBuild(embeddings, nlist, ivfIters, m, codebookSize, pqIters)
+    ivfPqResidualSearch(index, queries.getOrElse(defaultQueries(embeddings)), k, rerank,
+      nprobe, excludeSelf = queriesAreCorpusDerived.getOrElse(queries.isEmpty))
+  }
+
+  /** Cell centroid as a label-dispatched plan literal (nlist × dim
+    * longs — bounded model parameters, like the codebooks).
+    */
+  private def centroidOf(centroids: Seq[Array[Long]], label: Column): Column =
+    centroids.indices.init.foldRight(lit(centroids.last)) { (i, rest) =>
+      when(label === i, lit(centroids(i))).otherwise(rest)
+    }
+
+  /** Train the residual layout ONCE — the index-build half of
+    * [[annIvfPqResidual]]: normalized-units Lloyd cells, per-cell
+    * residual subtraction, joint PQ codebooks over residuals, codes
+    * labeled with their cell. Same math as the composed operator —
+    * the split exists so the trained model can freeze to disk
+    * ([[ivfPqIndexSave]]) and serve without retraining.
+    */
+  def ivfPqResidualIndexBuild(embeddings: DataFrame, nlist: Int = 8, ivfIters: Int = 3,
+                              m: Int = 8, codebookSize: Int = 8,
+                              pqIters: Int = 3): IvfPqIndex = {
     val dsub = pqDsub(m)
     val corpusU = pqCorpusUnits(embeddings)
     val centroids = trainUnitsFrame(corpusU, nlist, ivfIters)
-    // cell centroid as a label-dispatched plan literal (nlist × dim
-    // longs — bounded model parameters, like the codebooks)
-    def centroidOf(label: Column): Column =
-      centroids.indices.init.foldRight(lit(centroids.last)) { (i, rest) =>
-        when(label === i, lit(centroids(i))).otherwise(rest)
-      }
     val labeled = assignUnitsCells(corpusU, centroids)
       .select(col("vec_id"), col("cluster").as("label"))
     // residual frame, materialized once: the zip_with subtraction is
@@ -660,21 +715,38 @@ object Similarity {
     // residual column m×cb times — same rationale as pqCorpusUnits.
     val rx = corpusU.join(labeled, "vec_id")
       .select(col("vec_id"),
-        zip_with(col("un"), centroidOf(col("label")), (a, b) => a - b).as("un"),
+        zip_with(col("un"), centroidOf(centroids, col("label")), (a, b) => a - b).as("un"),
         col("label"))
       .honestCheckpoint()
     val books = pqTrainCodebooks(rx.select(col("vec_id"), col("un")), m, codebookSize,
       pqIters, dsub)
     val codes = pqEncode(rx.select(col("vec_id"), col("un")), books, dsub)
       .join(labeled, "vec_id")
-    val qsBase = queries.getOrElse(defaultQueries(embeddings))
-    val qU = qsBase.select(col("vec_id"), col("embedding"),
+    IvfPqIndex(books, centroids, codes,
+      embeddings.select(col("vec_id"), col("embedding")), m, residual = true)
+  }
+
+  /** Search a residual-trained [[IvfPqIndex]] — the serve half of
+    * [[annIvfPqResidual]]: each (query, probed cell) pair builds its
+    * OWN ADC table from the query's residual against that cell's
+    * centroid (the standard residual-IVFPQ query cost), then the
+    * usual exact decimal re-rank on the original embeddings.
+    */
+  def ivfPqResidualSearch(index: IvfPqIndex, queries: DataFrame, k: Int = 5,
+                          rerank: Int = 50, nprobe: Int = 1,
+                          excludeSelf: Boolean = false): DataFrame = {
+    require(index.residual,
+      "this index holds raw-vector codebooks — search it with ivfPqSearch")
+    val dsub = pqDsub(index.m)
+    val books = index.codebooks
+    val qU = queries.select(col("vec_id"), col("embedding"),
       graft.plans.IntegerUnits.normalizeUnits(col("embedding")).as("un"))
     // one row per (query, probed cell), each with its OWN residual
     // ADC table against that cell's centroid
-    val qProbe = assignTopCellsUnits(qU, centroids, nprobe)
+    val qProbe = assignTopCellsUnits(qU, index.centroids, nprobe)
       .select(col("vec_id"), col("embedding"), col("un"), col("cluster").as("qlabel"))
-      .withColumn("qres", zip_with(col("un"), centroidOf(col("qlabel")), (a, b) => a - b))
+      .withColumn("qres",
+        zip_with(col("un"), centroidOf(index.centroids, col("qlabel")), (a, b) => a - b))
     val qtable = array(books.indices.map(j =>
       array(books(j).indices.map(c =>
         graft.plans.IntegerUnits.l2Units(
@@ -682,14 +754,29 @@ object Similarity {
     val qs = qProbe.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       col("qlabel"), qtable.as("qtable"))
     val cands = pqAdcCandidates(
-      codes.join(broadcast(qs),
-        col("label") === col("qlabel") &&
-          notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty))),
-      m, rerank, carry = Seq("label"))
-    pqExactRerank(cands, embeddings, k, carry = Seq("label"))
+      index.codes.join(broadcast(qs),
+        col("label") === col("qlabel") && notSelf(excludeSelf)),
+      index.m, rerank, carry = Seq("label"))
+    pqExactRerank(cands, index.corpus, k, carry = Seq("label"))
       .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
         col("rank"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Serve-from-frozen-index residual IVF-PQ — [[annIvfPqResidual]]
+    * through the build-if-absent-on-disk lifecycle (see
+    * [[annPqServed]]). Bit-identical to the direct operator (integer
+    * units survive the parquet round trip), so it shares
+    * ann_ivfpq_residual's oracle.
+    */
+  def annIvfPqResidualServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                             nprobe: Int = 1, rerank: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    if (!frozenIndexComplete(spark, indexDir))
+      ivfPqIndexSave(ivfPqResidualIndexBuild(embeddings), indexDir)
+    val index = ivfPqIndexLoad(spark, indexDir, embeddings)
+    ivfPqResidualSearch(index, defaultQueries(embeddings), k, rerank, nprobe,
+      excludeSelf = true)
   }
 
   /** Lloyd's loop over a precomputed (vec_id, un) units frame — the
@@ -777,13 +864,20 @@ object Similarity {
     index.centroids.zipWithIndex.map { case (units, cell) => (cell, units.toSeq) }
       .toDF("cell", "units")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    Seq(index.m).toDF("m")
+    // meta LAST: its _SUCCESS is the whole-index commit marker. The
+    // residual flag persists WITH the index so a loader can never
+    // decode residual codes through the raw-vector search (or vice
+    // versa) — the layout is self-describing.
+    Seq((index.m, index.residual, indexFormatVersion)).toDF("m", "residual", "version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
 
   def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
                      corpus: DataFrame): IvfPqIndex = {
-    val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0).getInt(0)
+    val meta = spark.read.parquet(s"$dir/meta.parquet")
+      .select(col("m"), col("residual"), col("version")).collect()(0)
+    require(meta.getInt(2) == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getInt(2)}, expected $indexFormatVersion")
     val cbs = spark.read.parquet(s"$dir/codebooks.parquet").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
     val codebooks = cbs.groupBy(_._1).toIndexedSeq.sortBy(_._1)
@@ -791,19 +885,21 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet").collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
     IvfPqIndex(codebooks, centroids, spark.read.parquet(s"$dir/codes.parquet"),
-      corpus.select(col("vec_id"), col("embedding")), m)
+      corpus.select(col("vec_id"), col("embedding")), meta.getInt(0),
+      residual = meta.getBoolean(1))
   }
 
   /** Serve-from-frozen-index batch IVF-PQ — train → save → load →
-    * serve as one oracled query, with the same in-process build
-    * guard as [[annPqServed]] so a repeated-measure bench reads the
-    * steady serve-only cost.
+    * serve as one oracled query, with the same build-if-absent-on-
+    * disk lifecycle as [[annPqServed]] so a repeated-measure bench
+    * (and any later JVM) reads the steady serve-only cost.
     */
   def annIvfPqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
                      nprobe: Int = 1, rerank: Int = 50): DataFrame = {
-    if (servedIndexBuilt.putIfAbsent(indexDir, java.lang.Boolean.TRUE) == null)
+    val spark = embeddings.sparkSession
+    if (!frozenIndexComplete(spark, indexDir))
       ivfPqIndexSave(ivfPqIndexBuild(embeddings), indexDir)
-    val index = ivfPqIndexLoad(embeddings.sparkSession, indexDir, embeddings)
+    val index = ivfPqIndexLoad(spark, indexDir, embeddings)
     ivfPqSearch(index, defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
   }
 

@@ -295,6 +295,59 @@ class SimilaritySpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("residual IVF-PQ index round-trips through parquet bit-exactly and serves identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_res_rt").toString
+    val built = Similarity.ivfPqResidualIndexBuild(embeddings)
+    Similarity.ivfPqIndexSave(built, dir)
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir, embeddings)
+    assert(loaded.residual, "the residual flag must persist with the index")
+    assert(loaded.codebooks.map(_.map(_.toSeq)) === built.codebooks.map(_.map(_.toSeq)),
+      "residual codebook units must survive the parquet round trip exactly")
+    assert(loaded.centroids.map(_.toSeq) === built.centroids.map(_.toSeq))
+    val queries = embeddings.filter(col("vec_id") % 100 === 0)
+    val servedRows = Similarity.ivfPqResidualSearch(loaded, queries, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    val builtRows = Similarity.ivfPqResidualSearch(built, queries, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    assert(servedRows === builtRows, "serving from the loaded residual index must be bit-identical")
+    // the persisted layout is self-describing: each search half
+    // refuses the layout it cannot decode
+    intercept[IllegalArgumentException](Similarity.ivfPqSearch(loaded, queries))
+    intercept[IllegalArgumentException](
+      Similarity.ivfPqResidualSearch(Similarity.ivfPqIndexBuild(embeddings), queries))
+    // and the composed served entry equals the direct operator
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_res_served").toString
+    val served = Similarity.annIvfPqResidualServed(embeddings, dir2, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    val direct = Similarity.annIvfPqResidual(embeddings, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(served === direct)
+    assert(served.nonEmpty)
+  }
+
+  test("a pre-built index dir is served without rebuilding (on-disk detection, not in-process state)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_served_disk").toString
+    val first = Similarity.annIvfPqServed(embeddings, dir, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    // meta is written LAST, so its _SUCCESS mtime moves on ANY rebuild
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val builtAt = java.nio.file.Files.getLastModifiedTime(marker)
+    val again = Similarity.annIvfPqServed(embeddings, dir, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(again === first, "serving from the existing index must be bit-identical")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === builtAt,
+      "a complete on-disk index must be LOADED, never rebuilt/overwritten")
+    // a stale-format index (old/absent version) reads as absent and
+    // is rebuilt rather than mis-decoded
+    import spark.implicits._
+    Seq(8).toDF("m").repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    val rebuilt = Similarity.annIvfPqServed(embeddings, dir, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(rebuilt === first)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) !== builtAt,
+      "a version-mismatched index must trigger a rebuild")
+  }
+
   test("BandSignatures kernel matches a reference Scala fixed-point computation") {
     import graft.operators.LshPlanes
     val rows = embeddings.select(col("vec_id"), col("embedding"),
