@@ -159,6 +159,9 @@ object SparkEntry {
     "ann_ivfpq_served"    -> ((s, d) => Similarity.annIvfPqServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
       nprobe = 2)),
+    "ann_ivfpq_residual_served" -> ((s, d) => Similarity.annIvfPqResidualServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_res_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      nprobe = 2)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),
@@ -1002,11 +1005,13 @@ FROM e ORDER BY user_id, day"""
        |  FROM h GROUP BY doc_id, len)""".stripMargin
 
   /** mm_av_meta oracle — the audio/video counterpart of
-    * [[mmPayloadCtes]]: identical synthetic WAV / MP4 / FLAC
+    * [[mmPayloadCtes]]: identical synthetic WAV / MP4 / FLAC / Ogg
     * container bytes as [[operators.Multimodal.synthesizeAv]],
     * parameters parsed back with the same byte arithmetic (WAV fmt
     * fields little-endian at fixed offsets, FLAC STREAMINFO packed
-    * bit field, MP4 tkhd 16.16 fixed-point dims).
+    * bit field, MP4 tkhd 16.16 fixed-point dims, Ogg codec-id packet
+    * at byte 29 — OpusHead ch @38 / rate @41, ␁vorbis ch @40 /
+    * rate @41).
     */
   private def mmAvMetaOracle: String = {
     def leHex(e: String, n: Int) = (0 until n)
@@ -1027,6 +1032,13 @@ FROM e ORDER BY user_id, day"""
       "lpad(hex((sr % 16) * 16 + (ch - 1) * 2 + ((bps - 1) >> 4)), 2, '0') || " +
       "lpad(hex(((bps - 1) % 16) * 16 + ((dlen >> 32) % 16)), 2, '0') || " +
       s"${beHex("(dlen % 4294967296)", 4)} || '${"0" * 32}'"
+    val opusPacket = s"'4F70757348656164' || '01' || ${leHex("ch", 1)} || '0000' || " +
+      s"${leHex("sr", 4)} || '0000' || '00'"
+    val vorbisPacket = s"'01' || '766F72626973' || '00000000' || ${leHex("ch", 1)} || " +
+      s"${leHex("sr", 4)} || '${"0" * 24}' || 'B8' || '01'"
+    val ogg = s"'4F676753' || '00' || '02' || '${"0" * 16}' || " +
+      s"${leHex("(doc_id % 4294967296)", 4)} || '00000000' || '00000000' || '01' || " +
+      s"(CASE WHEN doc_id % 8 = 3 THEN '13' || $opusPacket ELSE '1E' || $vorbisPacket END)"
     def be(s: Int, n: Int) = s"('0x' || substring(hx, ${(s - 1) * 2 + 1}, ${n * 2}))::BIGINT"
     def le(s: Int, n: Int) = "('0x' || " + ((n - 1) to 0 by -1)
       .map(k => s"substring(hx, ${(s - 1 + k) * 2 + 1}, 2)").mkString(" || ") + ")::BIGINT"
@@ -1035,23 +1047,31 @@ FROM e ORDER BY user_id, day"""
        |    doc_id % 1920 + 1 AS w, doc_id % 1080 + 1 AS h, text
        |  FROM documents),
        |m AS (SELECT doc_id, unhex(
-       |    CASE WHEN doc_id % 3 = 0 THEN $wav
-       |         WHEN doc_id % 3 = 1 THEN $mp4
-       |         ELSE $flac END || hex(encode(text))) AS payload
+       |    CASE WHEN doc_id % 4 = 0 THEN $wav
+       |         WHEN doc_id % 4 = 1 THEN $mp4
+       |         WHEN doc_id % 4 = 2 THEN $flac
+       |         ELSE $ogg END || hex(encode(text))) AS payload
        |  FROM p),
        |x AS (SELECT doc_id, payload, hex(payload) AS hx FROM m),
        |y AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
        |    CASE WHEN substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57415645' THEN 'wav'
        |         WHEN substring(hx, 9, 8) = '66747970' THEN 'mp4'
        |         WHEN substring(hx, 1, 8) = '664C6143' THEN 'flac'
-       |         ELSE 'unknown' END AS format, hx
+       |         WHEN substring(hx, 1, 8) = '4F676753' THEN 'ogg'
+       |         ELSE 'unknown' END AS format,
+       |    substring(hx, 57, 16) = '4F70757348656164' AS is_opus,
+       |    substring(hx, 57, 2) = '01' AND substring(hx, 59, 12) = '766F72626973' AS is_vorbis,
+       |    hx
        |  FROM x)
        |SELECT doc_id, n_bytes, format,
        |  CASE WHEN format = 'wav' THEN ${le(25, 4)}
        |       WHEN format = 'flac' THEN ${be(19, 1)} * 4096 + ${be(20, 1)} * 16 + ${be(21, 1)} // 16
+       |       WHEN format = 'ogg' AND (is_opus OR is_vorbis) THEN ${le(41, 4)}
        |       ELSE 0 END AS sample_rate,
        |  CASE WHEN format = 'wav' THEN ${le(23, 2)}
        |       WHEN format = 'flac' THEN (${be(21, 1)} // 2) % 8 + 1
+       |       WHEN format = 'ogg' AND is_opus THEN ${be(38, 1)}
+       |       WHEN format = 'ogg' AND is_vorbis THEN ${be(40, 1)}
        |       ELSE 0 END AS channels,
        |  CASE WHEN format = 'wav' THEN ${le(35, 2)}
        |       WHEN format = 'flac' THEN (${be(21, 1)} % 2) * 16 + ${be(22, 1)} // 16 + 1
@@ -2258,6 +2278,10 @@ FROM e ORDER BY user_id, day"""
     // probed cells (q_probe), then the standard exact re-rank.
     "ann_ivfpq" -> annIvfPqOracle,
     "ann_ivfpq_residual" -> annIvfPqResidualOracle,
+    // Frozen-index serve path for the residual layout: bit-identical
+    // to ann_ivfpq_residual (integer units survive the parquet round
+    // trip), same oracle.
+    "ann_ivfpq_residual_served" -> annIvfPqResidualOracle,
     // Frozen-index serve path: bit-identical to ann_ivfpq (integer
     // units survive the parquet round trip), same oracle.
     "ann_ivfpq_served" -> annIvfPqOracle,

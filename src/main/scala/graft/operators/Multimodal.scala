@@ -242,16 +242,40 @@ object Multimodal {
     * mid-plan. The guard rides the len projection so column pruning
     * cannot drop it.
     */
-  private def payloadHistograms(documents: DataFrame): DataFrame = {
+  private def payloadHistograms(documents: DataFrame): DataFrame =
+    histogramsOf(synthesize(documents))
+
+  /** The (doc_id, len, hist) projection over ANY (doc_id, payload)
+    * frame — shared with the STREAMING near-dup mirror
+    * ([[graft.streaming.DedupStream.payloadNearDupCandidates]]), so
+    * the batch and streaming detectors quantize identical inputs.
+    */
+  private[graft] def histogramsOf(payloads: DataFrame): DataFrame = {
     val lenRaw = length(col("payload")).cast("long")
     val lenGuarded = when(lenRaw.between(1L, 40000000L), lenRaw)
       .otherwise(raise_error(format_string(
         "payload_neardup: payload length %d outside the exact-ppm Long bound [1, 4e7]",
         lenRaw)).cast("long"))
-    synthesize(documents).select(
+    payloads.select(
       col("doc_id"),
       lenGuarded.as("len"),
       graft.plans.NibbleHistogram.nibbleHistogram(col("payload")).as("hist"))
+  }
+
+  /** One band's packed lattice signature over (`hist`, `len`)
+    * columns — the [[payloadNearDupBanded]] quantization, factored so
+    * the streaming mirror reuses the identical algebra (any drift
+    * would silently break batch-parity).
+    */
+  private[graft] def bandSigExpr(grid: Long, band: Int, probe: Int): Column = {
+    require(grid > 0 && grid <= 255L, s"grid must be in [1, 255], got $grid")
+    (0 until 4).map { k =>
+      val h = s"hist[${4 * band + k}]"
+      val q =
+        if (probe == 0) expr(s"($h * $grid) DIV len")
+        else expr(s"(2 * $h * $grid + len) DIV (2 * len)")
+      q * math.pow(256.0, 3 - k).toLong
+    }.reduce(_ + _)
   }
 
   /** Sub-quadratic companion to [[payloadNearDup]] — the banded
@@ -297,19 +321,10 @@ object Multimodal {
                            grid: Long = 128L, bucketCap: Long = 1024L): DataFrame = {
     val hists = payloadHistograms(documents)
     // Packed band signature: 4 quantized bins × 8 bits (q ≤ grid ≤ 255).
-    require(grid > 0 && grid <= 255L, s"grid must be in [1, 255], got $grid")
-    def sigExpr(band: Int, probe: Int): Column =
-      (0 until 4).map { k =>
-        val h = s"hist[${4 * band + k}]"
-        val q =
-          if (probe == 0) expr(s"($h * $grid) DIV len")
-          else expr(s"(2 * $h * $grid + len) DIV (2 * len)")
-        q * math.pow(256.0, 3 - k).toLong
-      }.reduce(_ + _)
     val sigs = hists.select(col("doc_id"),
         explode(array((for { b <- 0 until 4; p <- 0 until 2 } yield
           struct(lit(b).as("band"), lit(p).as("probe"),
-            sigExpr(b, p).as("sig"))): _*)).as("s"))
+            bandSigExpr(grid, b, p).as("sig"))): _*)).as("s"))
       .select(col("doc_id"), col("s.band").as("band"),
         col("s.probe").as("probe"), col("s.sig").as("sig"))
     val capped = sigs
@@ -345,10 +360,10 @@ object Multimodal {
                           width: Long, height: Long)
 
   /** Deterministic synthetic audio/video payload — the WAV / MP4 /
-    * FLAC counterpart of [[synthesize]] (multimodal training data is
-    * not only images): doc_id picks the container (mod 3), the codec
-    * parameters are doc_id-derived, text bytes follow as the "sample
-    * data". Real layouts per the public specs:
+    * FLAC / Ogg counterpart of [[synthesize]] (multimodal training
+    * data is not only images): doc_id picks the container (mod 4),
+    * the codec parameters are doc_id-derived, text bytes follow as
+    * the "sample data". Real layouts per the public specs:
     *
     *  - WAV: RIFF/WAVE with a 16-byte PCM `fmt ` chunk (audio format
     *    1, channels u16le, sample rate u32le, byte rate, block align,
@@ -360,6 +375,13 @@ object Multimodal {
     *    block (34 bytes: block sizes, frame sizes, then the packed
     *    sample-rate(20b)/channels−1(3b)/bps−1(5b)/total-samples(36b)
     *    field, zeroed MD5).
+    *  - Ogg: a BOS page (version 0, header type 0x02, doc_id serial,
+    *    1-segment table) whose first packet is the codec
+    *    identification header — alternating OpusHead (19 bytes:
+    *    version 1, channels u8 @9, pre-skip, original input rate
+    *    u32le @12, gain, mapping family) and ␁vorbis (30 bytes:
+    *    version u32le, channels u8 @11, rate u32le @12, bitrates,
+    *    blocksizes, framing bit) by doc_id mod 8.
     */
   def synthesizeAv(documents: DataFrame): DataFrame = {
     def byteHexLe(c: Column, nBytes: Int): Column =
@@ -407,9 +429,27 @@ object Multimodal {
       lpad(hex(((bps - 1) % 16) * 16 + (shiftright(dataLen, 32) % 16)), 2, "0"),
       byteHexBe(dataLen % 4294967296L, 4),
       lit("0" * 32)) // zeroed MD5
-    val headerHex = when(col("doc_id") % 3 === 0, wav)
-      .when(col("doc_id") % 3 === 1, mp4)
-      .otherwise(flac)
+    // Ogg BOS page: "OggS" ver(0) type(BOS) granule(8B) serial(4B le)
+    // seq(4B) crc(4B, unchecked here) nSegs(1) segtable(1 segment =
+    // the codec id packet length: 19 for OpusHead, 30 for ␁vorbis)
+    val opusPacket = concat(
+      lit("4F70757348656164"), lit("01"), // "OpusHead", version 1
+      byteHexLe(ch, 1), lit("0000"), // channels, pre-skip
+      byteHexLe(sr, 4), lit("0000"), lit("00")) // input rate, gain, mapping 0
+    val vorbisPacket = concat(
+      lit("01"), lit("766F72626973"), lit("00000000"), // \x01vorbis, version 0
+      byteHexLe(ch, 1), byteHexLe(sr, 4), // channels, rate
+      lit("0" * 24), lit("B8"), lit("01")) // bitrates, blocksizes, framing
+    val ogg = concat(
+      lit("4F676753"), lit("00"), lit("02"), lit("0" * 16), // magic ver BOS granule
+      byteHexLe((col("doc_id") % 4294967296L).cast("long"), 4), // serial
+      lit("00000000"), lit("00000000"), lit("01"), // seq, crc, nSegs
+      when(col("doc_id") % 8 === 3, concat(lit("13"), opusPacket))
+        .otherwise(concat(lit("1E"), vorbisPacket)))
+    val headerHex = when(col("doc_id") % 4 === 0, wav)
+      .when(col("doc_id") % 4 === 1, mp4)
+      .when(col("doc_id") % 4 === 2, flac)
+      .otherwise(ogg)
     documents.select(col("doc_id"),
       unhex(concat(headerHex, hex(col("text")))).as("payload"))
   }
@@ -424,7 +464,11 @@ object Multimodal {
     * u32le @25, bits u16le @35; MP4 tkhd starts @33, width/height =
     * 16.16 u32be @117/@121 (integer part = DIV 65536); FLAC packed
     * field @19-22: sr = b19·2¹² + b20·2⁴ + b21 DIV 16, channels =
-    * (b21 DIV 2) & 7 + 1, bps = (b21 & 1)·16 + b22 DIV 16 + 1.
+    * (b21 DIV 2) & 7 + 1, bps = (b21 & 1)·16 + b22 DIV 16 + 1; Ogg
+    * codec packet starts @29 after the 1-segment BOS page header —
+    * OpusHead channels u8 @38, rate u32le @41; ␁vorbis channels u8
+    * @40, rate u32le @41 (bit_depth stays 0: lossy codecs have no
+    * fixed sample width).
     */
   def avMeta(documents: DataFrame): DataFrame = {
     val media = synthesizeAv(documents)
@@ -437,22 +481,30 @@ object Multimodal {
     val isWav = substring(hx, 1, 8) === "52494646" && substring(hx, 17, 8) === "57415645"
     val isMp4 = substring(hx, 9, 8) === "66747970"
     val isFlac = substring(hx, 1, 8) === "664C6143"
+    val isOgg = substring(hx, 1, 8) === "4F676753"
+    val isOpus = substring(hx, 57, 16) === "4F70757348656164"
+    val isVorbis = substring(hx, 57, 2) === "01" && substring(hx, 59, 12) === "766F72626973"
     media.select(
         col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         when(isWav, "wav").when(isMp4, "mp4").when(isFlac, "flac")
-          .otherwise("unknown").as("format"),
+          .when(isOgg, "ogg").otherwise("unknown").as("format"),
         be(19, 1).as("b19"), be(20, 1).as("b20"), be(21, 1).as("b21"), be(22, 1).as("b22"),
         when(isWav, le(23, 2)).as("wav_ch"), when(isWav, le(25, 4)).as("wav_sr"),
         when(isWav, le(35, 2)).as("wav_bps"),
-        when(isMp4, be(117, 4)).as("wfix"), when(isMp4, be(121, 4)).as("hfix"))
+        when(isMp4, be(117, 4)).as("wfix"), when(isMp4, be(121, 4)).as("hfix"),
+        when(isOgg && (isOpus || isVorbis), le(41, 4)).as("ogg_sr"),
+        when(isOgg, when(isOpus, be(38, 1)).when(isVorbis, be(40, 1)).otherwise(0L))
+          .as("ogg_ch"))
       .select(col("doc_id"), col("n_bytes"), col("format"),
         when(col("format") === "wav", col("wav_sr"))
           .when(col("format") === "flac",
             col("b19") * 4096L + col("b20") * 16L + expr("b21 DIV 16"))
+          .when(col("format") === "ogg", coalesce(col("ogg_sr"), lit(0L)))
           .otherwise(0L).as("sample_rate"),
         when(col("format") === "wav", col("wav_ch"))
           .when(col("format") === "flac", expr("(b21 DIV 2) % 8") + 1L)
+          .when(col("format") === "ogg", coalesce(col("ogg_ch"), lit(0L)))
           .otherwise(0L).as("channels"),
         when(col("format") === "wav", col("wav_bps"))
           .when(col("format") === "flac", (col("b21") % 2) * 16L + expr("b22 DIV 16") + 1L)

@@ -274,6 +274,100 @@ object DedupStream {
           .as(Seq("band", "bucket"))): _*)
   }
 
+  /** A verified near-dup payload pair — id-normalized like
+    * [[NearDupCandidate]], with the batch detector's exact
+    * cross-multiplied ppm distance (the streaming state holds both
+    * full histograms, so the verify runs INLINE — unlike the text
+    * mirror, no batch reconciliation pass is needed).
+    */
+  case class PayloadNearDup(a: Long, b: Long, dist_ppm: Long)
+
+  // public for the typed encoder's janino-generated deserializer
+  case class PayloadSig(doc_id: Long, len: Long, hist: Seq[Long],
+                        band: Int, probe: Int, sig: Long)
+
+  /** Streaming payload near-duplicate detection — the incremental
+    * form of [[graft.operators.Multimodal.payloadNearDupBanded]]:
+    * every arriving binary payload is banded against all content
+    * EVER seen, using the SAME signature algebra as the batch
+    * operator (nibble histograms; 4 bands × 2 lattices, 1/`grid`
+    * quantization via [[graft.operators.Multimodal.bandSigExpr]])
+    * and the SAME exact integer verify, so an emitted pair carries
+    * the identical dist_ppm the batch detector would emit.
+    *
+    * Input is any streaming (doc_id, payload binary) frame. The
+    * stateless stage computes (len, hist) at scan speed
+    * ([[graft.plans.NibbleHistogram]]) and explodes the 8 per-doc
+    * band signatures; the only stateful stage is the bucket store,
+    * keyed by (band, probe, sig), holding each bucket's
+    * (doc_id, len, hist) residents — ~144 B/entry.
+    *
+    * The batch detector's `bucketCap` frequency cap is the STATE
+    * BOUND here: once a bucket's lifetime occupancy exceeds the cap
+    * (the degenerate-bucket signature — e.g. the zero-mass high
+    * nibbles of an all-ASCII corpus), the bucket stops pairing AND
+    * drops its resident list, degrading to an O(1) tombstone counter
+    * — state is O(min(occupancy, cap)) per bucket, total
+    * O(#buckets · cap), never corpus-sized. Divergence from batch,
+    * documented: pairs emitted before the cap tripped stay emitted
+    * (an append sink cannot retract), where the batch operator drops
+    * the whole oversized bucket; on any corpus whose buckets stay
+    * within the cap the two detectors' pair SETS are identical (the
+    * batch-parity spec pins this). The same pair can surface from
+    * multiple bands — consumers dedup on (a, b), idempotent-sink
+    * style, exactly like [[nearDupCandidates]].
+    */
+  def payloadNearDupCandidates(payloads: DataFrame, thresholdDen: Long = 200L,
+                               grid: Long = 128L,
+                               bucketCap: Long = 1024L): Dataset[PayloadNearDup] = {
+    import payloads.sparkSession.implicits._
+    import graft.operators.Multimodal
+    val sigs = Multimodal.histogramsOf(payloads)
+      .select(col("doc_id"), col("len"), col("hist"),
+        explode(array((for { b <- 0 until 4; p <- 0 until 2 } yield
+          struct(lit(b).as("band"), lit(p).as("probe"),
+            Multimodal.bandSigExpr(grid, b, p).as("sig"))): _*)).as("s"))
+      .select(col("doc_id"), col("len"), col("hist"),
+        col("s.band").as("band"), col("s.probe").as("probe"), col("s.sig").as("sig"))
+    sigs.as[PayloadSig]
+      .groupByKey(s => (s.band, s.probe, s.sig))
+      // state = (lifetime occupancy, residents); residents empty iff
+      // the cap has tripped (the tombstone form)
+      .flatMapGroupsWithState[(Long, List[(Long, Long, Seq[Long])]), PayloadNearDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Int, Long), batch: Iterator[PayloadSig],
+         state: GroupState[(Long, List[(Long, Long, Seq[Long])])]) =>
+          var (seen, stored) = state.getOption.getOrElse((0L, Nil))
+          val out = Vector.newBuilder[PayloadNearDup]
+          batch.toVector.sortBy(_.doc_id).foreach { d =>
+            seen += 1
+            if (seen > bucketCap) stored = Nil // cap tripped: tombstone
+            else {
+              stored.foreach { case (oldId, oldLen, oldHist) =>
+                if (oldId != d.doc_id) {
+                  // exact integer verify, the batch detector's algebra:
+                  // num = Σ|hᵃᵢ·lᵇ − hᵇᵢ·lᵃ|; ppm only on survivors
+                  // (num ≤ la·lb/den keeps num·10⁶ inside Long)
+                  var num = 0L
+                  var i = 0
+                  while (i < 16) {
+                    num += math.abs(oldHist(i) * d.len - d.hist(i) * oldLen)
+                    i += 1
+                  }
+                  if (num * thresholdDen <= oldLen * d.len)
+                    out += PayloadNearDup(math.min(oldId, d.doc_id),
+                      math.max(oldId, d.doc_id),
+                      num * 1000000L / (oldLen * d.len))
+                }
+              }
+              stored = (d.doc_id, d.len, d.hist) :: stored
+            }
+          }
+          state.update((seen, stored))
+          out.result().iterator
+      }
+  }
+
   /** One bucket's fold: drop stored entries whose event time fell
     * below `pruneBelow` (Long.MinValue for the lifetime variant),
     * pair each arriving doc against the survivors, keep candidates at

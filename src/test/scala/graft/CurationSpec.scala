@@ -233,7 +233,12 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
     assert(viaKernel === viaColumns)
-    assert(viaKernel.map(_._3) === Set("wav", "mp4", "flac"))
+    assert(viaKernel.map(_._3) === Set("wav", "mp4", "flac", "ogg"))
+    // both Ogg codec-id branches must flow (Opus at doc_id % 8 = 3,
+    // Vorbis at % 8 = 7), each with a parsed rate and channels
+    val ogg = viaKernel.filter(_._3 == "ogg")
+    assert(ogg.exists(_._1 % 8 == 3) && ogg.exists(_._1 % 8 == 7))
+    assert(ogg.forall(m => m._4 > 0 && m._5 > 0 && m._6 == 0))
   }
 
   test("parseAvHeader walks non-canonical container layouts (the general walks)") {

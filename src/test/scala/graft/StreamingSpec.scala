@@ -475,6 +475,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming payload near-dup matches the batch banded detector pair-for-pair") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Multimodal
+    // engineered corpus (the CurationSpec recipe, smaller): 10 groups
+    // × 3 members sharing a long base with tiny tails — every true
+    // pair is within a group, none across
+    val rng = new scala.util.Random(11)
+    val corpus = (0 until 10).flatMap { g =>
+      val base = (0 until 6000).map { _ =>
+        val r = rng.nextInt(36)
+        if (r < 26) ('a' + r).toChar else ('0' + (r - 26)).toChar
+      }.mkString + " the quick brown fox " * 100
+      (0 until 3).map(m => (g * 1000L + m * 5, base + ("x" * m)))
+    }
+    val docsDf = corpus.toDF("doc_id", "text")
+    val batchPairs = Multimodal.payloadNearDupBanded(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchPairs.size >= 20, s"corpus must admit many pairs, got ${batchPairs.size}")
+    val payloads = Multimodal.synthesize(docsDf).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    // member 2 of every group arrives in a LATER batch, so every
+    // group exercises both in-batch and cross-batch (state) pairing
+    val (early, late) = payloads.partition(p => p._1 % 1000L / 5L != 2L)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.DedupStream.payloadNearDupCandidates(
+        input.toDS().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("payload_neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(early.toSeq)
+      q.processAllAvailable()
+      input.addData(late.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("payload_neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // set equality: same pairs, same exact dist_ppm (multi-band
+      // re-surfacings dedup on collapse to the set)
+      assert(got === batchPairs)
+    } finally q.stop()
+  }
+
+  test("streaming payload near-dup bucket cap bounds state: oversized buckets stop pairing") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Multimodal
+    // five near-identical payloads (same text; doc_id only perturbs
+    // header bytes) all land in the same buckets; cap 3 means docs
+    // 4-5 must neither pair nor grow state
+    val text = "shared payload body " * 400
+    val docsDf = (0 until 5).map(m => (m * 5L, text)).toDF("doc_id", "text")
+    val payloads = Multimodal.synthesize(docsDf).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.DedupStream.payloadNearDupCandidates(
+        input.toDS().toDF("doc_id", "payload"), bucketCap = 3L)
+      .writeStream.format("memory").queryName("payload_cap_out")
+      .outputMode("append").start()
+    try {
+      input.addData(payloads.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("payload_cap_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val preCap = Set(0L, 5L, 10L) // the three residents before the cap trips
+      assert(got.nonEmpty, "pre-cap residents must still pair")
+      assert(got.forall(p => preCap.contains(p._1) && preCap.contains(p._2)),
+        s"docs arriving after the cap tripped must not pair, got $got")
+    } finally q.stop()
+  }
+
   test("SCD enrichment joins each event to the dimension version valid at event time") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = Seq(
