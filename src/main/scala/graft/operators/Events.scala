@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Exact._
+import graft.plans.HonestCheckpoint._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -526,11 +527,19 @@ object Events {
     */
   def gapQuantiles(events: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // Materialized ONCE (honest stats): valueQuantiles scans its
+    // input three times (min/max stats, histogram, rank selection) —
+    // without the barrier each pass re-runs the corpus-sized per-user
+    // lead() window (ReuseExchange dedupes the user_id shuffle, but
+    // the window sort + lead re-run per consumer). The stored frame
+    // is the 3-column gaps projection, the narrowest thing the three
+    // passes can read.
     val gaps = events
       .withColumn("next_ts", lead(col("ts"), 1).over(ord))
       .filter(col("next_ts").isNotNull)
       .select(col("event_type"), col("event_id"),
         (unix_micros(col("next_ts")) - unix_micros(col("ts"))).cast("double").as("value"))
+      .honestCheckpoint()
     FinAnalytics.valueQuantiles(gaps)
   }
 

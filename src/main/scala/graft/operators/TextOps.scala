@@ -390,6 +390,16 @@ object TextOps {
     val toks = documents.repartition(par, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .cache()
+    // Shuffle audit (round 11): the per-iteration Exchange on src
+    // over the stored edge blocks is NECESSARY-as-written — storing
+    // the frame pre-partitioned on src does not remove it, because a
+    // LogicalRDD's outputPartitioning does not survive the attribute
+    // re-aliasing that deduplicates the three self-referencing
+    // iteration subtrees (measured: same serving plan, one extra
+    // build shuffle). What keeps it cheap is ReuseExchange: the three
+    // iterations' edge exchanges are identical subtrees, so the edge
+    // frame is shuffled ONCE at runtime and the other two iterations
+    // read the reused exchange output.
     val edges = toks.filter(size(col("toks")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS src, toks[i] AS dst))")).as("e"))
@@ -403,19 +413,25 @@ object TextOps {
     // blocks instead of re-shuffling edges per iteration
     val outW = edges.groupBy(col("src")).agg(sum(col("wt")).as("wout"))
       .honestCheckpoint()
-    val nDf = nodes.agg(count(lit(1)).as("n"))
-    var r = nodes.crossJoin(broadcast(nDf))
-      .select(col("token"), (lit(1.0) / col("n").cast("double")).as("rank"))
+    // Vocabulary size as a DRIVER literal (one long — a bounded model
+    // parameter, the centroid-collect class). As a 1-row crossJoined
+    // aggregate it was re-computed by EVERY iteration's r rebuild:
+    // iters+1 full vocabulary scans plus a BroadcastNestedLoopJoin
+    // per rebuild, all for a constant. 1.0/n and 0.15/n are the same
+    // correctly-rounded IEEE divisions wherever they run, so the
+    // ranks — and the oracle replay — are bit-identical.
+    val nNodes = nodes.count().toDouble
+    var r = nodes.select(col("token"), lit(1.0 / nNodes).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = edges.join(outW, "src")
         .join(r.select(col("token").as("src"), col("rank")), "src")
         .select(col("dst"),
           dec12(col("rank") * (col("wt").cast("double") / col("wout").cast("double"))).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cin"))
-      r = nodes.crossJoin(broadcast(nDf))
+      r = nodes
         .join(contrib.select(col("dst").as("token"), col("cin")), Seq("token"), "left")
         .select(col("token"),
-          (lit(0.15) / col("n").cast("double")
+          (lit(0.15 / nNodes)
             + lit(0.85) * coalesce(col("cin").cast("double"), lit(0.0))).as("rank"))
     }
     r.orderBy(col("rank").desc, col("token")).limit(k)
