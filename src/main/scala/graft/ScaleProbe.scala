@@ -221,7 +221,54 @@ object ScaleProbe {
       "mm_exact" -> ((_, _, _, _, k) => operators.Multimodal.payloadNearDup(
         if (k == 1L) src.documents else docsHistN).count()),
       "mm_banded" -> ((_, _, _, _, k) => operators.Multimodal.payloadNearDupBanded(
-        if (k == 1L) src.documents else docsHistN).count()))
+        if (k == 1L) src.documents else docsHistN).count()),
+      // count() would prune the whole parse chain away (no shuffle
+      // keeps it alive in this per-row query), and a FILTER on the
+      // parsed fields gets predicate-pushed through the projections —
+      // re-inlining the synthesized-payload expression once per field
+      // and turning the probe into an 8.5 s driver-side plan-compile
+      // measurement. An AGGREGATE over the fields does not push down:
+      // the parse runs once per row in its own projection, which is
+      // the work this probe exists to time.
+      "mm_av" -> ((_, d, _, _, _) => operators.Multimodal.avMeta(d)
+        .agg(sum(col("sample_rate") + col("channels") + col("bit_depth")
+          + col("width") + col("height"))).collect()(0).getLong(0)),
+      // Frozen-index serve probes: per-scale index dirs + on-disk
+      // detection mean the FIRST timed run builds + saves (or loads a
+      // prior sweep's index) and the second serves only — min-of-2
+      // therefore reads the serve-only steady state, which is the
+      // amortization claim these probes exist to verify at scale.
+      // Query set is the same FIXED bounded one as the other ann*
+      // probes, so serve-probe vs train-probe ratios are apples to
+      // apples (the registered *_served queries differ only in using
+      // the oracle gate's default query rule).
+      "ann_ivfpq_residual" -> ((_, _, _, em, _) => operators.Similarity.annIvfPqResidual(
+        em, fixedQ, queriesAreCorpusDerived = Some(true)).count()),
+      "ann_pq_served" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_v2_pq_index"
+        if (!operators.Similarity.frozenIndexComplete(spark, dir))
+          operators.Similarity.pqIndexSave(operators.Similarity.pqIndexBuild(em), dir)
+        operators.Similarity.pqSearch(
+          operators.Similarity.pqIndexLoad(spark, dir, em), fixedQ.get,
+          excludeSelf = true).count()
+      }),
+      "ann_ivfpq_served" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_v2_ivfpq_index"
+        if (!operators.Similarity.frozenIndexComplete(spark, dir))
+          operators.Similarity.ivfPqIndexSave(operators.Similarity.ivfPqIndexBuild(em), dir)
+        operators.Similarity.ivfPqSearch(
+          operators.Similarity.ivfPqIndexLoad(spark, dir, em), fixedQ.get,
+          excludeSelf = true).count()
+      }),
+      "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_v2_ivfpq_res_index"
+        if (!operators.Similarity.frozenIndexComplete(spark, dir))
+          operators.Similarity.ivfPqIndexSave(
+            operators.Similarity.ivfPqResidualIndexBuild(em), dir)
+        operators.Similarity.ivfPqResidualSearch(
+          operators.Similarity.ivfPqIndexLoad(spark, dir, em), fixedQ.get,
+          excludeSelf = true).count()
+      }))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }
     require(selected.nonEmpty, s"no probe matches $only")

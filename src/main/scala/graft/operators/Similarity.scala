@@ -557,8 +557,8 @@ object Similarity {
     * implies the codes/codebooks/centroids tables all committed —
     * a partial save (killed writer) never reads as complete.
     */
-  private def frozenIndexComplete(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): Boolean = {
+  private[graft] def frozenIndexComplete(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(marker) && {
