@@ -246,20 +246,24 @@ object Multimodal {
     histogramsOf(synthesize(documents))
 
   /** The (doc_id, len, hist) projection over ANY (doc_id, payload)
-    * frame — shared with the STREAMING near-dup mirror
+    * frame — shared with the STREAMING near-dup mirrors
     * ([[graft.streaming.DedupStream.payloadNearDupCandidates]]), so
     * the batch and streaming detectors quantize identical inputs.
+    * `carry` columns (e.g. the streaming event time) project through
+    * unchanged — a streaming caller cannot re-join them afterward
+    * without a stream-stream self-join.
     */
-  private[graft] def histogramsOf(payloads: DataFrame): DataFrame = {
+  private[graft] def histogramsOf(payloads: DataFrame,
+                                  carry: Seq[String] = Nil): DataFrame = {
     val lenRaw = length(col("payload")).cast("long")
     val lenGuarded = when(lenRaw.between(1L, 40000000L), lenRaw)
       .otherwise(raise_error(format_string(
         "payload_neardup: payload length %d outside the exact-ppm Long bound [1, 4e7]",
         lenRaw)).cast("long"))
     payloads.select(
-      col("doc_id"),
-      lenGuarded.as("len"),
-      graft.plans.NibbleHistogram.nibbleHistogram(col("payload")).as("hist"))
+      col("doc_id") +: carry.map(col) :+
+        lenGuarded.as("len") :+
+        graft.plans.NibbleHistogram.nibbleHistogram(col("payload")).as("hist"): _*)
   }
 
   /** One band's packed lattice signature over (`hist`, `len`)

@@ -368,6 +368,84 @@ object DedupStream {
       }
   }
 
+  // public for the typed encoder's janino-generated deserializer
+  case class PayloadSigTs(doc_id: Long, ts: java.sql.Timestamp, len: Long,
+                          hist: Seq[Long], band: Int, probe: Int, sig: Long)
+
+  /** [[payloadNearDupCandidates]] with EVENT-TIME TTL eviction — the
+    * payload analog of [[nearDupCandidatesTtl]], same per-entry prune
+    * discipline (a continuously-warm bucket still sheds entries that
+    * fell `ttl` behind the watermark; the bucket's full-removal
+    * timeout derives from the max surviving event time so a late
+    * in-watermark batch can never move eviction earlier).
+    *
+    * The cap is WINDOW occupancy here, not lifetime: an arrival into
+    * a bucket whose surviving residents already number `bucketCap`
+    * neither pairs nor stores, and the bucket RECOVERS once entries
+    * expire — the sliding-window reading of the batch frequency cap
+    * (no tombstones; state stays ≤ cap entries per bucket by
+    * construction). Docs pair only with window-mates.
+    */
+  def payloadNearDupCandidatesTtl(payloads: DataFrame, ttlMinutes: Int = 60,
+                                  watermarkDelay: String = "10 minutes",
+                                  thresholdDen: Long = 200L, grid: Long = 128L,
+                                  bucketCap: Long = 1024L): Dataset[PayloadNearDup] = {
+    import payloads.sparkSession.implicits._
+    import graft.operators.Multimodal
+    val ttlMs = ttlMinutes * 60000L
+    val sigs = Multimodal.histogramsOf(payloads, carry = Seq("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), col("len"), col("hist"),
+        explode(array((for { b <- 0 until 4; p <- 0 until 2 } yield
+          struct(lit(b).as("band"), lit(p).as("probe"),
+            Multimodal.bandSigExpr(grid, b, p).as("sig"))): _*)).as("s"))
+      .select(col("doc_id"), col("ts"), col("len"), col("hist"),
+        col("s.band").as("band"), col("s.probe").as("probe"), col("s.sig").as("sig"))
+    sigs.as[PayloadSigTs]
+      .groupByKey(s => (s.band, s.probe, s.sig))
+      // state = residents (docId, len, hist, eventTimeMs), TTL-pruned
+      .flatMapGroupsWithState[List[(Long, Long, Seq[Long], Long)], PayloadNearDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Int, Long), batch: Iterator[PayloadSigTs],
+         state: GroupState[List[(Long, Long, Seq[Long], Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val pruneBelow = state.getCurrentWatermarkMs() - ttlMs
+            var stored = state.getOption.getOrElse(Nil).filter(_._4 >= pruneBelow)
+            val out = Vector.newBuilder[PayloadNearDup]
+            batch.toVector.sortBy(_.doc_id).foreach { d =>
+              if (stored.size < bucketCap) {
+                stored.foreach { case (oldId, oldLen, oldHist, _) =>
+                  if (oldId != d.doc_id) {
+                    var num = 0L
+                    var i = 0
+                    while (i < 16) {
+                      num += math.abs(oldHist(i) * d.len - d.hist(i) * oldLen)
+                      i += 1
+                    }
+                    if (num * thresholdDen <= oldLen * d.len)
+                      out += PayloadNearDup(math.min(oldId, d.doc_id),
+                        math.max(oldId, d.doc_id),
+                        num * 1000000L / (oldLen * d.len))
+                  }
+                }
+                stored = (d.doc_id, d.len, d.hist, d.ts.getTime) :: stored
+              }
+            }
+            if (stored.isEmpty) state.remove()
+            else {
+              state.update(stored)
+              state.setTimeoutTimestamp(math.max(
+                stored.iterator.map(_._4).max + ttlMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** One bucket's fold: drop stored entries whose event time fell
     * below `pruneBelow` (Long.MinValue for the lifetime variant),
     * pair each arriving doc against the survivors, keep candidates at

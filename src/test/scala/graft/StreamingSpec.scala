@@ -543,6 +543,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL payload near-dup pairs only window-mates and recovers capped buckets after eviction") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Multimodal
+    val text = "shared payload body " * 400
+    // same text -> same buckets; doc_id stride 5 keeps one container
+    def payloadOf(id: Long): Array[Byte] =
+      Multimodal.synthesize(Seq((id, text)).toDF("doc_id", "text"))
+        .collect()(0).getAs[Array[Byte]](1)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val q = graft.streaming.DedupStream.payloadNearDupCandidatesTtl(
+        input.toDS().toDF("doc_id", "ts", "payload"), ttlMinutes = 60)
+      .writeStream.format("memory").queryName("payload_ttl_out")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, ts("2026-01-01 10:00:00"), payloadOf(0L)))
+      q.processAllAvailable()
+      // within TTL -> pairs with doc 0
+      input.addData((5L, ts("2026-01-01 10:30:00"), payloadOf(5L)))
+      q.processAllAvailable()
+      // advance the watermark far past TTL, then fire timeouts; the
+      // two flush payloads live in disjoint nibble bins (0x11 -> bin
+      // 1, 0x99 -> bin 9) so they cannot pair with anything
+      input.addData((998L, ts("2026-06-01 00:00:00"), Array.fill(64)(0x11.toByte)))
+      q.processAllAvailable()
+      input.addData((997L, ts("2026-12-01 00:00:00"), Array.fill(64)(0x99.toByte)))
+      q.processAllAvailable()
+      // bucket evicted: doc 10 pairs with nothing despite matching 0/5
+      input.addData((10L, ts("2026-12-01 00:00:00"), payloadOf(10L)))
+      q.processAllAvailable()
+      val got = spark.table("payload_ttl_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((0L, 5L)))
+    } finally q.stop()
+  }
+
   test("SCD enrichment joins each event to the dimension version valid at event time") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = Seq(
