@@ -246,25 +246,33 @@ object ScaleProbe {
         em, fixedQ, queriesAreCorpusDerived = Some(true)).count()),
       "ann_pq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_v2_pq_index"
-        if (!operators.Similarity.frozenIndexComplete(spark, dir))
-          operators.Similarity.pqIndexSave(operators.Similarity.pqIndexBuild(em), dir)
+        val (params, n) = ("pq;m=8;cb=8;it=3", em.count())
+        operators.Similarity.buildIfAbsent(spark, dir, params, n) {
+          operators.Similarity.pqIndexSave(operators.Similarity.pqIndexBuild(em), dir,
+            params, n)
+        }
         operators.Similarity.pqSearch(
           operators.Similarity.pqIndexLoad(spark, dir, em), fixedQ.get,
           excludeSelf = true).count()
       }),
       "ann_ivfpq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_v2_ivfpq_index"
-        if (!operators.Similarity.frozenIndexComplete(spark, dir))
-          operators.Similarity.ivfPqIndexSave(operators.Similarity.ivfPqIndexBuild(em), dir)
+        val (params, n) = ("ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())
+        operators.Similarity.buildIfAbsent(spark, dir, params, n) {
+          operators.Similarity.ivfPqIndexSave(operators.Similarity.ivfPqIndexBuild(em), dir,
+            params, n)
+        }
         operators.Similarity.ivfPqSearch(
           operators.Similarity.ivfPqIndexLoad(spark, dir, em), fixedQ.get,
           excludeSelf = true).count()
       }),
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_v2_ivfpq_res_index"
-        if (!operators.Similarity.frozenIndexComplete(spark, dir))
+        val (params, n) = ("ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())
+        operators.Similarity.buildIfAbsent(spark, dir, params, n) {
           operators.Similarity.ivfPqIndexSave(
-            operators.Similarity.ivfPqResidualIndexBuild(em), dir)
+            operators.Similarity.ivfPqResidualIndexBuild(em), dir, params, n)
+        }
         operators.Similarity.ivfPqResidualSearch(
           operators.Similarity.ivfPqIndexLoad(spark, dir, em), fixedQ.get,
           excludeSelf = true).count()

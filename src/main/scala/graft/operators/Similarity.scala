@@ -486,7 +486,8 @@ object Similarity {
     * meta table. The raw corpus is NOT copied — it is the source
     * table, re-bound at load.
     */
-  def pqIndexSave(index: PqIndex, dir: String): Unit = {
+  def pqIndexSave(index: PqIndex, dir: String, params: String = "",
+                  corpusCount: Long = -1L): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
     index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
@@ -496,8 +497,10 @@ object Similarity {
     } yield (sub, code, units.toSeq)
     cbRows.toDF("subspace", "code", "units")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
-    // meta LAST: its _SUCCESS is the whole-index commit marker
-    Seq((index.m, indexFormatVersion)).toDF("m", "version")
+    // meta LAST: its _SUCCESS is the whole-index commit marker.
+    // params/n are the build fingerprint frozenIndexComplete checks.
+    Seq((index.m, indexFormatVersion, params, corpusCount))
+      .toDF("m", "version", "params", "n")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
 
@@ -539,8 +542,14 @@ object Similarity {
                   m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
                   rerank: Int = 50): DataFrame = {
     val spark = embeddings.sparkSession
-    if (!frozenIndexComplete(spark, indexDir))
-      pqIndexSave(pqIndexBuild(embeddings, m, codebookSize, iters), indexDir)
+    // build-parameter fingerprint (k/rerank are search-time knobs —
+    // not part of the frozen model) + corpus row count (answered
+    // from parquet footers — no data scan)
+    val params = s"pq;m=$m;cb=$codebookSize;it=$iters"
+    val n = embeddings.count()
+    buildIfAbsent(spark, indexDir, params, n) {
+      pqIndexSave(pqIndexBuild(embeddings, m, codebookSize, iters), indexDir, params, n)
+    }
     val index = pqIndexLoad(spark, indexDir, embeddings)
     pqSearch(index, defaultQueries(embeddings), k, rerank, excludeSelf = true)
   }
@@ -550,23 +559,52 @@ object Similarity {
     * incompatible layout (or a pre-version save) reads as ABSENT, so
     * the serve path rebuilds instead of mis-decoding it.
     */
-  private[operators] val indexFormatVersion = 2
+  private[operators] val indexFormatVersion = 3
 
   /** On-disk completeness check for a frozen index dir. The meta
     * table is written LAST in every save, so its `_SUCCESS` marker
     * implies the codes/codebooks/centroids tables all committed —
-    * a partial save (killed writer) never reads as complete.
+    * a partial save (killed writer) never reads as complete. Beyond
+    * the layout version, the check compares the BUILD-PARAMETER
+    * fingerprint and the corpus row count recorded at save time: an
+    * index built with different hyperparameters, or over a corpus
+    * that has since changed size (regenerated data, grown table),
+    * reads as absent and is rebuilt rather than silently served
+    * (an equal-count corpus with different CONTENT is the documented
+    * residual — full content fingerprinting would cost a data scan
+    * per serve, where the count is answered from parquet footers).
     */
   private[graft] def frozenIndexComplete(spark: org.apache.spark.sql.SparkSession,
-                                         dir: String): Boolean = {
+                                         dir: String, params: String,
+                                         corpusCount: Long): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(marker) && {
       val meta = spark.read.parquet(s"$dir/meta.parquet")
-      meta.columns.contains("version") &&
-        meta.select(col("version")).collect()(0).getInt(0) == indexFormatVersion
+      Seq("version", "params", "n").forall(meta.columns.contains) && {
+        val r = meta.select(col("version"), col("params"), col("n")).collect()(0)
+        r.getInt(0) == indexFormatVersion && r.getString(1) == params &&
+          r.getLong(2) == corpusCount
+      }
     }
   }
+
+  /** Build-if-absent under a per-dir lock: the check-then-write pair
+    * is atomic WITHIN this JVM (two threads serving the same dir
+    * cannot both build over each other). Cross-process concurrent
+    * first-builds of one dir remain the caller's exclusion to
+    * arrange, as with any shared parquet write; once a complete
+    * index exists, every process only reads.
+    */
+  private[graft] def buildIfAbsent(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                   params: String, corpusCount: Long)(build: => Unit): Unit = {
+    val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      if (!frozenIndexComplete(spark, dir, params, corpusCount)) build
+    }
+  }
+  private val servedBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** IVF-PQ composite search — the billion-vector layout: the trained
     * Lloyd coarse quantizer ([[train]], raw-vector integer units)
@@ -772,8 +810,11 @@ object Similarity {
   def annIvfPqResidualServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
                              nprobe: Int = 1, rerank: Int = 50): DataFrame = {
     val spark = embeddings.sparkSession
-    if (!frozenIndexComplete(spark, indexDir))
-      ivfPqIndexSave(ivfPqResidualIndexBuild(embeddings), indexDir)
+    val params = "ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3" // ivfPqResidualIndexBuild defaults
+    val n = embeddings.count()
+    buildIfAbsent(spark, indexDir, params, n) {
+      ivfPqIndexSave(ivfPqResidualIndexBuild(embeddings), indexDir, params, n)
+    }
     val index = ivfPqIndexLoad(spark, indexDir, embeddings)
     ivfPqResidualSearch(index, defaultQueries(embeddings), k, rerank, nprobe,
       excludeSelf = true)
@@ -851,7 +892,8 @@ object Similarity {
     * [[annIvfPq]] (integer units end-to-end), so `ann_ivfpq_served`
     * shares ann_ivfpq's oracle.
     */
-  def ivfPqIndexSave(index: IvfPqIndex, dir: String): Unit = {
+  def ivfPqIndexSave(index: IvfPqIndex, dir: String, params: String = "",
+                     corpusCount: Long = -1L): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
     index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
@@ -867,8 +909,10 @@ object Similarity {
     // meta LAST: its _SUCCESS is the whole-index commit marker. The
     // residual flag persists WITH the index so a loader can never
     // decode residual codes through the raw-vector search (or vice
-    // versa) — the layout is self-describing.
-    Seq((index.m, index.residual, indexFormatVersion)).toDF("m", "residual", "version")
+    // versa) — the layout is self-describing. params/n are the build
+    // fingerprint frozenIndexComplete checks.
+    Seq((index.m, index.residual, indexFormatVersion, params, corpusCount))
+      .toDF("m", "residual", "version", "params", "n")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
 
@@ -897,8 +941,11 @@ object Similarity {
   def annIvfPqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
                      nprobe: Int = 1, rerank: Int = 50): DataFrame = {
     val spark = embeddings.sparkSession
-    if (!frozenIndexComplete(spark, indexDir))
-      ivfPqIndexSave(ivfPqIndexBuild(embeddings), indexDir)
+    val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3" // ivfPqIndexBuild defaults
+    val n = embeddings.count()
+    buildIfAbsent(spark, indexDir, params, n) {
+      ivfPqIndexSave(ivfPqIndexBuild(embeddings), indexDir, params, n)
+    }
     val index = ivfPqIndexLoad(spark, indexDir, embeddings)
     ivfPqSearch(index, defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
   }

@@ -317,19 +317,51 @@ object DedupStream {
     * multiple bands — consumers dedup on (a, b), idempotent-sink
     * style, exactly like [[nearDupCandidates]].
     */
+  /** Stateless histogram + 8-signature banding stage shared by both
+    * payload near-dup variants — one projection chain so the
+    * lifetime and TTL mirrors (and their batch-parity contract)
+    * cannot drift. `carry` columns (event time) ride through.
+    */
+  private def payloadSigs(payloads: DataFrame, grid: Long,
+                          carry: Seq[String] = Nil): DataFrame = {
+    import graft.operators.Multimodal
+    val lead = col("doc_id") +: carry.map(col)
+    Multimodal.histogramsOf(payloads, carry)
+      .select(lead ++ Seq(col("len"), col("hist"),
+        explode(array((for { b <- 0 until 4; p <- 0 until 2 } yield
+          struct(lit(b).as("band"), lit(p).as("probe"),
+            Multimodal.bandSigExpr(grid, b, p).as("sig"))): _*)).as("s")): _*)
+      .select(lead ++ Seq(col("len"), col("hist"),
+        col("s.band").as("band"), col("s.probe").as("probe"), col("s.sig").as("sig")): _*)
+  }
+
+  /** The batch detector's exact integer verify over one stored/
+    * arriving pair — num = Σ|hᵃᵢ·lᵇ − hᵇᵢ·lᵃ|, ppm only on survivors
+    * (num ≤ la·lb/den keeps num·10⁶ inside Long). One body for both
+    * variants.
+    */
+  private def verifiedPair(aId: Long, aLen: Long, aHist: Seq[Long],
+                           bId: Long, bLen: Long, bHist: Seq[Long],
+                           thresholdDen: Long): Option[PayloadNearDup] =
+    if (aId == bId) None
+    else {
+      var num = 0L
+      var i = 0
+      while (i < 16) {
+        num += math.abs(aHist(i) * bLen - bHist(i) * aLen)
+        i += 1
+      }
+      if (num * thresholdDen <= aLen * bLen)
+        Some(PayloadNearDup(math.min(aId, bId), math.max(aId, bId),
+          num * 1000000L / (aLen * bLen)))
+      else None
+    }
+
   def payloadNearDupCandidates(payloads: DataFrame, thresholdDen: Long = 200L,
                                grid: Long = 128L,
                                bucketCap: Long = 1024L): Dataset[PayloadNearDup] = {
     import payloads.sparkSession.implicits._
-    import graft.operators.Multimodal
-    val sigs = Multimodal.histogramsOf(payloads)
-      .select(col("doc_id"), col("len"), col("hist"),
-        explode(array((for { b <- 0 until 4; p <- 0 until 2 } yield
-          struct(lit(b).as("band"), lit(p).as("probe"),
-            Multimodal.bandSigExpr(grid, b, p).as("sig"))): _*)).as("s"))
-      .select(col("doc_id"), col("len"), col("hist"),
-        col("s.band").as("band"), col("s.probe").as("probe"), col("s.sig").as("sig"))
-    sigs.as[PayloadSig]
+    payloadSigs(payloads, grid).as[PayloadSig]
       .groupByKey(s => (s.band, s.probe, s.sig))
       // state = (lifetime occupancy, residents); residents empty iff
       // the cap has tripped (the tombstone form)
@@ -344,21 +376,8 @@ object DedupStream {
             if (seen > bucketCap) stored = Nil // cap tripped: tombstone
             else {
               stored.foreach { case (oldId, oldLen, oldHist) =>
-                if (oldId != d.doc_id) {
-                  // exact integer verify, the batch detector's algebra:
-                  // num = Σ|hᵃᵢ·lᵇ − hᵇᵢ·lᵃ|; ppm only on survivors
-                  // (num ≤ la·lb/den keeps num·10⁶ inside Long)
-                  var num = 0L
-                  var i = 0
-                  while (i < 16) {
-                    num += math.abs(oldHist(i) * d.len - d.hist(i) * oldLen)
-                    i += 1
-                  }
-                  if (num * thresholdDen <= oldLen * d.len)
-                    out += PayloadNearDup(math.min(oldId, d.doc_id),
-                      math.max(oldId, d.doc_id),
-                      num * 1000000L / (oldLen * d.len))
-                }
+                out ++= verifiedPair(oldId, oldLen, oldHist,
+                  d.doc_id, d.len, d.hist, thresholdDen)
               }
               stored = (d.doc_id, d.len, d.hist) :: stored
             }
@@ -391,17 +410,10 @@ object DedupStream {
                                   thresholdDen: Long = 200L, grid: Long = 128L,
                                   bucketCap: Long = 1024L): Dataset[PayloadNearDup] = {
     import payloads.sparkSession.implicits._
-    import graft.operators.Multimodal
     val ttlMs = ttlMinutes * 60000L
-    val sigs = Multimodal.histogramsOf(payloads, carry = Seq("ts"))
+    payloadSigs(payloads, grid, carry = Seq("ts"))
       .withWatermark("ts", watermarkDelay)
-      .select(col("doc_id"), col("ts"), col("len"), col("hist"),
-        explode(array((for { b <- 0 until 4; p <- 0 until 2 } yield
-          struct(lit(b).as("band"), lit(p).as("probe"),
-            Multimodal.bandSigExpr(grid, b, p).as("sig"))): _*)).as("s"))
-      .select(col("doc_id"), col("ts"), col("len"), col("hist"),
-        col("s.band").as("band"), col("s.probe").as("probe"), col("s.sig").as("sig"))
-    sigs.as[PayloadSigTs]
+      .as[PayloadSigTs]
       .groupByKey(s => (s.band, s.probe, s.sig))
       // state = residents (docId, len, hist, eventTimeMs), TTL-pruned
       .flatMapGroupsWithState[List[(Long, Long, Seq[Long], Long)], PayloadNearDup](
@@ -418,18 +430,8 @@ object DedupStream {
             batch.toVector.sortBy(_.doc_id).foreach { d =>
               if (stored.size < bucketCap) {
                 stored.foreach { case (oldId, oldLen, oldHist, _) =>
-                  if (oldId != d.doc_id) {
-                    var num = 0L
-                    var i = 0
-                    while (i < 16) {
-                      num += math.abs(oldHist(i) * d.len - d.hist(i) * oldLen)
-                      i += 1
-                    }
-                    if (num * thresholdDen <= oldLen * d.len)
-                      out += PayloadNearDup(math.min(oldId, d.doc_id),
-                        math.max(oldId, d.doc_id),
-                        num * 1000000L / (oldLen * d.len))
-                  }
+                  out ++= verifiedPair(oldId, oldLen, oldHist,
+                    d.doc_id, d.len, d.hist, thresholdDen)
                 }
                 stored = (d.doc_id, d.len, d.hist, d.ts.getTime) :: stored
               }

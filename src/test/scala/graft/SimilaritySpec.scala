@@ -348,6 +348,30 @@ class SimilaritySpec extends SparkSpec {
       "a version-mismatched index must trigger a rebuild")
   }
 
+  test("served index rebuilds on build-parameter or corpus-size drift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_served_drift").toString
+    Similarity.annPqServed(embeddings, dir).collect()
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    // different build hyperparameters -> fingerprint mismatch ->
+    // rebuild, and the served rows are the NEW parameters' rows (the
+    // old-guard behavior would have silently served the m=8 index)
+    val reParam = Similarity.annPqServed(embeddings, dir, m = 4)
+      .collect().map(_.toString).toSeq
+    assert(java.nio.file.Files.getLastModifiedTime(marker) !== t0,
+      "a parameter change must trigger a rebuild")
+    assert(reParam === Similarity.annPq(embeddings, m = 4).collect().map(_.toString).toSeq)
+    // corpus row-count drift at the same dir -> rebuild over the new
+    // corpus (equal-count content drift is the documented residual)
+    val t1 = java.nio.file.Files.getLastModifiedTime(marker)
+    val half = embeddings.filter(col("vec_id") % 2 === 0)
+    val reCorpus = Similarity.annPqServed(half, dir, m = 4)
+      .collect().map(_.toString).toSeq
+    assert(java.nio.file.Files.getLastModifiedTime(marker) !== t1,
+      "a corpus-size change must trigger a rebuild")
+    assert(reCorpus === Similarity.annPq(half, m = 4).collect().map(_.toString).toSeq)
+  }
+
   test("BandSignatures kernel matches a reference Scala fixed-point computation") {
     import graft.operators.LshPlanes
     val rows = embeddings.select(col("vec_id"), col("embedding"),
