@@ -56,4 +56,48 @@ class SimilarityStreamSpec extends SparkSpec {
     }
     assert(qids.nonEmpty)
   }
+
+  test("residual IVF-PQ serving loads the frozen on-disk index and matches batch search per micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val queryRows = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (batch1, batch2) = queryRows.splitAt(queryRows.size / 2)
+    assert(batch1.nonEmpty && batch2.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_res_serve").toString
+
+    def serveAll(): Map[Long, Seq[String]] = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val served = scala.collection.mutable.Map.empty[Long, Seq[String]]
+      val q = graft.streaming.SimilarityStream.ivfPqResidualServe(
+        input.toDF().toDF("vec_id", "embedding"), corpus, dir, nprobe = 2) {
+        (df, id) => served.synchronized { served(id) = df.collect().map(_.toString).toSeq }
+      }
+      try {
+        input.addData(batch1: _*); q.processAllAvailable()
+        input.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      served.synchronized(served.toMap)
+    }
+
+    val got = serveAll()
+    // batch oracle: the identical frozen index (loaded, not retrained)
+    val index = Similarity.ivfPqIndexLoad(spark, dir, corpus)
+    def want(rows: Seq[(Long, Array[Float])]): Seq[String] =
+      Similarity.ivfPqResidualSearch(index, rows.toDF("vec_id", "embedding"), nprobe = 2)
+        .collect().map(_.toString).toSeq
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L) === want(batch1))
+    assert(got(1L) === want(batch2))
+    assert(got(0L).nonEmpty && got(1L).nonEmpty)
+    // a RESTARTED serve loop against the same dir must LOAD (not
+    // rebuild: meta _SUCCESS mtime frozen) and serve identical rows
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val builtAt = java.nio.file.Files.getLastModifiedTime(marker)
+    val again = serveAll()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === builtAt,
+      "a restarted serve loop must load the frozen index, never rebuild it")
+    assert(again === got)
+  }
 }
