@@ -163,6 +163,7 @@ object SparkEntry {
       s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_res_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
       nprobe = 2)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
+    "text_pii_scrub"      -> ((s, d) => TextOps.piiScrub(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),
     "text_fingerprint"    -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
@@ -1098,7 +1099,39 @@ FROM e ORDER BY user_id, day"""
        |  (width < 224 AND height < 224) AS upscale
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** text_pii_scrub oracle — rebuilds the identical doc_id-derived
+    * PII entities ([[operators.TextOps.synthesizePii]]) and replays
+    * the count + scrub chain with the SAME pattern strings (pulled
+    * from [[operators.TextOps.piiPatterns]] so the two sides cannot
+    * drift); the cleaned md5 pins the byte-exact redaction.
+    */
+  private def piiScrubOracle: String = {
+    val pats = operators.TextOps.piiPatterns
+    val counts = pats.map { case (n, p, _) =>
+      s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_${n}s"
+    }.mkString(",\n  ")
+    val clean = pats.foldLeft("text") { case (c, (_, p, t)) =>
+      s"regexp_replace($c, '$p', '$t', 'g')"
+    }
+    val email = "' reach user' || doc_id || '@mail' || (doc_id % 7) || '.example.com now'"
+    s"""WITH p AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN $email
+       |         WHEN doc_id % 4 = 1 THEN ' dial ' || printf('555-%03d-%04d', doc_id % 1000, doc_id % 10000) || ' today'
+       |         WHEN doc_id % 4 = 2 THEN ' host 10.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || '.' || (doc_id % 100 + 1) || ' up'
+       |         ELSE ' see https://docs.example.com/item/' || doc_id || ' for details' ||
+       |           (CASE WHEN doc_id % 8 = 7 THEN $email ELSE '' END)
+       |    END AS text FROM documents)
+       |SELECT doc_id,
+       |  $counts,
+       |  CAST(length($clean) AS BIGINT) AS clean_len,
+       |  md5($clean) AS clean_md5
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // PII redaction: identical synthesized entities + identical RE2/
+    // java.util.regex-parity patterns on both sides (see piiScrubOracle).
+    "text_pii_scrub" -> piiScrubOracle,
     "text_token_rank" -> tokenRankOracle(),
     "fin_ridge_gram" -> ridgeGramOracle,
     "fin_ridge" -> ridgePredictOracle,

@@ -438,6 +438,69 @@ object TextOps {
       .select(col("token"), (round(col("rank"), 6) + lit(0.0)).as("rank"))
   }
 
+  /** PII patterns shared verbatim between the Spark scrubber and the
+    * DuckDB oracle. Parity domain: no lookaround, no backreferences,
+    * `\b`/`\d` and bounded quantifiers only — the subset where
+    * java.util.regex and RE2 agree match-for-match.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[A-Za-z0-9./_%-]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Deterministic PII injection — the text analog of
+    * [[Multimodal.synthesizeAv]]'s fabricated payloads: the corpus
+    * carries no addresses or numbers, so the scrubber's inputs are
+    * synthesized doc_id-derived entities appended to the real text
+    * (doc_id mod 4 picks the entity class; mod 8 = 7 appends a
+    * second entity so multi-hit counting is exercised). Both engines
+    * rebuild the identical strings, so scrub counts and the cleaned
+    * hash carry a full oracle.
+    */
+  def synthesizePii(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val email = concat(lit(" reach user"), id, lit("@mail"), id % 7, lit(".example.com now"))
+    val phone = concat(lit(" dial "),
+      format_string("555-%03d-%04d", id % 1000, id % 10000), lit(" today"))
+    val ip = concat(lit(" host 10."), id % 256, lit("."), expr("(doc_id DIV 256) % 256"),
+      lit("."), id % 100 + 1, lit(" up"))
+    val url = concat(lit(" see https://docs.example.com/item/"), id, lit(" for details"))
+    documents.select(id,
+      concat(col("text"),
+        when(id % 4 === 0, email)
+          .when(id % 4 === 1, phone)
+          .when(id % 4 === 2, ip)
+          .otherwise(when(id % 8 === 7, concat(url, email)).otherwise(url)))
+        .as("text"))
+  }
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before text reaches a model: count then replace URLs,
+    * emails, phone numbers, and IPv4 addresses with typed tokens
+    * (scrub order = [[piiPatterns]] order, URL first so an address
+    * inside a URL is counted once as URL). Pure per-row Column
+    * algebra (regexp_count + a regexp_replace chain — codegen, scan
+    * speed, no shuffle); output carries the counts, the cleaned
+    * length, and the md5 of the cleaned text, which pins the entire
+    * scrub byte-for-byte under the DuckDB oracle without shipping
+    * the full text.
+    */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val withPii = synthesizePii(documents)
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_${name}s")
+    }
+    val cleaned = piiPatterns.foldLeft(col("text")) { case (c, (_, pat, token)) =>
+      regexp_replace(c, pat, token)
+    }
+    withPii.select(col("doc_id") +: counts :+ cleaned.as("clean"): _*)
+      .select(col("doc_id"), col("n_urls"), col("n_emails"), col("n_phones"),
+        col("n_ips"), length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def fingerprint(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))

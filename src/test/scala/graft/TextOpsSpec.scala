@@ -159,4 +159,39 @@ class TextOpsSpec extends SparkSpec {
     val b = TextOps.surprisal(docs.repartition(16)).collect().map(_.toString).toSeq
     assert(a === b)
   }
+
+  test("piiScrub counts every injected entity class and the cleaned text is residue-free") {
+    val docs = (0L until 64L).map(i => (i, s"plain words only doc $i"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6))).toMap
+    assert(rows.size === 64)
+    rows.foreach { case (id, (urls, emails, phones, ips, _, _)) =>
+      val expect = (id % 4, id % 8) match {
+        case (0, _) => (0L, 1L, 0L, 0L)
+        case (1, _) => (0L, 0L, 1L, 0L)
+        case (2, _) => (0L, 0L, 0L, 1L)
+        case (_, 7) => (1L, 1L, 0L, 0L) // url + second entity (email)
+        case _      => (1L, 0L, 0L, 0L)
+      }
+      assert((urls, emails, phones, ips) === expect, s"doc $id")
+    }
+    // independent JVM-side replay: same injection, java.util.regex
+    // replace chain -> identical md5, and no pattern matches remain
+    val injected = TextOps.synthesizePii(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    injected.foreach { case (id, text) =>
+      val clean = TextOps.piiPatterns.foldLeft(text) { case (t, (_, p, tok)) =>
+        t.replaceAll(p, tok)
+      }
+      TextOps.piiPatterns.foreach { case (name, p, _) =>
+        assert(!p.r.findFirstIn(clean).isDefined, s"doc $id: residual $name in '$clean'")
+      }
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5 === rows(id)._6, s"doc $id cleaned md5 mismatch")
+      assert(clean.length.toLong === rows(id)._5)
+    }
+  }
 }
