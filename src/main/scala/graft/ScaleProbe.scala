@@ -244,6 +244,11 @@ object ScaleProbe {
       // the oracle gate's default query rule).
       "ann_ivfpq_residual" -> ((_, _, _, em, _) => operators.Similarity.annIvfPqResidual(
         em, fixedQ, queriesAreCorpusDerived = Some(true)).count()),
+      // aggregate forcing, like mm_av: count() would prune the regex
+      // chain away in this per-row query
+      "pii_scrub" -> ((_, d, _, _, _) => operators.TextOps.piiScrub(d)
+        .agg(sum(col("n_urls") + col("n_emails") + col("n_phones") + col("n_ips")
+          + col("clean_len"))).collect()(0).getLong(0)),
       "ann_pq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_v2_pq_index"
         val (params, n) = ("pq;m=8;cb=8;it=3", em.count())
