@@ -66,6 +66,7 @@ object SparkEntry {
     "text_repetition"      -> ((s, d) => TextOps.repetition(Tables(s, d).documents)),
     "fin_macd"             -> ((s, d) => FinAnalytics.macd(Tables(s, d).events)),
     "events_gap_quantiles" -> ((s, d) => Events.gapQuantiles(Tables(s, d).events)),
+    "events_session_quantiles" -> ((s, d) => Events.sessionQuantiles(Tables(s, d).events)),
     "curate_token_budget"  -> ((s, d) => Curation.tokenBudget(Tables(s, d).documents)),
     "events_anomaly"       -> ((s, d) => Events.anomalies(Tables(s, d).events)),
     "q_set_ops"            -> ((s, d) => Analytics.setOpsCustomers(Tables(s, d).orders)),
@@ -1210,6 +1211,29 @@ FROM e ORDER BY user_id, day"""
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
         |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // session-duration quantiles: the sessionize CTE chain feeding
+    // the exact rank selection (quantile = exact rank element, so
+    // the oracle's global row_number equals Spark's two-pass
+    // histogram selection value-for-value)
+    "events_session_quantiles" ->
+      """WITH e AS (SELECT user_id, event_id, ts, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tsec FROM events),
+        |f AS (SELECT user_id, event_id, ts, tsec,
+        |        CASE WHEN prev IS NULL OR tsec > prev + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |      FROM (SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e)),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f),
+        |d AS (SELECT user_id * 4294967296 + session_id AS event_id,
+        |        CAST(epoch(max(tsec)) - epoch(min(tsec)) AS DOUBLE) AS value
+        |      FROM s GROUP BY user_id, session_id),
+        |r AS (SELECT value, event_id,
+        |        CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER () AS BIGINT) AS n
+        |      FROM d WHERE value IS NOT NULL)
+        |SELECT 'session' AS event_type, max(n) AS n,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+        |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+        |FROM r GROUP BY 1""".stripMargin,
     "curate_token_budget" ->
       (s"""WITH t AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_toks,
         |    md5(CAST(doc_id AS VARCHAR)) AS md FROM documents),

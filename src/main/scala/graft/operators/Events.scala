@@ -44,6 +44,34 @@ object Events {
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Session-duration quantiles — exact p50/p90/p99 of session
+    * length (seconds between a session's first and last second-
+    * truncated event) over all sessions: the "how long do sessions
+    * last" panel, composed from the two existing scale shapes
+    * ([[sessionIds]]' one per-user shuffle feeding
+    * [[FinAnalytics.valueQuantiles]]' two-pass histogram rank
+    * selection — durations are never globally sorted). The quantile
+    * tiebreak key packs (user_id, session_id) into one BIGINT
+    * (user_id·2³² + session_id); ANSI overflow errors LOUDLY if a
+    * corpus ever exceeds the 2³¹-users / 2³²-sessions-per-user
+    * domain instead of silently colliding tiebreaks.
+    *
+    * Plan note: with the single constant group, Catalyst folds
+    * valueQuantiles' per-type equi-joins into 1-row-broadcast
+    * crosses (they show as BroadcastNestedLoopJoin — the bounded
+    * kind) and the 8192-row histogram cumsum runs in one partition;
+    * the corpus-sized stages (duration aggregation, bucket counting,
+    * in-bucket rank selection) keep their real keys and parallelism.
+    */
+  def sessionQuantiles(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    FinAnalytics.valueQuantiles(
+      sessionIds(events, gapMinutes)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("tsec")).as("s"), max(col("tsec")).as("e"))
+        .select(lit("session").as("event_type"),
+          (col("user_id") * lit(4294967296L) + col("session_id")).as("event_id"),
+          (unix_timestamp(col("e")) - unix_timestamp(col("s"))).cast("double").as("value")))
+
   /** Clickstream path mining: the top-k most common session paths,
     * where a path is the '>'-joined event-type sequence of one
     * session in (ts, event_id) order. Paths reduce per session on the

@@ -30,6 +30,31 @@ class EventsSpec extends SparkSpec {
       (2L, 1L, 2L, ts("2026-01-01 09:10:00"), ts("2026-01-01 09:30:00"), 24.0)))
   }
 
+  test("sessionQuantiles picks exact rank elements over session durations") {
+    // five sessions with durations 0, 300, 600, 1200, 3000 s:
+    // n=5 -> p50 = 3rd (600), p90 = ceil-rank 5th (3000), p99 = 5th
+    val events = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00"), "view", 1.0), // u1 s1: 20 min
+      (2L, 1L, ts("2026-01-01 10:20:00"), "view", 1.0),
+      (3L, 1L, ts("2026-01-01 12:00:00"), "view", 1.0), // u1 s2: 0
+      (4L, 2L, ts("2026-01-01 09:00:00"), "view", 1.0), // u2 s1: 50 min
+      (5L, 2L, ts("2026-01-01 09:25:00"), "view", 1.0),
+      (6L, 2L, ts("2026-01-01 09:50:00"), "view", 1.0),
+      (7L, 3L, ts("2026-01-01 08:00:00"), "view", 1.0), // u3 s1: 5 min
+      (8L, 3L, ts("2026-01-01 08:05:00"), "view", 1.0),
+      (9L, 4L, ts("2026-01-01 07:00:00"), "view", 1.0), // u4 s1: 10 min
+      (10L, 4L, ts("2026-01-01 07:10:00"), "view", 1.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.sessionQuantiles(events).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getString(0) === "session")
+    assert(r.getLong(1) === 5L)
+    assert(r.getDouble(2) === 600.0)  // p50
+    assert(r.getDouble(3) === 3000.0) // p90
+    assert(r.getDouble(4) === 3000.0) // p99
+  }
+
   test("debounce chains <=300s same-type bursts and keeps the first event") {
     val events = Seq(
       // user 1 clicks: burst of three chained (<=300s consecutive
