@@ -46,6 +46,7 @@ object PartitionSweep {
       "components" -> (() => operators.Dedup.components(docs).count()),
       "tfidf" -> (() => operators.TextOps.tfidf(docs).count()),
       "gap_quantiles" -> (() => operators.Events.gapQuantiles(events).count()),
+      "session_quantiles" -> (() => operators.Events.sessionQuantiles(events).count()),
       "token_budget" -> (() =>
         operators.Curation.tokenBudget(docs, budget = 10000L * replicas).count()),
       "ann_pq" -> (() => operators.Similarity.annPq(embeddings, fixedQ,
