@@ -184,6 +184,7 @@ object ScaleProbe {
       "range_day_sum" -> ((e, _, _, _, _) => operators.FinAnalytics.rangeDaySum(e).count()),
       "macd" -> ((e, _, _, _, _) => operators.FinAnalytics.macd(e).count()),
       "gap_quantiles" -> ((e, _, _, _, _) => operators.Events.gapQuantiles(e).count()),
+      "session_quantiles" -> ((e, _, _, _, _) => operators.Events.sessionQuantiles(e).count()),
       "repetition" -> ((_, d, _, _, _) => operators.TextOps.repetition(d).count()),
       "token_budget" -> ((_, d, _, _, k) =>
         operators.Curation.tokenBudget(d, budget = 10000L * k).count()),
