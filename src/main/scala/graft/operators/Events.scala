@@ -63,14 +63,22 @@ object Events {
     * the corpus-sized stages (duration aggregation, bucket counting,
     * in-bucket rank selection) keep their real keys and parallelism.
     */
-  def sessionQuantiles(events: DataFrame, gapMinutes: Int = 30): DataFrame =
-    FinAnalytics.valueQuantiles(
-      sessionIds(events, gapMinutes)
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(min(col("tsec")).as("s"), max(col("tsec")).as("e"))
-        .select(lit("session").as("event_type"),
-          (col("user_id") * lit(4294967296L) + col("session_id")).as("event_id"),
-          (unix_timestamp(col("e")) - unix_timestamp(col("s"))).cast("double").as("value")))
+  def sessionQuantiles(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // Materialized ONCE (honest stats), exactly as [[gapQuantiles]]:
+    // valueQuantiles scans its input three times (min/max stats,
+    // histogram, rank selection) — without the barrier each pass
+    // re-runs the corpus-sized per-user lag() window + session
+    // groupBy. The stored frame is the 3-column duration projection,
+    // the narrowest thing the three passes can read.
+    val durations = sessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("tsec")).as("s"), max(col("tsec")).as("e"))
+      .select(lit("session").as("event_type"),
+        (col("user_id") * lit(4294967296L) + col("session_id")).as("event_id"),
+        (unix_timestamp(col("e")) - unix_timestamp(col("s"))).cast("double").as("value"))
+      .honestCheckpoint()
+    FinAnalytics.valueQuantiles(durations)
+  }
 
   /** Clickstream path mining: the top-k most common session paths,
     * where a path is the '>'-joined event-type sequence of one
