@@ -72,9 +72,26 @@ object Maintenance {
     val cutoff = events.agg(
       (date_trunc("second", max(col("ts"))) - expr(s"INTERVAL $days DAYS")).as("cutoff"))
     val tagged = events.crossJoin(broadcast(cutoff))
-    val snapLatest = dedupLatest(tagged.filter(col("ts") < col("cutoff")).drop("cutoff"))
-    val deltaLatest = dedupLatest(tagged.filter(col("ts") >= col("cutoff")).drop("cutoff"))
-    val carried = snapLatest.join(deltaLatest.select(col("user_id").as("du"), col("day").as("dd")),
+    // Shuffle audit (round 12): the anti-join MERGE shape is the
+    // scale-correct one — the 100-TB snapshot side never shuffles
+    // (scan → broadcast-anti against delta keys → union), which a
+    // collapsed single-window rewrite would break by shuffling the
+    // whole snapshot to apply a small delta. Three exchanges ARE
+    // shared at runtime though the static plan shows them thrice:
+    // AQE ReuseExchange dedupes the identical 1-row cutoff
+    // broadcast subtrees. What was genuinely redundant and is now
+    // gone: (a) dedupLatest's presentation orderBy ran per union
+    // leg (2 range exchanges + 2 sorts under the final global sort)
+    // — the legs now use the unsorted latestPerKeyDay; (b) the
+    // anti-join build side ran the full window winner-pick when it
+    // only needs delta KEYS — now a map-side-combined 2-column
+    // distinct, so the broadcast build carries ids only.
+    val snapLatest = latestPerKeyDay(tagged.filter(col("ts") < col("cutoff")).drop("cutoff")).drop("ts")
+    val deltaLatest = latestPerKeyDay(tagged.filter(col("ts") >= col("cutoff")).drop("cutoff")).drop("ts")
+    val deltaKeys = tagged.filter(col("ts") >= col("cutoff"))
+      .select(col("user_id").as("du"), date_trunc("day", col("ts")).cast("date").as("dd"))
+      .distinct()
+    val carried = snapLatest.join(deltaKeys,
       col("user_id") === col("du") && col("day") === col("dd"), "left_anti")
     deltaLatest.unionByName(carried).orderBy(col("user_id"), col("day"))
   }
