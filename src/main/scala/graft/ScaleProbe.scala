@@ -25,11 +25,16 @@ object ScaleProbe {
     val only: Set[String] = args.drop(1).toSet
     val spark = GraftSession.get("scale-probe")
     val src = Tables(spark, "/root/testdata/sf0.1")
-    // The _SUCCESS reuse check below is keyed on this path: bump the
-    // version suffix whenever the replication RECIPE changes, or a
+    // The _SUCCESS reuse check below is keyed on this path: bump
+    // recipeVersion whenever the replication RECIPE changes, or a
     // machine that ran the old recipe silently re-measures stale
-    // replicas (the round-8 trailing-token corpus).
-    val base = s"/tmp/graft_scale${replicas}_v2"
+    // replicas (the round-8 trailing-token corpus). The serve-probe
+    // INDEX dirs embed the same version, so a recipe bump also
+    // invalidates the frozen probe indexes (an equal-count recipe
+    // change would otherwise serve a stale index — the corpus-count
+    // fingerprint can't see it).
+    val recipeVersion = "v2"
+    val base = s"/tmp/graft_scale${replicas}_$recipeVersion"
     // Stale-recipe replicas (the unversioned/_v1 paths) are multi-GB
     // and nothing re-reads them once the recipe version bumps —
     // best-effort delete them so they don't linger until the machine
@@ -251,36 +256,36 @@ object ScaleProbe {
         .agg(sum(col("n_urls") + col("n_emails") + col("n_phones") + col("n_ips")
           + col("clean_len"))).collect()(0).getLong(0)),
       "ann_pq_served" -> ((_, _, _, em, k) => {
-        val dir = s"/tmp/graft_scale${k}_v2_pq_index"
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_pq_index"
         val (params, n) = ("pq;m=8;cb=8;it=3", em.count())
-        operators.Similarity.buildIfAbsent(spark, dir, params, n) {
-          operators.Similarity.pqIndexSave(operators.Similarity.pqIndexBuild(em), dir,
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+          operators.Similarity.pqIndexSave(operators.Similarity.pqIndexBuild(em), staging,
             params, n)
         }
         operators.Similarity.pqSearch(
-          operators.Similarity.pqIndexLoad(spark, dir, em), fixedQ.get,
+          operators.Similarity.pqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
           excludeSelf = true).count()
       }),
       "ann_ivfpq_served" -> ((_, _, _, em, k) => {
-        val dir = s"/tmp/graft_scale${k}_v2_ivfpq_index"
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_index"
         val (params, n) = ("ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())
-        operators.Similarity.buildIfAbsent(spark, dir, params, n) {
-          operators.Similarity.ivfPqIndexSave(operators.Similarity.ivfPqIndexBuild(em), dir,
-            params, n)
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+          operators.Similarity.ivfPqIndexSave(operators.Similarity.ivfPqIndexBuild(em),
+            staging, params, n)
         }
         operators.Similarity.ivfPqSearch(
-          operators.Similarity.ivfPqIndexLoad(spark, dir, em), fixedQ.get,
+          operators.Similarity.ivfPqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
           excludeSelf = true).count()
       }),
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
-        val dir = s"/tmp/graft_scale${k}_v2_ivfpq_res_index"
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_res_index"
         val (params, n) = ("ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())
-        operators.Similarity.buildIfAbsent(spark, dir, params, n) {
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
           operators.Similarity.ivfPqIndexSave(
-            operators.Similarity.ivfPqResidualIndexBuild(em), dir, params, n)
+            operators.Similarity.ivfPqResidualIndexBuild(em), staging, params, n)
         }
         operators.Similarity.ivfPqResidualSearch(
-          operators.Similarity.ivfPqIndexLoad(spark, dir, em), fixedQ.get,
+          operators.Similarity.ivfPqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
           excludeSelf = true).count()
       }))
 

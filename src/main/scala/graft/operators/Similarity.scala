@@ -511,12 +511,13 @@ object Similarity {
     * built one (integer units end-to-end) — spec-gated.
     */
   def pqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  corpus: DataFrame): PqIndex = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet").select(col("m"), col("version"))
-      .collect()(0)
-    require(meta.getInt(1) == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getInt(1)}, expected $indexFormatVersion")
-    val m = meta.getInt(0)
+                  corpus: DataFrame,
+                  preReadMeta: Option[org.apache.spark.sql.Row] = None): PqIndex = {
+    val meta = preReadMeta.getOrElse(
+      spark.read.parquet(s"$dir/meta.parquet").collect()(0))
+    require(meta.getAs[Int]("version") == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    val m = meta.getAs[Int]("m")
     val cbs = spark.read.parquet(s"$dir/codebooks.parquet").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
     val codebooks = cbs.groupBy(_._1).toIndexedSeq.sortBy(_._1)
@@ -547,10 +548,10 @@ object Similarity {
     // from parquet footers — no data scan)
     val params = s"pq;m=$m;cb=$codebookSize;it=$iters"
     val n = embeddings.count()
-    buildIfAbsent(spark, indexDir, params, n) {
-      pqIndexSave(pqIndexBuild(embeddings, m, codebookSize, iters), indexDir, params, n)
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      pqIndexSave(pqIndexBuild(embeddings, m, codebookSize, iters), staging, params, n)
     }
-    val index = pqIndexLoad(spark, indexDir, embeddings)
+    val index = pqIndexLoad(spark, indexDir, embeddings, Some(meta))
     pqSearch(index, defaultQueries(embeddings), k, rerank, excludeSelf = true)
   }
 
@@ -576,31 +577,69 @@ object Similarity {
     */
   private[graft] def frozenIndexComplete(spark: org.apache.spark.sql.SparkSession,
                                          dir: String, params: String,
-                                         corpusCount: Long): Boolean = {
+                                         corpusCount: Long): Boolean =
+    frozenIndexMeta(spark, dir, params, corpusCount).isDefined
+
+  /** The one meta read every serve pays: the collected meta ROW of a
+    * complete, matching index dir, or None if the dir is missing, a
+    * partial save (meta is written LAST — no `_SUCCESS`, no index),
+    * a pre-version layout, or a fingerprint/corpus-count mismatch.
+    * Callers thread the returned row into the load so meta.parquet
+    * is read exactly once per serve (it carries m + the residual
+    * flag the loaders need).
+    */
+  private[graft] def frozenIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, params: String,
+                                     corpusCount: Long): Option[org.apache.spark.sql.Row] = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(marker) && {
+    if (!fs.exists(marker)) None
+    else {
       val meta = spark.read.parquet(s"$dir/meta.parquet")
-      Seq("version", "params", "n").forall(meta.columns.contains) && {
-        val r = meta.select(col("version"), col("params"), col("n")).collect()(0)
-        r.getInt(0) == indexFormatVersion && r.getString(1) == params &&
-          r.getLong(2) == corpusCount
+      if (!Seq("version", "params", "n").forall(meta.columns.contains)) None
+      else meta.collect().headOption.filter { r =>
+        r.getAs[Int]("version") == indexFormatVersion &&
+          r.getAs[String]("params") == params && r.getAs[Long]("n") == corpusCount
       }
     }
   }
 
-  /** Build-if-absent under a per-dir lock: the check-then-write pair
-    * is atomic WITHIN this JVM (two threads serving the same dir
-    * cannot both build over each other). Cross-process concurrent
-    * first-builds of one dir remain the caller's exclusion to
-    * arrange, as with any shared parquet write; once a complete
-    * index exists, every process only reads.
+  /** Build-if-absent with an ATOMIC cross-process publish: the build
+    * writes the whole index into a staging dir (`<dir>.tmp-<pid>-…`,
+    * unique per attempt) and the completed tree is RENAMEd into
+    * place — a concurrent second builder can no longer interleave
+    * mode(overwrite) parquet writes into a mixed dir; whichever
+    * rename lands first wins and the loser's staging tree is
+    * deleted (its build was bit-identical anyway — the training is
+    * deterministic). The per-dir lock additionally makes
+    * check-then-build atomic WITHIN this JVM, and the final re-read
+    * returns the meta row so the serve path reads meta.parquet
+    * exactly once.
     */
   private[graft] def buildIfAbsent(spark: org.apache.spark.sql.SparkSession, dir: String,
-                                   params: String, corpusCount: Long)(build: => Unit): Unit = {
+                                   params: String, corpusCount: Long)
+                                  (build: String => Unit): org.apache.spark.sql.Row = {
     val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
-      if (!frozenIndexComplete(spark, dir, params, corpusCount)) build
+      frozenIndexMeta(spark, dir, params, corpusCount).getOrElse {
+        val dest = new org.apache.hadoop.fs.Path(dir)
+        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val staging = new org.apache.hadoop.fs.Path(
+          s"$dir.tmp-${ProcessHandle.current.pid}-${System.nanoTime}")
+        build(staging.toString)
+        // publish: clear any stale/partial dest (it failed the meta
+        // check above), then rename. A rename race with another
+        // process is settled by one more meta check: if a complete
+        // matching index appeared, serve it and drop our staging.
+        if (fs.exists(dest)) fs.delete(dest, true)
+        if (!fs.rename(staging, dest)) {
+          val theirs = frozenIndexMeta(spark, dir, params, corpusCount)
+          fs.delete(staging, true)
+          theirs.getOrElse(sys.error(
+            s"failed to publish index to $dir and no complete index is present"))
+        } else frozenIndexMeta(spark, dir, params, corpusCount).getOrElse(
+          sys.error(s"index published to $dir failed its own completeness check"))
+      }
     }
   }
   private val servedBuildLocks =
@@ -812,10 +851,10 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = "ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3" // ivfPqResidualIndexBuild defaults
     val n = embeddings.count()
-    buildIfAbsent(spark, indexDir, params, n) {
-      ivfPqIndexSave(ivfPqResidualIndexBuild(embeddings), indexDir, params, n)
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      ivfPqIndexSave(ivfPqResidualIndexBuild(embeddings), staging, params, n)
     }
-    val index = ivfPqIndexLoad(spark, indexDir, embeddings)
+    val index = ivfPqIndexLoad(spark, indexDir, embeddings, Some(meta))
     ivfPqResidualSearch(index, defaultQueries(embeddings), k, rerank, nprobe,
       excludeSelf = true)
   }
@@ -917,11 +956,12 @@ object Similarity {
   }
 
   def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     corpus: DataFrame): IvfPqIndex = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet")
-      .select(col("m"), col("residual"), col("version")).collect()(0)
-    require(meta.getInt(2) == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getInt(2)}, expected $indexFormatVersion")
+                     corpus: DataFrame,
+                     preReadMeta: Option[org.apache.spark.sql.Row] = None): IvfPqIndex = {
+    val meta = preReadMeta.getOrElse(
+      spark.read.parquet(s"$dir/meta.parquet").collect()(0))
+    require(meta.getAs[Int]("version") == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
     val cbs = spark.read.parquet(s"$dir/codebooks.parquet").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
     val codebooks = cbs.groupBy(_._1).toIndexedSeq.sortBy(_._1)
@@ -929,8 +969,8 @@ object Similarity {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet").collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
     IvfPqIndex(codebooks, centroids, spark.read.parquet(s"$dir/codes.parquet"),
-      corpus.select(col("vec_id"), col("embedding")), meta.getInt(0),
-      residual = meta.getBoolean(1))
+      corpus.select(col("vec_id"), col("embedding")), meta.getAs[Int]("m"),
+      residual = meta.getAs[Boolean]("residual"))
   }
 
   /** Serve-from-frozen-index batch IVF-PQ — train → save → load →
@@ -943,10 +983,10 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3" // ivfPqIndexBuild defaults
     val n = embeddings.count()
-    buildIfAbsent(spark, indexDir, params, n) {
-      ivfPqIndexSave(ivfPqIndexBuild(embeddings), indexDir, params, n)
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      ivfPqIndexSave(ivfPqIndexBuild(embeddings), staging, params, n)
     }
-    val index = ivfPqIndexLoad(spark, indexDir, embeddings)
+    val index = ivfPqIndexLoad(spark, indexDir, embeddings, Some(meta))
     ivfPqSearch(index, defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
   }
 

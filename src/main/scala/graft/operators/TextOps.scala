@@ -478,8 +478,11 @@ object TextOps {
   /** PII scrubbing — the redaction pass every training-data pipeline
     * runs before text reaches a model: count then replace URLs,
     * emails, phone numbers, and IPv4 addresses with typed tokens
-    * (scrub order = [[piiPatterns]] order, URL first so an address
-    * inside a URL is counted once as URL). Pure per-row Column
+    * (counts are per-pattern over the RAW text — independent, so an
+    * IP inside a URL counts in both n_urls and n_ips; only the
+    * REPLACEMENT chain is ordered, URL first so the replaced span is
+    * the whole URL — the oracle computes both the same way). Pure
+    * per-row Column
     * algebra (regexp_count + a regexp_replace chain — codegen, scan
     * speed, no shuffle); output carries the counts, the cleaned
     * length, and the md5 of the cleaned text, which pins the entire

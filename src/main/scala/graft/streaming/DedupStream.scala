@@ -351,7 +351,11 @@ object DedupStream {
         num += math.abs(aHist(i) * bLen - bHist(i) * aLen)
         i += 1
       }
-      if (num * thresholdDen <= aLen * bLen)
+      // multiplyExact: the batch column arithmetic errors LOUDLY
+      // under ANSI when num·den leaves Long (caller-supplied den
+      // ≳1400 with max-length payloads); raw * would silently wrap
+      // here — keep the two engines' failure policy symmetric.
+      if (Math.multiplyExact(num, thresholdDen) <= aLen * bLen)
         Some(PayloadNearDup(math.min(aId, bId), math.max(aId, bId),
           num * 1000000L / (aLen * bLen)))
       else None

@@ -61,11 +61,11 @@ object SimilarityStream {
     val spark = corpus.sparkSession
     val params = "ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3" // ivfPqResidualIndexBuild defaults
     val n = corpus.count()
-    Similarity.buildIfAbsent(spark, indexDir, params, n) {
-      Similarity.ivfPqIndexSave(Similarity.ivfPqResidualIndexBuild(corpus), indexDir,
+    val meta = Similarity.buildIfAbsent(spark, indexDir, params, n) { staging =>
+      Similarity.ivfPqIndexSave(Similarity.ivfPqResidualIndexBuild(corpus), staging,
         params, n)
     }
-    val index = Similarity.ivfPqIndexLoad(spark, indexDir, corpus)
+    val index = Similarity.ivfPqIndexLoad(spark, indexDir, corpus, Some(meta))
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>

@@ -372,6 +372,29 @@ class SimilaritySpec extends SparkSpec {
     assert(reCorpus === Similarity.annPq(half, m = 4).collect().map(_.toString).toSeq)
   }
 
+  test("index publish is staged+renamed: a partial dest is replaced wholesale, no tmp leftovers") {
+    val parent = java.nio.file.Files.createTempDirectory("graft_staged_pub")
+    val dir = parent.resolve("idx").toString
+    // simulate another writer's partial/killed save: junk in dest
+    // without a complete meta — the old mode(overwrite)-into-place
+    // publish would have left this file MIXED into the new index
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "codes.parquet"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "codes.parquet", "junk"),
+      "stale".getBytes("UTF-8"))
+    val served = Similarity.annPqServed(embeddings, dir).collect().map(_.toString).toSeq
+    assert(served === Similarity.annPq(embeddings).collect().map(_.toString).toSeq)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes.parquet", "junk")),
+      "publish must swap in the staged tree wholesale, never write into a mixed dir")
+    val leftovers = java.nio.file.Files.list(parent).toArray.map(_.toString)
+      .filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.toSeq}")
+    // and the published dir serves without rebuilding on the next call
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    Similarity.annPqServed(embeddings, dir).collect()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0)
+  }
+
   test("BandSignatures kernel matches a reference Scala fixed-point computation") {
     import graft.operators.LshPlanes
     val rows = embeddings.select(col("vec_id"), col("embedding"),
