@@ -277,6 +277,29 @@ object ScaleProbe {
           operators.Similarity.ivfPqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
           excludeSelf = true).count()
       }),
+      // add() probe: append a FIXED-size delta (the 1x fixed query
+      // set, re-keyed to fresh ids) into a frozen index built over
+      // the scaled corpus. The first timed run pays the one-off base
+      // build (min-of-2 discards it); later runs time ONLY the
+      // frozen-model encode + append — which must stay ~flat as the
+      // corpus grows (the claim: append cost ∝ |delta|, not corpus).
+      // Detection here matches params/version but IGNORES n, because
+      // every append bumps meta n by design; repeated appends into
+      // this timing-only dir are harmless (append never reads codes).
+      "ann_ivfpq_append" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_add_ix"
+        val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;probe=append"
+        val ok = try {
+          val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+          m.getAs[Int]("version") == operators.Similarity.indexFormatVersion &&
+            m.getAs[String]("params") == params
+        } catch { case _: Exception => false }
+        if (!ok) operators.Similarity.ivfPqIndexSave(
+          operators.Similarity.ivfPqIndexBuild(em), dir, params, em.count())
+        val delta = fixedQ.get.select((col("vec_id") + lit(10000000000L)).as("vec_id"),
+          col("embedding"))
+        operators.Similarity.ivfPqIndexAppend(spark, dir, delta)
+      }),
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_res_index"
         val (params, n) = ("ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())

@@ -163,6 +163,12 @@ object SparkEntry {
     "ann_ivfpq_residual_served" -> ((s, d) => Similarity.annIvfPqResidualServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_res_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
       nprobe = 2)),
+    // FAISS-style add(): build over the base 90%, encode-only append
+    // of the rest with the FROZEN model, serve the full corpus ->
+    // full oracle (training CTEs read base rows only)
+    "ann_ivfpq_appended"  -> ((s, d) => Similarity.annIvfPqAppended(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_app_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      nprobe = 2)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_pii_scrub"      -> ((s, d) => TextOps.piiScrub(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
@@ -300,23 +306,29 @@ object SparkEntry {
        |    CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 100000000, 0) AS BIGINT) AS u
        |  FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings))""".stripMargin
 
-  private def lloydCtes(k: Int, iters: Int, exDef: String = rawExDef): String = {
+  private def lloydCtes(k: Int, iters: Int, exDef: String = rawExDef,
+                        trainEx: String = "ex",
+                        initFrom: String = "embeddings"): String = {
+    // trainEx/initFrom restrict TRAINING (seed, per-round assignment
+    // and means) to a subset while d_fin/a_fin still assign the FULL
+    // `ex` under the final centroids — the frozen-model encode the
+    // appended-index oracle replays (defaults = train on everything).
     val header =
       s"""$exDef,
          |init AS (SELECT vec_id, rn - 1 AS cluster FROM (
          |  SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
-         |  FROM embeddings) WHERE rn <= $k),
+         |  FROM $initFrom) WHERE rn <= $k),
          |c0 AS (SELECT init.cluster, ex.dim, ex.u AS cu FROM init JOIN ex ON ex.vec_id = init.vec_id)""".stripMargin
     val rounds = (1 to iters).map { t =>
       s"""d$t AS (SELECT ex.vec_id, c.cluster, sum((ex.u - c.cu) * (ex.u - c.cu)) AS du
-         |  FROM ex JOIN c${t - 1} c ON c.dim = ex.dim GROUP BY 1, 2),
+         |  FROM $trainEx AS ex JOIN c${t - 1} c ON c.dim = ex.dim GROUP BY 1, 2),
          |a$t AS (SELECT vec_id, cluster FROM (
          |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn FROM d$t) WHERE rn = 1),
          |c$t AS (SELECT p.cluster, p.dim, coalesce(m.cu, p.cu) AS cu FROM c${t - 1} p LEFT JOIN (
          |  SELECT a.cluster, ex.dim, CAST(CASE WHEN sum(ex.u) < 0
          |      THEN -((2 * (-sum(ex.u)) + count(*)) // (2 * count(*)))
          |      ELSE (2 * sum(ex.u) + count(*)) // (2 * count(*)) END AS BIGINT) AS cu
-         |  FROM a$t a JOIN ex ON ex.vec_id = a.vec_id GROUP BY 1, 2) m
+         |  FROM a$t a JOIN $trainEx AS ex ON ex.vec_id = a.vec_id GROUP BY 1, 2) m
          |  ON m.cluster = p.cluster AND m.dim = p.dim)""".stripMargin
     }
     val fin =
@@ -380,23 +392,28 @@ object SparkEntry {
     * subvector source `sx(vec_id, j, sdim, u)` and query-table CTE —
     * shared by the raw ([[pqCtes]]) and residual chains.
     */
-  private def pqChain(cb: Int, iters: Int, sxDef: String, qdDef: String): String = {
+  private def pqChain(cb: Int, iters: Int, sxDef: String, qdDef: String,
+                      trainSx: String = "sx",
+                      pinitFrom: String = "embeddings"): String = {
+    // trainSx/pinitFrom restrict TRAINING to a subset while
+    // pdf/pcode still encode the FULL `sx` under the final codebooks
+    // (see lloydCtes — same frozen-model-encode parameterization).
     val header =
       s"""$sxDef,
          |pinit AS (SELECT vec_id, rn - 1 AS cl FROM (
          |  SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
-         |  FROM embeddings) WHERE rn <= $cb),
+         |  FROM $pinitFrom) WHERE rn <= $cb),
          |b0 AS (SELECT p.cl, s.j, s.sdim, s.u AS cu FROM pinit p JOIN sx s ON s.vec_id = p.vec_id)""".stripMargin
     val rounds = (1 to iters).map { t =>
       s"""pd$t AS (SELECT s.vec_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
-         |  FROM sx s JOIN b${t - 1} b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3),
+         |  FROM $trainSx s JOIN b${t - 1} b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3),
          |pa$t AS (SELECT vec_id, j, cl FROM (
          |  SELECT vec_id, j, cl, row_number() OVER (PARTITION BY vec_id, j ORDER BY du, cl) AS rn FROM pd$t) WHERE rn = 1),
          |b$t AS (SELECT p.cl, p.j, p.sdim, coalesce(m.cu, p.cu) AS cu FROM b${t - 1} p LEFT JOIN (
          |  SELECT a.cl, s.j, s.sdim, CAST(CASE WHEN sum(s.u) < 0
          |      THEN -((2 * (-sum(s.u)) + count(*)) // (2 * count(*)))
          |      ELSE (2 * sum(s.u) + count(*)) // (2 * count(*)) END AS BIGINT) AS cu
-         |  FROM pa$t a JOIN sx s ON s.vec_id = a.vec_id AND s.j = a.j GROUP BY 1, 2, 3) m
+         |  FROM pa$t a JOIN $trainSx s ON s.vec_id = a.vec_id AND s.j = a.j GROUP BY 1, 2, 3) m
          |  ON m.cl = p.cl AND m.j = p.j AND m.sdim = p.sdim)""".stripMargin
     }
     val fin =
@@ -920,6 +937,53 @@ FROM e ORDER BY user_id, day"""
        |  SELECT query_id, label, nvec, cosine,
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_ivfpq_appended oracle — the FAISS add() lifecycle replay:
+    * the Lloyd and PQ training chains read ONLY the base rows
+    * (vec_id % 10 ≠ 0 — seed, assignment rounds, means), while
+    * a_fin/pcode assign + encode the FULL corpus under the final
+    * (frozen) model — exactly what build(base) + append(rest)
+    * materializes on disk. Search is ann_ivfpq's verbatim.
+    */
+  private def annIvfPqAppendedOracle: String = {
+    val dsub = 8
+    s"""WITH $normsCte,
+       |${lloydCtes(8, 3,
+           exDef = rawExDef + ",\next AS (SELECT * FROM ex WHERE vec_id % 10 <> 0)",
+           trainEx = "ext",
+           initFrom = "(SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0)")},
+       |${qProbeCte(2)},
+       |$nuCte,
+       |${pqChain(8, 3,
+           s"sx AS (SELECT vec_id, gdim // $dsub AS j, gdim % $dsub AS sdim, u FROM nu),\n" +
+             "sxt AS (SELECT * FROM sx WHERE vec_id % 10 <> 0)",
+           s"""qd AS (SELECT s.vec_id AS query_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
+              |  FROM sx s JOIN b3 b ON b.j = s.j AND b.sdim = s.sdim
+              |  WHERE s.vec_id % 100 = 0 GROUP BY 1, 2, 3)""".stripMargin,
+           trainSx = "sxt",
+           pinitFrom = "(SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0)")},
+       |adist AS (SELECT qd.query_id, lq.cluster AS label, c.vec_id, sum(qd.du) AS adist
+       |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
+       |  JOIN a_fin lv ON lv.vec_id = c.vec_id
+       |  JOIN q_probe lq ON lq.vec_id = qd.query_id
+       |  WHERE lv.cluster = lq.cluster AND c.vec_id <> qd.query_id GROUP BY 1, 2, 3),
+       |cand AS (SELECT query_id, label, vec_id FROM (
+       |  SELECT query_id, label, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
+       |  FROM adist) WHERE ra <= 50),
+       |cdots AS (SELECT query_id, label, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.label, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, label, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, label, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** ann_ivfpq_residual oracle — the residual-IVFPQ replay: the
     * Lloyd chain runs on NORMALIZED units (`ex` redefined from nu),
@@ -2339,6 +2403,10 @@ FROM e ORDER BY user_id, day"""
     // to ann_ivfpq_residual (integer units survive the parquet round
     // trip), same oracle.
     "ann_ivfpq_residual_served" -> annIvfPqResidualOracle,
+    // Frozen lifecycle WITH corpus growth: training chains read only
+    // the base (vec_id % 10 <> 0) rows; assignment/encode/search run
+    // over the full corpus — the add() contract, replayed exactly.
+    "ann_ivfpq_appended" -> annIvfPqAppendedOracle,
     // Frozen-index serve path: bit-identical to ann_ivfpq (integer
     // units survive the parquet round trip), same oracle.
     "ann_ivfpq_served" -> annIvfPqOracle,

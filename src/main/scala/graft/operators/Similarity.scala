@@ -560,7 +560,7 @@ object Similarity {
     * incompatible layout (or a pre-version save) reads as ABSENT, so
     * the serve path rebuilds instead of mis-decoding it.
     */
-  private[operators] val indexFormatVersion = 3
+  private[graft] val indexFormatVersion = 3
 
   /** On-disk completeness check for a frozen index dir. The meta
     * table is written LAST in every save, so its `_SUCCESS` marker
@@ -971,6 +971,120 @@ object Similarity {
     IvfPqIndex(codebooks, centroids, spark.read.parquet(s"$dir/codes.parquet"),
       corpus.select(col("vec_id"), col("embedding")), meta.getAs[Int]("m"),
       residual = meta.getAs[Boolean]("residual"))
+  }
+
+  /** Encode new vectors under a FROZEN model — the shared `add()`
+    * math for both IVF-PQ layouts: cell assignment with the frozen
+    * coarse quantizer, then PQ encode with the frozen codebooks
+    * (residual layout subtracts the cell centroid first, exactly as
+    * [[ivfPqResidualIndexBuild]] does at train time). No training
+    * state is touched, so the emitted (vec_id, codes, label) rows
+    * are bit-identical to what a build over (old ∪ new) WITH the old
+    * model would emit for the new rows.
+    */
+  private def ivfPqEncodeWith(index: IvfPqIndex, newVectors: DataFrame): DataFrame = {
+    val dsub = pqDsub(index.m)
+    val delta =
+      if (index.residual) {
+        val u = pqCorpusUnits(newVectors)
+        val labeled = assignUnitsCells(u, index.centroids)
+          .select(col("vec_id"), col("cluster").as("label"))
+        // materialized: pqEncode references `un` m×cb times and the
+        // zip_with subtraction is an interpreted HOF — same barrier
+        // rationale as the build's residual frame
+        val rx = u.join(labeled, "vec_id")
+          .select(col("vec_id"),
+            zip_with(col("un"), centroidOf(index.centroids, col("label")), (a, b) => a - b).as("un"))
+          .honestCheckpoint()
+        pqEncode(rx, index.codebooks, dsub).join(labeled, "vec_id")
+      } else {
+        pqEncode(pqCorpusUnits(newVectors), index.codebooks, dsub)
+          .join(assignCells(newVectors.select(col("vec_id"), col("embedding")), index.centroids)
+            .select(col("vec_id"), col("cluster").as("label")), "vec_id")
+      }
+    delta.select(col("vec_id"), col("codes"), col("label"))
+  }
+
+  /** FAISS-style `add()`, in memory: a NEW index whose model
+    * (centroids + codebooks) is FROZEN from `index` and whose
+    * codes/corpus are extended with the new vectors — no retrain.
+    * This is the reference semantics the on-disk
+    * [[ivfPqIndexAppend]] is spec-pinned against. Caller guarantees
+    * vec_ids don't collide with the existing corpus.
+    */
+  def ivfPqIndexExtended(index: IvfPqIndex, newVectors: DataFrame): IvfPqIndex =
+    index.copy(
+      codes = index.codes.select(col("vec_id"), col("codes"), col("label"))
+        .unionByName(ivfPqEncodeWith(index, newVectors)),
+      corpus = index.corpus.unionByName(
+        newVectors.select(col("vec_id"), col("embedding"))))
+
+  /** Incremental index append — the lifecycle step between a frozen
+    * index and a full retrain, for BOTH IVF-PQ layouts (the residual
+    * flag rides the on-disk meta): encode ONLY the new vectors with
+    * the frozen model ([[ivfPqEncodeWith]]), append the delta rows
+    * to the codes table, and bump meta `n`. Without this, ANY corpus
+    * growth fails the corpus-count fingerprint and forces a retrain;
+    * with it, growth costs ∝ |delta| — the corpus is never rescanned
+    * and no training runs (measured in SURVEY §6).
+    *
+    * Crash safety: meta is rewritten LAST (the commit marker), so a
+    * killed append leaves either uncommitted task files (ignored by
+    * readers) or committed codes with the OLD `n` — and the next
+    * serve's corpus-count check reads that as absent and rebuilds
+    * rather than serving a torn index. Appends are serialized per
+    * dir within this JVM (same lock as [[buildIfAbsent]]);
+    * cross-process append exclusion is the caller's to arrange, as
+    * with any shared-table append. Returns the new corpus count
+    * recorded in meta.
+    */
+  def ivfPqIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       newVectors: DataFrame): Long = {
+    val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+      require(meta.getAs[Int]("version") == indexFormatVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      val index = ivfPqIndexLoad(spark, dir,
+        newVectors.select(col("vec_id"), col("embedding")), Some(meta))
+      ivfPqEncodeWith(index, newVectors)
+        .write.mode("append").parquet(s"$dir/codes.parquet")
+      val n = meta.getAs[Long]("n") + newVectors.count()
+      import spark.implicits._
+      Seq((meta.getAs[Int]("m"), meta.getAs[Boolean]("residual"), indexFormatVersion,
+          meta.getAs[String]("params"), n))
+        .toDF("m", "residual", "version", "params", "n")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+      n
+    }
+  }
+
+  /** The frozen lifecycle WITH corpus growth — the sequence
+    * [[ivfPqIndexAppend]] exists for, as one oracled query: build
+    * once over the BASE corpus (vec_id % 10 ≠ 0), `add()` the
+    * remaining tenth with the frozen model (no retrain), publish
+    * atomically, serve the full corpus. Deterministic end-to-end
+    * (the base split, the seeded trainer, and the frozen-model
+    * encode are all exact integer units), so the whole sequence
+    * carries a full DuckDB oracle: the training CTE chains read only
+    * the base rows while assignment/encode/search run over
+    * everything. Results intentionally differ from [[annIvfPq]] —
+    * the model never saw the appended tenth; that is the add()
+    * contract being tested.
+    */
+  def annIvfPqAppended(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                       nprobe: Int = 1, rerank: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val fresh = embeddings.filter(col("vec_id") % 10 === 0)
+    val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;base=mod10"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      ivfPqIndexSave(ivfPqIndexBuild(base), staging, params, n - fresh.count())
+      ivfPqIndexAppend(spark, staging, fresh)
+    }
+    val index = ivfPqIndexLoad(spark, indexDir, embeddings, Some(meta))
+    ivfPqSearch(index, defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
   }
 
   /** Serve-from-frozen-index batch IVF-PQ — train → save → load →

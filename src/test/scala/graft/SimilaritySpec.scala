@@ -372,6 +372,51 @@ class SimilaritySpec extends SparkSpec {
     assert(reCorpus === Similarity.annPq(half, m = 4).collect().map(_.toString).toSeq)
   }
 
+  test("ivfPqIndexAppend: append-then-search equals encode-under-frozen-model, both layouts") {
+    val base = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val fresh = embeddings.filter(col("vec_id") % 10 === 0)
+    val queries = embeddings.filter(col("vec_id") % 100 === 0)
+    for (residual <- Seq(false, true)) {
+      val built =
+        if (residual) Similarity.ivfPqResidualIndexBuild(base)
+        else Similarity.ivfPqIndexBuild(base)
+      def search(ix: Similarity.IvfPqIndex): Seq[String] =
+        (if (residual) Similarity.ivfPqResidualSearch(ix, queries, nprobe = 2, excludeSelf = true)
+         else Similarity.ivfPqSearch(ix, queries, nprobe = 2, excludeSelf = true))
+          .collect().map(_.toString).toSeq
+      // reference semantics: extend in memory — frozen model, codes unioned
+      val extended = Similarity.ivfPqIndexExtended(built, fresh)
+      assert(extended.codebooks.map(_.map(_.toSeq)) === built.codebooks.map(_.map(_.toSeq)),
+        "add() must never touch the codebooks")
+      assert(extended.centroids.map(_.toSeq) === built.centroids.map(_.toSeq),
+        "add() must never touch the coarse quantizer")
+      val want = search(extended)
+      assert(want.nonEmpty)
+      // on-disk: save base, append fresh, reload bound to the FULL corpus
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_append_$residual").toString
+      val params = s"append-spec;res=$residual"
+      val nBase = base.count()
+      Similarity.ivfPqIndexSave(built, dir, params, nBase)
+      val nAfter = Similarity.ivfPqIndexAppend(spark, dir, fresh)
+      assert(nAfter === nBase + fresh.count(), "meta n must grow by exactly |delta|")
+      assert(Similarity.frozenIndexComplete(spark, dir, params, nAfter),
+        "an appended index must read as complete at the GROWN corpus count")
+      assert(!Similarity.frozenIndexComplete(spark, dir, params, nBase),
+        "an appended index must no longer match the pre-append count")
+      val loaded = Similarity.ivfPqIndexLoad(spark, dir, embeddings)
+      assert(search(loaded) === want,
+        s"append-then-search must be bit-identical to the in-memory extension (residual=$residual)")
+      // appended neighbors are actually reachable: some result row
+      // must name an appended (vec_id % 10 == 0) vector
+      val neighbors =
+        (if (residual) Similarity.ivfPqResidualSearch(loaded, queries, nprobe = 2, excludeSelf = true)
+         else Similarity.ivfPqSearch(loaded, queries, nprobe = 2, excludeSelf = true))
+          .select(col("neighbor_id")).collect().map(_.getLong(0))
+      assert(neighbors.exists(_ % 10 == 0),
+        s"appended vectors must be findable in the results (residual=$residual)")
+    }
+  }
+
   test("index publish is staged+renamed: a partial dest is replaced wholesale, no tmp leftovers") {
     val parent = java.nio.file.Files.createTempDirectory("graft_staged_pub")
     val dir = parent.resolve("idx").toString
