@@ -300,6 +300,26 @@ object ScaleProbe {
           col("embedding"))
         operators.Similarity.ivfPqIndexAppend(spark, dir, delta)
       }),
+      // remove_ids() probe: tombstone ~0.1% of the scaled corpus out
+      // of a frozen index. Every run pays one anti-join + codes
+      // rewrite (∝ corpus codes at 9 bytes/vector; the second run's
+      // tombstones match nothing but the rewrite still runs, so
+      // min-of-2 times the steady compaction cost). The claim this
+      // measures: delete is a narrow-table rewrite, never the
+      // 19.7×-at-100× retrain curve.
+      "ann_ivfpq_remove" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_rm_ix"
+        val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;probe=remove"
+        val ok = try {
+          val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+          m.getAs[Int]("version") == operators.Similarity.indexFormatVersion &&
+            m.getAs[String]("params") == params
+        } catch { case _: Exception => false }
+        if (!ok) operators.Similarity.ivfPqIndexSave(
+          operators.Similarity.ivfPqIndexBuild(em), dir, params, em.count())
+        operators.Similarity.ivfPqIndexRemove(spark, dir,
+          em.filter(col("vec_id") % 1000 === 7).select(col("vec_id")))
+      }),
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_res_index"
         val (params, n) = ("ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())

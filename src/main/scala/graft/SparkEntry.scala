@@ -169,6 +169,12 @@ object SparkEntry {
     "ann_ivfpq_appended"  -> ((s, d) => Similarity.annIvfPqAppended(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_app_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
       nprobe = 2)),
+    // FAISS-style remove_ids(): build over the full corpus, tombstone
+    // a fifth of the codes (no retrain), serve the survivors ->
+    // full oracle (ann_ivfpq's replay + one codes-scan predicate)
+    "ann_ivfpq_removed"   -> ((s, d) => Similarity.annIvfPqRemoved(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_rm_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      nprobe = 2)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_pii_scrub"      -> ((s, d) => TextOps.piiScrub(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
@@ -911,7 +917,14 @@ FROM e ORDER BY user_id, day"""
     * exact re-rank. The served path is bit-identical by construction
     * ([[operators.Similarity.annIvfPqServed]]).
     */
-  private def annIvfPqOracle: String =
+  private def annIvfPqOracle: String = annIvfPqOracleWith()
+
+  /** Same replay with the candidate scan restricted to surviving
+    * codes — `ann_ivfpq_removed`'s oracle: remove_ids deletes code
+    * rows under the unchanged (full-corpus-trained) model, so the
+    * SQL difference is exactly one predicate on the codes scan.
+    */
+  private def annIvfPqOracleWith(codesFilter: String = ""): String =
     s"""WITH $normsCte,
        |${lloydCtes(8, 3)},
        |${qProbeCte(2)},
@@ -920,7 +933,7 @@ FROM e ORDER BY user_id, day"""
        |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
        |  JOIN a_fin lv ON lv.vec_id = c.vec_id
        |  JOIN q_probe lq ON lq.vec_id = qd.query_id
-       |  WHERE lv.cluster = lq.cluster AND c.vec_id <> qd.query_id GROUP BY 1, 2, 3),
+       |  WHERE lv.cluster = lq.cluster AND c.vec_id <> qd.query_id $codesFilter GROUP BY 1, 2, 3),
        |cand AS (SELECT query_id, label, vec_id FROM (
        |  SELECT query_id, label, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
        |  FROM adist) WHERE ra <= 50),
@@ -2410,6 +2423,9 @@ FROM e ORDER BY user_id, day"""
     // Frozen-index serve path: bit-identical to ann_ivfpq (integer
     // units survive the parquet round trip), same oracle.
     "ann_ivfpq_served" -> annIvfPqOracle,
+    // remove_ids lifecycle: full-corpus model, candidate scan over
+    // surviving codes only — one predicate on ann_ivfpq's replay
+    "ann_ivfpq_removed" -> annIvfPqOracleWith("AND c.vec_id % 5 <> 2"),
     "ann_centroids" ->
       """SELECT label, dim, count(*) AS n,
         |  round(CAST(sum(c) AS DOUBLE) / count(*), 6) + 0.0 AS mean

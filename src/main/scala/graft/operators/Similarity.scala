@@ -560,7 +560,7 @@ object Similarity {
     * incompatible layout (or a pre-version save) reads as ABSENT, so
     * the serve path rebuilds instead of mis-decoding it.
     */
-  private[graft] val indexFormatVersion = 3
+  private[graft] val indexFormatVersion = 4
 
   /** On-disk completeness check for a frozen index dir. The meta
     * table is written LAST in every save, so its `_SUCCESS` marker
@@ -932,7 +932,7 @@ object Similarity {
     * shares ann_ivfpq's oracle.
     */
   def ivfPqIndexSave(index: IvfPqIndex, dir: String, params: String = "",
-                     corpusCount: Long = -1L): Unit = {
+                     corpusCount: Long = -1L, lastBatch: Long = -1L): Unit = {
     val spark = index.codes.sparkSession
     import spark.implicits._
     index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
@@ -949,10 +949,34 @@ object Similarity {
     // residual flag persists WITH the index so a loader can never
     // decode residual codes through the raw-vector search (or vice
     // versa) — the layout is self-describing. params/n are the build
-    // fingerprint frozenIndexComplete checks.
-    Seq((index.m, index.residual, indexFormatVersion, params, corpusCount))
-      .toDF("m", "residual", "version", "params", "n")
+    // fingerprint frozenIndexComplete checks; last_batch is the
+    // streaming-ingest high-water mark ([[ivfPqIndexStreamAppend]]) —
+    // delta dirs with a higher id are UNCOMMITTED and ignored by the
+    // loader.
+    Seq((index.m, index.residual, indexFormatVersion, params, corpusCount, lastBatch))
+      .toDF("m", "residual", "version", "params", "n", "last_batch")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** The codes paths a loader may read: the base `codes.parquet`
+    * plus every COMMITTED streaming delta (`delta_<id>.parquet` with
+    * id ≤ meta's last_batch). An uncommitted delta — a crashed
+    * [[ivfPqIndexStreamAppend]] that wrote its dir but died before
+    * the meta rewrite — has id > last_batch and is skipped; the
+    * replayed batch overwrites it idempotently. One FS listing per
+    * load, no data read.
+    */
+  private def committedCodesPaths(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, lastBatch: Long): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaRe = "delta_(\\d+)\\.parquet".r
+    val deltas =
+      if (lastBatch < 0) Seq.empty
+      else fs.listStatus(base).toSeq.map(_.getPath.getName).collect {
+        case name @ deltaRe(id) if id.toLong <= lastBatch => (id.toLong, name)
+      }.sortBy(_._1).map { case (_, name) => s"$dir/$name" }
+    s"$dir/codes.parquet" +: deltas
   }
 
   def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -968,7 +992,8 @@ object Similarity {
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq }
     val centroids = spark.read.parquet(s"$dir/centroids.parquet").collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
-    IvfPqIndex(codebooks, centroids, spark.read.parquet(s"$dir/codes.parquet"),
+    val codePaths = committedCodesPaths(spark, dir, meta.getAs[Long]("last_batch"))
+    IvfPqIndex(codebooks, centroids, spark.read.parquet(codePaths: _*),
       corpus.select(col("vec_id"), col("embedding")), meta.getAs[Int]("m"),
       residual = meta.getAs[Boolean]("residual"))
   }
@@ -1050,14 +1075,163 @@ object Similarity {
       ivfPqEncodeWith(index, newVectors)
         .write.mode("append").parquet(s"$dir/codes.parquet")
       val n = meta.getAs[Long]("n") + newVectors.count()
-      import spark.implicits._
-      Seq((meta.getAs[Int]("m"), meta.getAs[Boolean]("residual"), indexFormatVersion,
-          meta.getAs[String]("params"), n))
-        .toDF("m", "residual", "version", "params", "n")
-        .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+      rewriteMeta(spark, dir, meta, n, meta.getAs[Long]("last_batch"))
       n
     }
   }
+
+  /** Meta rewrite with the model columns carried through unchanged —
+    * the commit step of every incremental lifecycle op (append /
+    * stream-append / remove / compact): only `n` and `last_batch`
+    * move; m/residual/params/version describe the FROZEN model and
+    * never change without a retrain.
+    */
+  private def rewriteMeta(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          meta: org.apache.spark.sql.Row, n: Long,
+                          lastBatch: Long): Unit = {
+    import spark.implicits._
+    Seq((meta.getAs[Int]("m"), meta.getAs[Boolean]("residual"), indexFormatVersion,
+        meta.getAs[String]("params"), n, lastBatch))
+      .toDF("m", "residual", "version", "params", "n", "last_batch")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** Streaming `add()` — the exactly-once micro-batch append a
+    * `foreachBatch` ingest loop calls ([[graft.streaming.SimilarityStream.ivfPqIngest]]).
+    * Structured Streaming replays the in-flight batch after a
+    * restart, so unlike [[ivfPqIndexAppend]] (caller-serialized, no
+    * replay) this must be IDEMPOTENT per (dir, batchId):
+    *
+    *   - the delta codes land in their own `delta_<batchId>.parquet`
+    *     dir, written mode(overwrite) — a replay REWRITES the same
+    *     dir instead of double-appending into the shared codes table
+    *     (the failure a plain append suffers: nothing distinguishes
+    *     the two copies afterwards);
+    *   - the meta rewrite (n += |delta|, last_batch = batchId) is the
+    *     commit, written LAST. A crash between delta write and meta
+    *     rewrite leaves id > last_batch, which every loader skips
+    *     ([[committedCodesPaths]]) and the replay overwrites;
+    *   - a replayed ALREADY-COMMITTED batch (id ≤ last_batch) is
+    *     skipped outright.
+    *
+    * Batches must commit in increasing batchId order — exactly what
+    * one streaming query per index dir provides. Returns the
+    * committed corpus count.
+    */
+  def ivfPqIndexStreamAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             batch: DataFrame, batchId: Long): Long = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+      require(meta.getAs[Int]("version") == indexFormatVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      val lastBatch = meta.getAs[Long]("last_batch")
+      if (batchId <= lastBatch) meta.getAs[Long]("n") // replay of a committed batch
+      else {
+        val index = ivfPqIndexLoad(spark, dir,
+          batch.select(col("vec_id"), col("embedding")), Some(meta))
+        ivfPqEncodeWith(index, batch)
+          .write.mode("overwrite").parquet(s"$dir/delta_$batchId.parquet")
+        val n = meta.getAs[Long]("n") + batch.count()
+        rewriteMeta(spark, dir, meta, n, batchId)
+        n
+      }
+    }
+  }
+
+  /** Unconditional staged republish of an index dir — the write
+    * pattern [[ivfPqIndexRemove]] and [[ivfPqIndexCompact]] share:
+    * unlike [[buildIfAbsent]] the destination EXISTS and is complete;
+    * the rewritten tree is staged and RENAMEd over it so readers in
+    * other processes see either the old complete index or the new
+    * one, never a mix.
+    */
+  private def stagedReplace(spark: org.apache.spark.sql.SparkSession, dir: String)
+                           (write: String => Unit): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$dir.tmp-${ProcessHandle.current.pid}-${System.nanoTime}")
+    write(staging.toString)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(staging, dest))
+      sys.error(s"failed to republish index to $dir")
+  }
+
+  /** FAISS-style `remove_ids` — the delete half of the incremental
+    * lifecycle: drop tombstoned vectors from a frozen index WITHOUT
+    * retraining (the model is per-vector independent: the surviving
+    * codes are bit-identical to encoding the surviving corpus under
+    * the same frozen model, so search-after-remove ≡ search over an
+    * in-memory index with those rows filtered — spec-pinned).
+    * `removeIds` is a (vec_id) FRAME, not a driver list: at 100 TB a
+    * tombstone set is itself a table, and the anti-join keeps the
+    * whole rewrite distributed. Physical compaction is inherent
+    * (like FAISS): the codes tables are rewritten once, ∝ corpus —
+    * streaming deltas fold into the new base codes table in the same
+    * pass. Crash-safe via [[stagedReplace]]. Returns the new corpus
+    * count recorded in meta.
+    */
+  def ivfPqIndexRemove(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       removeIds: DataFrame): Long = {
+    val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+      require(meta.getAs[Int]("version") == indexFormatVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      val paths = committedCodesPaths(spark, dir, meta.getAs[Long]("last_batch"))
+      val kept = spark.read.parquet(paths: _*)
+        .join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .honestCheckpoint() // counted once, then written — don't re-run the anti-join
+      val n = kept.count()
+      stagedReplace(spark, dir) { staging =>
+        kept.write.mode("overwrite").parquet(s"$staging/codes.parquet")
+        copyModelTables(spark, dir, staging)
+        rewriteMeta(spark, staging, meta, n, meta.getAs[Long]("last_batch"))
+      }
+      n
+    }
+  }
+
+  /** Fold committed streaming deltas into the base codes table — the
+    * maintenance pass that keeps a long-running ingest from
+    * accumulating one parquet dir per micro-batch (each is an FS
+    * listing + scan-relation entry at serve time). Search results are
+    * bit-identical before and after (same rows, one table);
+    * `last_batch` is PRESERVED so a replayed pre-compaction batch
+    * still reads as committed and skips. No-op when nothing is
+    * committed beyond the base. Crash-safe via [[stagedReplace]].
+    */
+  def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+      require(meta.getAs[Int]("version") == indexFormatVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      val paths = committedCodesPaths(spark, dir, meta.getAs[Long]("last_batch"))
+      if (paths.length > 1) {
+        val merged = spark.read.parquet(paths: _*).honestCheckpoint()
+        stagedReplace(spark, dir) { staging =>
+          merged.write.mode("overwrite").parquet(s"$staging/codes.parquet")
+          copyModelTables(spark, dir, staging)
+          rewriteMeta(spark, staging, meta, meta.getAs[Long]("n"),
+            meta.getAs[Long]("last_batch"))
+        }
+      }
+    }
+  }
+
+  /** Rewrite the bounded model tables (codebooks + centroids) from
+    * `src` into `staging` — the republish steps never change the
+    * frozen model, only the codes/meta.
+    */
+  private def copyModelTables(spark: org.apache.spark.sql.SparkSession,
+                              src: String, staging: String): Unit =
+    Seq("codebooks.parquet", "centroids.parquet").foreach { t =>
+      spark.read.parquet(s"$src/$t")
+        .repartition(1).write.mode("overwrite").parquet(s"$staging/$t")
+    }
 
   /** The frozen lifecycle WITH corpus growth — the sequence
     * [[ivfPqIndexAppend]] exists for, as one oracled query: build
@@ -1082,6 +1256,32 @@ object Similarity {
     val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
       ivfPqIndexSave(ivfPqIndexBuild(base), staging, params, n - fresh.count())
       ivfPqIndexAppend(spark, staging, fresh)
+    }
+    val index = ivfPqIndexLoad(spark, indexDir, embeddings, Some(meta))
+    ivfPqSearch(index, defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
+  }
+
+  /** The frozen lifecycle WITH tombstones — [[ivfPqIndexRemove]] as
+    * one oracled query: build once over the FULL corpus, remove the
+    * tombstoned fifth (vec_id % 5 = 2) from the frozen index — codes
+    * filtered, model untouched, no retrain — publish, serve.
+    * Deterministic end-to-end, so the sequence carries a full DuckDB
+    * oracle: ann_ivfpq's training chains verbatim (the model saw the
+    * whole corpus) with the candidate scan restricted to surviving
+    * codes. Removed ids are unreachable by construction — they have
+    * no code rows to rank. The build-if-absent fingerprint is the
+    * KEPT count: repeated runs (bench, fresh JVMs) load the
+    * tombstoned index and read the steady serve-only cost.
+    */
+  def annIvfPqRemoved(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                      nprobe: Int = 1, rerank: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    val tombstones = embeddings.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+    val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;rm=mod5eq2"
+    val nAll = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, nAll - tombstones.count()) { staging =>
+      ivfPqIndexSave(ivfPqIndexBuild(embeddings), staging, params, nAll)
+      ivfPqIndexRemove(spark, staging, tombstones)
     }
     val index = ivfPqIndexLoad(spark, indexDir, embeddings, Some(meta))
     ivfPqSearch(index, defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)

@@ -74,4 +74,35 @@ object SimilarityStream {
       }
       .start()
   }
+
+  /** Continuous ingestion into a frozen on-disk IVF-PQ index (either
+    * layout — the residual flag rides the index meta): every
+    * micro-batch of NEW (vec_id, embedding) rows is encoded under the
+    * FROZEN model and committed via
+    * [[Similarity.ivfPqIndexStreamAppend]] — assignment +
+    * [residual-]PQ encode only, no retrain, cost ∝ |batch| and
+    * independent of corpus size (SURVEY §6's append probe). Restart
+    * safety is the append's idempotence contract, not the stream
+    * checkpoint: a replayed in-flight batch overwrites its own delta
+    * dir and a replayed committed batch is skipped by the meta
+    * high-water mark, so the index never holds a vector twice.
+    * Serving loops ([[ivfPqResidualServe]]) see each committed batch
+    * on their next load; [[Similarity.ivfPqIndexCompact]] is the
+    * offline pass that folds accumulated deltas back into the base
+    * codes table. `onBatch` receives (batchId, committed corpus n)
+    * after each commit.
+    */
+  def ivfPqIngest(newVectors: DataFrame, indexDir: String,
+                  checkpointDir: Option[String] = None)
+                 (onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val spark = newVectors.sparkSession
+    val writer = newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(id, Similarity.ivfPqIndexStreamAppend(spark, indexDir, batch, id))
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
 }

@@ -440,6 +440,114 @@ class SimilaritySpec extends SparkSpec {
     assert(java.nio.file.Files.getLastModifiedTime(marker) === t0)
   }
 
+  private def deltaDirs(dir: String): Seq[String] =
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.matches(".*/delta_\\d+\\.parquet")).toSeq.sorted
+
+  test("ivfPqIndexStreamAppend: exactly-once per batch — replays skip, uncommitted deltas are invisible") {
+    val base = embeddings.filter(col("vec_id") % 10 > 1)
+    val b1 = embeddings.filter(col("vec_id") % 10 === 0)
+    val b2 = embeddings.filter(col("vec_id") % 10 === 1)
+    val queries = embeddings.filter(col("vec_id") % 100 === 0)
+    for (residual <- Seq(false, true)) {
+      val built =
+        if (residual) Similarity.ivfPqResidualIndexBuild(base)
+        else Similarity.ivfPqIndexBuild(base)
+      def search(ix: Similarity.IvfPqIndex): Seq[String] =
+        (if (residual) Similarity.ivfPqResidualSearch(ix, queries, nprobe = 2, excludeSelf = true)
+         else Similarity.ivfPqSearch(ix, queries, nprobe = 2, excludeSelf = true))
+          .collect().map(_.toString).toSeq
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_append_$residual").toString
+      val nBase = base.count()
+      Similarity.ivfPqIndexSave(built, dir, s"stream-spec;res=$residual", nBase)
+
+      val n1 = Similarity.ivfPqIndexStreamAppend(spark, dir, b1, batchId = 0)
+      assert(n1 === nBase + b1.count())
+      val wantAfter1 = search(Similarity.ivfPqIndexExtended(built, b1))
+      assert(search(Similarity.ivfPqIndexLoad(spark, dir, embeddings)) === wantAfter1)
+
+      // an UNCOMMITTED delta (crashed writer: dir present, meta not
+      // bumped) must be invisible to every loader
+      b1.limit(3).select(col("vec_id"), col("embedding")).write
+        .mode("overwrite").parquet(s"$dir/delta_1.parquet")
+      assert(search(Similarity.ivfPqIndexLoad(spark, dir, embeddings)) === wantAfter1,
+        s"a delta dir beyond meta's last_batch must be ignored (residual=$residual)")
+
+      // the replayed batch OVERWRITES the torn delta and commits
+      val n2 = Similarity.ivfPqIndexStreamAppend(spark, dir, b2, batchId = 1)
+      assert(n2 === n1 + b2.count())
+      val wantAfter2 = search(Similarity.ivfPqIndexExtended(
+        Similarity.ivfPqIndexExtended(built, b1), b2))
+      assert(search(Similarity.ivfPqIndexLoad(spark, dir, embeddings)) === wantAfter2,
+        s"stream-append must be bit-identical to the in-memory extension (residual=$residual)")
+
+      // a replay of an already-committed batch is a no-op
+      val nReplay = Similarity.ivfPqIndexStreamAppend(spark, dir, b1, batchId = 0)
+      assert(nReplay === n2, "replaying a committed batch must not change n")
+      assert(deltaDirs(dir).size === 2)
+      assert(search(Similarity.ivfPqIndexLoad(spark, dir, embeddings)) === wantAfter2,
+        s"a replayed committed batch must change nothing (residual=$residual)")
+    }
+  }
+
+  test("ivfPqIndexCompact folds committed deltas into one codes table, bit-identically") {
+    val base = embeddings.filter(col("vec_id") % 10 > 1)
+    val b1 = embeddings.filter(col("vec_id") % 10 === 0)
+    val b2 = embeddings.filter(col("vec_id") % 10 === 1)
+    val queries = embeddings.filter(col("vec_id") % 100 === 0)
+    val built = Similarity.ivfPqIndexBuild(base)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Similarity.ivfPqIndexSave(built, dir, "compact-spec", base.count())
+    Similarity.ivfPqIndexStreamAppend(spark, dir, b1, batchId = 0)
+    val n = Similarity.ivfPqIndexStreamAppend(spark, dir, b2, batchId = 1)
+    def search(): Seq[String] =
+      Similarity.ivfPqSearch(Similarity.ivfPqIndexLoad(spark, dir, embeddings),
+        queries, nprobe = 2, excludeSelf = true).collect().map(_.toString).toSeq
+    val want = search()
+    Similarity.ivfPqIndexCompact(spark, dir)
+    assert(deltaDirs(dir).isEmpty, "compaction must fold every committed delta away")
+    assert(search() === want, "compaction must not change a single result bit")
+    // the high-water mark survives compaction: a replayed
+    // pre-compaction batch must still read as committed and skip
+    assert(Similarity.ivfPqIndexStreamAppend(spark, dir, b1, batchId = 0) === n)
+    assert(deltaDirs(dir).isEmpty && search() === want,
+      "a replayed committed batch after compaction must still be a no-op")
+    // nothing committed beyond the base → compaction is a no-op
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    Similarity.ivfPqIndexCompact(spark, dir)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0)
+  }
+
+  test("ivfPqIndexRemove: remove-then-search equals the filtered-codes reference, removed ids unreachable") {
+    val queries = embeddings.filter(col("vec_id") % 100 === 0)
+    for (residual <- Seq(false, true)) {
+      val built =
+        if (residual) Similarity.ivfPqResidualIndexBuild(embeddings)
+        else Similarity.ivfPqIndexBuild(embeddings)
+      def search(ix: Similarity.IvfPqIndex): DataFrame =
+        if (residual) Similarity.ivfPqResidualSearch(ix, queries, nprobe = 2, excludeSelf = true)
+        else Similarity.ivfPqSearch(ix, queries, nprobe = 2, excludeSelf = true)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_remove_$residual").toString
+      val nAll = embeddings.count()
+      Similarity.ivfPqIndexSave(built, dir, s"remove-spec;res=$residual", nAll)
+      val tombstones = embeddings.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+      val nKept = Similarity.ivfPqIndexRemove(spark, dir, tombstones)
+      assert(nKept === nAll - tombstones.count(), "meta n must shrink by exactly |tombstones|")
+      // reference semantics: same frozen model, codes filtered
+      val want = search(built.copy(
+          codes = built.codes.join(tombstones, Seq("vec_id"), "left_anti")))
+        .collect().map(_.toString).toSeq
+      assert(want.nonEmpty)
+      val loaded = Similarity.ivfPqIndexLoad(spark, dir, embeddings)
+      val got = search(loaded).collect()
+      assert(got.map(_.toString).toSeq === want,
+        s"remove-then-search must equal the filtered-codes reference (residual=$residual)")
+      assert(!got.map(_.getAs[Long]("neighbor_id")).exists(_ % 5 == 2),
+        s"removed ids must be unreachable (residual=$residual)")
+    }
+  }
+
   test("BandSignatures kernel matches a reference Scala fixed-point computation") {
     import graft.operators.LshPlanes
     val rows = embeddings.select(col("vec_id"), col("embedding"),

@@ -100,4 +100,48 @@ class SimilarityStreamSpec extends SparkSpec {
       "a restarted serve loop must load the frozen index, never rebuild it")
     assert(again === got)
   }
+
+  test("ivfPqIngest appends each micro-batch exactly once under the frozen model") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val base = all.filter(col("vec_id") % 10 > 1)
+    val newRows = all.filter(col("vec_id") % 10 <= 1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (batch1, batch2) = newRows.splitAt(newRows.size / 2)
+    assert(batch1.nonEmpty && batch2.nonEmpty)
+    val built = Similarity.ivfPqIndexBuild(base)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    Similarity.ivfPqIndexSave(built, dir, "ingest-spec", base.count())
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val commits = scala.collection.mutable.Map.empty[Long, Long]
+    val q = graft.streaming.SimilarityStream.ivfPqIngest(
+      input.toDF().toDF("vec_id", "embedding"), dir) {
+      (id, n) => commits.synchronized { commits(id) = n }
+    }
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = commits.synchronized(commits.toMap)
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(1L) === all.count(), "every new vector must be committed exactly once")
+    // the ingested index is bit-identical to the in-memory extension
+    // under the SAME frozen model (no retrain happened)
+    val queries = all.filter(col("vec_id") % 100 === 0)
+    val want = Similarity.ivfPqSearch(
+        Similarity.ivfPqIndexExtended(Similarity.ivfPqIndexExtended(
+          built, batch1.toDF("vec_id", "embedding")), batch2.toDF("vec_id", "embedding")),
+        queries, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    val loaded = Similarity.ivfPqIndexLoad(spark, dir, all)
+    val gotRows = Similarity.ivfPqSearch(loaded, queries, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    assert(gotRows === want)
+    // ingested vectors are reachable
+    assert(Similarity.ivfPqSearch(loaded, queries, nprobe = 2, excludeSelf = true)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).exists(_ % 10 <= 1))
+  }
 }
