@@ -266,6 +266,20 @@ object ScaleProbe {
           operators.Similarity.pqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
           excludeSelf = true).count()
       }),
+      // SQ8 serve probe: like flat PQ, the ADC scan is linear in the
+      // corpus (no cell pruning) — the probe documents that slope;
+      // the IVF layouts are the scale path when it matters.
+      "ann_sq_served" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_sq_index"
+        val (params, n) = ("sq8", em.count())
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+          operators.Similarity.sqIndexSave(operators.Similarity.sqIndexBuild(em), staging,
+            params, n)
+        }
+        operators.Similarity.sqSearch(
+          operators.Similarity.sqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
+          excludeSelf = true).count()
+      }),
       "ann_ivfpq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_index"
         val (params, n) = ("ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())

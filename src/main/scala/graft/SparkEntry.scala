@@ -151,6 +151,12 @@ object SparkEntry {
     // PQ: exact integer-units training/encode/ADC -> full oracle (pqCtes)
     // + determinism/recall specs (SimilaritySpec)
     "ann_pq"              -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings)),
+    // SQ8 scalar quantizer: per-dim 8-bit codes against trained
+    // min/max bounds (the non-PQ production compression layout);
+    // integer encode/decode/ADC -> full oracle
+    "ann_sq"              -> ((s, d) => Similarity.annSq(Tables(s, d).embeddings)),
+    "ann_sq_served"       -> ((s, d) => Similarity.annSqServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_sq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     "ann_pq_served"       -> ((s, d) => Similarity.annPqServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     // IVF-PQ composite: trained-cell prune x PQ codes scan -> full
@@ -1057,6 +1063,44 @@ FROM e ORDER BY user_id, day"""
        |cand AS (SELECT query_id, vec_id FROM (
        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
        |  FROM adist) WHERE ra <= 50),
+       |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2),
+       |scored AS (SELECT query_id, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_sq / ann_sq_served oracle — the SQ8 replay: per-dimension
+    * min/max bounds over the normalized units (nu), 8-bit encode and
+    * decode as pure BIGINT floor division (`//` ≡ the kernel's Java
+    * long division — operands are non-negative by construction, so
+    * truncation and floor agree), the asymmetric Σ(q − decode)²
+    * candidate order, then ann_pq's exact decimal re-rank verbatim.
+    * The served path is bit-identical (integer units survive the
+    * parquet round trip), so one oracle gates both.
+    */
+  private def annSqOracle: String =
+    s"""WITH $normsCte,
+       |$nuCte,
+       |sqb AS (SELECT gdim, min(u) AS vmin, max(u) - min(u) AS span FROM nu GROUP BY 1),
+       |scode AS (SELECT n.vec_id, n.gdim,
+       |    CASE WHEN b.span = 0 THEN 0 ELSE ((n.u - b.vmin) * 255) // b.span END AS c
+       |  FROM nu n JOIN sqb b ON b.gdim = n.gdim),
+       |sdec AS (SELECT s.vec_id, s.gdim, b.vmin + (s.c * b.span) // 255 AS d
+       |  FROM scode s JOIN sqb b ON b.gdim = s.gdim),
+       |sdist AS (SELECT q.vec_id AS query_id, x.vec_id, sum((q.u - x.d) * (q.u - x.d)) AS sdist
+       |  FROM nu q JOIN sdec x ON x.gdim = q.gdim AND x.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 100 = 0 GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sdist, vec_id) AS ra
+       |  FROM sdist) WHERE ra <= 50),
        |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
        |  SELECT c.query_id, c.vec_id,
        |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
@@ -2407,6 +2451,11 @@ FROM e ORDER BY user_id, day"""
     // (integer units end-to-end survive the parquet round trip), so
     // the same oracle gates the whole save/load/serve lifecycle.
     "ann_pq_served" -> annPqOracle,
+    // SQ8 scalar quantizer: per-dim bounds + integer encode/decode +
+    // asymmetric L2 candidate order, exact re-rank; the served path
+    // is bit-identical, one oracle for both.
+    "ann_sq" -> annSqOracle,
+    "ann_sq_served" -> annSqOracle,
     // IVF-PQ: the Lloyd chain labels cells, the PQ chain supplies
     // codes + ADC tables; candidates come from the query's top-2
     // probed cells (q_probe), then the standard exact re-rank.

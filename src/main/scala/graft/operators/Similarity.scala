@@ -546,13 +546,130 @@ object Similarity {
     // build-parameter fingerprint (k/rerank are search-time knobs —
     // not part of the frozen model) + corpus row count (answered
     // from parquet footers — no data scan)
-    val params = s"pq;m=$m;cb=$codebookSize;it=$iters"
+    val params = s"pq;m=$m;cb=$codebookSize;it=$iters;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
     val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
       pqIndexSave(pqIndexBuild(embeddings, m, codebookSize, iters), staging, params, n)
     }
     val index = pqIndexLoad(spark, indexDir, embeddings, Some(meta))
     pqSearch(index, defaultQueries(embeddings), k, rerank, excludeSelf = true)
+  }
+
+  /** A trained SQ8 scalar-quantizer index — FAISS's OTHER production
+    * compression layout (`ScalarQuantizer`, QT_8bit): one 8-bit code
+    * per DIMENSION against per-dimension trained [min, max] bounds
+    * (dim bytes/vector vs PQ's m bytes), no k-means — training is a
+    * single min/max scan. Production systems reach for SQ when PQ
+    * recall is not enough and memory allows a byte per dimension;
+    * here it completes the quantizer family (flat PQ / IVF-PQ /
+    * residual IVF-PQ / SQ8). The bounds are 2×dim longs — model
+    * parameters in plan literals, same class as the PQ codebooks.
+    */
+  final case class SqIndex private[Similarity] (
+      mins: Array[Long], spans: Array[Long],
+      codes: DataFrame, corpus: DataFrame)
+
+  /** Train the per-dimension bounds and encode the corpus ONCE. All
+    * arithmetic is exact integer units (encode/decode semantics in
+    * [[graft.plans.SqEncodeI64]]'s scaladoc), so the build replays in
+    * DuckDB as a min/max GROUP BY plus one integer-division
+    * projection — full oracle, no engine-divergent float math.
+    */
+  def sqIndexBuild(embeddings: DataFrame): SqIndex = {
+    val corpusU = pqCorpusUnits(embeddings)
+    val bounds = corpusU
+      .select(posexplode(col("un")).as(Seq("dim", "u")))
+      .groupBy("dim").agg(min("u").as("vmin"), max("u").as("vmax"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val codes = corpusU
+      .select(col("vec_id"),
+        graft.plans.ScalarQuant.sqEncode(col("un"),
+          bounds.map(_._2), bounds.map(t => t._3 - t._2)).as("codes"))
+      .honestCheckpoint()
+    SqIndex(bounds.map(_._2), bounds.map(t => t._3 - t._2), codes,
+      embeddings.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Two-phase SQ search: the fused asymmetric integer distance
+    * ([[graft.plans.SqAdcL2I64]] — decode inlined, nothing
+    * materialized) ranks the codes scan, the top `rerank` survivors
+    * get the exact decimal cosine re-rank. Same bounded-query-set
+    * broadcast shape as [[pqSearch]]: at 100 TB the scan reads dim
+    * bytes/vector of codes, never the raw corpus.
+    */
+  def sqSearch(index: SqIndex, queries: DataFrame, k: Int = 5, rerank: Int = 50,
+               excludeSelf: Boolean = false): DataFrame = {
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      graft.plans.IntegerUnits.normalizeUnits(col("embedding")).as("qun"))
+    val wS = Window.partitionBy(col("query_id")).orderBy(col("sdist"), col("vec_id"))
+    val cands = index.codes.join(broadcast(qs), notSelf(excludeSelf))
+      .withColumn("sdist",
+        graft.plans.ScalarQuant.sqAdcL2(col("qun"), col("codes"), index.mins, index.spans))
+      .withColumn("ra", row_number().over(wS))
+      .filter(col("ra") <= rerank)
+      .select(col("query_id"), col("qe"), col("vec_id"))
+    pqExactRerank(cands, index.corpus, k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SQ8 ANN as one query: train bounds + encode + two-phase search.
+    * Deterministic integer units end-to-end → full DuckDB oracle.
+    */
+  def annSq(embeddings: DataFrame, queries: Option[DataFrame] = None,
+            k: Int = 5, rerank: Int = 50,
+            queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val index = sqIndexBuild(embeddings)
+    sqSearch(index, queries.getOrElse(defaultQueries(embeddings)), k, rerank,
+      excludeSelf = queriesAreCorpusDerived.getOrElse(queries.isEmpty))
+  }
+
+  /** Persist / load / serve-from a frozen SQ8 index — the same
+    * lifecycle contract as the PQ family: codes as the served parquet
+    * table, the 2×dim bounds as a one-file parquet, meta written LAST
+    * as the commit marker with the [[frozenIndexMeta]] fingerprint.
+    */
+  def sqIndexSave(index: SqIndex, dir: String, params: String = "",
+                  corpusCount: Long = -1L): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    index.mins.indices.map(d => (d, index.mins(d), index.spans(d)))
+      .toDF("dim", "vmin", "span")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/bounds.parquet")
+    Seq((indexFormatVersion, params, corpusCount))
+      .toDF("version", "params", "n")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  def sqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  corpus: DataFrame,
+                  preReadMeta: Option[org.apache.spark.sql.Row] = None): SqIndex = {
+    val meta = preReadMeta.getOrElse(
+      spark.read.parquet(s"$dir/meta.parquet").collect()(0))
+    require(meta.getAs[Int]("version") == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    val b = spark.read.parquet(s"$dir/bounds.parquet").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    SqIndex(b.map(_._2), b.map(_._3), spark.read.parquet(s"$dir/codes.parquet"),
+      corpus.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Serve-from-frozen-index SQ8 — train → save → load → serve with
+    * the shared build-if-absent lifecycle; bit-identical to [[annSq]]
+    * (integer units survive the parquet round trip), so it shares
+    * ann_sq's oracle.
+    */
+  def annSqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                  rerank: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    val params = s"sq8;src=${sourceStamp(embeddings)}"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      sqIndexSave(sqIndexBuild(embeddings), staging, params, n)
+    }
+    sqSearch(sqIndexLoad(spark, indexDir, embeddings, Some(meta)),
+      defaultQueries(embeddings), k, rerank, excludeSelf = true)
   }
 
   /** Frozen-index layout version, persisted in every index's meta
@@ -570,15 +687,44 @@ object Similarity {
     * fingerprint and the corpus row count recorded at save time: an
     * index built with different hyperparameters, or over a corpus
     * that has since changed size (regenerated data, grown table),
-    * reads as absent and is rebuilt rather than silently served
-    * (an equal-count corpus with different CONTENT is the documented
-    * residual — full content fingerprinting would cost a data scan
-    * per serve, where the count is answered from parquet footers).
+    * reads as absent and is rebuilt rather than silently served.
+    * Every served entry additionally folds [[sourceStamp]] — the
+    * corpus files' (path, length, mtime) digest, answered from FS
+    * metadata with no data scan — into its params, so an EQUAL-COUNT
+    * regenerated corpus also rebuilds (previously the documented
+    * residual); what remains is only an in-place rewrite preserving
+    * every file's byte length AND mtime, which no parquet writer
+    * performs.
     */
   private[graft] def frozenIndexComplete(spark: org.apache.spark.sql.SparkSession,
                                          dir: String, params: String,
                                          corpusCount: Long): Boolean =
     frozenIndexMeta(spark, dir, params, corpusCount).isDefined
+
+  /** Zero-scan content stamp of a frame's file-backed source: an MD5
+    * over the sorted (path, byte length, modification time) of its
+    * input files — FS metadata only, no data read. Served entries
+    * fold this into their build-parameter fingerprint so a
+    * regenerated corpus with an unchanged ROW COUNT still reads as
+    * index drift and rebuilds instead of serving stale. Non-file
+    * sources (an in-memory frame) stamp as "mem" — for those the
+    * count check is the only corpus guard, as before.
+    */
+  private[graft] def sourceStamp(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) "mem"
+    else {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val parts = files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+  }
 
   /** The one meta read every serve pays: the collected meta ROW of a
     * complete, matching index dir, or None if the dir is missing, a
@@ -849,7 +995,7 @@ object Similarity {
   def annIvfPqResidualServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
                              nprobe: Int = 1, rerank: Int = 50): DataFrame = {
     val spark = embeddings.sparkSession
-    val params = "ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3" // ivfPqResidualIndexBuild defaults
+    val params = s"ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;src=${sourceStamp(embeddings)}" // ivfPqResidualIndexBuild defaults
     val n = embeddings.count()
     val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
       ivfPqIndexSave(ivfPqResidualIndexBuild(embeddings), staging, params, n)
@@ -1251,7 +1397,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val base = embeddings.filter(col("vec_id") % 10 =!= 0)
     val fresh = embeddings.filter(col("vec_id") % 10 === 0)
-    val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;base=mod10"
+    val params = s"ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;base=mod10;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
     val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
       ivfPqIndexSave(ivfPqIndexBuild(base), staging, params, n - fresh.count())
@@ -1277,7 +1423,7 @@ object Similarity {
                       nprobe: Int = 1, rerank: Int = 50): DataFrame = {
     val spark = embeddings.sparkSession
     val tombstones = embeddings.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
-    val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;rm=mod5eq2"
+    val params = s"ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;rm=mod5eq2;src=${sourceStamp(embeddings)}"
     val nAll = embeddings.count()
     val meta = buildIfAbsent(spark, indexDir, params, nAll - tombstones.count()) { staging =>
       ivfPqIndexSave(ivfPqIndexBuild(embeddings), staging, params, nAll)
@@ -1295,7 +1441,7 @@ object Similarity {
   def annIvfPqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
                      nprobe: Int = 1, rerank: Int = 50): DataFrame = {
     val spark = embeddings.sparkSession
-    val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3" // ivfPqIndexBuild defaults
+    val params = s"ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;src=${sourceStamp(embeddings)}" // ivfPqIndexBuild defaults
     val n = embeddings.count()
     val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
       ivfPqIndexSave(ivfPqIndexBuild(embeddings), staging, params, n)

@@ -59,7 +59,7 @@ object SimilarityStream {
                          k: Int = 5, nprobe: Int = 1, rerank: Int = 50)
                         (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = corpus.sparkSession
-    val params = "ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3" // ivfPqResidualIndexBuild defaults
+    val params = s"ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;src=${Similarity.sourceStamp(corpus)}" // ivfPqResidualIndexBuild defaults
     val n = corpus.count()
     val meta = Similarity.buildIfAbsent(spark, indexDir, params, n) { staging =>
       Similarity.ivfPqIndexSave(Similarity.ivfPqResidualIndexBuild(corpus), staging,

@@ -548,6 +548,104 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("SQ8 kernels match a reference Scala fixed-point computation") {
+    import graft.plans.{IntegerUnits, ScalarQuant}
+    val units = embeddings
+      .select(col("vec_id"), IntegerUnits.normalizeUnits(col("embedding")).as("un"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(units.nonEmpty)
+    val dim = units.head._2.length
+    val mins = (0 until dim).map(d => units.values.map(_(d)).min).toArray
+    val spans = (0 until dim).map(d => units.values.map(_(d)).max - mins(d)).toArray
+    // kernel encode ≡ scalar reference encode, every row
+    val enc = embeddings
+      .select(col("vec_id"),
+        ScalarQuant.sqEncode(IntegerUnits.normalizeUnits(col("embedding")), mins, spans).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    units.foreach { case (id, u) =>
+      val want = u.indices.map(d => ScalarQuant.encode1(u(d), mins(d), spans(d)))
+      assert(enc(id).toSeq === want, s"vec $id encode")
+      assert(enc(id).forall(c => c >= 0 && c <= 255), s"vec $id code range")
+    }
+    // kernel fused ADC ≡ scalar reference decode + squared L2
+    val someQ = units.keys.toSeq.sorted.take(3)
+    someQ.foreach { qid =>
+      val qu = units(qid)
+      val got = embeddings
+        .select(col("vec_id"),
+          ScalarQuant.sqAdcL2(
+            typedLit(qu.toSeq),
+            ScalarQuant.sqEncode(IntegerUnits.normalizeUnits(col("embedding")), mins, spans),
+            mins, spans).as("sdist"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      units.foreach { case (id, _) =>
+        val want = enc(id).indices.map { d =>
+          val diff = qu(d) - ScalarQuant.decode1(enc(id)(d), mins(d), spans(d))
+          diff * diff
+        }.sum
+        assert(got(id) === want, s"query $qid vs vec $id sdist")
+      }
+    }
+  }
+
+  test("annSq is deterministic and recalls most exact neighbors; served path is bit-identical") {
+    val a = Similarity.annSq(embeddings).collect().map(_.toString).toSeq
+    val b = Similarity.annSq(embeddings).collect().map(_.toString).toSeq
+    assert(a === b, "SQ8 must be deterministic")
+    assert(a.nonEmpty)
+    // recall sanity vs the exact scan: per-dim 8-bit fidelity should
+    // recall well above half the exact top-5 through a 50-rerank
+    val exact = exactTopK(5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annSq(embeddings).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"SQ8 recall@5 vs exact: $recall%.3f")
+    assert(recall >= 0.6, f"SQ8 recall collapsed: $recall%.3f")
+    // frozen lifecycle: save → load → serve is bit-identical and a
+    // second serve call loads without rebuilding
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq_served").toString
+    val served = Similarity.annSqServed(embeddings, dir).collect().map(_.toString).toSeq
+    assert(served === a, "served SQ8 must equal the in-memory build bit-for-bit")
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(Similarity.annSqServed(embeddings, dir).collect().map(_.toString).toSeq === a)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
+      "a complete SQ8 index dir must be loaded, never rebuilt")
+  }
+
+  test("served index rebuilds on EQUAL-COUNT content drift (source stamp)") {
+    // same row count, different bytes: the count-only fingerprint
+    // would serve the stale index; the source stamp (file path+len+
+    // mtime) must read the regenerated corpus as drift and rebuild.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val src = s"$tmp/corpus.parquet"
+    embeddings.write.parquet(src)
+    val dir = s"$tmp/idx"
+    val c1 = spark.read.parquet(src)
+    val n1 = c1.count() // before the in-place rewrite invalidates c1's listing
+    val r1 = Similarity.annSqServed(c1, dir).collect().map(_.toString).toSeq
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    // regenerate in place: negate HALF the vectors (a GLOBAL negation
+    // would preserve every cosine and hide a stale serve; flipping
+    // only even ids changes cross cosines, so stale results differ)
+    val drifted = embeddings.withColumn("embedding",
+      when(col("vec_id") % 2 === 0, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    drifted.write.mode("overwrite").parquet(src)
+    // Spark caches file listings per path; re-reading a regenerated
+    // path needs the standard invalidation (not stamp-specific)
+    spark.catalog.refreshByPath(src)
+    val c2 = spark.read.parquet(src)
+    assert(c2.count() === n1, "drift must preserve the row count for this spec to bite")
+    val r2 = Similarity.annSqServed(c2, dir).collect().map(_.toString).toSeq
+    assert(java.nio.file.Files.getLastModifiedTime(marker) !== t0,
+      "equal-count content drift must rebuild, not serve stale")
+    val want = Similarity.annSq(c2).collect().map(_.toString).toSeq
+    assert(r2 === want, "the rebuilt index must serve the NEW corpus")
+    assert(r2 !== r1, "sanity: the drifted corpus changes results")
+  }
+
   test("BandSignatures kernel matches a reference Scala fixed-point computation") {
     import graft.operators.LshPlanes
     val rows = embeddings.select(col("vec_id"), col("embedding"),
