@@ -137,7 +137,15 @@ object SparkEntry {
     "dedup_containment"   -> ((s, d) => Dedup.containment(Tables(s, d).documents)),
     "dedup_components"    -> ((s, d) => freshComponents(s, d)),
     "dedup_embedding"     -> ((s, d) => Similarity.embeddingNearDup(Tables(s, d).embeddings)),
+    // SemDeDup-style cluster-bounded semantic near-dup: exact Lloyd
+    // assignment (integer units) -> within-cluster exact cosine; the
+    // sub-quadratic scale companion to dedup_embedding -> full oracle
+    // (lloydCtes + within-cluster self-join)
+    "dedup_semantic"      -> ((s, d) => Similarity.dedupSemantic(Tables(s, d).embeddings, k = 4)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
+    // FAISS range_search analog: ALL neighbors above the cosine bar,
+    // no top-k window -> one broadcast scan, full oracle
+    "ann_range"           -> ((s, d) => Similarity.annRange(Tables(s, d).embeddings, threshold = 0.3)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "ann_centroids"       -> ((s, d) => Similarity.labelCentroids(Tables(s, d).embeddings)),
@@ -2347,6 +2355,40 @@ FROM e ORDER BY user_id, day"""
         |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
         |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 >= 0.45
         |ORDER BY a, b""".stripMargin),
+    // SemDeDup replay: the unrolled Lloyd chain assigns clusters in
+    // exact integer units (bit-identical to Similarity.train), then a
+    // within-cluster self-join re-derives the exact decimal cosine —
+    // the candidate set AND the verified pairs must both agree.
+    "dedup_semantic" ->
+      (s"""WITH ${lloydCtes(4, 3)},
+        |$normsCte,
+        |asg AS (SELECT vec_id, cluster FROM a_fin),
+        |dots AS (SELECT cluster, a, b, sum(p) AS dot FROM (
+        |  SELECT xa.cluster, x.vec_id AS a, y.vec_id AS b,
+        |         unnest([${dec8("x.embedding[i]")} * ${dec8("y.embedding[i]")}
+        |           FOR i IN range(1, len(x.embedding) + 1)]) AS p
+        |  FROM embeddings x JOIN asg xa ON xa.vec_id = x.vec_id
+        |       JOIN asg ya ON ya.cluster = xa.cluster AND ya.vec_id > x.vec_id
+        |       JOIN embeddings y ON y.vec_id = ya.vec_id) GROUP BY 1, 2, 3)
+        |SELECT a, b, cluster, round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+        |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 >= 0.45
+        |ORDER BY a, b""".stripMargin),
+    // Radius search: the ann_bruteforce scan without the top-k window
+    // — every corpus vector above the exact-cosine bar.
+    "ann_range" ->
+      (s"""WITH $normsCte,
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+        |dots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+        |  SELECT q.query_id, e.vec_id,
+        |         unnest([${dec8("q.qe[i]")} * ${dec8("e.embedding[i]")}
+        |           FOR i IN range(1, len(q.qe) + 1)]) AS p
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id) GROUP BY 1, 2)
+        |SELECT query_id, dots.vec_id AS neighbor_id,
+        |  round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id
+        |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 >= 0.3
+        |ORDER BY query_id, neighbor_id""".stripMargin),
     "ann_bruteforce" ->
       (s"""WITH $normsCte,
         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),

@@ -127,6 +127,94 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** SemDeDup-style cluster-bounded semantic near-dup — the
+    * SUB-QUADRATIC companion to [[embeddingNearDup]] (which is the
+    * exact Θ(n²) baseline, documented as such). Following the public
+    * SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means
+    * the embedding space, then compare pairs ONLY within a cluster —
+    * semantic duplicates are near each other, so they co-cluster,
+    * and the pair space drops from n²/2 to Σᵢ nᵢ²/2 ≈ n²/(2k). At
+    * 100 TB the caller grows k (nlist-style) with the corpus, making
+    * per-cluster work constant: k = n/200k keeps every cluster's
+    * pair block executor-sized, and total work O(n · 200k) — linear
+    * in n for a fixed cluster budget, vs the baseline's quadratic.
+    *
+    * RECALL is the trade (like [[annLsh]]): a true pair straddling a
+    * Voronoi boundary is missed. Every RETURNED pair is exact-verified
+    * (same decimal cosine as the baseline), so precision is 1.0 by
+    * construction and the result is always a subset of
+    * [[embeddingNearDup]] at the same threshold — SimilaritySpec pins
+    * both properties plus the measured recall floor on testdata.
+    *
+    * Deterministic end-to-end: the trainer is [[kmeans]]' exact
+    * integer-units Lloyd (md5-seeded), so assignment — and therefore
+    * the candidate pair set — is bit-identical on any engine, and the
+    * whole operator carries a FULL DuckDB oracle (the unrolled Lloyd
+    * CTE chain feeding a within-cluster exact-cosine self-join).
+    *
+    * Physical shape: the assignment scan materializes ONCE
+    * (honestCheckpoint — both sides of the self-join read it, and the
+    * join then plans on real sizes); within a cluster the pair space
+    * is spread over block-pair triangle groups exactly like
+    * [[embeddingNearDup]] (key = (cluster, bi, bj)), sized by the
+    * LARGEST cluster (k-row aggregate — model-parameter-sized), so a
+    * skewed cluster cannot concentrate its nᵢ²/2 pairs in one task.
+    */
+  def dedupSemantic(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                    threshold: Double = 0.45, blocks: Int = 0): DataFrame = {
+    val centroids = train(embeddings, k, iters)
+    val assigned = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .honestCheckpoint()
+    val b =
+      if (blocks > 0) blocks
+      else {
+        val maxN = assigned.groupBy(col("cluster")).count()
+          .agg(max(col("count"))).collect()(0).getLong(0)
+        math.max(1L, (maxN + 199999L) / 200000L).toInt
+      }
+    val e = assigned.withColumn("blk", pmod(xxhash64(col("vec_id")), lit(b)).cast("int"))
+    val sideA = e.select(col("cluster"), col("vec_id").as("ia"), col("embedding").as("ea"), col("blk").as("bi"))
+      .withColumn("bj", explode(sequence(col("bi"), lit(b - 1))))
+    val sideB = e.select(col("cluster"), col("vec_id").as("ib"), col("embedding").as("eb"), col("blk").as("bj"))
+      .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+    sideA.join(sideB, Seq("cluster", "bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ia") < col("ib"))
+      .filter(cosineFast(col("ea"), col("eb")) >= threshold - 1e-3)
+      .withColumn("cosine",
+        cosineExact(decDot(col("ea"), col("eb")), decNorm2(col("ea")), decNorm2(col("eb"))))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("ia"), col("ib")).as("a"), greatest(col("ia"), col("ib")).as("b"),
+        col("cluster"), col("cosine"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Radius (range) search — every corpus vector with exact cosine ≥
+    * `threshold` of each query, the FAISS `range_search` analog
+    * (top-k's sibling: the caller wants ALL matches above a quality
+    * bar, not a fixed count). Same two-phase shape as
+    * [[annBruteForce]]: queries broadcast over ONE corpus scan, a
+    * codegen double-cosine prefilter (1e-3 margin ≫ double-vs-exact
+    * error) cuts the stream map-side, and only near-threshold
+    * survivors pay the exact decimal verification. No window, no
+    * top-k shuffle — the only exchange is the final presentation
+    * sort, so the scan parallelizes embarrassingly at any corpus
+    * size (the broadcast query set is the caller-bounded side).
+    */
+  def annRange(embeddings: DataFrame, queries: Option[DataFrame] = None,
+               threshold: Double = 0.4): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val qs = queries.getOrElse(defaultQueries(embeddings))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    corpus.join(broadcast(qs), notSelf(corpusDerived = queries.isEmpty))
+      .filter(cosineFast(col("qe"), col("embedding")) >= threshold - 1e-3)
+      .withColumn("cosine",
+        cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Self-match exclusion policy for the ann* family: when the query
     * set defaults to a CORPUS SUBSET, `query_id` and `vec_id` share
     * one id namespace and a query must not return itself — but an

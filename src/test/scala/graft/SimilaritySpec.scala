@@ -211,6 +211,36 @@ class SimilaritySpec extends SparkSpec {
     assert(want.nonEmpty, "testdata must contain at least one near-dup pair")
   }
 
+  test("dedupSemantic is an exact-verified subset of embeddingNearDup with measured recall") {
+    val exact = Similarity.embeddingNearDup(embeddings, threshold = 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val df = Similarity.dedupSemantic(embeddings, k = 4, threshold = 0.45)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "within-cluster join must not plan a cartesian product")
+    val sem = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(sem.subsetOf(exact),
+      "every returned pair must carry the baseline's exact cosine (precision 1.0)")
+    val recall = if (exact.isEmpty) 1.0 else sem.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall vs the exact baseline = $recall (measured 0.714 at k=4 on sf0.001)")
+    val again = Similarity.dedupSemantic(embeddings, k = 4, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(again === sem, "md5-seeded Lloyd must make the candidate set reproducible")
+  }
+
+  test("annRange returns exactly the above-threshold neighbor set of the exact scan") {
+    val got = Similarity.annRange(embeddings, threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vecs = embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val want = (for {
+      q <- vecs.keys if q % 100 == 0
+      v <- vecs.keys if v != q
+      c = exactCosine(vecs(q), vecs(v)) if c >= 0.3
+    } yield (q, v, c)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "testdata must contain at least one in-radius neighbor")
+  }
+
   test("PQ index round-trips through parquet bit-exactly (save → load → serve)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_rt").toString
     val built = Similarity.pqIndexBuild(embeddings)
