@@ -334,6 +334,18 @@ object ScaleProbe {
         operators.Similarity.ivfPqIndexRemove(spark, dir,
           em.filter(col("vec_id") % 1000 === 7).select(col("vec_id")))
       }),
+      // SemDeDup probe: k tracks the corpus (k = 4·mult) so the
+      // per-cluster pair budget stays constant — the documented scale
+      // contract (total work O(n · cluster_budget), linear in n). A
+      // FIXED k would re-square the pair space and measure nothing
+      // but the baseline's Θ(n²) again.
+      "dedup_semantic" -> ((_, _, _, em, k) =>
+        operators.Similarity.dedupSemantic(em, k = 4 * k.toInt).count()),
+      // Radius search: fixed bounded query set (like the other ann*
+      // probes), windowless broadcast scan — expect the scan slope.
+      "ann_range" -> ((_, _, _, em, _) =>
+        operators.Similarity.annRange(em, fixedQ, threshold = 0.3,
+          queriesAreCorpusDerived = Some(true)).count()),
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_res_index"
         val (params, n) = ("ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())

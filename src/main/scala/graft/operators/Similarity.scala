@@ -202,11 +202,13 @@ object Similarity {
     * size (the broadcast query set is the caller-bounded side).
     */
   def annRange(embeddings: DataFrame, queries: Option[DataFrame] = None,
-               threshold: Double = 0.4): DataFrame = {
+               threshold: Double = 0.4,
+               queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
     val qs = queries.getOrElse(defaultQueries(embeddings))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    corpus.join(broadcast(qs), notSelf(corpusDerived = queries.isEmpty))
+    corpus.join(broadcast(qs),
+        notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
       .filter(cosineFast(col("qe"), col("embedding")) >= threshold - 1e-3)
       .withColumn("cosine",
         cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
