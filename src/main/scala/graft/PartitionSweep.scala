@@ -52,6 +52,10 @@ object PartitionSweep {
       "ann_pq" -> (() => operators.Similarity.annPq(embeddings, fixedQ,
         queriesAreCorpusDerived = Some(true)).count()),
       "mm_banded" -> (() => operators.Multimodal.payloadNearDupBanded(docsHist).count()),
+      // hier SemDeDup at the 10× probe's cluster budget (k₁=k₂=7):
+      // the within-cluster pair join shuffles on (cluster, bi, bj)
+      "dedup_semantic_hier" -> (() =>
+        operators.Similarity.dedupSemanticHier(embeddings, k1 = 7, k2 = 7).count()),
       "feature_snapshot" -> (() => operators.FinAnalytics.featureSnapshot(events).count()))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }

@@ -341,6 +341,16 @@ object ScaleProbe {
       // but the baseline's Θ(n²) again.
       "dedup_semantic" -> ((_, _, _, em, k) =>
         operators.Similarity.dedupSemantic(em, k = 4 * k.toInt).count()),
+      // Hierarchical SemDeDup probe: k₁=k₂=⌈√(4·mult)⌉ keeps total
+      // clusters ∝ corpus (the flat probe's contract) while each
+      // assignment level stays within the plan-literal kernel budget
+      // — at 100× that is 20×20=400 effective clusters where the
+      // flat operator cannot go (its 100× row is deliberately
+      // unprobed; this is the operator that replaces it there).
+      "dedup_semantic_hier" -> ((_, _, _, em, k) => {
+        val side = math.ceil(math.sqrt(4.0 * k)).toInt
+        operators.Similarity.dedupSemanticHier(em, k1 = side, k2 = side).count()
+      }),
       // Radius search: fixed bounded query set (like the other ann*
       // probes), windowless broadcast scan — expect the scan slope.
       "ann_range" -> ((_, _, _, em, _) =>

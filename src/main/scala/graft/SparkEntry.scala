@@ -142,6 +142,11 @@ object SparkEntry {
     // sub-quadratic scale companion to dedup_embedding -> full oracle
     // (lloydCtes + within-cluster self-join)
     "dedup_semantic"      -> ((s, d) => Similarity.dedupSemantic(Tables(s, d).embeddings, k = 4)),
+    // Hierarchical SemDeDup (coarse cells -> per-cell fine k-means):
+    // the second-decade scale path where flat assignment's n*k*d
+    // term turns quadratic; oracle = coarse Lloyd chain + one
+    // RESTRICTED fine chain per coarse cell (the trainEx technique)
+    "dedup_semantic_hier" -> ((s, d) => Similarity.dedupSemanticHier(Tables(s, d).embeddings, k1 = 2, k2 = 2)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     // FAISS range_search analog: ALL neighbors above the cosine bar,
     // no top-k window -> one broadcast scan, full oracle
@@ -356,6 +361,47 @@ object SparkEntry {
          |  FROM ex JOIN c$iters c ON c.dim = ex.dim GROUP BY 1, 2),
          |a_fin AS (SELECT vec_id, cluster, du FROM (
          |  SELECT vec_id, cluster, du, row_number() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn FROM d_fin) WHERE rn = 1)""".stripMargin
+    (Seq(header) ++ rounds ++ Seq(fin)).mkString(",\n")
+  }
+
+  /** Per-coarse-cell RESTRICTED Lloyd chain for the hierarchical
+    * SemDeDup oracle: the same algebra as [[lloydCtes]] with every
+    * CTE name prefixed `f{c}_`, training AND final assignment
+    * restricted to the vectors the global `a_fin` put in coarse
+    * cell `c` (so the global chain must precede this in the WITH
+    * list). Mirrors Similarity.train on the filtered cell frame
+    * exactly: md5-seeded init WITHIN the cell, per-round argmin with
+    * (du, cluster) tiebreak, half-up integer means, starved fine
+    * cells keep their previous centroid. An EMPTY coarse cell yields
+    * empty CTEs end-to-end — the same nothing the Scala side's
+    * occupied-cells loop contributes.
+    */
+  private def fineLloydCtes(c: Int, k2: Int, iters: Int): String = {
+    val p = s"f${c}_"
+    val header =
+      s"""${p}ex AS (SELECT ex.vec_id, ex.dim, ex.u FROM ex JOIN a_fin af
+         |  ON af.vec_id = ex.vec_id AND af.cluster = $c),
+         |${p}init AS (SELECT vec_id, rn - 1 AS cluster FROM (
+         |  SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
+         |  FROM a_fin WHERE cluster = $c) WHERE rn <= $k2),
+         |${p}c0 AS (SELECT i.cluster, e.dim, e.u AS cu FROM ${p}init i JOIN ${p}ex e ON e.vec_id = i.vec_id)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""${p}d$t AS (SELECT e.vec_id, c.cluster, sum((e.u - c.cu) * (e.u - c.cu)) AS du
+         |  FROM ${p}ex e JOIN ${p}c${t - 1} c ON c.dim = e.dim GROUP BY 1, 2),
+         |${p}a$t AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn FROM ${p}d$t) WHERE rn = 1),
+         |${p}c$t AS (SELECT p.cluster, p.dim, coalesce(m.cu, p.cu) AS cu FROM ${p}c${t - 1} p LEFT JOIN (
+         |  SELECT a.cluster, e.dim, CAST(CASE WHEN sum(e.u) < 0
+         |      THEN -((2 * (-sum(e.u)) + count(*)) // (2 * count(*)))
+         |      ELSE (2 * sum(e.u) + count(*)) // (2 * count(*)) END AS BIGINT) AS cu
+         |  FROM ${p}a$t a JOIN ${p}ex e ON e.vec_id = a.vec_id GROUP BY 1, 2) m
+         |  ON m.cluster = p.cluster AND m.dim = p.dim)""".stripMargin
+    }
+    val fin =
+      s"""${p}d_fin AS (SELECT e.vec_id, c.cluster, sum((e.u - c.cu) * (e.u - c.cu)) AS du
+         |  FROM ${p}ex e JOIN ${p}c$iters c ON c.dim = e.dim GROUP BY 1, 2),
+         |${p}a_fin AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn FROM ${p}d_fin) WHERE rn = 1)""".stripMargin
     (Seq(header) ++ rounds ++ Seq(fin)).mkString(",\n")
   }
 
@@ -2369,6 +2415,29 @@ FROM e ORDER BY user_id, day"""
         |           FOR i IN range(1, len(x.embedding) + 1)]) AS p
         |  FROM embeddings x JOIN asg xa ON xa.vec_id = x.vec_id
         |       JOIN asg ya ON ya.cluster = xa.cluster AND ya.vec_id > x.vec_id
+        |       JOIN embeddings y ON y.vec_id = ya.vec_id) GROUP BY 1, 2, 3)
+        |SELECT a, b, cluster, round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+        |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 >= 0.45
+        |ORDER BY a, b""".stripMargin),
+    // Hierarchical SemDeDup replay: the coarse chain's a_fin splits
+    // the corpus into cells; one RESTRICTED fine chain per cell
+    // re-trains inside it (md5-seeded within the cell); the union of
+    // fine assignments (global id = coarse*k2 + fine) feeds the same
+    // within-cluster exact-cosine self-join as dedup_semantic.
+    "dedup_semantic_hier" ->
+      (s"""WITH ${lloydCtes(2, 3)},
+        |$normsCte,
+        |${fineLloydCtes(0, 2, 3)},
+        |${fineLloydCtes(1, 2, 3)},
+        |hasg AS (SELECT vec_id, 0 * 2 + cluster AS cluster FROM f0_a_fin
+        |  UNION ALL SELECT vec_id, 1 * 2 + cluster AS cluster FROM f1_a_fin),
+        |dots AS (SELECT cluster, a, b, sum(p) AS dot FROM (
+        |  SELECT xa.cluster, x.vec_id AS a, y.vec_id AS b,
+        |         unnest([${dec8("x.embedding[i]")} * ${dec8("y.embedding[i]")}
+        |           FOR i IN range(1, len(x.embedding) + 1)]) AS p
+        |  FROM embeddings x JOIN hasg xa ON xa.vec_id = x.vec_id
+        |       JOIN hasg ya ON ya.cluster = xa.cluster AND ya.vec_id > x.vec_id
         |       JOIN embeddings y ON y.vec_id = ya.vec_id) GROUP BY 1, 2, 3)
         |SELECT a, b, cluster, round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 AS cosine
         |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b

@@ -166,6 +166,69 @@ object Similarity {
     val assigned = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
       .select(col("vec_id"), col("embedding"), col("cluster"))
       .honestCheckpoint()
+    withinClusterPairs(assigned, threshold, blocks)
+  }
+
+  /** Hierarchical SemDeDup — [[dedupSemantic]]'s SECOND-DECADE scale
+    * path. The flat operator's contract grows k with the corpus so a
+    * cluster's pair block stays bounded, but flat argmin assignment
+    * is then Θ(n·k·d) = Θ(n²·d/200k) — quadratic again, one level
+    * up — and its plan-literal centroid encoding caps k at ~tens of
+    * codegen kernels per row anyway. The production recipe (what
+    * SemDeDup-at-scale actually runs: coarse-quantized assignment)
+    * factors k = k₁·k₂: ONE global Lloyd over k₁ coarse cells, then
+    * an independent k₂-means INSIDE each coarse cell, so assignment
+    * work is O(n·(k₁+k₂)·d) — with k₁ = k₂ = √k that's Θ(n^1.5·d)
+    * total for k ∝ n, and each level stays within the plan-literal
+    * kernel budget (√400 = 20 kernels where flat would need 400).
+    *
+    * Same guarantees as the flat operator, by the same construction:
+    * every returned pair is exact-verified (precision 1.0, result ⊂
+    * [[embeddingNearDup]]), md5-seeded determinism end-to-end, and a
+    * FULL DuckDB oracle (the coarse Lloyd chain + one RESTRICTED
+    * fine chain per coarse cell — the trainEx-restriction technique
+    * the appended-index oracle introduced). RECALL trades twice (a
+    * true pair can straddle a coarse OR a fine boundary); the spec
+    * pins the measured floor next to the flat operator's.
+    *
+    * Physical shape: the coarse assignment materializes once
+    * (honestCheckpoint) and each per-cell fine trainer filters that
+    * frame — k₁ bounded driver-loop train calls (the MLlib pattern:
+    * model parameters live on the driver), then one unioned
+    * assignment frame feeds the same largest-cluster-sized
+    * block-pair triangle as the flat operator. Empty coarse cells
+    * (Lloyd can starve one) are skipped — they hold no vectors, so
+    * they contribute no pairs.
+    */
+  def dedupSemanticHier(embeddings: DataFrame, k1: Int = 4, k2: Int = 4,
+                        iters: Int = 3, threshold: Double = 0.45,
+                        blocks: Int = 0): DataFrame = {
+    val coarseCentroids = train(embeddings, k1, iters)
+    val coarse = assignCells(embeddings.select(col("vec_id"), col("embedding")), coarseCentroids)
+      .select(col("vec_id"), col("embedding"), col("cluster").as("coarse"))
+      .honestCheckpoint()
+    val occupied = coarse.groupBy(col("coarse")).count()
+      .collect().map(_.getLong(0)).sorted
+    val fine = occupied.toSeq.map { c =>
+      val cell = coarse.filter(col("coarse") === c).select(col("vec_id"), col("embedding"))
+      val fc = train(cell, k2, iters)
+      assignCells(cell, fc)
+        .select(col("vec_id"), col("embedding"),
+          (lit(c * k2) + col("cluster")).as("cluster"))
+    }
+    val assigned = fine.reduce(_ unionAll _).honestCheckpoint()
+    withinClusterPairs(assigned, threshold, blocks)
+  }
+
+  /** Shared verify stage of the SemDeDup family: the within-cluster
+    * pair space of an (vec_id, embedding, cluster) frame, spread over
+    * block-pair triangle groups keyed (cluster, bi, bj) and sized by
+    * the LARGEST cluster (k-row aggregate — model-parameter-sized),
+    * so a skewed cluster cannot concentrate its nᵢ²/2 pairs in one
+    * task; codegen double-cosine prefilter, exact decimal verify.
+    */
+  private def withinClusterPairs(assigned: DataFrame, threshold: Double,
+                                 blocks: Int): DataFrame = {
     val b =
       if (blocks > 0) blocks
       else {

@@ -227,6 +227,24 @@ class SimilaritySpec extends SparkSpec {
     assert(again === sem, "md5-seeded Lloyd must make the candidate set reproducible")
   }
 
+  test("dedupSemanticHier is an exact-verified subset with the documented double-boundary recall trade") {
+    val exact = Similarity.embeddingNearDup(embeddings, threshold = 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = Similarity.dedupSemantic(embeddings, k = 4, threshold = 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hier = Similarity.dedupSemanticHier(embeddings, k1 = 2, k2 = 2, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hier.subsetOf(exact),
+      "every returned pair must carry the baseline's exact cosine (precision 1.0)")
+    val recall = if (exact.isEmpty) 1.0 else hier.size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"recall vs exact = $recall (measured 0.571 at k1=k2=2 on sf0.001; below the flat " +
+        s"operator's ${flat.size.toDouble / exact.size} because a pair can straddle a coarse OR fine boundary)")
+    val again = Similarity.dedupSemanticHier(embeddings, k1 = 2, k2 = 2, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === hier, "md5-seeded two-level Lloyd must be reproducible")
+  }
+
   test("annRange returns exactly the above-threshold neighbor set of the exact scan") {
     val got = Similarity.annRange(embeddings, threshold = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
