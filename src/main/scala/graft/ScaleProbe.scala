@@ -280,6 +280,20 @@ object ScaleProbe {
           operators.Similarity.sqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
           excludeSelf = true).count()
       }),
+      // IVF-SQ serve probe: the cell prune should hold the serve
+      // cost ~flat like the IVF-PQ layouts (the codes scanned per
+      // query batch are nprobe/nlist of the corpus at dim B/vector).
+      "ann_ivfsq_served" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfsq_index"
+        val (params, n) = ("ivfsq;nlist=8;ivfIt=3", em.count())
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+          operators.Similarity.ivfSqIndexSave(operators.Similarity.ivfSqIndexBuild(em),
+            staging, params, n)
+        }
+        operators.Similarity.ivfSqSearch(
+          operators.Similarity.ivfSqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
+          nprobe = 2, excludeSelf = true).count()
+      }),
       "ann_ivfpq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_index"
         val (params, n) = ("ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())

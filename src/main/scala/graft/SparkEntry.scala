@@ -168,6 +168,12 @@ object SparkEntry {
     // min/max bounds (the non-PQ production compression layout);
     // integer encode/decode/ADC -> full oracle
     "ann_sq"              -> ((s, d) => Similarity.annSq(Tables(s, d).embeddings)),
+    // IVF-SQ (FAISS IndexIVFScalarQuantizer, by_residual=false):
+    // Lloyd cell prune x SQ8 ADC within probed cells -> full oracle
+    "ann_ivfsq"           -> ((s, d) => Similarity.annIvfSq(Tables(s, d).embeddings, nprobe = 2)),
+    "ann_ivfsq_served"    -> ((s, d) => Similarity.annIvfSqServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfsq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      nprobe = 2)),
     "ann_sq_served"       -> ((s, d) => Similarity.annSqServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_sq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     "ann_pq_served"       -> ((s, d) => Similarity.annPqServed(Tables(s, d).embeddings,
@@ -1166,6 +1172,46 @@ FROM e ORDER BY user_id, day"""
        |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
        |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
        |  SELECT query_id, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_ivfsq oracle — the IVF-SQ replay: ann_ivfpq's coarse Lloyd
+    * chain + query-side q_probe (nprobe=2) gating ann_sq's SQ8
+    * encode/decode/asymmetric-distance chain to the probed cells'
+    * members, then the shared exact decimal re-rank with the label
+    * carried. Same integer-division parity argument as annSqOracle.
+    */
+  private def annIvfSqOracle: String =
+    s"""WITH $normsCte,
+       |${lloydCtes(8, 3)},
+       |${qProbeCte(2)},
+       |$nuCte,
+       |sqb AS (SELECT gdim, min(u) AS vmin, max(u) - min(u) AS span FROM nu GROUP BY 1),
+       |scode AS (SELECT n.vec_id, n.gdim,
+       |    CASE WHEN b.span = 0 THEN 0 ELSE ((n.u - b.vmin) * 255) // b.span END AS c
+       |  FROM nu n JOIN sqb b ON b.gdim = n.gdim),
+       |sdec AS (SELECT s.vec_id, s.gdim, b.vmin + (s.c * b.span) // 255 AS d
+       |  FROM scode s JOIN sqb b ON b.gdim = s.gdim),
+       |sdist AS (SELECT q.vec_id AS query_id, lq.cluster AS label, x.vec_id,
+       |    sum((q.u - x.d) * (q.u - x.d)) AS sdist
+       |  FROM nu q JOIN q_probe lq ON lq.vec_id = q.vec_id
+       |  JOIN a_fin lv ON lv.cluster = lq.cluster
+       |  JOIN sdec x ON x.vec_id = lv.vec_id AND x.gdim = q.gdim
+       |  WHERE x.vec_id <> q.vec_id GROUP BY 1, 2, 3),
+       |cand AS (SELECT query_id, label, vec_id FROM (
+       |  SELECT query_id, label, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sdist, vec_id) AS ra
+       |  FROM sdist) WHERE ra <= 50),
+       |cdots AS (SELECT query_id, label, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.label, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, label, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, label, nvec, cosine,
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
@@ -2567,6 +2613,10 @@ FROM e ORDER BY user_id, day"""
     // is bit-identical, one oracle for both.
     "ann_sq" -> annSqOracle,
     "ann_sq_served" -> annSqOracle,
+    "ann_ivfsq" -> annIvfSqOracle,
+    // Frozen-index serve path: bit-identical to ann_ivfsq (integer
+    // units survive the parquet round trip), same oracle.
+    "ann_ivfsq_served" -> annIvfSqOracle,
     // IVF-PQ: the Lloyd chain labels cells, the PQ chain supplies
     // codes + ADC tables; candidates come from the query's top-2
     // probed cells (q_probe), then the standard exact re-rank.

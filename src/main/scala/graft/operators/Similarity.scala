@@ -825,6 +825,136 @@ object Similarity {
       defaultQueries(embeddings), k, rerank, excludeSelf = true)
   }
 
+  /** IVF-SQ — FAISS's `IndexIVFScalarQuantizer` (by_residual=false),
+    * the remaining cell of the quantizer matrix (IVF × {flat, PQ,
+    * residual-PQ, SQ}): the coarse Lloyd cell prune of [[annIvfPq]]
+    * composed with the SQ8 per-dimension codes of [[annSq]]. The
+    * corpus is assigned and SQ-encoded once; a query probes its
+    * `nprobe` nearest cells and the fused asymmetric integer
+    * distance ([[graft.plans.SqAdcL2I64]]) ranks ONLY those cells'
+    * codes (candidates ≈ nprobe/nlist of the corpus — the cell prune
+    * that removes flat SQ's linear ADC term), then the top `rerank`
+    * survivors get the exact decimal re-rank. Where IVF-PQ spends m
+    * bytes/vector for maximum compression, IVF-SQ spends dim
+    * bytes/vector for SQ8's measured recall@5 = 1.000 — the layout
+    * for corpora that need both the cell prune AND near-exact
+    * candidate order. All-integer-units end-to-end → FULL DuckDB
+    * oracle (Lloyd chain + q_probe + the SQ chain restricted to the
+    * probed cells).
+    */
+  def annIvfSq(embeddings: DataFrame, queries: Option[DataFrame] = None,
+               k: Int = 5, nlist: Int = 8, ivfIters: Int = 3,
+               rerank: Int = 50, nprobe: Int = 1,
+               queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val index = ivfSqIndexBuild(embeddings, nlist, ivfIters)
+    ivfSqSearch(index, queries.getOrElse(defaultQueries(embeddings)), k, rerank, nprobe,
+      excludeSelf = queriesAreCorpusDerived.getOrElse(queries.isEmpty))
+  }
+
+  /** A trained, materialized IVF-SQ index: per-dimension SQ8 bounds
+    * + coarse-quantizer centroids (both bounded driver-side model
+    * parameters) and the cell-labeled codes table.
+    */
+  final case class IvfSqIndex private[Similarity] (
+      mins: Array[Long], spans: Array[Long],
+      centroids: Seq[Array[Long]],
+      codes: DataFrame, corpus: DataFrame)
+
+  /** Train the coarse quantizer + SQ8 bounds and encode/label the
+    * corpus ONCE — the index-build half of [[annIvfSq]].
+    */
+  def ivfSqIndexBuild(embeddings: DataFrame, nlist: Int = 8,
+                      ivfIters: Int = 3): IvfSqIndex = {
+    val centroids = train(embeddings, nlist, ivfIters)
+    val sq = sqIndexBuild(embeddings)
+    val codes = sq.codes.join(
+      assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+        .select(col("vec_id"), col("cluster").as("label")), "vec_id")
+    IvfSqIndex(sq.mins, sq.spans, centroids, codes,
+      embeddings.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Search a trained [[IvfSqIndex]] — the serve half of
+    * [[annIvfSq]], same math.
+    */
+  def ivfSqSearch(index: IvfSqIndex, queries: DataFrame, k: Int = 5,
+                  rerank: Int = 50, nprobe: Int = 1,
+                  excludeSelf: Boolean = false): DataFrame = {
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        graft.plans.IntegerUnits.normalizeUnits(col("embedding")).as("qun"))
+      .join(assignTopCells(queries.select(col("vec_id"), col("embedding")),
+          index.centroids, nprobe)
+        .select(col("vec_id").as("query_id"), col("cluster").as("qlabel")), "query_id")
+    // rerank window cuts across all probed cells at once (a corpus
+    // vector lives in exactly one cell, so no pair duplicates)
+    val wS = Window.partitionBy(col("query_id")).orderBy(col("sdist"), col("vec_id"))
+    val cands = index.codes.join(broadcast(qs),
+        col("label") === col("qlabel") && notSelf(excludeSelf))
+      .withColumn("sdist",
+        graft.plans.ScalarQuant.sqAdcL2(col("qun"), col("codes"), index.mins, index.spans))
+      .withColumn("ra", row_number().over(wS))
+      .filter(col("ra") <= rerank)
+      .select(col("query_id"), col("qe"), col("label"), col("vec_id"))
+    pqExactRerank(cands, index.corpus, k, carry = Seq("label"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Persist / load / serve-from a frozen IVF-SQ index — the shared
+    * lifecycle contract: cell-labeled codes + 2×dim bounds +
+    * centroids as parquet, meta written LAST as the commit marker
+    * with the [[frozenIndexMeta]] fingerprint.
+    */
+  def ivfSqIndexSave(index: IvfSqIndex, dir: String, params: String = "",
+                     corpusCount: Long = -1L): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    index.mins.indices.map(d => (d, index.mins(d), index.spans(d)))
+      .toDF("dim", "vmin", "span")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/bounds.parquet")
+    index.centroids.zipWithIndex.map { case (units, cell) => (cell, units.toSeq) }
+      .toDF("cell", "units")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    Seq((indexFormatVersion, params, corpusCount))
+      .toDF("version", "params", "n")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  def ivfSqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     corpus: DataFrame,
+                     preReadMeta: Option[org.apache.spark.sql.Row] = None): IvfSqIndex = {
+    val meta = preReadMeta.getOrElse(
+      spark.read.parquet(s"$dir/meta.parquet").collect()(0))
+    require(meta.getAs[Int]("version") == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    val b = spark.read.parquet(s"$dir/bounds.parquet").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val cents = spark.read.parquet(s"$dir/centroids.parquet").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
+    IvfSqIndex(b.map(_._2), b.map(_._3), cents,
+      spark.read.parquet(s"$dir/codes.parquet"),
+      corpus.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Serve-from-frozen-index IVF-SQ — train → save → load → serve
+    * with the shared build-if-absent lifecycle; bit-identical to
+    * [[annIvfSq]] (integer units survive the parquet round trip), so
+    * it shares ann_ivfsq's oracle.
+    */
+  def annIvfSqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                     rerank: Int = 50, nprobe: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    val params = s"ivfsq;nlist=8;ivfIt=3;src=${sourceStamp(embeddings)}"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      ivfSqIndexSave(ivfSqIndexBuild(embeddings), staging, params, n)
+    }
+    ivfSqSearch(ivfSqIndexLoad(spark, indexDir, embeddings, Some(meta)),
+      defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
+  }
+
   /** Frozen-index layout version, persisted in every index's meta
     * table and checked at detection/load time: an index written by an
     * incompatible layout (or a pre-version save) reads as ABSENT, so

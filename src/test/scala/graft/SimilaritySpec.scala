@@ -661,6 +661,59 @@ class SimilaritySpec extends SparkSpec {
       "a complete SQ8 index dir must be loaded, never rebuilt")
   }
 
+  test("annIvfSq is deterministic, stays inside trained cells, and serves bit-identically from disk") {
+    val a = Similarity.annIvfSq(embeddings, nlist = 2).collect().map(_.toString).toSeq
+    val b = Similarity.annIvfSq(embeddings, nlist = 2).collect().map(_.toString).toSeq
+    assert(a === b, "seeded quantizer + SQ bounds must reproduce")
+    assert(a.nonEmpty)
+    // every neighbor must come from the query's own trained cell
+    val rows = Similarity.annIvfSq(embeddings, nlist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cellOf = Similarity.kmeans(embeddings, k = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (q, label, n) =>
+      assert(cellOf(q) === label, s"query $q labeled $label but kmeans says ${cellOf(q)}")
+      assert(cellOf(n) === label, s"neighbor $n of query $q escapes cell $label")
+    }
+    // SQ8's per-dim fidelity should recover the within-cell truth
+    // near-perfectly (its flat recall is 1.0; the cell prune is the
+    // only loss source and annIvfTrained owns that)
+    val ivfExact = Similarity.annIvfTrained(embeddings, nlist = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byQ = rows.map(t => (t._1, t._3)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = ivfExact.map { case (q, want) =>
+      byQ.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    info(f"IVF-SQ within-cell recall@5: ${recalls.sum / recalls.size}%.3f")
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"within-cell recall@5 = ${recalls.sum / recalls.size} (SQ8 should be near-exact within a cell)")
+    // frozen lifecycle: save → load → serve bit-identical, second
+    // serve loads without rebuilding
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq_served").toString
+    val built = Similarity.ivfSqIndexBuild(embeddings, nlist = 2)
+    Similarity.ivfSqIndexSave(built, dir)
+    val loaded = Similarity.ivfSqIndexLoad(spark, dir, embeddings)
+    assert(loaded.mins.toSeq === built.mins.toSeq && loaded.spans.toSeq === built.spans.toSeq,
+      "bounds must survive the parquet round trip exactly")
+    assert(loaded.centroids.map(_.toSeq) === built.centroids.map(_.toSeq),
+      "centroid units must survive the parquet round trip exactly")
+    val queries = embeddings.filter(col("vec_id") % 100 === 0)
+    val servedRows = Similarity.ivfSqSearch(loaded, queries, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    val builtRows = Similarity.ivfSqSearch(built, queries, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    assert(servedRows === builtRows, "serving from the loaded index must be bit-identical")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivfsq_served2").toString
+    val served = Similarity.annIvfSqServed(embeddings, dir2, nprobe = 1).collect().map(_.toString).toSeq
+    val composed = Similarity.annIvfSq(embeddings, nprobe = 1).collect().map(_.toString).toSeq
+    assert(served === composed, "served IVF-SQ must equal the in-memory compose bit-for-bit")
+    val marker = java.nio.file.Paths.get(dir2, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(Similarity.annIvfSqServed(embeddings, dir2, nprobe = 1).collect().map(_.toString).toSeq === composed)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
+      "a complete IVF-SQ index dir must be loaded, never rebuilt")
+  }
+
   test("served index rebuilds on EQUAL-COUNT content drift (source stamp)") {
     // same row count, different bytes: the count-only fingerprint
     // would serve the stale index; the source stamp (file path+len+
