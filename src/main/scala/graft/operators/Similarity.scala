@@ -161,12 +161,54 @@ object Similarity {
     * skewed cluster cannot concentrate its nᵢ²/2 pairs in one task.
     */
   def dedupSemantic(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
-                    threshold: Double = 0.45, blocks: Int = 0): DataFrame = {
+                    threshold: Double = 0.45, blocks: Int = 0): DataFrame =
+    withinClusterPairs(semanticIndexBuild(embeddings, k, iters).assigned,
+      threshold, blocks)
+
+  /** The frozen model half of the SemDeDup family: trained centroids
+    * (driver-side model parameters) + the corpus assignment frame,
+    * materialized ONCE (honestCheckpoint) — [[dedupSemantic]]'s
+    * build step, and the index [[semanticProbe]] serves
+    * ingestion-time queries from.
+    */
+  final case class SemanticIndex private[Similarity] (
+      centroids: Seq[Array[Long]], assigned: DataFrame)
+
+  def semanticIndexBuild(embeddings: DataFrame, k: Int = 8,
+                         iters: Int = 3): SemanticIndex = {
     val centroids = train(embeddings, k, iters)
     val assigned = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
       .select(col("vec_id"), col("embedding"), col("cluster"))
       .honestCheckpoint()
-    withinClusterPairs(assigned, threshold, blocks)
+    SemanticIndex(centroids, assigned)
+  }
+
+  /** Probe a bounded batch of NEW vectors against a frozen
+    * [[SemanticIndex]] — the ingestion-time half of SemDeDup ("is
+    * this new document a semantic dup of anything already in the
+    * corpus?"): each new vector is assigned to its cell under the
+    * FROZEN centroids (no retrain) and exact-verified against that
+    * cell's corpus members only. Same guarantees as the batch
+    * operator: precision 1.0 by the exact verify; recall trades at
+    * the cell boundary. The batch side broadcasts (caller-bounded —
+    * a micro-batch), so the cost per probe is one corpus-assignment
+    * scan with the codegen prefilter, the serving-scan class of
+    * [[pqSearch]].
+    */
+  def semanticProbe(index: SemanticIndex, batch: DataFrame,
+                    threshold: Double = 0.45): DataFrame = {
+    val nb = assignCells(batch.select(col("vec_id"), col("embedding")), index.centroids)
+      .select(col("vec_id").as("new_id"), col("embedding").as("eb"), col("cluster"))
+    index.assigned
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ea"), col("cluster"))
+      .join(broadcast(nb), Seq("cluster"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .filter(cosineFast(col("ea"), col("eb")) >= threshold - 1e-3)
+      .withColumn("cosine",
+        cosineExact(decDot(col("ea"), col("eb")), decNorm2(col("ea")), decNorm2(col("eb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("cluster"), col("cosine"))
+      .orderBy(col("new_id"), col("corpus_id"))
   }
 
   /** Hierarchical SemDeDup — [[dedupSemantic]]'s SECOND-DECADE scale

@@ -105,4 +105,29 @@ object SimilarityStream {
     checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     writer.start()
   }
+
+  /** Ingestion-time SemDeDup — the streaming mirror of
+    * [[Similarity.dedupSemantic]]'s serve half: the semantic index
+    * (centroids + corpus assignment) is built ONCE from the static
+    * corpus, then every micro-batch of new (vec_id, embedding) rows
+    * is probed against it — assign under the FROZEN centroids, exact
+    * cosine verify against the new vector's cell members only
+    * ([[Similarity.semanticProbe]]). `sink` receives each batch's
+    * (new_id, corpus_id, cluster, cosine) near-dup verdicts. No
+    * retraining, no state store: the model is frozen like
+    * [[annPqServe]]'s, and an index refresh swaps in by restarting
+    * the loop against a rebuilt corpus frame.
+    */
+  def semanticNearDupServe(newVectors: DataFrame, corpus: DataFrame,
+                           k: Int = 8, iters: Int = 3, threshold: Double = 0.45)
+                          (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val index = Similarity.semanticIndexBuild(corpus, k, iters)
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(Similarity.semanticProbe(index, batch, threshold), id)
+        ()
+      }
+      .start()
+  }
 }

@@ -144,4 +144,43 @@ class SimilarityStreamSpec extends SparkSpec {
     assert(Similarity.ivfPqSearch(loaded, queries, nprobe = 2, excludeSelf = true)
       .select(col("neighbor_id")).collect().map(_.getLong(0)).exists(_ % 10 <= 1))
   }
+
+  test("semantic near-dup serving matches the static probe per micro-batch and finds re-keyed twins") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables(spark, "/root/testdata/sf0.001").embeddings
+    // new arrivals = corpus vectors under fresh ids: each must report
+    // its own twin at cosine 1.0 (a frozen-model assignment puts an
+    // identical vector in the identical cell — no boundary to miss)
+    val newRows = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id") + 1000000L, col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (batch1, batch2) = newRows.splitAt(newRows.size / 2)
+    assert(batch1.nonEmpty && batch2.nonEmpty)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val served = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val q = graft.streaming.SimilarityStream.semanticNearDupServe(
+      input.toDF().toDF("vec_id", "embedding"), corpus, k = 4) {
+      (df, id) => served.synchronized { served(id) = df.collect().map(_.toString).toSeq }
+    }
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val index = Similarity.semanticIndexBuild(corpus, k = 4)
+    def want(rows: Seq[(Long, Array[Float])]): Seq[String] =
+      Similarity.semanticProbe(index, rows.toDF("vec_id", "embedding"))
+        .collect().map(_.toString).toSeq
+    val got = served.synchronized(served.toMap)
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L) === want(batch1), "micro-batch must equal the static probe bit-for-bit")
+    assert(got(1L) === want(batch2))
+    val all = got(0L) ++ got(1L)
+    assert(all.nonEmpty)
+    newRows.foreach { case (nid, _) =>
+      assert(all.exists(_.startsWith(s"[$nid,${nid - 1000000L},")),
+        s"new vector $nid missing its corpus twin at cosine 1.0")
+    }
+  }
 }
