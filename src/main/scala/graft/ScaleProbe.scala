@@ -365,6 +365,36 @@ object ScaleProbe {
         val side = math.ceil(math.sqrt(4.0 * k)).toInt
         operators.Similarity.dedupSemanticHier(em, k1 = side, k2 = side).count()
       }),
+      // Grouped fine trainer at the same k₁=k₂ sizing: identical
+      // answers (spec-pinned), but each fine Lloyd iteration is ONE
+      // dataframe program instead of k₁ sequential train() calls —
+      // at 100× (side 20) that is 3 assignment jobs total vs the
+      // loop's ~60 job-groups of fixed scheduling latency. This row
+      // measures what that buys in wall-clock.
+      "dedup_sem_hier_grp" -> ((_, _, _, em, k) => {
+        val side = math.ceil(math.sqrt(4.0 * k)).toInt
+        operators.Similarity.dedupSemanticHierGrouped(em, k1 = side, k2 = side).count()
+      }),
+      // Ingestion-time SemDeDup serve from the FROZEN on-disk index:
+      // fixed query batch, corpus (and k = 4·mult with it) scales —
+      // the probe measures what the cluster-partitioned assignment
+      // layout buys at serve time (the probe join reads toward only
+      // the batch's cells' partitions; with k ∝ n each cell holds a
+      // constant row budget, so the serve should stay ~flat, the
+      // semantic analog of the ann_*_served rows).
+      "sem_probe_served" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_sem_index"
+        val kk = 4 * k.toInt
+        val (params, n) = (s"sem;k=$kk;it=3;src=${operators.Similarity.sourceStamp(em)}", em.count())
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+          operators.Similarity.semanticIndexSave(
+            operators.Similarity.semanticIndexBuild(em, kk), staging, params, n)
+        }
+        operators.Similarity.semanticProbe(
+          operators.Similarity.semanticIndexLoad(spark, dir, Some(meta)),
+          fixedQ.get.select(col("vec_id") + 1000000000L as "vec_id", col("embedding")),
+          threshold = 0.45).count()
+      }),
       // Radius search: fixed bounded query set (like the other ann*
       // probes), windowless broadcast scan — expect the scan slope.
       "ann_range" -> ((_, _, _, em, _) =>

@@ -147,6 +147,16 @@ object SparkEntry {
     // term turns quadratic; oracle = coarse Lloyd chain + one
     // RESTRICTED fine chain per coarse cell (the trainEx technique)
     "dedup_semantic_hier" -> ((s, d) => Similarity.dedupSemanticHier(Tables(s, d).embeddings, k1 = 2, k2 = 2)),
+    // The hier fine level as ONE dataframe program per iteration
+    // (broadcast centroid-frame join + min(struct) argmin) instead of
+    // a k1-iteration driver loop; bit-identical -> shared oracle
+    "dedup_semantic_hier_grouped" -> ((s, d) => Similarity.dedupSemanticHierGrouped(Tables(s, d).embeddings, k1 = 2, k2 = 2)),
+    // Frozen-lifecycle SemDeDup: build-if-absent -> load the
+    // cluster-partitioned assignment -> same pair verify; bit-
+    // identical to dedup_semantic (shared oracle)
+    "dedup_semantic_served" -> ((s, d) => Similarity.dedupSemanticServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_sem_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      k = 4)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     // FAISS range_search analog: ALL neighbors above the cosine bar,
     // no top-k window -> one broadcast scan, full oracle
@@ -369,6 +379,59 @@ object SparkEntry {
          |  SELECT vec_id, cluster, du, row_number() OVER (PARTITION BY vec_id ORDER BY du, cluster) AS rn FROM d_fin) WHERE rn = 1)""".stripMargin
     (Seq(header) ++ rounds ++ Seq(fin)).mkString(",\n")
   }
+
+  /** dedup_semantic / dedup_semantic_served oracle (the served path
+    * is bit-identical by construction — the assignment survives the
+    * parquet round trip; see
+    * [[operators.Similarity.dedupSemanticServed]]): the unrolled
+    * Lloyd chain assigns clusters in exact integer units
+    * (bit-identical to Similarity.train), then a within-cluster
+    * self-join re-derives the exact decimal cosine — the candidate
+    * set AND the verified pairs must both agree.
+    */
+  private def dedupSemanticOracle: String =
+    s"""WITH ${lloydCtes(4, 3)},
+       |$normsCte,
+       |asg AS (SELECT vec_id, cluster FROM a_fin),
+       |dots AS (SELECT cluster, a, b, sum(p) AS dot FROM (
+       |  SELECT xa.cluster, x.vec_id AS a, y.vec_id AS b,
+       |         unnest([${dec8("x.embedding[i]")} * ${dec8("y.embedding[i]")}
+       |           FOR i IN range(1, len(x.embedding) + 1)]) AS p
+       |  FROM embeddings x JOIN asg xa ON xa.vec_id = x.vec_id
+       |       JOIN asg ya ON ya.cluster = xa.cluster AND ya.vec_id > x.vec_id
+       |       JOIN embeddings y ON y.vec_id = ya.vec_id) GROUP BY 1, 2, 3)
+       |SELECT a, b, cluster, round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+       |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 >= 0.45
+       |ORDER BY a, b""".stripMargin
+
+  /** dedup_semantic_hier / dedup_semantic_hier_grouped oracle (the
+    * grouped trainer is bit-identical by construction — see
+    * [[operators.Similarity.dedupSemanticHierGrouped]]): the coarse
+    * chain's a_fin splits the corpus into cells; one RESTRICTED fine
+    * chain per cell re-trains inside it (md5-seeded within the
+    * cell); the union of fine assignments (global id = coarse*k2 +
+    * fine) feeds the same within-cluster exact-cosine self-join as
+    * dedup_semantic.
+    */
+  private def dedupSemanticHierOracle: String =
+    s"""WITH ${lloydCtes(2, 3)},
+       |$normsCte,
+       |${fineLloydCtes(0, 2, 3)},
+       |${fineLloydCtes(1, 2, 3)},
+       |hasg AS (SELECT vec_id, 0 * 2 + cluster AS cluster FROM f0_a_fin
+       |  UNION ALL SELECT vec_id, 1 * 2 + cluster AS cluster FROM f1_a_fin),
+       |dots AS (SELECT cluster, a, b, sum(p) AS dot FROM (
+       |  SELECT xa.cluster, x.vec_id AS a, y.vec_id AS b,
+       |         unnest([${dec8("x.embedding[i]")} * ${dec8("y.embedding[i]")}
+       |           FOR i IN range(1, len(x.embedding) + 1)]) AS p
+       |  FROM embeddings x JOIN hasg xa ON xa.vec_id = x.vec_id
+       |       JOIN hasg ya ON ya.cluster = xa.cluster AND ya.vec_id > x.vec_id
+       |       JOIN embeddings y ON y.vec_id = ya.vec_id) GROUP BY 1, 2, 3)
+       |SELECT a, b, cluster, round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+       |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 >= 0.45
+       |ORDER BY a, b""".stripMargin
 
   /** Per-coarse-cell RESTRICTED Lloyd chain for the hierarchical
     * SemDeDup oracle: the same algebra as [[lloydCtes]] with every
@@ -2451,44 +2514,20 @@ FROM e ORDER BY user_id, day"""
     // exact integer units (bit-identical to Similarity.train), then a
     // within-cluster self-join re-derives the exact decimal cosine —
     // the candidate set AND the verified pairs must both agree.
-    "dedup_semantic" ->
-      (s"""WITH ${lloydCtes(4, 3)},
-        |$normsCte,
-        |asg AS (SELECT vec_id, cluster FROM a_fin),
-        |dots AS (SELECT cluster, a, b, sum(p) AS dot FROM (
-        |  SELECT xa.cluster, x.vec_id AS a, y.vec_id AS b,
-        |         unnest([${dec8("x.embedding[i]")} * ${dec8("y.embedding[i]")}
-        |           FOR i IN range(1, len(x.embedding) + 1)]) AS p
-        |  FROM embeddings x JOIN asg xa ON xa.vec_id = x.vec_id
-        |       JOIN asg ya ON ya.cluster = xa.cluster AND ya.vec_id > x.vec_id
-        |       JOIN embeddings y ON y.vec_id = ya.vec_id) GROUP BY 1, 2, 3)
-        |SELECT a, b, cluster, round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 AS cosine
-        |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
-        |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 >= 0.45
-        |ORDER BY a, b""".stripMargin),
+    "dedup_semantic" -> dedupSemanticOracle,
+    // Frozen-lifecycle serve path: bit-identical to dedup_semantic
+    // (assignment survives the parquet round trip), same oracle.
+    "dedup_semantic_served" -> dedupSemanticOracle,
     // Hierarchical SemDeDup replay: the coarse chain's a_fin splits
     // the corpus into cells; one RESTRICTED fine chain per cell
     // re-trains inside it (md5-seeded within the cell); the union of
     // fine assignments (global id = coarse*k2 + fine) feeds the same
     // within-cluster exact-cosine self-join as dedup_semantic.
-    "dedup_semantic_hier" ->
-      (s"""WITH ${lloydCtes(2, 3)},
-        |$normsCte,
-        |${fineLloydCtes(0, 2, 3)},
-        |${fineLloydCtes(1, 2, 3)},
-        |hasg AS (SELECT vec_id, 0 * 2 + cluster AS cluster FROM f0_a_fin
-        |  UNION ALL SELECT vec_id, 1 * 2 + cluster AS cluster FROM f1_a_fin),
-        |dots AS (SELECT cluster, a, b, sum(p) AS dot FROM (
-        |  SELECT xa.cluster, x.vec_id AS a, y.vec_id AS b,
-        |         unnest([${dec8("x.embedding[i]")} * ${dec8("y.embedding[i]")}
-        |           FOR i IN range(1, len(x.embedding) + 1)]) AS p
-        |  FROM embeddings x JOIN hasg xa ON xa.vec_id = x.vec_id
-        |       JOIN hasg ya ON ya.cluster = xa.cluster AND ya.vec_id > x.vec_id
-        |       JOIN embeddings y ON y.vec_id = ya.vec_id) GROUP BY 1, 2, 3)
-        |SELECT a, b, cluster, round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 AS cosine
-        |FROM dots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
-        |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) + 0.0 >= 0.45
-        |ORDER BY a, b""".stripMargin),
+    "dedup_semantic_hier" -> dedupSemanticHierOracle,
+    // Grouped fine trainer: bit-identical to the driver-loop hier
+    // operator (same init/argmin/mean algebra, one dataframe program
+    // per iteration), same oracle.
+    "dedup_semantic_hier_grouped" -> dedupSemanticHierOracle,
     // Radius search: the ann_bruteforce scan without the top-k window
     // — every corpus vector above the exact-cosine bar.
     "ann_range" ->

@@ -183,6 +183,62 @@ object Similarity {
     SemanticIndex(centroids, assigned)
   }
 
+  /** Persist a [[SemanticIndex]] — the same frozen-index contract as
+    * the ANN family (meta written LAST as the commit marker, version
+    * + params + corpus-count fingerprint), with one layout choice
+    * that matters at serve time: the assignment table is written
+    * `partitionBy(cluster)`, so a probe against the LOADED index
+    * joins a cluster-partitioned fact with a broadcast batch side —
+    * the shape Spark's dynamic partition pruning exists for — where
+    * the in-memory checkpoint could only ever scan everything.
+    */
+  def semanticIndexSave(index: SemanticIndex, dir: String, params: String = "",
+                        corpusCount: Long = -1L): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/assigned.parquet")
+    index.centroids.zipWithIndex.map { case (units, cell) => (cell, units.toSeq) }
+      .toDF("cell", "units")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    Seq((indexFormatVersion, params, corpusCount))
+      .toDF("version", "params", "n")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  def semanticIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        preReadMeta: Option[org.apache.spark.sql.Row] = None): SemanticIndex = {
+    val meta = preReadMeta.getOrElse(
+      spark.read.parquet(s"$dir/meta.parquet").collect()(0))
+    require(meta.getAs[Int]("version") == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    val cents = spark.read.parquet(s"$dir/centroids.parquet").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
+    val assigned = spark.read.parquet(s"$dir/assigned.parquet")
+      .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
+    SemanticIndex(cents, assigned)
+  }
+
+  /** Frozen-lifecycle SemDeDup pairs: build-if-absent → load → the
+    * same within-cluster pair verify — bit-identical to
+    * [[dedupSemantic]] (assignment survives the parquet round trip
+    * exactly), so it shares dedup_semantic's oracle. The serve-side
+    * win is [[semanticIndexSave]]'s cluster-partitioned layout plus
+    * skipping the per-run Lloyd train.
+    */
+  def dedupSemanticServed(embeddings: DataFrame, indexDir: String, k: Int = 8,
+                          iters: Int = 3, threshold: Double = 0.45,
+                          blocks: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    val params = s"sem;k=$k;it=$iters;src=${sourceStamp(embeddings)}"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      semanticIndexSave(semanticIndexBuild(embeddings, k, iters), staging, params, n)
+    }
+    withinClusterPairs(semanticIndexLoad(spark, indexDir, Some(meta)).assigned,
+      threshold, blocks)
+  }
+
   /** Probe a bounded batch of NEW vectors against a frozen
     * [[SemanticIndex]] — the ingestion-time half of SemDeDup ("is
     * this new document a semantic dup of anything already in the
@@ -259,6 +315,78 @@ object Similarity {
           (lit(c * k2) + col("cluster")).as("cluster"))
     }
     val assigned = fine.reduce(_ unionAll _).honestCheckpoint()
+    withinClusterPairs(assigned, threshold, blocks)
+  }
+
+  /** [[dedupSemanticHier]] with the fine level trained as ONE
+    * dataframe program per Lloyd iteration instead of a k₁-iteration
+    * driver loop of sequential `train()` calls — the documented scale
+    * fix for k₁ in the hundreds, where the loop serializes k₁ × iters
+    * job-group latencies. Every per-cell k₂-means runs CONCURRENTLY
+    * inside a shared plan: fine centroids are DATA keyed by coarse
+    * cell (a broadcast (coarse, fine, cu) frame — model parameters,
+    * k₁·k₂·dim longs, collected once per iteration like the looped
+    * trainer), assignment is a broadcast join fanning each vector out
+    * to its OWN cell's ≤ k₂ centroids followed by a lexicographic
+    * `min(struct(du, fine))` (= [[assignCells]]' argmin with
+    * lowest-index tiebreak), and the mean step is the same sign-split
+    * integer half-up grouped by (coarse, fine, dim). Job count per
+    * fine iteration: 1, independent of k₁.
+    *
+    * BIT-IDENTICAL to the looped operator by construction — same
+    * md5-seeded per-cell init (row_number over the cell in
+    * (md5(vec_id), vec_id) order vs the loop's orderBy+limit), same
+    * exact-integer-units arithmetic, same empty-cluster-keeps-
+    * previous rule (left join + coalesce vs getOrElse) — so it shares
+    * dedup_semantic_hier's FULL DuckDB oracle, and the spec pins
+    * grouped ≡ looped on the gate corpus.
+    */
+  def dedupSemanticHierGrouped(embeddings: DataFrame, k1: Int = 4, k2: Int = 4,
+                               iters: Int = 3, threshold: Double = 0.45,
+                               blocks: Int = 0): DataFrame = {
+    import graft.plans.IntegerUnits.l2Units
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val coarseCentroids = train(embeddings, k1, iters)
+    // Quantize once and materialize: every fine iteration (and the
+    // final assignment) re-scans this frame.
+    val vecs = assignCells(embeddings.select(col("vec_id"), col("embedding")), coarseCentroids)
+      .select(col("vec_id"), col("embedding"), col("u"), col("cluster").as("coarse"))
+      .honestCheckpoint()
+    // Per-cell init: first ≤ k₂ vectors of each cell in md5 order —
+    // the loop's train() init, all cells in one window pass.
+    val w = Window.partitionBy(col("coarse"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    var cents: Seq[(Long, Long, Seq[Long])] = vecs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k2)
+      .select(col("coarse"), (col("rn") - 1).cast("long").as("fine"), col("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+    def centsDf = cents.toDF("coarse", "fine", "cu")
+    def assign = vecs.join(broadcast(centsDf), Seq("coarse"))
+      .select(col("coarse"), col("vec_id"), col("embedding"), col("u"),
+        struct(l2Units(col("u"), col("cu")).as("du"), col("fine")).as("p"))
+      .groupBy(col("coarse"), col("vec_id"))
+      .agg(min(col("p")).as("p"), first(col("embedding")).as("embedding"),
+        first(col("u")).as("u"))
+    for (_ <- 1 to iters) {
+      val means = assign
+        .select(col("coarse"), col("p.fine").as("fine"),
+          posexplode(col("u")).as(Seq("dim", "uu")))
+        .groupBy(col("coarse"), col("fine"), col("dim"))
+        .agg(sum(col("uu")).as("s"), count(lit(1)).as("n"))
+        .select(col("coarse"), col("fine"), col("dim"),
+          when(col("s") < 0, -expr("(2 * (-s) + n) DIV (2 * n)"))
+            .otherwise(expr("(2 * s + n) DIV (2 * n)")).cast("long").as("m"))
+        .groupBy(col("coarse"), col("fine"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("coarse"), col("fine"), col("ms.m").as("cu"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Long](2))).toMap
+      cents = cents.map { case (c, f, prev) => (c, f, means.getOrElse((c, f), prev)) }
+    }
+    val assigned = assign
+      .select(col("vec_id"), col("embedding"),
+        (col("coarse") * k2 + col("p.fine")).as("cluster"))
+      .honestCheckpoint()
     withinClusterPairs(assigned, threshold, blocks)
   }
 

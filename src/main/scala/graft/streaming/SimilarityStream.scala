@@ -130,4 +130,35 @@ object SimilarityStream {
       }
       .start()
   }
+
+  /** [[semanticNearDupServe]] FROM A FROZEN ON-DISK INDEX — the same
+    * contract as [[ivfPqResidualServe]]: a complete index at
+    * `indexDir` is LOADED (a restarted serve loop, or a second
+    * serving process, reuses the frozen model — never retrains), a
+    * missing/drifted dir triggers one offline build+save first, and
+    * the loaded assignment table is CLUSTER-PARTITIONED on disk
+    * ([[Similarity.semanticIndexSave]]) so each micro-batch's probe
+    * join reads toward only its cells' partitions rather than the
+    * checkpoint's full scan.
+    */
+  def semanticNearDupServeFrozen(newVectors: DataFrame, corpus: DataFrame,
+                                 indexDir: String, k: Int = 8, iters: Int = 3,
+                                 threshold: Double = 0.45)
+                                (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = corpus.sparkSession
+    val params = s"sem;k=$k;it=$iters;src=${Similarity.sourceStamp(corpus)}"
+    val n = corpus.count()
+    val meta = Similarity.buildIfAbsent(spark, indexDir, params, n) { staging =>
+      Similarity.semanticIndexSave(Similarity.semanticIndexBuild(corpus, k, iters),
+        staging, params, n)
+    }
+    val index = Similarity.semanticIndexLoad(spark, indexDir, Some(meta))
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(Similarity.semanticProbe(index, batch, threshold), id)
+        ()
+      }
+      .start()
+  }
 }

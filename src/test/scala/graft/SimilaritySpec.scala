@@ -245,6 +245,21 @@ class SimilaritySpec extends SparkSpec {
     assert(again === hier, "md5-seeded two-level Lloyd must be reproducible")
   }
 
+  test("grouped hier fine trainer is bit-identical to the driver-loop operator") {
+    // The gate configuration AND an asymmetric one (k1 ≠ k2 exercises
+    // cells of different sizes, short init lists, and the
+    // empty-fine-cluster keep-previous rule under a different split).
+    for ((k1, k2) <- Seq((2, 2), (3, 2))) {
+      val looped = Similarity.dedupSemanticHier(embeddings, k1 = k1, k2 = k2)
+        .collect().map(_.toString).toSeq
+      val grouped = Similarity.dedupSemanticHierGrouped(embeddings, k1 = k1, k2 = k2)
+        .collect().map(_.toString).toSeq
+      assert(grouped === looped,
+        s"grouped-vs-looped fine training diverged at k1=$k1 k2=$k2 — " +
+          "init order, argmin tiebreak, or the half-up mean drifted")
+    }
+  }
+
   test("annRange returns exactly the above-threshold neighbor set of the exact scan") {
     val got = Similarity.annRange(embeddings, threshold = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -712,6 +727,38 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.annIvfSqServed(embeddings, dir2, nprobe = 1).collect().map(_.toString).toSeq === composed)
     assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
       "a complete IVF-SQ index dir must be loaded, never rebuilt")
+  }
+
+  test("semantic index round-trips through cluster-partitioned parquet; served pairs equal flat") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_rt").toString
+    val built = Similarity.semanticIndexBuild(embeddings, k = 4)
+    Similarity.semanticIndexSave(built, dir)
+    val loaded = Similarity.semanticIndexLoad(spark, dir)
+    assert(loaded.centroids.map(_.toSeq) === built.centroids.map(_.toSeq),
+      "centroid units must survive the parquet round trip exactly")
+    assert(loaded.assigned.select(col("vec_id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === built.assigned.select(col("vec_id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "the cluster-partitioned assignment must survive the round trip exactly")
+    val batch = embeddings.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    assert(Similarity.semanticProbe(loaded, batch).collect().map(_.toString).toSeq
+      === Similarity.semanticProbe(built, batch).collect().map(_.toString).toSeq,
+      "probing the loaded index must be bit-identical")
+    // frozen-lifecycle pairs: build-if-absent → load → verify equals
+    // the flat operator bit-for-bit; a second call loads, no rebuild
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sem_served").toString
+    val served = Similarity.dedupSemanticServed(embeddings, dir2, k = 4)
+      .collect().map(_.toString).toSeq
+    val flat = Similarity.dedupSemantic(embeddings, k = 4).collect().map(_.toString).toSeq
+    assert(served === flat, "served SemDeDup pairs must equal the in-memory build bit-for-bit")
+    val marker = java.nio.file.Paths.get(dir2, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(Similarity.dedupSemanticServed(embeddings, dir2, k = 4)
+      .collect().map(_.toString).toSeq === flat)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
+      "a complete semantic index dir must be loaded, never rebuilt")
   }
 
   test("served index rebuilds on EQUAL-COUNT content drift (source stamp)") {

@@ -183,4 +183,36 @@ class SimilarityStreamSpec extends SparkSpec {
         s"new vector $nid missing its corpus twin at cosine 1.0")
     }
   }
+
+  test("frozen semantic serving loads the on-disk index and never rebuilds across restarts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val newRows = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id") + 1000000L, col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    assert(newRows.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_serve").toString
+
+    def serveOnce(): Seq[String] = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val served = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = graft.streaming.SimilarityStream.semanticNearDupServeFrozen(
+        input.toDF().toDF("vec_id", "embedding"), corpus, dir, k = 4) {
+        (df, _) => served.synchronized { served ++= df.collect().map(_.toString) }
+      }
+      try { input.addData(newRows: _*); q.processAllAvailable() } finally q.stop()
+      served.synchronized(served.toSeq)
+    }
+
+    val first = serveOnce()
+    val index = Similarity.semanticIndexBuild(corpus, k = 4)
+    val want = Similarity.semanticProbe(index, newRows.toDF("vec_id", "embedding"))
+      .collect().map(_.toString).toSeq
+    assert(first === want, "frozen serve must equal the static probe bit-for-bit")
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(serveOnce() === want, "a restarted serve loop must reproduce the same verdicts")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
+      "a restarted serve loop must LOAD the frozen index, never rebuild it")
+  }
 }
