@@ -280,6 +280,21 @@ object ScaleProbe {
           operators.Similarity.sqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
           excludeSelf = true).count()
       }),
+      // BQ serve probe: the Hamming scan is linear in the corpus
+      // like flat PQ/SQ, but at 1 bit/dim it reads 16× fewer
+      // signature bytes than the raw vectors (and 8× fewer than SQ8)
+      // — the probe documents how far that pushes the linear class.
+      "ann_bq_served" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_bq_index"
+        val (params, n) = ("bq;w=32", em.count())
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+          operators.Similarity.bqIndexSave(operators.Similarity.bqIndexBuild(em), staging,
+            params, n)
+        }
+        operators.Similarity.bqSearch(
+          operators.Similarity.bqIndexLoad(spark, dir, em, Some(meta)), fixedQ.get,
+          excludeSelf = true).count()
+      }),
       // IVF-SQ serve probe: the cell prune should hold the serve
       // cost ~flat like the IVF-PQ layouts (the codes scanned per
       // query batch are nprobe/nlist of the corpus at dim B/vector).

@@ -186,6 +186,12 @@ object SparkEntry {
       nprobe = 2)),
     "ann_sq_served"       -> ((s, d) => Similarity.annSqServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_sq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
+    // Binary quantization (FAISS IndexBinaryFlat analog): sign bit
+    // per dimension, Hamming candidate cut, exact re-rank -> full
+    // oracle (the packing is a raw float comparison, no rounding)
+    "ann_bq"              -> ((s, d) => Similarity.annBq(Tables(s, d).embeddings)),
+    "ann_bq_served"       -> ((s, d) => Similarity.annBqServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_bq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     "ann_pq_served"       -> ((s, d) => Similarity.annPqServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     // IVF-PQ composite: trained-cell prune x PQ codes scan -> full
@@ -1224,6 +1230,48 @@ FROM e ORDER BY user_id, day"""
        |cand AS (SELECT query_id, vec_id FROM (
        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY sdist, vec_id) AS ra
        |  FROM sdist) WHERE ra <= 50),
+       |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2),
+       |scored AS (SELECT query_id, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_bq / ann_bq_served oracle (the served path is bit-identical
+    * — sign bits survive the parquet round trip; see
+    * [[operators.Similarity.annBqServed]]): re-pack every vector's
+    * sign bits 32 per BIGINT word (bit i of word w set iff
+    * embedding[32w+i] ≥ 0 — a raw float comparison, engine-portable
+    * with no rounding step; partial word sums stay < 2^32 so BIGINT
+    * packing never touches the sign bit), rank candidates per query
+    * by Hamming distance (Σ bit_count(xor) over words) with the
+    * (hamming, vec_id) total order, keep the top `rerank` = 20, then
+    * the family's shared exact decimal re-rank.
+    */
+  private def annBqOracle: String =
+    s"""WITH $normsCte,
+       |sigw AS (SELECT vec_id, b.w AS w, CAST(sum(b.v) AS BIGINT) AS word FROM (
+       |  SELECT vec_id, unnest([{'w': (i - 1) // 32,
+       |      'v': CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0::BIGINT END}
+       |    FOR i IN range(1, len(embedding) + 1)]) AS b
+       |  FROM embeddings) GROUP BY 1, 2),
+       |sigs AS (SELECT vec_id, list(word ORDER BY w) AS sig FROM sigw GROUP BY 1),
+       |hams AS (SELECT query_id, vec_id, CAST(sum(p) AS BIGINT) AS hamming FROM (
+       |  SELECT qs.vec_id AS query_id, s.vec_id,
+       |         unnest([CAST(bit_count(xor(qs.sig[i], s.sig[i])) AS BIGINT)
+       |           FOR i IN range(1, len(s.sig) + 1)]) AS p
+       |  FROM sigs qs JOIN sigs s ON s.vec_id <> qs.vec_id
+       |  WHERE qs.vec_id % 100 = 0) GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rh
+       |  FROM hams) WHERE rh <= 20),
        |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
        |  SELECT c.query_id, c.vec_id,
        |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
@@ -2652,6 +2700,11 @@ FROM e ORDER BY user_id, day"""
     // is bit-identical, one oracle for both.
     "ann_sq" -> annSqOracle,
     "ann_sq_served" -> annSqOracle,
+    // Binary quantization: sign-bit packing replayed 32 bits per
+    // BIGINT word, Hamming rank cut, shared exact re-rank; the
+    // served path is bit-identical, one oracle for both.
+    "ann_bq" -> annBqOracle,
+    "ann_bq_served" -> annBqOracle,
     "ann_ivfsq" -> annIvfSqOracle,
     // Frozen-index serve path: bit-identical to ann_ivfsq (integer
     // units survive the parquet round trip), same oracle.

@@ -1125,6 +1125,105 @@ object Similarity {
       defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
   }
 
+  /** A binary-quantization index — the FAISS `IndexBinaryFlat`
+    * analog, the quantizer family's 1-bit-per-dimension extreme
+    * (PQ m bytes / SQ dim bytes / BQ dim BITS per vector): each
+    * component contributes its SIGN bit, 32 bits packed per Long
+    * word ([[graft.plans.SignPack32I64]] — why 32 and not 64 is an
+    * oracle-portability argument in that kernel's scaladoc), and
+    * candidates rank by Hamming distance (popcount of XOR — the
+    * cheapest distance a scan can compute; at 64 dims a signature is
+    * ONE 16-byte array row vs 256 bytes of floats, a 16× scan-byte
+    * reduction before the exact re-rank). Production fit: binary
+    * embeddings (sign of a random projection or of a learned
+    * rotation) as the first-pass filter over billions of vectors.
+    */
+  final case class BqIndex private[Similarity] (
+      sigs: DataFrame, corpus: DataFrame)
+
+  /** Pack the corpus sign signatures ONCE — a single map pass, no
+    * training (BQ has no trained parameters; the "model" is the
+    * packing convention itself, frozen by the kernel + oracle).
+    */
+  def bqIndexBuild(embeddings: DataFrame): BqIndex = {
+    import graft.plans.BinarySig.signPack
+    BqIndex(
+      embeddings.select(col("vec_id"), signPack(col("embedding")).as("sig"))
+        .honestCheckpoint(),
+      embeddings.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Search a [[BqIndex]]: Hamming candidate cut over the signature
+    * scan (rank by (hamming, vec_id) — total order, deterministic
+    * candidate set, the pqAdcCandidates shape so Spark's
+    * WindowGroupLimit keeps the top-rerank selection map-side
+    * partial), then the family's exact decimal re-rank on the
+    * original vectors.
+    */
+  def bqSearch(index: BqIndex, queries: DataFrame, k: Int = 5, rerank: Int = 20,
+               excludeSelf: Boolean = false): DataFrame = {
+    import graft.plans.BinarySig.{hammingPacked, signPack}
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), signPack(col("embedding")).as("qsig"))
+    val wH = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("vec_id"))
+    val cands = index.sigs.join(broadcast(qs), notSelf(excludeSelf))
+      .withColumn("hamming", hammingPacked(col("sig"), col("qsig")))
+      .withColumn("rh", row_number().over(wH))
+      .filter(col("rh") <= rerank)
+      .select(col("query_id"), col("qe"), col("vec_id"))
+    pqExactRerank(cands, index.corpus, k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** One-shot build + search — the `ann_bq` query. */
+  def annBq(embeddings: DataFrame, queries: Option[DataFrame] = None,
+            k: Int = 5, rerank: Int = 20,
+            queriesAreCorpusDerived: Option[Boolean] = None): DataFrame =
+    bqSearch(bqIndexBuild(embeddings), queries.getOrElse(defaultQueries(embeddings)),
+      k, rerank, excludeSelf = queriesAreCorpusDerived.getOrElse(queries.isEmpty))
+
+  /** Persist a [[BqIndex]]: the signature table (the thing a serve
+    * scans — dim/8 bytes per vector) + the meta commit marker. No
+    * model tables: BQ's encode is parameter-free.
+    */
+  def bqIndexSave(index: BqIndex, dir: String, params: String = "",
+                  corpusCount: Long = -1L): Unit = {
+    val spark = index.sigs.sparkSession
+    import spark.implicits._
+    index.sigs.write.mode("overwrite").parquet(s"$dir/sigs.parquet")
+    Seq((indexFormatVersion, params, corpusCount))
+      .toDF("version", "params", "n")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  def bqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  corpus: DataFrame,
+                  preReadMeta: Option[org.apache.spark.sql.Row] = None): BqIndex = {
+    val meta = preReadMeta.getOrElse(
+      spark.read.parquet(s"$dir/meta.parquet").collect()(0))
+    require(meta.getAs[Int]("version") == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    BqIndex(spark.read.parquet(s"$dir/sigs.parquet"),
+      corpus.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Serve-from-frozen-index BQ — the shared build-if-absent
+    * lifecycle; bit-identical to [[annBq]] (sign bits trivially
+    * survive the parquet round trip), so it shares ann_bq's oracle.
+    */
+  def annBqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                  rerank: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    val params = s"bq;w=32;src=${sourceStamp(embeddings)}"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      bqIndexSave(bqIndexBuild(embeddings), staging, params, n)
+    }
+    bqSearch(bqIndexLoad(spark, indexDir, embeddings, Some(meta)),
+      defaultQueries(embeddings), k, rerank, excludeSelf = true)
+  }
+
   /** Frozen-index layout version, persisted in every index's meta
     * table and checked at detection/load time: an index written by an
     * incompatible layout (or a pre-version save) reads as ABSENT, so
