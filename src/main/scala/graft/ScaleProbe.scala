@@ -396,10 +396,19 @@ object ScaleProbe {
       // layout buys at serve time (the probe join reads toward only
       // the batch's cells' partitions; with k ∝ n each cell holds a
       // constant row budget, so the serve should stay ~flat, the
-      // semantic analog of the ann_*_served rows).
+      // semantic analog of the ann_*_served rows). 10× ONLY: the
+      // probe's one-time index build uses the FLAT trainer, and
+      // k = 400 plan-literal kernels at 100× is exactly the cap the
+      // hier operator documents — measured here as a JIT code-cache
+      // exhaustion (53k nmethods, compilation disabled, interpreted
+      // crawl), so the guard fails fast instead of melting the JVM.
+      // The 100× build path is the hier/grouped trainer (#25d/#25f);
+      // a two-level probe-side assignment would be its serve mate.
       "sem_probe_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_sem_index"
         val kk = 4 * k.toInt
+        require(kk <= 64, s"sem_probe_served: flat k=$kk exceeds the plan-literal kernel " +
+          "budget (~64) — the hier trainer is the build path past 10×; see the probe comment")
         val (params, n) = (s"sem;k=$kk;it=3;src=${operators.Similarity.sourceStamp(em)}", em.count())
         val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
           operators.Similarity.semanticIndexSave(

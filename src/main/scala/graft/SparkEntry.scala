@@ -192,6 +192,12 @@ object SparkEntry {
     "ann_bq"              -> ((s, d) => Similarity.annBq(Tables(s, d).embeddings)),
     "ann_bq_served"       -> ((s, d) => Similarity.annBqServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_bq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
+    // IVF-BQ (FAISS IndexBinaryIVF in spirit): Lloyd cell prune x
+    // Hamming rank within probed cells -> full oracle
+    "ann_ivfbq"           -> ((s, d) => Similarity.annIvfBq(Tables(s, d).embeddings, nprobe = 2)),
+    "ann_ivfbq_served"    -> ((s, d) => Similarity.annIvfBqServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivfbq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      nprobe = 2)),
     "ann_pq_served"       -> ((s, d) => Similarity.annPqServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     // IVF-PQ composite: trained-cell prune x PQ codes scan -> full
@@ -1283,6 +1289,47 @@ FROM e ORDER BY user_id, day"""
        |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
        |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
        |  SELECT query_id, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_ivfbq / ann_ivfbq_served oracle — the IVF-BQ replay:
+    * ann_ivfpq's coarse Lloyd chain + query-side q_probe (nprobe=2)
+    * gating ann_bq's sign-pack/Hamming chain to the probed cells'
+    * members, then the shared exact decimal re-rank with the label
+    * carried. The served path is bit-identical (sign bits and Lloyd
+    * labels survive the parquet round trip) — one oracle for both.
+    */
+  private def annIvfBqOracle: String =
+    s"""WITH $normsCte,
+       |${lloydCtes(8, 3)},
+       |${qProbeCte(2)},
+       |sigw AS (SELECT vec_id, b.w AS w, CAST(sum(b.v) AS BIGINT) AS word FROM (
+       |  SELECT vec_id, unnest([{'w': (i - 1) // 32,
+       |      'v': CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0::BIGINT END}
+       |    FOR i IN range(1, len(embedding) + 1)]) AS b
+       |  FROM embeddings) GROUP BY 1, 2),
+       |sigs AS (SELECT vec_id, list(word ORDER BY w) AS sig FROM sigw GROUP BY 1),
+       |hams AS (SELECT query_id, label, vec_id, CAST(sum(p) AS BIGINT) AS hamming FROM (
+       |  SELECT qs.vec_id AS query_id, lq.cluster AS label, s.vec_id,
+       |         unnest([CAST(bit_count(xor(qs.sig[i], s.sig[i])) AS BIGINT)
+       |           FOR i IN range(1, len(s.sig) + 1)]) AS p
+       |  FROM sigs qs JOIN q_probe lq ON lq.vec_id = qs.vec_id
+       |       JOIN a_fin lv ON lv.cluster = lq.cluster
+       |       JOIN sigs s ON s.vec_id = lv.vec_id AND s.vec_id <> qs.vec_id) GROUP BY 1, 2, 3),
+       |cand AS (SELECT query_id, label, vec_id FROM (
+       |  SELECT query_id, label, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rh
+       |  FROM hams) WHERE rh <= 20),
+       |cdots AS (SELECT query_id, label, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.label, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, label, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, label, nvec, cosine,
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
@@ -2705,6 +2752,11 @@ FROM e ORDER BY user_id, day"""
     // served path is bit-identical, one oracle for both.
     "ann_bq" -> annBqOracle,
     "ann_bq_served" -> annBqOracle,
+    // IVF-BQ: the Lloyd chain labels cells, q_probe gates the BQ
+    // Hamming chain to probed-cell members; the served path is
+    // bit-identical, one oracle for both.
+    "ann_ivfbq" -> annIvfBqOracle,
+    "ann_ivfbq_served" -> annIvfBqOracle,
     "ann_ivfsq" -> annIvfSqOracle,
     // Frozen-index serve path: bit-identical to ann_ivfsq (integer
     // units survive the parquet round trip), same oracle.

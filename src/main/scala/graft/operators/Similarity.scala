@@ -1224,6 +1224,114 @@ object Similarity {
       defaultQueries(embeddings), k, rerank, excludeSelf = true)
   }
 
+  /** A trained IVF-BQ index — the quantizer matrix's binary cell
+    * (FAISS `IndexBinaryIVF` in spirit: coarse cells prune the scan,
+    * binary signatures rank within the probed cells): trained float-
+    * space Lloyd centroids for the cell assignment (the same coarse
+    * quantizer every IVF layout here shares) + the cell-labeled
+    * signature table. Candidates per query ≈ nprobe/nlist of the
+    * corpus at dim/8 BYTES per scanned row — the cheapest candidate
+    * scan any layout in the family can run.
+    */
+  final case class IvfBqIndex private[Similarity] (
+      centroids: Seq[Array[Long]],
+      sigs: DataFrame, corpus: DataFrame)
+
+  /** Train the coarse quantizer and pack/label the corpus ONCE. */
+  def ivfBqIndexBuild(embeddings: DataFrame, nlist: Int = 8,
+                      ivfIters: Int = 3): IvfBqIndex = {
+    import graft.plans.BinarySig.signPack
+    val centroids = train(embeddings, nlist, ivfIters)
+    val sigs = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), signPack(col("embedding")).as("sig"),
+        col("cluster").as("label"))
+      .honestCheckpoint()
+    IvfBqIndex(centroids, sigs, embeddings.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Search a trained [[IvfBqIndex]]: query-side top-`nprobe` cell
+    * assignment, Hamming rank within the probed cells' signatures
+    * (one rerank window across all probed cells — a corpus vector
+    * lives in exactly one cell, so no pair duplicates), then the
+    * family's shared exact decimal re-rank with the label carried.
+    */
+  def ivfBqSearch(index: IvfBqIndex, queries: DataFrame, k: Int = 5,
+                  rerank: Int = 20, nprobe: Int = 1,
+                  excludeSelf: Boolean = false): DataFrame = {
+    import graft.plans.BinarySig.{hammingPacked, signPack}
+    val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        signPack(col("embedding")).as("qsig"))
+      .join(assignTopCells(queries.select(col("vec_id"), col("embedding")),
+          index.centroids, nprobe)
+        .select(col("vec_id").as("query_id"), col("cluster").as("qlabel")), "query_id")
+    val wH = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("vec_id"))
+    val cands = index.sigs.join(broadcast(qs),
+        col("label") === col("qlabel") && notSelf(excludeSelf))
+      .withColumn("hamming", hammingPacked(col("sig"), col("qsig")))
+      .withColumn("rh", row_number().over(wH))
+      .filter(col("rh") <= rerank)
+      .select(col("query_id"), col("qe"), col("label"), col("vec_id"))
+    pqExactRerank(cands, index.corpus, k, carry = Seq("label"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** One-shot build + search — the `ann_ivfbq` query. */
+  def annIvfBq(embeddings: DataFrame, queries: Option[DataFrame] = None,
+               k: Int = 5, nlist: Int = 8, ivfIters: Int = 3,
+               rerank: Int = 20, nprobe: Int = 1,
+               queriesAreCorpusDerived: Option[Boolean] = None): DataFrame =
+    ivfBqSearch(ivfBqIndexBuild(embeddings, nlist, ivfIters),
+      queries.getOrElse(defaultQueries(embeddings)), k, rerank, nprobe,
+      excludeSelf = queriesAreCorpusDerived.getOrElse(queries.isEmpty))
+
+  /** Persist / load / serve-from a frozen IVF-BQ index — the shared
+    * lifecycle contract (cell-labeled signatures + centroids, meta
+    * written LAST).
+    */
+  def ivfBqIndexSave(index: IvfBqIndex, dir: String, params: String = "",
+                     corpusCount: Long = -1L): Unit = {
+    val spark = index.sigs.sparkSession
+    import spark.implicits._
+    index.sigs.write.mode("overwrite").parquet(s"$dir/sigs.parquet")
+    index.centroids.zipWithIndex.map { case (units, cell) => (cell, units.toSeq) }
+      .toDF("cell", "units")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    Seq((indexFormatVersion, params, corpusCount))
+      .toDF("version", "params", "n")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  def ivfBqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     corpus: DataFrame,
+                     preReadMeta: Option[org.apache.spark.sql.Row] = None): IvfBqIndex = {
+    val meta = preReadMeta.getOrElse(
+      spark.read.parquet(s"$dir/meta.parquet").collect()(0))
+    require(meta.getAs[Int]("version") == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    val cents = spark.read.parquet(s"$dir/centroids.parquet").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
+    IvfBqIndex(cents, spark.read.parquet(s"$dir/sigs.parquet"),
+      corpus.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Serve-from-frozen-index IVF-BQ — bit-identical to [[annIvfBq]]
+    * (sign bits and Lloyd labels survive the parquet round trip), so
+    * it shares ann_ivfbq's oracle.
+    */
+  def annIvfBqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                     rerank: Int = 20, nprobe: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    val params = s"ivfbq;nlist=8;ivfIt=3;w=32;src=${sourceStamp(embeddings)}"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      ivfBqIndexSave(ivfBqIndexBuild(embeddings), staging, params, n)
+    }
+    ivfBqSearch(ivfBqIndexLoad(spark, indexDir, embeddings, Some(meta)),
+      defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
+  }
+
   /** Frozen-index layout version, persisted in every index's meta
     * table and checked at detection/load time: an index written by an
     * incompatible layout (or a pre-version save) reads as ABSENT, so

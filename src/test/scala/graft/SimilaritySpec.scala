@@ -294,6 +294,48 @@ class SimilaritySpec extends SparkSpec {
       "a complete BQ index dir must be loaded, never rebuilt")
   }
 
+  test("annIvfBq recovers brute force at nprobe=nlist + full rerank; measured recall at nprobe=2") {
+    val n = embeddings.count().toInt
+    val exhaustive = Similarity.annIvfBq(embeddings, nlist = 8, nprobe = 8, rerank = n)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .collect().map(_.toString).toSeq
+    val brute = Similarity.annBruteForce(embeddings).collect().map(_.toString).toSeq
+    assert(exhaustive === brute,
+      "probing every cell with an uncut rerank must reduce IVF-BQ to the exact scan")
+    val bruteSet = Similarity.annBruteForce(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = Similarity.annIvfBq(embeddings, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val recall = pairs.count(bruteSet.contains).toDouble / bruteSet.size
+    // vs the CELL-RESTRICTED ideal (IVF-flat at the same coarse
+    // quantizer and nprobe) — isolates the 1-bit ranking loss from
+    // the shared cell-boundary loss
+    val cellIdeal = Similarity.annIvfTrained(embeddings, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val cellRecall = pairs.count(cellIdeal.toSet.contains).toDouble / cellIdeal.size
+    // measured: 0.32/0.52 global at sf0.001/0.01 (cell boundary +
+    // 1-bit quantization both trade recall) and 0.64/0.60 of the
+    // cell-restricted ideal; nprobe and rerank buy it back — the
+    // first assertion proves the limit is exact
+    assert(recall >= 0.25, s"recall@5 vs exact = $recall drifted below the measured floor")
+    assert(cellRecall >= 0.4,
+      s"recall@5 vs the cell-restricted ideal = $cellRecall drifted below the measured floor")
+  }
+
+  test("IVF-BQ index round-trips; served search is bit-identical and never rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfbq_rt").toString
+    val fresh = Similarity.annIvfBq(embeddings, nprobe = 2).collect().map(_.toString).toSeq
+    val served = Similarity.annIvfBqServed(embeddings, dir, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(served === fresh, "served IVF-BQ search must equal the in-memory build bit-for-bit")
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(Similarity.annIvfBqServed(embeddings, dir, nprobe = 2)
+      .collect().map(_.toString).toSeq === fresh)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
+      "a complete IVF-BQ index dir must be loaded, never rebuilt")
+  }
+
   test("annRange returns exactly the above-threshold neighbor set of the exact scan") {
     val got = Similarity.annRange(embeddings, threshold = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
