@@ -419,6 +419,26 @@ object ScaleProbe {
           fixedQ.get.select(col("vec_id") + 1000000000L as "vec_id", col("embedding")),
           threshold = 0.45).count()
       }),
+      // The TWO-LEVEL serve probe — the one that CAN run at 100×:
+      // k₁·k₂ tracks the corpus (side = ⌈√(4·mult)⌉ each) but the
+      // probe-side plan stays O(k₁) kernels + one broadcast fine-
+      // centroid join, and the one-time build is the grouped trainer
+      // (1 assignment job per iteration). This row completes the
+      // ingestion-serve claim sem_probe_served's flat build cannot
+      // make past 10×.
+      "sem_probe_hier_served" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_semhier_index"
+        val side = math.ceil(math.sqrt(4.0 * k)).toInt
+        val (params, n) = (s"semhier;k1=$side;k2=$side;it=3;src=${operators.Similarity.sourceStamp(em)}", em.count())
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+          operators.Similarity.semanticIndexSaveHier(
+            operators.Similarity.semanticIndexBuildHier(em, side, side), staging, params, n)
+        }
+        operators.Similarity.semanticProbeHier(
+          operators.Similarity.semanticIndexLoadHier(spark, dir, Some(meta)),
+          fixedQ.get.select(col("vec_id") + 1000000000L as "vec_id", col("embedding")),
+          threshold = 0.45).count()
+      }),
       // Radius search: fixed bounded query set (like the other ann*
       // probes), windowless broadcast scan — expect the scan slope.
       "ann_range" -> ((_, _, _, em, _) =>

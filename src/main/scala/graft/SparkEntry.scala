@@ -151,6 +151,12 @@ object SparkEntry {
     // (broadcast centroid-frame join + min(struct) argmin) instead of
     // a k1-iteration driver loop; bit-identical -> shared oracle
     "dedup_semantic_hier_grouped" -> ((s, d) => Similarity.dedupSemanticHierGrouped(Tables(s, d).embeddings, k1 = 2, k2 = 2)),
+    // Frozen lifecycle for the TWO-LEVEL semantic index: build-if-
+    // absent (grouped trainer) -> load -> same pair verify; bit-
+    // identical to dedup_semantic_hier (shared oracle)
+    "dedup_semantic_hier_served" -> ((s, d) => Similarity.dedupSemanticHierServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_semhier_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      k1 = 2, k2 = 2)),
     // Frozen-lifecycle SemDeDup: build-if-absent -> load the
     // cluster-partitioned assignment -> same pair verify; bit-
     // identical to dedup_semantic (shared oracle)
@@ -2623,6 +2629,9 @@ FROM e ORDER BY user_id, day"""
     // operator (same init/argmin/mean algebra, one dataframe program
     // per iteration), same oracle.
     "dedup_semantic_hier_grouped" -> dedupSemanticHierOracle,
+    // Frozen lifecycle over the grouped build: bit-identical (the
+    // assignment survives the parquet round trip), same oracle.
+    "dedup_semantic_hier_served" -> dedupSemanticHierOracle,
     // Radius search: the ann_bruteforce scan without the top-k window
     // — every corpus vector above the exact-cosine bar.
     "ann_range" ->

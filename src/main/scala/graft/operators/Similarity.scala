@@ -343,7 +343,27 @@ object Similarity {
     */
   def dedupSemanticHierGrouped(embeddings: DataFrame, k1: Int = 4, k2: Int = 4,
                                iters: Int = 3, threshold: Double = 0.45,
-                               blocks: Int = 0): DataFrame = {
+                               blocks: Int = 0): DataFrame =
+    withinClusterPairs(semanticIndexBuildHier(embeddings, k1, k2, iters).assigned,
+      threshold, blocks)
+
+  /** The TWO-LEVEL frozen model of the SemDeDup family — what the
+    * flat [[SemanticIndex]] cannot be past k ≈ tens (its centroids
+    * are plan literals): coarse centroids stay literals (k₁ ≲ tens by
+    * construction), fine centroids are DATA keyed by coarse cell
+    * (k₁·k₂·dim longs — model parameters), so total clusters k₁·k₂
+    * can track the corpus while every plan stays bounded. Built by
+    * the grouped trainer ([[dedupSemanticHierGrouped]] is exactly
+    * `withinClusterPairs` over this build — bit-identical to the
+    * looped hier operator, spec-pinned).
+    */
+  final case class HierSemanticIndex private[Similarity] (
+      coarse: Seq[Array[Long]],
+      fine: Seq[(Long, Long, Seq[Long])],
+      k2: Int, assigned: DataFrame)
+
+  def semanticIndexBuildHier(embeddings: DataFrame, k1: Int = 4, k2: Int = 4,
+                             iters: Int = 3): HierSemanticIndex = {
     import graft.plans.IntegerUnits.l2Units
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -387,7 +407,103 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         (col("coarse") * k2 + col("p.fine")).as("cluster"))
       .honestCheckpoint()
-    withinClusterPairs(assigned, threshold, blocks)
+    HierSemanticIndex(coarseCentroids, cents, k2, assigned)
+  }
+
+  /** Ingestion-time probe against a [[HierSemanticIndex]] — the
+    * two-level serve mate of [[semanticProbe]], and the reason the
+    * hier index can serve where the flat one cannot: a batch vector
+    * assigns through k₁ coarse plan-literal kernels and then a
+    * broadcast JOIN against its own cell's ≤ k₂ fine centroids
+    * (the grouped trainer's argmin algebra, applied to the bounded
+    * batch), so probe-side plan size is O(k₁) kernels + one join —
+    * never the O(k₁·k₂) literal chain that exhausted the JIT code
+    * cache at k = 400 (§6). The verify half is identical to the flat
+    * probe: the batch joins only its global cells' members (the
+    * cluster-partitioned on-disk layout prunes the scan), exact
+    * decimal cosine on survivors.
+    */
+  def semanticProbeHier(index: HierSemanticIndex, batch: DataFrame,
+                        threshold: Double = 0.45): DataFrame = {
+    import graft.plans.IntegerUnits.l2Units
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val centsDf = index.fine.toDF("coarse", "fine", "cu")
+    val nb = assignCells(batch.select(col("vec_id"), col("embedding")), index.coarse)
+      .select(col("vec_id"), col("embedding"), col("u"), col("cluster").as("coarse"))
+      .join(broadcast(centsDf), Seq("coarse"))
+      .select(col("coarse"), col("vec_id"), col("embedding"),
+        struct(l2Units(col("u"), col("cu")).as("du"), col("fine")).as("p"))
+      .groupBy(col("coarse"), col("vec_id"))
+      .agg(min(col("p")).as("p"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id").as("new_id"), col("embedding").as("eb"),
+        (col("coarse") * index.k2 + col("p.fine")).as("cluster"))
+    index.assigned
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ea"), col("cluster"))
+      .join(broadcast(nb), Seq("cluster"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .filter(cosineFast(col("ea"), col("eb")) >= threshold - 1e-3)
+      .withColumn("cosine",
+        cosineExact(decDot(col("ea"), col("eb")), decNorm2(col("ea")), decNorm2(col("eb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("cluster"), col("cosine"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** Persist / load a [[HierSemanticIndex]] — the flat semantic
+    * lifecycle ([[semanticIndexSave]]) extended with the fine
+    * centroid table; the assignment keeps the cluster-partitioned
+    * layout (the serve-side pruning shape) and meta (with k2) lands
+    * LAST as the commit marker.
+    */
+  def semanticIndexSaveHier(index: HierSemanticIndex, dir: String,
+                            params: String = "", corpusCount: Long = -1L): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/assigned.parquet")
+    index.coarse.zipWithIndex.map { case (units, cell) => (cell, units.toSeq) }
+      .toDF("cell", "units")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    index.fine.toDF("coarse", "fine", "cu")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/fine_centroids.parquet")
+    Seq((indexFormatVersion, index.k2, params, corpusCount))
+      .toDF("version", "k2", "params", "n")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  def semanticIndexLoadHier(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            preReadMeta: Option[org.apache.spark.sql.Row] = None): HierSemanticIndex = {
+    val meta = preReadMeta.getOrElse(
+      spark.read.parquet(s"$dir/meta.parquet").collect()(0))
+    require(meta.getAs[Int]("version") == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    val coarse = spark.read.parquet(s"$dir/centroids.parquet").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
+    val fine = spark.read.parquet(s"$dir/fine_centroids.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).sortBy(t => (t._1, t._2)).toSeq
+    val assigned = spark.read.parquet(s"$dir/assigned.parquet")
+      .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
+    HierSemanticIndex(coarse, fine, meta.getAs[Int]("k2"), assigned)
+  }
+
+  /** Frozen-lifecycle hierarchical SemDeDup pairs — bit-identical to
+    * [[dedupSemanticHierGrouped]] (assignment and centroids survive
+    * the parquet round trip exactly), so it shares
+    * dedup_semantic_hier's oracle.
+    */
+  def dedupSemanticHierServed(embeddings: DataFrame, indexDir: String,
+                              k1: Int = 4, k2: Int = 4, iters: Int = 3,
+                              threshold: Double = 0.45, blocks: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    val params = s"semhier;k1=$k1;k2=$k2;it=$iters;src=${sourceStamp(embeddings)}"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      semanticIndexSaveHier(semanticIndexBuildHier(embeddings, k1, k2, iters),
+        staging, params, n)
+    }
+    withinClusterPairs(semanticIndexLoadHier(spark, indexDir, Some(meta)).assigned,
+      threshold, blocks)
   }
 
   /** Shared verify stage of the SemDeDup family: the within-cluster

@@ -161,4 +161,34 @@ object SimilarityStream {
       }
       .start()
   }
+
+  /** [[semanticNearDupServeFrozen]] over the TWO-LEVEL index — the
+    * serve loop that still works when k ∝ corpus pushes total
+    * clusters past the flat index's plan-literal cap: each
+    * micro-batch assigns through k₁ coarse kernels + a broadcast
+    * fine-centroid join ([[Similarity.semanticProbeHier]]), never an
+    * O(k₁·k₂) literal chain. Same frozen contract: a restarted loop
+    * LOADS the complete on-disk index (grouped trainer runs once,
+    * offline), drift rebuilds via the shared staged publish.
+    */
+  def semanticNearDupServeHierFrozen(newVectors: DataFrame, corpus: DataFrame,
+                                     indexDir: String, k1: Int = 4, k2: Int = 4,
+                                     iters: Int = 3, threshold: Double = 0.45)
+                                    (sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val spark = corpus.sparkSession
+    val params = s"semhier;k1=$k1;k2=$k2;it=$iters;src=${Similarity.sourceStamp(corpus)}"
+    val n = corpus.count()
+    val meta = Similarity.buildIfAbsent(spark, indexDir, params, n) { staging =>
+      Similarity.semanticIndexSaveHier(
+        Similarity.semanticIndexBuildHier(corpus, k1, k2, iters), staging, params, n)
+    }
+    val index = Similarity.semanticIndexLoadHier(spark, indexDir, Some(meta))
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(Similarity.semanticProbeHier(index, batch, threshold), id)
+        ()
+      }
+      .start()
+  }
 }

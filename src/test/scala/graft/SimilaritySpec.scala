@@ -837,6 +837,43 @@ class SimilaritySpec extends SparkSpec {
       "a complete semantic index dir must be loaded, never rebuilt")
   }
 
+  test("hier semantic index round-trips; served pairs equal grouped; probe finds re-keyed twins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semhier_rt").toString
+    val built = Similarity.semanticIndexBuildHier(embeddings, k1 = 2, k2 = 2)
+    // frozen-lifecycle pairs: build-if-absent → load → verify equals
+    // the grouped (≡ looped, spec above) operator bit-for-bit
+    val served = Similarity.dedupSemanticHierServed(embeddings, dir, k1 = 2, k2 = 2)
+      .collect().map(_.toString).toSeq
+    val grouped = Similarity.dedupSemanticHierGrouped(embeddings, k1 = 2, k2 = 2)
+      .collect().map(_.toString).toSeq
+    assert(served === grouped, "served hier pairs must equal the in-memory build bit-for-bit")
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(Similarity.dedupSemanticHierServed(embeddings, dir, k1 = 2, k2 = 2)
+      .collect().map(_.toString).toSeq === grouped)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
+      "a complete hier semantic index dir must be loaded, never rebuilt")
+    // two-level probe: a re-keyed in-corpus batch must land in its
+    // twin's cell and report the twin at cosine 1.0, and probing the
+    // LOADED index must be bit-identical to the in-memory one
+    val batch = embeddings.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val probed = Similarity.semanticProbeHier(built, batch).collect()
+    val loaded = Similarity.semanticIndexLoadHier(spark, dir)
+    assert(Similarity.semanticProbeHier(loaded, batch).collect().map(_.toString).toSeq
+      === probed.map(_.toString).toSeq, "probing the loaded hier index must be bit-identical")
+    val clusters = built.assigned.select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    batch.select(col("vec_id")).collect().map(_.getLong(0)).foreach { nid =>
+      val twin = nid - 1000000L
+      val hit = probed.find(r => r.getLong(0) == nid && r.getLong(1) == twin)
+      assert(hit.isDefined, s"new vector $nid missing its corpus twin at cosine 1.0")
+      assert(hit.get.getDouble(3) === 1.0)
+      assert(hit.get.getLong(2) === clusters(twin),
+        s"two-level probe assignment of $nid diverged from its twin's trained cell")
+    }
+  }
+
   test("served index rebuilds on EQUAL-COUNT content drift (source stamp)") {
     // same row count, different bytes: the count-only fingerprint
     // would serve the stale index; the source stamp (file path+len+

@@ -215,4 +215,36 @@ class SimilarityStreamSpec extends SparkSpec {
     assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
       "a restarted serve loop must LOAD the frozen index, never rebuild it")
   }
+
+  test("frozen TWO-LEVEL semantic serving matches the static hier probe and never rebuilds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val newRows = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id") + 1000000L, col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    assert(newRows.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semhier_serve").toString
+
+    def serveOnce(): Seq[String] = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val served = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = graft.streaming.SimilarityStream.semanticNearDupServeHierFrozen(
+        input.toDF().toDF("vec_id", "embedding"), corpus, dir, k1 = 2, k2 = 2) {
+        (df, _) => served.synchronized { served ++= df.collect().map(_.toString) }
+      }
+      try { input.addData(newRows: _*); q.processAllAvailable() } finally q.stop()
+      served.synchronized(served.toSeq)
+    }
+
+    val first = serveOnce()
+    val index = Similarity.semanticIndexBuildHier(corpus, k1 = 2, k2 = 2)
+    val want = Similarity.semanticProbeHier(index, newRows.toDF("vec_id", "embedding"))
+      .collect().map(_.toString).toSeq
+    assert(first === want, "frozen hier serve must equal the static two-level probe bit-for-bit")
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(serveOnce() === want, "a restarted serve loop must reproduce the same verdicts")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
+      "a restarted serve loop must LOAD the frozen two-level index, never rebuild it")
+  }
 }
