@@ -163,6 +163,13 @@ object SparkEntry {
     "dedup_semantic_served" -> ((s, d) => Similarity.dedupSemanticServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_sem_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
       k = 4)),
+    // FAISS-style add() for the semantic index: build on the base
+    // (vec_id % 10 <> 0), append the rest under the FROZEN centroids
+    // (assignment only, no retrain), verify over the full assignment
+    // -> full oracle (training CTEs read base rows only)
+    "dedup_semantic_appended" -> ((s, d) => Similarity.dedupSemanticAppended(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_sem_app_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      k = 4)),
     "ann_bruteforce"      -> ((s, d) => Similarity.annBruteForce(Tables(s, d).embeddings)),
     // FAISS range_search analog: ALL neighbors above the cosine bar,
     // no top-k window -> one broadcast scan, full oracle
@@ -408,7 +415,22 @@ object SparkEntry {
     * set AND the verified pairs must both agree.
     */
   private def dedupSemanticOracle: String =
-    s"""WITH ${lloydCtes(4, 3)},
+    dedupSemanticOracleWith(lloydCtes(4, 3))
+
+  /** The appended variant: the same pair verify over a Lloyd chain
+    * whose TRAINING reads base rows only (vec_id % 10 ≠ 0 — seed,
+    * assignment rounds, means) while a_fin assigns the FULL corpus
+    * under the final (frozen) centroids — exactly what
+    * build(base) + semanticIndexAppend(rest) materializes on disk.
+    */
+  private def dedupSemanticAppendedOracle: String =
+    dedupSemanticOracleWith(lloydCtes(4, 3,
+      exDef = rawExDef + ",\next AS (SELECT * FROM ex WHERE vec_id % 10 <> 0)",
+      trainEx = "ext",
+      initFrom = "(SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0)"))
+
+  private def dedupSemanticOracleWith(lloyd: String): String =
+    s"""WITH $lloyd,
        |$normsCte,
        |asg AS (SELECT vec_id, cluster FROM a_fin),
        |dots AS (SELECT cluster, a, b, sum(p) AS dot FROM (
@@ -2619,6 +2641,9 @@ FROM e ORDER BY user_id, day"""
     // Frozen-lifecycle serve path: bit-identical to dedup_semantic
     // (assignment survives the parquet round trip), same oracle.
     "dedup_semantic_served" -> dedupSemanticOracle,
+    // add() lifecycle: training chains read base rows only; a_fin
+    // assigns the full corpus under the frozen centroids.
+    "dedup_semantic_appended" -> dedupSemanticAppendedOracle,
     // Hierarchical SemDeDup replay: the coarse chain's a_fin splits
     // the corpus into cells; one RESTRICTED fine chain per cell
     // re-trains inside it (md5-seeded within the cell); the union of

@@ -219,6 +219,62 @@ object Similarity {
     SemanticIndex(cents, assigned)
   }
 
+  /** FAISS-style `add()` for the frozen semantic index — corpus
+    * growth WITHOUT retraining: NEW vectors are assigned under the
+    * FROZEN centroids (one scan, no Lloyd) and appended into the
+    * cluster-partitioned assignment table; the meta `n` rewrite is
+    * the commit, written LAST. Caller-serialized like
+    * [[ivfPqIndexAppend]] (no replay idempotence — the streaming
+    * exactly-once variant is ivfPqIndexStreamAppend's delta-dir
+    * pattern, not duplicated here). Append cost ∝ the delta, never
+    * the corpus: the existing partition files are untouched.
+    */
+  def semanticIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          newVectors: DataFrame): Long = {
+    val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      import spark.implicits._
+      val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+      require(meta.getAs[Int]("version") == indexFormatVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      val index = semanticIndexLoad(spark, dir, Some(meta))
+      assignCells(newVectors.select(col("vec_id"), col("embedding")), index.centroids)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .write.mode("append").partitionBy("cluster").parquet(s"$dir/assigned.parquet")
+      val n = meta.getAs[Long]("n") + newVectors.count()
+      Seq((indexFormatVersion, meta.getAs[String]("params"), n))
+        .toDF("version", "params", "n")
+        .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+      n
+    }
+  }
+
+  /** The frozen semantic lifecycle WITH corpus growth, as one oracled
+    * query — build once on the BASE corpus (vec_id % 10 ≠ 0), append
+    * the rest under the frozen model ([[semanticIndexAppend]] —
+    * assignment-only, no retrain), then the usual within-cluster pair
+    * verify over the FULL assignment. Deterministic end-to-end, so it
+    * carries a full DuckDB oracle: the Lloyd chain trained on base
+    * rows only, a_fin assigning the whole corpus under the final
+    * centroids — exactly what build(base) + append(rest) materializes
+    * on disk.
+    */
+  def dedupSemanticAppended(embeddings: DataFrame, indexDir: String, k: Int = 4,
+                            iters: Int = 3, threshold: Double = 0.45,
+                            blocks: Int = 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    val base = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val fresh = embeddings.filter(col("vec_id") % 10 === 0)
+    val params = s"sem;k=$k;it=$iters;base=mod10;src=${sourceStamp(embeddings)}"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      semanticIndexSave(semanticIndexBuild(base, k, iters), staging, params, n - fresh.count())
+      semanticIndexAppend(spark, staging, fresh)
+    }
+    withinClusterPairs(semanticIndexLoad(spark, indexDir, Some(meta)).assigned,
+      threshold, blocks)
+  }
+
   /** Frozen-lifecycle SemDeDup pairs: build-if-absent → load → the
     * same within-cluster pair verify — bit-identical to
     * [[dedupSemantic]] (assignment survives the parquet round trip

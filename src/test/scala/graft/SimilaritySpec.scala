@@ -874,6 +874,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic add() appends delta-only under the frozen model and never rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_app").toString
+    val base = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val fresh = embeddings.filter(col("vec_id") % 10 === 0)
+    val params = "sem;k=4;it=3;spec"
+    Similarity.semanticIndexSave(Similarity.semanticIndexBuild(base, k = 4), dir,
+      params, base.count())
+    def assignedFiles: Seq[(String, java.nio.file.attribute.FileTime)] = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(dir, "assigned.parquet")
+      java.nio.file.Files.walk(d).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.getLastModifiedTime(p)))
+        .toSeq
+    }
+    val before = assignedFiles
+    val n = Similarity.semanticIndexAppend(spark, dir, fresh)
+    assert(n === embeddings.count(), "meta n must cover base + delta after the append")
+    // append cost ∝ delta: every pre-existing partition file is
+    // byte-untouched (same path, same mtime) — only new files land
+    val after = assignedFiles.toMap
+    before.foreach { case (p, t) =>
+      assert(after.contains(p) && after(p) === t,
+        s"append rewrote a pre-existing partition file: $p")
+    }
+    // appended rows carry the FROZEN-model assignment: a re-keyed
+    // copy of each fresh vector probes into exactly that cluster
+    val loaded = Similarity.semanticIndexLoad(spark, dir)
+    val appended = loaded.assigned.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(appended.keySet === fresh.select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+    val probed = Similarity.semanticProbe(loaded,
+      fresh.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))).collect()
+    probed.foreach { r =>
+      val twin = r.getLong(0) - 1000000L
+      if (r.getLong(1) == twin)
+        assert(r.getLong(2) === appended(twin),
+          s"appended assignment of $twin diverged from the frozen-model probe cell")
+    }
+  }
+
   test("served index rebuilds on EQUAL-COUNT content drift (source stamp)") {
     // same row count, different bytes: the count-only fingerprint
     // would serve the stale index; the source stamp (file path+len+
