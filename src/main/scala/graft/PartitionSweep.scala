@@ -56,6 +56,13 @@ object PartitionSweep {
       // the within-cluster pair join shuffles on (cluster, bi, bj)
       "dedup_semantic_hier" -> (() =>
         operators.Similarity.dedupSemanticHier(embeddings, k1 = 7, k2 = 7).count()),
+      // the grouped trainer's per-iteration means shuffle on
+      // (coarse, fine, dim) and the argmin groupBy on (coarse,
+      // vec_id) — different keys per stage, so partition-count
+      // sensitivity would surface here if anywhere; answers must
+      // equal the looped trainer's at every setting
+      "dedup_sem_hier_grp" -> (() =>
+        operators.Similarity.dedupSemanticHierGrouped(embeddings, k1 = 7, k2 = 7).count()),
       "feature_snapshot" -> (() => operators.FinAnalytics.featureSnapshot(events).count()))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }
