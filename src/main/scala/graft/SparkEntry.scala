@@ -203,6 +203,9 @@ object SparkEntry {
     // per dimension, Hamming candidate cut, exact re-rank -> full
     // oracle (the packing is a raw float comparison, no rounding)
     "ann_bq"              -> ((s, d) => Similarity.annBq(Tables(s, d).embeddings)),
+    // Residual BQ: two scaled sign rounds + asymmetric integer ADC —
+    // the public recall fix for flat BQ's 1-bit floor (§2 #27w)
+    "ann_bq_residual"     -> ((s, d) => Similarity.annBqResidual(Tables(s, d).embeddings)),
     "ann_bq_served"       -> ((s, d) => Similarity.annBqServed(Tables(s, d).embeddings,
       s"${System.getProperty("java.io.tmpdir")}/graft_bq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     // IVF-BQ (FAISS IndexBinaryIVF in spirit): Lloyd cell prune x
@@ -1293,7 +1296,7 @@ FROM e ORDER BY user_id, day"""
     s"""WITH $normsCte,
        |sigw AS (SELECT vec_id, b.w AS w, CAST(sum(b.v) AS BIGINT) AS word FROM (
        |  SELECT vec_id, unnest([{'w': (i - 1) // 32,
-       |      'v': CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0::BIGINT END}
+       |      'v': CASE WHEN isnan(CAST(embedding[i] AS DOUBLE)) THEN 0::BIGINT WHEN embedding[i] >= 0 THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0::BIGINT END}
        |    FOR i IN range(1, len(embedding) + 1)]) AS b
        |  FROM embeddings) GROUP BY 1, 2),
        |sigs AS (SELECT vec_id, list(word ORDER BY w) AS sig FROM sigw GROUP BY 1),
@@ -1306,6 +1309,52 @@ FROM e ORDER BY user_id, day"""
        |cand AS (SELECT query_id, vec_id FROM (
        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rh
        |  FROM hams) WHERE rh <= 20),
+       |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2),
+       |scored AS (SELECT query_id, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_bq_residual oracle — the two-round scaled-sign replay in
+    * exact integer units, mirroring Similarity.bqResidualIndexBuild /
+    * bqResidualSearch op-for-op: `ex` quantizes to 1e-8 units, α is
+    * the integer half-up mean |u| (nonnegative numerator — one DIV
+    * branch), r = u − sign(u)·α, β the half-up mean |r|, and each
+    * candidate scores Σᵢ qᵢ·(sign(uᵢ)·α + sign(rᵢ)·β) against the
+    * FULL-precision query units (asymmetric: associativity of exact
+    * integer arithmetic makes this equal the kernel's
+    * α·Σσ1q + β·Σσ2q). (score DESC, vec_id) cut at rerank = 20, then
+    * the family's shared exact decimal re-rank.
+    */
+  private def annBqResidualOracle: String =
+    s"""WITH $normsCte,
+       |$rawExDef,
+       |ast AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS d, sum(abs(u)) AS sa FROM ex GROUP BY 1),
+       |alph AS (SELECT vec_id, (2 * sa + d) // (2 * d) AS a FROM ast),
+       |res AS (SELECT e.vec_id, e.dim, e.u,
+       |    e.u - CASE WHEN e.u >= 0 THEN al.a ELSE -al.a END AS r
+       |  FROM ex e JOIN alph al USING (vec_id)),
+       |bst AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS d, sum(abs(r)) AS sb FROM res GROUP BY 1),
+       |bet AS (SELECT vec_id, (2 * sb + d) // (2 * d) AS b FROM bst),
+       |recon AS (SELECT r.vec_id, r.dim,
+       |    (CASE WHEN r.u >= 0 THEN al.a ELSE -al.a END)
+       |  + (CASE WHEN r.r >= 0 THEN bt.b ELSE -bt.b END) AS xh
+       |  FROM res r JOIN alph al USING (vec_id) JOIN bet bt USING (vec_id)),
+       |qex AS (SELECT vec_id AS query_id, dim, u AS qu FROM ex WHERE vec_id % 100 = 0),
+       |sc AS (SELECT q.query_id, c.vec_id, sum(q.qu * c.xh) AS score
+       |  FROM qex q JOIN recon c ON c.dim = q.dim AND c.vec_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rs
+       |  FROM sc) WHERE rs <= 20),
        |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
        |  SELECT c.query_id, c.vec_id,
        |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
@@ -1333,7 +1382,7 @@ FROM e ORDER BY user_id, day"""
        |${qProbeCte(2)},
        |sigw AS (SELECT vec_id, b.w AS w, CAST(sum(b.v) AS BIGINT) AS word FROM (
        |  SELECT vec_id, unnest([{'w': (i - 1) // 32,
-       |      'v': CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0::BIGINT END}
+       |      'v': CASE WHEN isnan(CAST(embedding[i] AS DOUBLE)) THEN 0::BIGINT WHEN embedding[i] >= 0 THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0::BIGINT END}
        |    FOR i IN range(1, len(embedding) + 1)]) AS b
        |  FROM embeddings) GROUP BY 1, 2),
        |sigs AS (SELECT vec_id, list(word ORDER BY w) AS sig FROM sigw GROUP BY 1),
@@ -1536,7 +1585,58 @@ FROM e ORDER BY user_id, day"""
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Rewrite every TOP-LEVEL CTE head `name AS (` to
+    * `name AS MATERIALIZED (` so DuckDB evaluates each chain link
+    * ONCE. DuckDB inlines CTEs by default, so a k-deep unrolled
+    * Lloyd/PQ chain whose round t references round t-1 several
+    * times re-evaluates the whole prefix per reference — the
+    * ann_ivfpq_residual replay alone measured ~9 minutes at sf0.01
+    * (the round-12 driver gate timed out on exactly this and wrote
+    * an empty artifact). Materialized, the full 161-oracle replay is
+    * ~19 s. Semantics are unchanged (MATERIALIZED is an evaluation
+    * hint). The scan is paren-depth-aware: only depth-0 CTE heads
+    * whose body starts with SELECT/WITH are rewritten, so window
+    * clauses (`WINDOW w AS (PARTITION …)`) and nested WITHs are
+    * untouched, and queries in `noMaterialize` pass through verbatim
+    * (curate_pipeline nests three sub-oracles that each define a CTE
+    * named `t` next to the recursive top-level `t` — DuckDB's binder
+    * mis-shadows the duplicates once siblings materialize; it runs
+    * in ~0.6 s inlined).
+    */
+  private[graft] def materializeCtes(sql: String): String = {
+    val head = java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]* AS \\(")
+    val out = new StringBuilder(sql.length + 512)
+    var i = 0
+    var depth = 0
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (ch == '(') { depth += 1; out.append(ch); i += 1 }
+      else if (ch == ')') { depth -= 1; out.append(ch); i += 1 }
+      else if (depth == 0) {
+        val m = head.matcher(sql)
+        if (m.region(i, sql.length).lookingAt()) {
+          var j = m.end()
+          while (j < sql.length && (sql.charAt(j) == ' ' || sql.charAt(j) == '\n' || sql.charAt(j) == '\t')) j += 1
+          val body = sql.substring(j, math.min(j + 6, sql.length)).toUpperCase
+          if (body.startsWith("SELECT") || body.startsWith("WITH"))
+            out.append(sql.substring(i, m.end() - 1)).append("MATERIALIZED (")
+          else
+            out.append(sql.substring(i, m.end()))
+          depth += 1
+          i = m.end()
+        } else { out.append(ch); i += 1 }
+      } else { out.append(ch); i += 1 }
+    }
+    out.toString
+  }
+
+  private val noMaterialize = Set("curate_pipeline")
+
+  def oracleSql: Map[String, String] = rawOracleSql.map { case (k, v) =>
+    k -> (if (noMaterialize(k)) v else materializeCtes(v))
+  }
+
+  private def rawOracleSql: Map[String, String] = Map(
     // PII redaction: identical synthesized entities + identical RE2/
     // java.util.regex-parity patterns on both sides (see piiScrubOracle).
     "text_pii_scrub" -> piiScrubOracle,
@@ -2786,6 +2886,7 @@ FROM e ORDER BY user_id, day"""
     // served path is bit-identical, one oracle for both.
     "ann_bq" -> annBqOracle,
     "ann_bq_served" -> annBqOracle,
+    "ann_bq_residual" -> annBqResidualOracle,
     // IVF-BQ: the Lloyd chain labels cells, q_probe gates the BQ
     // Hamming chain to probed-cell members; the served path is
     // bit-identical, one oracle for both.

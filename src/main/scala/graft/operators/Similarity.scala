@@ -201,8 +201,11 @@ object Similarity {
     index.centroids.zipWithIndex.map { case (units, cell) => (cell, units.toSeq) }
       .toDF("cell", "units")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    Seq((indexFormatVersion, params, corpusCount))
-      .toDF("version", "params", "n")
+    // meta LAST = commit marker; last_batch is the streaming-ingest
+    // high-water mark (same contract as the IVF-PQ meta): delta dirs
+    // with a higher id are UNCOMMITTED and skipped by the loader.
+    Seq((indexFormatVersion, params, corpusCount, -1L))
+      .toDF("version", "params", "n", "last_batch")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
 
@@ -214,38 +217,135 @@ object Similarity {
       s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
     val cents = spark.read.parquet(s"$dir/centroids.parquet").collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
-    val assigned = spark.read.parquet(s"$dir/assigned.parquet")
+    val base = spark.read.parquet(s"$dir/assigned.parquet")
       .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster"))
+    // committed streaming/append deltas join the scan (plain parquet,
+    // cluster as a data column — the base table keeps its partition
+    // pruning; deltas are micro-batch-sized until compaction folds
+    // them into the partitioned base).
+    val deltas = committedDeltaPaths(spark, dir, meta.getAs[Long]("last_batch"))
+    val assigned =
+      if (deltas.isEmpty) base
+      else base.unionByName(spark.read.parquet(deltas: _*)
+        .select(col("vec_id"), col("embedding"), col("cluster").cast("long").as("cluster")))
     SemanticIndex(cents, assigned)
+  }
+
+  /** The committed delta dirs of an incrementally-grown index:
+    * `delta_<id>.parquet` with id ≤ meta's `last_batch` — the shared
+    * listing logic of [[committedCodesPaths]], parameterized by dir.
+    * An uncommitted delta (crashed writer: dir exists, meta rewrite
+    * never ran) has id > last_batch and is skipped; its replay
+    * overwrites it. One FS listing, no data read.
+    */
+  private def committedDeltaPaths(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, lastBatch: Long): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaRe = "delta_(\\d+)\\.parquet".r
+    if (lastBatch < 0 || !fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.map(_.getPath.getName).collect {
+      case name @ deltaRe(id) if id.toLong <= lastBatch => (id.toLong, name)
+    }.sortBy(_._1).map { case (_, name) => s"$dir/$name" }
   }
 
   /** FAISS-style `add()` for the frozen semantic index — corpus
     * growth WITHOUT retraining: NEW vectors are assigned under the
-    * FROZEN centroids (one scan, no Lloyd) and appended into the
-    * cluster-partitioned assignment table; the meta `n` rewrite is
-    * the commit, written LAST. Caller-serialized like
-    * [[ivfPqIndexAppend]] (no replay idempotence — the streaming
-    * exactly-once variant is ivfPqIndexStreamAppend's delta-dir
-    * pattern, not duplicated here). Append cost ∝ the delta, never
-    * the corpus: the existing partition files are untouched.
+    * FROZEN centroids (one scan, no Lloyd) and land in their own
+    * `delta_<id>.parquet` dir; the meta rewrite (n += |delta|,
+    * last_batch = id) is the commit, written LAST. Crash-safe: a
+    * killed append leaves an UNCOMMITTED delta (id > last_batch)
+    * that every loader skips and a retry overwrites — the round-12
+    * advisor's orphan-rows hazard (the old partitioned-table
+    * mode(append) was only safe for buildIfAbsent-gated readers).
+    * Append cost ∝ the delta, never the corpus: the existing
+    * partition files are byte-untouched.
     */
   def semanticIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                           newVectors: DataFrame): Long = {
     val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
-      import spark.implicits._
+      val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+      semanticCommitDelta(spark, dir, meta, newVectors,
+        meta.getAs[Long]("last_batch") + 1)
+    }
+  }
+
+  /** Streaming `add()` for the semantic index — the exactly-once
+    * micro-batch append [[graft.streaming.SimilarityStream.semanticNearDupIngest]]
+    * calls from `foreachBatch`; the same idempotence contract as
+    * [[ivfPqIndexStreamAppend]]: delta dirs are keyed by batchId and
+    * written mode(overwrite) (an in-flight replay rewrites, never
+    * double-appends), the meta rewrite is the commit (written LAST),
+    * and a replayed ALREADY-COMMITTED batch (id ≤ last_batch) is
+    * skipped outright. Batches must commit in increasing batchId
+    * order — one streaming query per index dir. Returns the
+    * committed corpus count.
+    */
+  def semanticIndexStreamAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                batch: DataFrame, batchId: Long): Long = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+      if (batchId <= meta.getAs[Long]("last_batch")) meta.getAs[Long]("n") // committed replay
+      else semanticCommitDelta(spark, dir, meta, batch, batchId)
+    }
+  }
+
+  /** Shared delta-commit step of both semantic appends: frozen-model
+    * assignment of the batch → `delta_<id>.parquet` (mode overwrite =
+    * idempotent under replay) → meta rewrite LAST with the advanced
+    * high-water mark. Caller holds the per-dir lock.
+    */
+  private def semanticCommitDelta(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, meta: org.apache.spark.sql.Row,
+                                  batch: DataFrame, batchId: Long): Long = {
+    import spark.implicits._
+    require(meta.getAs[Int]("version") == indexFormatVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    val index = semanticIndexLoad(spark, dir, Some(meta))
+    assignCells(batch.select(col("vec_id"), col("embedding")), index.centroids)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .write.mode("overwrite").parquet(s"$dir/delta_$batchId.parquet")
+    val n = meta.getAs[Long]("n") + batch.count()
+    Seq((indexFormatVersion, meta.getAs[String]("params"), n, batchId))
+      .toDF("version", "params", "n", "last_batch")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    n
+  }
+
+  /** Fold committed deltas into the cluster-partitioned base
+    * assignment table — the semantic index's maintenance mate of
+    * [[ivfPqIndexCompact]]: repeated appends otherwise accumulate one
+    * plain-parquet dir per batch, each an FS listing + un-pruned scan
+    * relation at probe time. The folded assignment is bit-identical
+    * (same rows, one partitioned table — probes regain partition
+    * pruning over the appended rows too); meta `n` AND `last_batch`
+    * are PRESERVED so a replayed pre-compaction batch still reads as
+    * committed and skips. No-op without committed deltas. Crash-safe
+    * via [[stagedReplace]].
+    */
+  def semanticIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
       val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
       require(meta.getAs[Int]("version") == indexFormatVersion,
         s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
-      val index = semanticIndexLoad(spark, dir, Some(meta))
-      assignCells(newVectors.select(col("vec_id"), col("embedding")), index.centroids)
-        .select(col("vec_id"), col("embedding"), col("cluster"))
-        .write.mode("append").partitionBy("cluster").parquet(s"$dir/assigned.parquet")
-      val n = meta.getAs[Long]("n") + newVectors.count()
-      Seq((indexFormatVersion, meta.getAs[String]("params"), n))
-        .toDF("version", "params", "n")
-        .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
-      n
+      if (committedDeltaPaths(spark, dir, meta.getAs[Long]("last_batch")).nonEmpty) {
+        val merged = semanticIndexLoad(spark, dir, Some(meta)).assigned.honestCheckpoint()
+        stagedReplace(spark, dir) { staging =>
+          merged.write.mode("overwrite").partitionBy("cluster")
+            .parquet(s"$staging/assigned.parquet")
+          spark.read.parquet(s"$dir/centroids.parquet")
+            .repartition(1).write.mode("overwrite").parquet(s"$staging/centroids.parquet")
+          import spark.implicits._
+          Seq((indexFormatVersion, meta.getAs[String]("params"),
+              meta.getAs[Long]("n"), meta.getAs[Long]("last_batch")))
+            .toDF("version", "params", "n", "last_batch")
+            .repartition(1).write.mode("overwrite").parquet(s"$staging/meta.parquet")
+        }
+      }
     }
   }
 
@@ -306,15 +406,22 @@ object Similarity {
     * a micro-batch), so the cost per probe is one corpus-assignment
     * scan with the codegen prefilter, the serving-scan class of
     * [[pqSearch]].
+    *
+    * `excludeSelf` mirrors [[notSelf]]'s policy (advisor round 12):
+    * an ingestion batch carries its OWN id namespace, so the default
+    * keeps a corpus row whose vec_id merely collides with a batch id
+    * — pass `excludeSelf = true` only for corpus-derived batches,
+    * where id equality really means "the same vector".
     */
   def semanticProbe(index: SemanticIndex, batch: DataFrame,
-                    threshold: Double = 0.45): DataFrame = {
+                    threshold: Double = 0.45,
+                    excludeSelf: Boolean = false): DataFrame = {
     val nb = assignCells(batch.select(col("vec_id"), col("embedding")), index.centroids)
       .select(col("vec_id").as("new_id"), col("embedding").as("eb"), col("cluster"))
     index.assigned
       .select(col("vec_id").as("corpus_id"), col("embedding").as("ea"), col("cluster"))
       .join(broadcast(nb), Seq("cluster"))
-      .filter(col("corpus_id") =!= col("new_id"))
+      .filter(if (excludeSelf) col("corpus_id") =!= col("new_id") else lit(true))
       .filter(cosineFast(col("ea"), col("eb")) >= threshold - 1e-3)
       .withColumn("cosine",
         cosineExact(decDot(col("ea"), col("eb")), decNorm2(col("ea")), decNorm2(col("eb"))))
@@ -370,7 +477,11 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           (lit(c * k2) + col("cluster")).as("cluster"))
     }
-    val assigned = fine.reduce(_ unionAll _).honestCheckpoint()
+    // reduceOption: an EMPTY corpus occupies no coarse cells — degrade
+    // to the empty pair set like embeddingNearDup (advisor round 12).
+    val assigned = fine.reduceOption(_ unionAll _)
+      .getOrElse(coarse.select(col("vec_id"), col("embedding"), col("coarse").as("cluster")).limit(0))
+      .honestCheckpoint()
     withinClusterPairs(assigned, threshold, blocks)
   }
 
@@ -453,6 +564,9 @@ object Similarity {
         .select(col("coarse"), col("fine"), col("dim"),
           when(col("s") < 0, -expr("(2 * (-s) + n) DIV (2 * n)"))
             .otherwise(expr("(2 * s + n) DIV (2 * n)")).cast("long").as("m"))
+        // k₁·k₂·dim rows from here — model-parameter tail, pinned
+        // (see modelAggPartitions; the p=2048 sweep texture)
+        .repartition(modelAggPartitions, col("coarse"), col("fine"))
         .groupBy(col("coarse"), col("fine"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
         .select(col("coarse"), col("fine"), col("ms.m").as("cu"))
@@ -480,7 +594,8 @@ object Similarity {
     * decimal cosine on survivors.
     */
   def semanticProbeHier(index: HierSemanticIndex, batch: DataFrame,
-                        threshold: Double = 0.45): DataFrame = {
+                        threshold: Double = 0.45,
+                        excludeSelf: Boolean = false): DataFrame = {
     import graft.plans.IntegerUnits.l2Units
     val spark = index.assigned.sparkSession
     import spark.implicits._
@@ -497,7 +612,7 @@ object Similarity {
     index.assigned
       .select(col("vec_id").as("corpus_id"), col("embedding").as("ea"), col("cluster"))
       .join(broadcast(nb), Seq("cluster"))
-      .filter(col("corpus_id") =!= col("new_id"))
+      .filter(if (excludeSelf) col("corpus_id") =!= col("new_id") else lit(true))
       .filter(cosineFast(col("ea"), col("eb")) >= threshold - 1e-3)
       .withColumn("cosine",
         cosineExact(decDot(col("ea"), col("eb")), decNorm2(col("ea")), decNorm2(col("eb"))))
@@ -574,8 +689,10 @@ object Similarity {
     val b =
       if (blocks > 0) blocks
       else {
+        // coalesce: max(count) over an EMPTY assignment is NULL —
+        // degrade to b=1 / empty output, not an NPE (advisor round 12).
         val maxN = assigned.groupBy(col("cluster")).count()
-          .agg(max(col("count"))).collect()(0).getLong(0)
+          .agg(coalesce(max(col("count")), lit(0L))).collect()(0).getLong(0)
         math.max(1L, (maxN + 199999L) / 200000L).toInt
       }
     val e = assigned.withColumn("blk", pmod(xxhash64(col("vec_id")), lit(b)).cast("int"))
@@ -713,6 +830,14 @@ object Similarity {
   private def assignCells(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
     import graft.plans.IntegerUnits.l2Units
     val withU = df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
+    if (centroids.isEmpty)
+      // no centroids ⇒ the training corpus was empty; degrade to an
+      // empty assignment of the right shape instead of least() of
+      // zero columns (advisor round 12: empty-input SemDeDup family).
+      return withU
+        .withColumn("cluster", lit(null).cast("long"))
+        .withColumn("du", lit(null).cast("long"))
+        .limit(0)
     val ds = centroids.indices.map(i => l2Units(col("u"), lit(centroids(i))).as(s"d$i"))
     val scored = withU.select(col("vec_id") +: col("embedding") +: col("u") +: ds: _*)
     val cluster = centroids.indices.init.foldRight(lit(centroids.size - 1)) { (i, rest) =>
@@ -769,6 +894,12 @@ object Similarity {
         .select(col("cluster"), col("dim"),
           when(col("s") < 0, -expr("(2 * (-s) + n) DIV (2 * n)"))
             .otherwise(expr("(2 * s + n) DIV (2 * n)")).cast("long").as("m"))
+        // the frame is k·dim rows (MODEL parameters) from here on —
+        // pin the final fold to a few partitions instead of paying
+        // spark.sql.shuffle.partitions-way task dispatch per
+        // iteration (the p=2048 sweep texture; answers unchanged:
+        // hash aggs are partitioning-agnostic)
+        .repartition(modelAggPartitions, col("cluster"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
         .select(col("cluster"), col("ms.m").as("centroid"))
@@ -777,6 +908,15 @@ object Similarity {
     }
     centroids
   }
+
+  /** Partition count for MODEL-PARAMETER-sized aggregation tails
+    * (k·dim / k₁·k₂·dim rows): small and fixed — these frames are
+    * bounded by the model, not the corpus, so inheriting the
+    * corpus-scale spark.sql.shuffle.partitions only buys scheduler
+    * overhead per Lloyd iteration (measured 3.07× at p=2048 in the
+    * round-12 partition sweep).
+    */
+  private val modelAggPartitions = 8
 
   /** FULL IVF search: the coarse quantizer is the TRAINED k-means
     * model (vs [[annIvf]], which uses the pre-given label column as
@@ -1396,6 +1536,89 @@ object Similarity {
       defaultQueries(embeddings), k, rerank, excludeSelf = true)
   }
 
+  /** A residual binary-quantization index — the recall fix for flat
+    * BQ's 1-bit-per-dim floor (recall@5 0.64 vs SQ8's 1.00): TWO
+    * rounds of scaled sign quantization plus ASYMMETRIC scoring.
+    * Round 1 approximates the units vector as α·σ1 (σ1 = sign bits,
+    * α = the integer half-up mean |u|); round 2 sign-quantizes the
+    * integer residual r = u − α·σ1 as β·σ2. A candidate's score
+    * against a FULL-PRECISION query is the exact integer dot with
+    * the reconstruction α·σ1 + β·σ2 = α·Σσ1ᵢqᵢ + β·Σσ2ᵢqᵢ — two
+    * [[graft.plans.SignDotPackedI64]] kernel calls per scanned row
+    * (the query is never quantized: the asymmetric-distance
+    * refinement of Gordo et al., the same move ADC makes for PQ).
+    * Storage: 2 bits/dim + two Longs — 32 bytes/vector at 64 dims vs
+    * BQ's 16 and SQ8's 64. Everything is exact integer units, so the
+    * whole search carries a FULL DuckDB oracle, and the recall spec
+    * pins residual-BQ > flat BQ at equal rerank on the gate corpus.
+    *
+    * Overflow proof (engine-wide bound |e| < 0.6 → |u| < 6e7,
+    * dim = 64): |Σσq| ≤ 64·6e7 = 3.9e9; α < 6e7 so α·Σσ1q < 2.4e17;
+    * |r| ≤ |u| + α < 1.2e8 so β·Σσ2q < 4.7e17; the two-term sum is
+    * < 1e18, inside Long by a 9× margin.
+    */
+  final case class BqResidualIndex private[Similarity] (
+      sigs: DataFrame, corpus: DataFrame)
+
+  /** Encode the corpus ONCE — one scan: quantize to units, derive
+    * (α, σ1, r, β, σ2) per row. The per-row means/residuals are
+    * interpreted HOF lambdas, which is fine HERE (one encode pass at
+    * build time, dim-bounded work per row) — the SERVE path touches
+    * only the packed words + two scales through codegen kernels.
+    */
+  def bqResidualIndexBuild(embeddings: DataFrame): BqResidualIndex = {
+    import graft.plans.BinarySig.signPackUnits
+    val enc = embeddings
+      .select(col("vec_id"), units(col("embedding")).as("u"))
+      .withColumn("alpha", halfUpMeanAbs("u"))
+      .withColumn("r", transform(col("u"),
+        x => x - when(x >= 0, col("alpha")).otherwise(-col("alpha"))))
+      .withColumn("beta", halfUpMeanAbs("r"))
+      .select(col("vec_id"), signPackUnits(col("u")).as("s1"),
+        signPackUnits(col("r")).as("s2"), col("alpha"), col("beta"))
+      .honestCheckpoint()
+    BqResidualIndex(enc, embeddings.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Integer half-up mean of |xᵢ| over an array<long> — the scale
+    * step of both residual-BQ rounds (nonnegative numerator, so the
+    * sign-split DIV form degenerates to one branch; matches the
+    * oracle's `(2*s + d) // (2*d)` exactly).
+    */
+  private def halfUpMeanAbs(name: String): Column =
+    expr(s"(2 * aggregate($name, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))" +
+      s" + size($name)) DIV (2 * CAST(size($name) AS BIGINT))")
+
+  /** Search a [[BqResidualIndex]]: asymmetric two-term integer score
+    * over the signature scan, (score DESC, vec_id) candidate cut,
+    * then the family's exact decimal re-rank.
+    */
+  def bqResidualSearch(index: BqResidualIndex, queries: DataFrame, k: Int = 5,
+                       rerank: Int = 20, excludeSelf: Boolean = false): DataFrame = {
+    import graft.plans.BinarySig.signDotPacked
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), units(col("embedding")).as("qu"))
+    val wS = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    val cands = index.sigs.join(broadcast(qs), notSelf(excludeSelf))
+      .withColumn("score",
+        col("alpha") * signDotPacked(col("qu"), col("s1")) +
+          col("beta") * signDotPacked(col("qu"), col("s2")))
+      .withColumn("rs", row_number().over(wS))
+      .filter(col("rs") <= rerank)
+      .select(col("query_id"), col("qe"), col("vec_id"))
+    pqExactRerank(cands, index.corpus, k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** One-shot build + search — the `ann_bq_residual` query. */
+  def annBqResidual(embeddings: DataFrame, queries: Option[DataFrame] = None,
+                    k: Int = 5, rerank: Int = 20,
+                    queriesAreCorpusDerived: Option[Boolean] = None): DataFrame =
+    bqResidualSearch(bqResidualIndexBuild(embeddings),
+      queries.getOrElse(defaultQueries(embeddings)), k, rerank,
+      excludeSelf = queriesAreCorpusDerived.getOrElse(queries.isEmpty))
+
   /** A trained IVF-BQ index — the quantizer matrix's binary cell
     * (FAISS `IndexBinaryIVF` in spirit: coarse cells prune the scan,
     * binary signatures rank within the probed cells): trained float-
@@ -1509,7 +1732,7 @@ object Similarity {
     * incompatible layout (or a pre-version save) reads as ABSENT, so
     * the serve path rebuilds instead of mis-decoding it.
     */
-  private[graft] val indexFormatVersion = 4
+  private[graft] val indexFormatVersion = 5
 
   /** On-disk completeness check for a frozen index dir. The meta
     * table is written LAST in every save, so its `_SUCCESS` marker
@@ -1945,17 +2168,8 @@ object Similarity {
     * load, no data read.
     */
   private def committedCodesPaths(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String, lastBatch: Long): Seq[String] = {
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltaRe = "delta_(\\d+)\\.parquet".r
-    val deltas =
-      if (lastBatch < 0) Seq.empty
-      else fs.listStatus(base).toSeq.map(_.getPath.getName).collect {
-        case name @ deltaRe(id) if id.toLong <= lastBatch => (id.toLong, name)
-      }.sortBy(_._1).map { case (_, name) => s"$dir/$name" }
-    s"$dir/codes.parquet" +: deltas
-  }
+                                  dir: String, lastBatch: Long): Seq[String] =
+    s"$dir/codes.parquet" +: committedDeltaPaths(spark, dir, lastBatch)
 
   def ivfPqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
                      corpus: DataFrame,

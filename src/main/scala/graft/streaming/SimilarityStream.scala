@@ -106,6 +106,32 @@ object SimilarityStream {
     writer.start()
   }
 
+  /** Streaming corpus GROWTH for the semantic index — the SemDeDup
+    * mate of [[ivfPqIngest]]: each micro-batch of new (vec_id,
+    * embedding) rows is assigned under the FROZEN centroids and
+    * committed into the on-disk index exactly once
+    * ([[Similarity.semanticIndexStreamAppend]] — per-batch delta dirs
+    * written mode-overwrite, meta high-water mark committed LAST, so
+    * an in-flight replay rewrites its own delta and a committed
+    * replay no-ops). Probe loops see each committed batch on their
+    * next load; [[Similarity.semanticIndexCompact]] folds accumulated
+    * deltas back into the cluster-partitioned base. `onBatch`
+    * receives (batchId, committed corpus n) after each commit.
+    */
+  def semanticNearDupIngest(newVectors: DataFrame, indexDir: String,
+                            checkpointDir: Option[String] = None)
+                           (onBatch: (Long, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    val spark = newVectors.sparkSession
+    val writer = newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(id, Similarity.semanticIndexStreamAppend(spark, indexDir, batch, id))
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** Ingestion-time SemDeDup — the streaming mirror of
     * [[Similarity.dedupSemantic]]'s serve half: the semantic index
     * (centroids + corpus assignment) is built ONCE from the static

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the oracle CTE-materialization rewrite
+  * ([[SparkEntry.materializeCtes]]): DuckDB inlines CTEs by default,
+  * so every deep unrolled chain (Lloyd/PQ/ridge/GBT) re-evaluates its
+  * whole prefix per reference — the round-12 driver gate timed out on
+  * exactly that (~9 min for one oracle) and wrote an empty artifact.
+  * The rewrite must hit every top-level CTE head and NOTHING else:
+  * window clauses share the `name AS (` surface form and nested WITHs
+  * must stay inlined (DuckDB's binder mis-shadows duplicate sibling
+  * CTE names once materialized — the curate_pipeline case).
+  */
+class OracleTransformSpec extends AnyFunSuite {
+
+  test("top-level CTE heads gain MATERIALIZED; window clauses and nested WITHs do not") {
+    val sql =
+      """WITH a AS (SELECT 1 AS x),
+        |b AS (WITH t AS (SELECT 2 AS y) SELECT y FROM t),
+        |c AS (SELECT x, sum(x) OVER w AS s FROM a WINDOW w AS (PARTITION BY x), w2 AS (ORDER BY x))
+        |SELECT * FROM c""".stripMargin
+    val got = SparkEntry.materializeCtes(sql)
+    assert(got.contains("a AS MATERIALIZED (SELECT 1"))
+    assert(got.contains("b AS MATERIALIZED (WITH t AS (SELECT 2"),
+      "the nested CTE head must stay un-materialized")
+    assert(got.contains("WINDOW w AS (PARTITION BY x), w2 AS (ORDER BY x)"),
+      "window definitions must be untouched")
+    // the rewrite inserts ONLY the keyword — nothing else may change
+    assert(got.replace(" AS MATERIALIZED (", " AS (") === sql)
+  }
+
+  test("SQL without CTEs passes through byte-identical") {
+    val sql = "SELECT o_custkey, max(o_orderdate) AS d FROM orders GROUP BY o_custkey"
+    assert(SparkEntry.materializeCtes(sql) === sql)
+  }
+
+  test("every registered oracle survives the rewrite structurally") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // parentheses stay balanced and nothing beyond the keyword is added
+      assert(sql.count(_ == '(') === sql.count(_ == ')'), s"$name: unbalanced parens")
+      val stripped = sql.replace(" AS MATERIALIZED (", " AS (")
+      assert(!stripped.contains("MATERIALIZED"),
+        s"$name: MATERIALIZED must only ever appear as a CTE hint")
+    }
+  }
+}

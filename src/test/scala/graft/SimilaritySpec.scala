@@ -282,6 +282,67 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annBqResidual is deterministic, exact-reranked, and beats flat BQ's recall@5") {
+    val got = Similarity.annBqResidual(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val again = Similarity.annBqResidual(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again === got, "scaled sign rounds have no randomness — byte-identical reruns")
+    val exact = Similarity.annBruteForce(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[(Long, Long, Long, Double)]): Double =
+      rows.count(g => exact.contains((g._1, g._2))).toDouble / exact.size
+    val recall = recallOf(got)
+    val flat = recallOf(Similarity.annBq(embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+    // the point of the layout: two scaled sign rounds + asymmetric
+    // scoring must buy recall over 1-bit symmetric Hamming at the
+    // same rerank budget (measured 0.96 vs 0.56 here at sf0.001;
+    // 1.00 vs 0.64 at sf0.01 — RecallProbe)
+    assert(recall > flat, s"residual BQ recall@5 = $recall must beat flat BQ's $flat")
+    assert(recall >= 0.9, s"recall@5 vs exact = $recall drifted below the measured floor")
+    // re-rank contract: every returned cosine is the exact value
+    val exactCos = Similarity.annBruteForce(embeddings).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    got.filter(g => exactCos.contains((g._1, g._2))).foreach { g =>
+      assert(g._4 === exactCos((g._1, g._2)), s"cosine for ${(g._1, g._2)} is not the exact value")
+    }
+  }
+
+  test("residual-BQ kernels match the Column-API reference chains") {
+    import graft.plans.BinarySig.{signDotPacked, signPackUnits}
+    import graft.plans.IntegerUnits.quantizeUnits
+    // signPackUnits ≡ the per-word sign fold on quantized units
+    val dim = 64
+    val u = quantizeUnits(col("embedding"))
+    val ref = array((0 until (dim + 31) / 32).map { w =>
+      (0 until 32).map { i =>
+        when(u.getItem(w * 32 + i) >= lit(0L), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    assert(embeddings.select(signPackUnits(u).as("k"), ref.as("r"))
+      .filter(col("k") =!= col("r")).count() === 0L)
+    // signDotPacked ≡ Σ (bit ? q : -q) with a collected probe signature
+    val probe = embeddings.orderBy(col("vec_id")).limit(1)
+      .select(signPackUnits(u)).collect()(0).getSeq[Long](0).toArray
+    embeddings.select(col("vec_id"), u.as("qu"),
+        signDotPacked(u, lit(probe)).as("sd")).collect().foreach { r =>
+      val q = r.getSeq[Long](1)
+      val want = q.indices.map { i =>
+        if ((probe(i / 32) & (1L << (i % 32))) != 0L) q(i) else -q(i)
+      }.sum
+      assert(r.getLong(2) === want, s"signDot drifted for vec ${r.getLong(0)}")
+    }
+    // loud length mismatch, the family policy
+    import spark.implicits._
+    val bad = intercept[Exception] {
+      Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("q", "sig")
+        .select(signDotPacked(col("q"), col("sig"))).collect()
+    }
+    assert(bad.getMessage.contains("sign_dot_packed") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("sign_dot_packed"))
+  }
+
   test("BQ index round-trips through parquet; served search is bit-identical and never rebuilds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bq_rt").toString
     val fresh = Similarity.annBq(embeddings).collect().map(_.toString).toSeq
@@ -915,6 +976,96 @@ class SimilaritySpec extends SparkSpec {
         assert(r.getLong(2) === appended(twin),
           s"appended assignment of $twin diverged from the frozen-model probe cell")
     }
+  }
+
+  test("semanticIndexStreamAppend: exactly-once per batch — replays skip, uncommitted deltas invisible") {
+    val base = embeddings.filter(col("vec_id") % 10 > 1)
+    val b1 = embeddings.filter(col("vec_id") % 10 === 0)
+    val b2 = embeddings.filter(col("vec_id") % 10 === 1)
+    val built = Similarity.semanticIndexBuild(base, k = 4)
+    val nBase = base.count()
+    def assignedSet(dir: String): Set[(Long, Long)] =
+      Similarity.semanticIndexLoad(spark, dir).assigned
+        .select(col("vec_id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the caller-serialized double-append (itself pinned to
+    // the frozen-model Lloyd chain by the dedup_semantic_appended oracle)
+    val refDir = java.nio.file.Files.createTempDirectory("graft_sem_stream_ref").toString
+    Similarity.semanticIndexSave(built, refDir, "sem-stream-spec", nBase)
+    Similarity.semanticIndexAppend(spark, refDir, b1)
+    Similarity.semanticIndexAppend(spark, refDir, b2)
+    val want = assignedSet(refDir)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_stream").toString
+    Similarity.semanticIndexSave(built, dir, "sem-stream-spec", nBase)
+    val n1 = Similarity.semanticIndexStreamAppend(spark, dir, b1, batchId = 0)
+    assert(n1 === nBase + b1.count())
+    // an UNCOMMITTED delta (crashed writer: dir present, meta not
+    // bumped) must be invisible to every loader
+    b2.limit(3).select(col("vec_id"), col("embedding"))
+      .withColumn("cluster", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/delta_1.parquet")
+    val afterTorn = assignedSet(dir)
+    assert(!afterTorn.exists(_._1 % 10 == 1),
+      "a delta dir beyond meta's last_batch must be ignored")
+    // the replayed batch OVERWRITES the torn delta and commits
+    val n2 = Similarity.semanticIndexStreamAppend(spark, dir, b2, batchId = 1)
+    assert(n2 === n1 + b2.count())
+    assert(assignedSet(dir) === want,
+      "two-batch stream ingest must equal the in-memory double-append")
+    // a replay of an already-committed batch is a no-op
+    assert(Similarity.semanticIndexStreamAppend(spark, dir, b1, batchId = 0) === n2)
+    assert(assignedSet(dir) === want, "a replayed committed batch must change nothing")
+    // appended rows carry the frozen-model assignment: a re-keyed twin
+    // probes into exactly its twin's committed cell
+    val loaded = Similarity.semanticIndexLoad(spark, dir)
+    val cells = loaded.assigned.filter(col("vec_id") % 10 <= 1)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cells.nonEmpty)
+    val probed = Similarity.semanticProbe(loaded,
+      embeddings.filter(col("vec_id") % 10 <= 1)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))).collect()
+    probed.foreach { r =>
+      val twin = r.getLong(0) - 1000000L
+      if (r.getLong(1) == twin)
+        assert(r.getLong(2) === cells(twin),
+          s"ingested assignment of $twin diverged from the frozen-model probe cell")
+    }
+  }
+
+  test("semanticIndexCompact folds deltas into the partitioned base, bit-identically") {
+    val base = embeddings.filter(col("vec_id") % 10 > 1)
+    val b1 = embeddings.filter(col("vec_id") % 10 === 0)
+    val b2 = embeddings.filter(col("vec_id") % 10 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_compact").toString
+    Similarity.semanticIndexSave(Similarity.semanticIndexBuild(base, k = 4),
+      dir, "sem-compact-spec", base.count())
+    Similarity.semanticIndexStreamAppend(spark, dir, b1, batchId = 0)
+    val n = Similarity.semanticIndexStreamAppend(spark, dir, b2, batchId = 1)
+    def assignedSet(): Set[(Long, Long, Seq[Float])] =
+      Similarity.semanticIndexLoad(spark, dir).assigned.collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("cluster"), r.getSeq[Float](1))).toSet
+    val want = assignedSet()
+    Similarity.semanticIndexCompact(spark, dir)
+    assert(deltaDirs(dir).isEmpty, "compaction must fold every committed delta away")
+    assert(assignedSet() === want, "compaction must not change a single assignment bit")
+    // the folded rows live in the CLUSTER-PARTITIONED base again
+    // (probes regain partition pruning over the appended rows)
+    val parts = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "assigned.parquet")).toArray.map(_.toString)
+      .filter(_.contains("cluster="))
+    assert(parts.nonEmpty)
+    // meta n AND the high-water mark survive: a replayed
+    // pre-compaction batch must still read as committed and skip
+    assert(Similarity.semanticIndexStreamAppend(spark, dir, b1, batchId = 0) === n)
+    assert(deltaDirs(dir).isEmpty && assignedSet() === want,
+      "a replayed committed batch after compaction must still be a no-op")
+    // nothing committed beyond the base → compaction is a no-op
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    Similarity.semanticIndexCompact(spark, dir)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0)
   }
 
   test("served index rebuilds on EQUAL-COUNT content drift (source stamp)") {

@@ -145,6 +145,51 @@ class SimilarityStreamSpec extends SparkSpec {
       .select(col("neighbor_id")).collect().map(_.getLong(0)).exists(_ % 10 <= 1))
   }
 
+  test("semanticNearDupIngest appends each micro-batch exactly once under the frozen model") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val base = all.filter(col("vec_id") % 10 > 1)
+    val newRows = all.filter(col("vec_id") % 10 <= 1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (batch1, batch2) = newRows.splitAt(newRows.size / 2)
+    assert(batch1.nonEmpty && batch2.nonEmpty)
+    val built = Similarity.semanticIndexBuild(base, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_ingest").toString
+    Similarity.semanticIndexSave(built, dir, "sem-ingest-spec", base.count())
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val commits = scala.collection.mutable.Map.empty[Long, Long]
+    val q = graft.streaming.SimilarityStream.semanticNearDupIngest(
+      input.toDF().toDF("vec_id", "embedding"), dir) {
+      (id, n) => commits.synchronized { commits(id) = n }
+    }
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = commits.synchronized(commits.toMap)
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(1L) === all.count(), "every new vector must be committed exactly once")
+    // the ingested assignment is bit-identical to the in-memory
+    // double-append under the SAME frozen model (no retrain happened)
+    val refDir = java.nio.file.Files.createTempDirectory("graft_sem_ingest_ref").toString
+    Similarity.semanticIndexSave(built, refDir, "sem-ingest-spec", base.count())
+    Similarity.semanticIndexAppend(spark, refDir, batch1.toDF("vec_id", "embedding"))
+    Similarity.semanticIndexAppend(spark, refDir, batch2.toDF("vec_id", "embedding"))
+    def assigned(d: String): Set[(Long, Long)] =
+      Similarity.semanticIndexLoad(spark, d).assigned
+        .select(col("vec_id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assigned(dir) === assigned(refDir))
+    // a replayed committed batch no-ops at the commit layer (what the
+    // checkpoint replays after a restart mid-batch)
+    assert(Similarity.semanticIndexStreamAppend(spark, dir,
+      batch1.toDF("vec_id", "embedding"), batchId = 0) === got(1L))
+    assert(assigned(dir) === assigned(refDir), "a replayed committed batch must change nothing")
+  }
+
   test("semantic near-dup serving matches the static probe per micro-batch and finds re-keyed twins") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val corpus = Tables(spark, "/root/testdata/sf0.001").embeddings
