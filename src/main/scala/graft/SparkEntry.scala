@@ -240,6 +240,9 @@ object SparkEntry {
       nprobe = 2)),
     "text_langid"         -> ((s, d) => TextOps.langId(Tables(s, d).documents)),
     "text_pii_scrub"      -> ((s, d) => TextOps.piiScrub(Tables(s, d).documents)),
+    // HTML boilerplate stripping over synthesized doc_id-derived
+    // markup (the pii_scrub synthesis pattern — §2 #28d)
+    "text_html_extract"   -> ((s, d) => TextOps.htmlExtract(Tables(s, d).documents)),
     "text_quality"        -> ((s, d) => TextOps.quality(Tables(s, d).documents)),
     "text_tokens"         -> ((s, d) => TextOps.tokenStats(Tables(s, d).documents)),
     "text_fingerprint"    -> ((s, d) => TextOps.fingerprint(Tables(s, d).documents)),
@@ -1585,6 +1588,52 @@ FROM e ORDER BY user_id, day"""
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  /** text_html_extract oracle — identical synthesized page skeleton
+    * + identical removal patterns ([[operators.TextOps.htmlPatterns]],
+    * same parity domain as the PII patterns), line heuristics as
+    * list_filter, entity decode as a literal replace chain with
+    * `&amp;` last.
+    */
+  private def htmlExtractOracle: String = {
+    val pats = operators.TextOps.htmlPatterns
+    val counts = pats.map { case (n, p) =>
+      s"CAST(len(regexp_extract_all(html, '$p')) AS BIGINT) AS n_${n}s"
+    }.mkString(",\n  ")
+    val untagged = pats.foldLeft("html") { case (c, (_, p)) =>
+      s"regexp_replace($c, '$p', ' ', 'g')"
+    }
+    val decoded = operators.TextOps.htmlEntities.foldLeft("array_to_string(kept, chr(10))") {
+      case (c, (e, r)) =>
+        val rep = if (r == "'") "chr(39)" else s"'$r'"
+        s"replace($c, '$e', $rep)"
+    }
+    s"""WITH h AS (SELECT doc_id,
+       |  '<!DOCTYPE html>' || chr(10) || '<html><head><title>Doc ' || doc_id || '</title>' || chr(10) ||
+       |  '<script>var page = ' || doc_id || ';</script>' || chr(10) ||
+       |  '<style>.c' || (doc_id % 10) || ' { color: red }</style>' || chr(10) ||
+       |  (CASE WHEN doc_id % 3 = 0 THEN '<!-- build ' || doc_id || ' -->' || chr(10) ELSE '' END) ||
+       |  '</head><body>' || chr(10) ||
+       |  '<nav>Home | About | Item ' || (doc_id % 50) || '</nav>' || chr(10) ||
+       |  '<h1>Doc ' || doc_id || '</h1>' || chr(10) ||
+       |  '<p>' || text || (CASE WHEN doc_id % 4 = 1 THEN ' &lt;cite&gt; &amp; &quot;quoted&quot; &#39;marked&#39;' ELSE '' END) || '</p>' || chr(10) ||
+       |  '<footer>Copyright ' || (doc_id % 25 + 2000) || ' example.com</footer>' || chr(10) ||
+       |  '</body></html>' AS html FROM documents),
+       |u AS (SELECT doc_id, html, $untagged AS untagged FROM h),
+       |k AS (SELECT doc_id, html, string_split(untagged, chr(10)) AS lines,
+       |  list_filter(string_split(untagged, chr(10)),
+       |    l -> len(trim(l)) >= 30 AND strpos(l, '|') = 0 AND NOT starts_with(trim(l), 'Copyright')) AS kept
+       |  FROM u),
+       |e AS (SELECT doc_id, html, lines, kept, $decoded AS extract FROM k)
+       |SELECT doc_id,
+       |  $counts,
+       |  CAST(len(regexp_extract_all(html, '&[A-Za-z]+;|&#[0-9]+;')) AS BIGINT) AS n_entities,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(length(extract) AS BIGINT) AS extract_len,
+       |  md5(extract) AS extract_md5
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   /** Rewrite every TOP-LEVEL CTE head `name AS (` to
     * `name AS MATERIALIZED (` so DuckDB evaluates each chain link
     * ONCE. DuckDB inlines CTEs by default, so a k-deep unrolled
@@ -1640,6 +1689,7 @@ FROM e ORDER BY user_id, day"""
     // PII redaction: identical synthesized entities + identical RE2/
     // java.util.regex-parity patterns on both sides (see piiScrubOracle).
     "text_pii_scrub" -> piiScrubOracle,
+    "text_html_extract" -> htmlExtractOracle,
     "text_token_rank" -> tokenRankOracle(),
     "fin_ridge_gram" -> ridgeGramOracle,
     "fin_ridge" -> ridgePredictOracle,

@@ -504,6 +504,96 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Markup-removal patterns shared verbatim between the Spark
+    * extractor and the DuckDB oracle — same parity domain as
+    * [[piiPatterns]] (no lookaround/backreferences; `[^<]`/`[^>]`
+    * content classes instead of non-greedy dot so matching is
+    * single-pass in both engines). Script/style bodies match via
+    * "no '<' until the closing tag" — exactly the shape
+    * [[synthesizeHtml]] fabricates, stated as the operator's
+    * documented (and realistic: inline analytics snippets) domain.
+    */
+  val htmlPatterns: Seq[(String, String)] = Seq(
+    ("script", "<script[^<]*</script>"),
+    ("style", "<style[^<]*</style>"),
+    ("comment", "<!--[^>]*-->"),
+    ("tag", "</?[A-Za-z!][^>]*>"))
+
+  /** HTML entities decoded AFTER tag stripping (the standard order:
+    * a decoded `&lt;tag&gt;` must not re-enter the tag stripper),
+    * `&amp;` LAST so `&amp;lt;` decodes to the literal `&lt;` like a
+    * real extractor. Literal string replaces — no regex.
+    */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"))
+
+  /** Deterministic HTML wrapping — [[synthesizePii]]'s pattern for
+    * markup: the corpus carries no HTML, so the extractor's input is
+    * the real text wrapped in a doc_id-derived page skeleton (title/
+    * script/style head, nav with pipe separators, h1, footer with a
+    * Copyright line — the classic boilerplate shapes), with a
+    * comment block every third doc and an entity cluster every
+    * doc_id % 4 == 1. Both engines rebuild identical strings, so
+    * every count and the extracted-text hash carry a full oracle.
+    */
+  def synthesizeHtml(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val entities = when(id % 4 === 1,
+      lit(" &lt;cite&gt; &amp; &quot;quoted&quot; &#39;marked&#39;")).otherwise(lit(""))
+    val comment = when(id % 3 === 0,
+      concat(lit("<!-- build "), id, lit(" -->\n"))).otherwise(lit(""))
+    documents.select(id, concat(
+      lit("<!DOCTYPE html>\n<html><head><title>Doc "), id, lit("</title>\n"),
+      lit("<script>var page = "), id, lit(";</script>\n"),
+      lit("<style>.c"), id % 10, lit(" { color: red }</style>\n"),
+      comment,
+      lit("</head><body>\n"),
+      lit("<nav>Home | About | Item "), id % 50, lit("</nav>\n"),
+      lit("<h1>Doc "), id, lit("</h1>\n"),
+      lit("<p>"), col("text"), entities, lit("</p>\n"),
+      lit("<footer>Copyright "), id % 25 + 2000, lit(" example.com</footer>\n"),
+      lit("</body></html>")).as("html"))
+  }
+
+  /** HTML/markup boilerplate stripping — the extraction pass every
+    * web-scale pretraining pipeline runs before quality scoring and
+    * dedup: drop script/style/comment blocks, strip tags (replaced
+    * by a space so adjacent words don't fuse), keep only CONTENT
+    * lines (the boilerplate-line heuristic: a kept line has ≥ 30
+    * trimmed chars, no '|' menu separators, and is not a Copyright
+    * footer), then decode entities in the surviving text. Counts are
+    * per-pattern over the RAW html (independent, the [[piiScrub]]
+    * convention); only the removal chain is ordered. Pure per-row
+    * Column algebra — regexp chains + one bounded line filter per
+    * doc — one scan, no shuffle; output pins the whole extraction
+    * byte-for-byte via length + md5 without shipping the text.
+    */
+  def htmlExtract(documents: DataFrame): DataFrame = {
+    val withHtml = synthesizeHtml(documents)
+    val counts = htmlPatterns.map { case (name, pat) =>
+      regexp_count(col("html"), lit(pat)).cast("long").as(s"n_${name}s")
+    } :+ regexp_count(col("html"), lit("&[A-Za-z]+;|&#[0-9]+;")).cast("long").as("n_entities")
+    val untagged = htmlPatterns.foldLeft(col("html")) { case (c, (_, pat)) =>
+      regexp_replace(c, pat, " ")
+    }
+    val lines = split(untagged, "\n")
+    val kept = filter(lines, l =>
+      length(trim(l)) >= 30 && instr(l, "|") === 0 &&
+        !trim(l).startsWith("Copyright"))
+    val joined = array_join(kept, "\n")
+    val decoded = htmlEntities.foldLeft(joined) { case (c, (e, r)) =>
+      regexp_replace(c, lit(java.util.regex.Pattern.quote(e)), lit(r))
+    }
+    withHtml
+      .select(col("doc_id") +: counts :+ size(lines).cast("long").as("n_lines")
+        :+ size(kept).cast("long").as("n_kept") :+ decoded.as("extract"): _*)
+      .select(col("doc_id"), col("n_scripts"), col("n_styles"), col("n_comments"),
+        col("n_tags"), col("n_entities"), col("n_lines"), col("n_kept"),
+        length(col("extract")).cast("long").as("extract_len"),
+        md5(col("extract")).as("extract_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def fingerprint(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))

@@ -194,4 +194,46 @@ class TextOpsSpec extends SparkSpec {
       assert(clean.length.toLong === rows(id)._5)
     }
   }
+
+  test("htmlExtract strips markup, drops boilerplate lines, decodes entities — hand-checked") {
+    val long = "this content line carries more than thirty characters of prose"
+    val docs = (0L until 24L).map(i => (i, s"$long number $i")).toDF("doc_id", "text")
+    val rows = TextOps.htmlExtract(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === 24)
+    rows.foreach { case (id, r) =>
+      assert(r.getLong(1) === 1L, s"doc $id n_scripts")
+      assert(r.getLong(2) === 1L, s"doc $id n_styles")
+      assert(r.getLong(3) === (if (id % 3 == 0) 1L else 0L), s"doc $id n_comments")
+      // entity cluster only on id % 4 == 1: 5 entities (&lt; &gt; &amp; 2×&quot; 2×&#39; = 7)
+      assert(r.getLong(5) === (if (id % 4 == 1) 7L else 0L), s"doc $id n_entities")
+      // boilerplate dropped: title/nav/h1/footer lines never survive —
+      // the only kept line is the <p> content line
+      assert(r.getLong(7) === 1L, s"doc $id n_kept")
+    }
+    // JVM-side replay: same skeleton, java.util.regex chain → same md5;
+    // extract starts at the content (no tags, no Copyright, no pipes)
+    val skeleton = TextOps.synthesizeHtml(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    skeleton.foreach { case (id, html) =>
+      val untagged = TextOps.htmlPatterns.foldLeft(html) { case (t, (_, p)) =>
+        t.replaceAll(p, " ")
+      }
+      val kept = untagged.split("\n", -1).filter { l =>
+        l.trim.length >= 30 && !l.contains("|") && !l.trim.startsWith("Copyright")
+      }
+      val extract = TextOps.htmlEntities.foldLeft(kept.mkString("\n")) {
+        case (t, (e, rep)) => t.replace(e, rep)
+      }
+      assert(!extract.contains("<script") && !extract.contains("Copyright"),
+        s"doc $id: boilerplate residue in '$extract'")
+      if (id % 4 == 1)
+        assert(extract.contains("<cite> & \"quoted\" 'marked'"),
+          s"doc $id: entities not decoded in '$extract'")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(extract.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5 === rows(id).getString(9), s"doc $id extract md5 mismatch")
+      assert(extract.length.toLong === rows(id).getLong(8), s"doc $id extract_len")
+    }
+  }
 }
