@@ -419,6 +419,41 @@ object ScaleProbe {
           fixedQ.get.select(col("vec_id") + 1000000000L as "vec_id", col("embedding")),
           threshold = 0.45).count()
       }),
+      // The HANDOFF measurement (round-13 verdict #8): the flat serve
+      // probe AT ITS k ≤ 64 plan-literal cap on whatever corpus it is
+      // given. At 100× the SemDeDup contract wants k = 400; capped at
+      // 64, each cell holds ~6× its budgeted rows, so the probe join
+      // fans ~6× the pairs — this row records what the flat layout
+      // degrades to exactly where the hier index takes over
+      // (sem_probe_hier_served is the row that holds the contract
+      // there). Index dir is cap-keyed so it never collides with the
+      // uncapped 10× dir.
+      "sem_probe_flat_cap" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_semcap_index"
+        val kk = math.min(4 * k.toInt, 64)
+        val (params, n) = (s"semcap;k=$kk;it=3;src=${operators.Similarity.sourceStamp(em)}", em.count())
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+          operators.Similarity.semanticIndexSave(
+            operators.Similarity.semanticIndexBuild(em, kk), staging, params, n)
+        }
+        operators.Similarity.semanticProbe(
+          operators.Similarity.semanticIndexLoad(spark, dir, Some(meta)),
+          fixedQ.get.select(col("vec_id") + 1000000000L as "vec_id", col("embedding")),
+          threshold = 0.45).count()
+      }),
+      // Grouped trainer at HIGH k₁ (round-13 verdict #8, after the
+      // model-parameter aggregation pinning landed): k₁ = 64 (the
+      // coarse plan-literal kernel budget — the honest ceiling; past
+      // it the COARSE level needs the same centroids-as-data join the
+      // fine level already uses, a documented residual), k₂ sized so
+      // k₁·k₂ tracks the corpus contract. The looped trainer here
+      // would serialize k₁ × iters ≈ 192 train job-groups; grouped
+      // runs 3 assignment jobs per fine iteration regardless of k₁ —
+      // this row records what that buys where it matters.
+      "dedup_sem_hier_grp_wide" -> ((_, _, _, em, k) => {
+        val k2 = math.max(1, math.ceil(4.0 * k / 64).toInt)
+        operators.Similarity.dedupSemanticHierGrouped(em, k1 = 64, k2 = k2).count()
+      }),
       // The TWO-LEVEL serve probe — the one that CAN run at 100×:
       // k₁·k₂ tracks the corpus (side = ⌈√(4·mult)⌉ each) but the
       // probe-side plan stays O(k₁) kernels + one broadcast fine-
