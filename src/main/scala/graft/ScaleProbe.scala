@@ -441,6 +441,15 @@ object ScaleProbe {
           fixedQ.get.select(col("vec_id") + 1000000000L as "vec_id", col("embedding")),
           threshold = 0.45).count()
       }),
+      // The WIDE (centroids-as-data) flat trainer at the corpus
+      // contract's k = 4·mult WITHOUT any cap — the run the
+      // plan-literal trainer physically cannot make past k ≈ 64
+      // (k = 400 melted the JIT code cache): plan size is O(1) in k,
+      // so the only cost is the n×k assignment fan-out. This is the
+      // single-level alternative to the hier factorization at the
+      // second/third decade — both paths now carry measured rows.
+      "dedup_semantic_wide" -> ((_, _, _, em, k) =>
+        operators.Similarity.dedupSemanticWide(em, k = 4 * k.toInt).count()),
       // Grouped trainer at HIGH k₁ (round-13 verdict #8, after the
       // model-parameter aggregation pinning landed): k₁ = 64 (the
       // coarse plan-literal kernel budget — the honest ceiling; past

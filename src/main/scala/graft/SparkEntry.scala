@@ -142,6 +142,9 @@ object SparkEntry {
     // sub-quadratic scale companion to dedup_embedding -> full oracle
     // (lloydCtes + within-cluster self-join)
     "dedup_semantic"      -> ((s, d) => Similarity.dedupSemantic(Tables(s, d).embeddings, k = 4)),
+    // centroids-as-data trainer (k unbounded by plan size) —
+    // bit-identical to dedup_semantic at equal k, shared oracle
+    "dedup_semantic_wide" -> ((s, d) => Similarity.dedupSemanticWide(Tables(s, d).embeddings, k = 4)),
     // Hierarchical SemDeDup (coarse cells -> per-cell fine k-means):
     // the second-decade scale path where flat assignment's n*k*d
     // term turns quadratic; oracle = coarse Lloyd chain + one
@@ -2788,6 +2791,7 @@ FROM e ORDER BY user_id, day"""
     // within-cluster self-join re-derives the exact decimal cosine —
     // the candidate set AND the verified pairs must both agree.
     "dedup_semantic" -> dedupSemanticOracle,
+    "dedup_semantic_wide" -> dedupSemanticOracle,
     // Frozen-lifecycle serve path: bit-identical to dedup_semantic
     // (assignment survives the parquet round trip), same oracle.
     "dedup_semantic_served" -> dedupSemanticOracle,

@@ -183,6 +183,138 @@ object Similarity {
     SemanticIndex(centroids, assigned)
   }
 
+  /** [[semanticIndexBuild]] with CENTROIDS AS DATA — the flat
+    * trainer freed of its plan-literal kernel budget: [[train]] /
+    * [[assignCells]] encode each centroid as a codegen kernel
+    * literal, which caps k at ~64 (k = 400 measured as JIT
+    * code-cache exhaustion — the reason the hier index exists for
+    * the second decade). Here centroids live in a broadcast
+    * (cluster, cu) frame — the grouped fine trainer's algebra with
+    * one global cell — so plan size is O(1) in k and k can track the
+    * corpus through the THIRD decade directly (k in the hundreds on
+    * one level, the residual the round-13 wide-k₁ probe documented
+    * at the coarse level). BIT-IDENTICAL to [[semanticIndexBuild]]
+    * by construction (same md5-seeded init, same (du, cluster)
+    * lexicographic argmin = assignCells' lowest-cluster tiebreak,
+    * same sign-split half-up integer means, empty clusters keep
+    * their previous centroid) — spec-pinned at overlapping k, and
+    * `dedup_semantic_wide` shares dedup_semantic's FULL oracle.
+    * Trade: the data join fans n×k rows through one shuffle-free
+    * broadcast per iteration vs k codegen kernels per row — at small
+    * k the kernels win (gate p50 texture), at k past the budget only
+    * this path runs.
+    */
+  def semanticIndexBuildWide(embeddings: DataFrame, k: Int = 8,
+                             iters: Int = 3): SemanticIndex = {
+    val centroids = trainData(embeddings, k, iters)
+    val assigned = assignCellsData(embeddings.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .honestCheckpoint()
+    SemanticIndex(centroids, assigned)
+  }
+
+  /** SemDeDup pairs over the wide (centroids-as-data) build —
+    * bit-identical to [[dedupSemantic]] at equal k (shared oracle);
+    * the registration that keeps the unbounded-k path gate-checked.
+    */
+  def dedupSemanticWide(embeddings: DataFrame, k: Int = 8, iters: Int = 3,
+                        threshold: Double = 0.45, blocks: Int = 0): DataFrame =
+    withinClusterPairs(semanticIndexBuildWide(embeddings, k, iters).assigned,
+      threshold, blocks)
+
+  /** [[semanticProbe]] through the data-join assignment — the serve
+    * mate for wide-k indexes where k plan-literal kernels per batch
+    * row would rebuild the cap the wide trainer removed.
+    */
+  def semanticProbeWide(index: SemanticIndex, batch: DataFrame,
+                        threshold: Double = 0.45,
+                        excludeSelf: Boolean = false): DataFrame = {
+    val nb = assignCellsData(batch.select(col("vec_id"), col("embedding")), index.centroids)
+      .select(col("vec_id").as("new_id"), col("embedding").as("eb"), col("cluster"))
+    index.assigned
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("ea"), col("cluster"))
+      .join(broadcast(nb), Seq("cluster"))
+      .filter(if (excludeSelf) col("corpus_id") =!= col("new_id") else lit(true))
+      .filter(cosineFast(col("ea"), col("eb")) >= threshold - 1e-3)
+      .withColumn("cosine",
+        cosineExact(decDot(col("ea"), col("eb")), decNorm2(col("ea")), decNorm2(col("eb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("cluster"), col("cosine"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** Nearest-centroid assignment against a CENTROID FRAME: fan each
+    * vector over the broadcast (cluster, cu) rows, one integer-L2
+    * kernel call per (vector, centroid) pair, lexicographic
+    * `min(struct(du, cluster))` argmin — [[assignCells]]' semantics
+    * (lowest-cluster tiebreak) with plan size O(1) in k. Same output
+    * shape as assignCells.
+    */
+  private def assignCellsData(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
+    import graft.plans.IntegerUnits.l2Units
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withU = df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
+    if (centroids.isEmpty)
+      return withU
+        .withColumn("cluster", lit(null).cast("long"))
+        .withColumn("du", lit(null).cast("long"))
+        .limit(0)
+    val centsDf = centroids.zipWithIndex
+      .map { case (cu, i) => (i.toLong, cu.toSeq) }.toDF("cluster", "cu")
+    withU.crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), col("embedding"), col("u"),
+        struct(l2Units(col("u"), col("cu")).as("du"), col("cluster")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("p")).as("p"), first(col("embedding")).as("embedding"),
+        first(col("u")).as("u"))
+      .select(col("vec_id"), col("embedding"), col("u"),
+        col("p.cluster").as("cluster"), col("p.du").as("du"))
+  }
+
+  /** Lloyd's loop over [[assignCellsData]] — [[train]]'s contract
+    * (md5-seeded init, argmin with lowest-cluster tiebreak, sign-
+    * split half-up integer means, empty clusters keep their previous
+    * centroid; returns k×dim model parameters) with the broadcast
+    * centroid frame in place of plan literals, so k is bounded by
+    * broadcast size (k×dim longs — millions before it matters), not
+    * by the JIT code cache. Bit-identical to [[train]] at any k both
+    * can run (spec-pinned).
+    */
+  private def trainData(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import graft.plans.IntegerUnits.l2Units
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    var cents: Seq[(Long, Seq[Long])] = vecs
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(units(col("embedding")).as("u"))
+      .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }.toSeq
+    for (_ <- 1 to iters) {
+      val centsDf = cents.toDF("cluster", "cu")
+      val means = vecs
+        .select(col("vec_id"), units(col("embedding")).as("u"))
+        .crossJoin(broadcast(centsDf))
+        .select(col("vec_id"), col("u"),
+          struct(l2Units(col("u"), col("cu")).as("du"), col("cluster")).as("p"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("p")).as("p"), first(col("u")).as("u"))
+        .select(col("p.cluster").as("cluster"), posexplode(col("u")).as(Seq("dim", "uu")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("uu")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          when(col("s") < 0, -expr("(2 * (-s) + n) DIV (2 * n)"))
+            .otherwise(expr("(2 * s + n) DIV (2 * n)")).cast("long").as("m"))
+        .repartition(modelAggPartitions, col("cluster"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cluster"), col("ms.m").as("centroid"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      cents = cents.map { case (c, prev) => (c, means.getOrElse(c, prev)) }
+    }
+    cents.sortBy(_._1).map(_._2.toArray)
+  }
+
   /** Persist a [[SemanticIndex]] — the same frozen-index contract as
     * the ANN family (meta written LAST as the commit marker, version
     * + params + corpus-count fingerprint), with one layout choice

@@ -978,6 +978,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("wide (centroids-as-data) trainer is bit-identical to the plan-literal one and runs past the kernel cap") {
+    // bit parity at every k both trainers can run
+    for (k <- Seq(4, 8)) {
+      val a = Similarity.dedupSemantic(embeddings, k = k).collect().map(_.toString).toSeq
+      val b = Similarity.dedupSemanticWide(embeddings, k = k).collect().map(_.toString).toSeq
+      assert(b === a, s"wide trainer diverged from the literal trainer at k=$k")
+    }
+    // the point of the layout: k = 128 — double the plan-literal
+    // budget that melted the JIT at 400 — trains, assigns, and probes
+    // through O(1)-size plans
+    val wide = Similarity.semanticIndexBuildWide(embeddings, k = 128)
+    assert(wide.centroids.size === 128)
+    val used = wide.assigned.select(col("cluster")).distinct().count()
+    assert(used > 64, s"only $used clusters used — the wide set isn't doing anything")
+    val cells = wide.assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = embeddings.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val probed = Similarity.semanticProbeWide(wide, batch).collect()
+    cells.keys.foreach { twin =>
+      val hit = probed.find(r => r.getLong(0) == twin + 1000000L && r.getLong(1) == twin)
+      assert(hit.isDefined, s"re-keyed twin of $twin missing from the wide probe")
+      assert(hit.get.getDouble(3) === 1.0)
+      assert(hit.get.getLong(2) === cells(twin),
+        s"wide probe assignment of $twin diverged from its trained cell")
+    }
+  }
+
   test("semanticIndexStreamAppend: exactly-once per batch — replays skip, uncommitted deltas invisible") {
     val base = embeddings.filter(col("vec_id") % 10 > 1)
     val b1 = embeddings.filter(col("vec_id") % 10 === 0)
