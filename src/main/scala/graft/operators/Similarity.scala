@@ -207,11 +207,22 @@ object Similarity {
   def semanticIndexBuildWide(embeddings: DataFrame, k: Int = 8,
                              iters: Int = 3): SemanticIndex = {
     val centroids = trainData(embeddings, k, iters)
-    val assigned = assignCellsData(embeddings.select(col("vec_id"), col("embedding")), centroids)
+    // spread the corpus-side fan like the trainer (see spreadForFan)
+    val assigned = assignCellsData(
+        spreadForFan(embeddings.select(col("vec_id"), col("embedding"))), centroids)
       .select(col("vec_id"), col("embedding"), col("cluster"))
       .honestCheckpoint()
     SemanticIndex(centroids, assigned)
   }
+
+  /** Repartition a corpus frame to the session's parallelism before
+    * a per-row k-fold fan-out stage. Narrow inputs (a single compact
+    * parquet split) otherwise serialize the amplified work on one
+    * core; probe BATCHES skip this (they are broadcast-bound, not
+    * fan-bound).
+    */
+  private def spreadForFan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** SemDeDup pairs over the wide (centroids-as-data) build —
     * bit-identical to [[dedupSemantic]] at equal k (shared oracle);
@@ -285,7 +296,14 @@ object Similarity {
     val spark = embeddings.sparkSession
     import spark.implicits._
     import graft.plans.IntegerUnits.l2Units
-    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    // spread BEFORE the n×k fan-out: the fan and its map-side partial
+    // argmin run inside the scan task, so a compact parquet table
+    // (one 128 MB split holds ~500k vectors) would put the whole
+    // k-times-amplified workload on ONE core — measured as a
+    // single-threaded crawl at 100×/k=400. One corpus-sized shuffle
+    // per iteration is the price of k-fold work amplification being
+    // spread, the same class as the mean step's own shuffle.
+    val vecs = spreadForFan(embeddings.select(col("vec_id"), col("embedding")))
     var cents: Seq[(Long, Seq[Long])] = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(units(col("embedding")).as("u"))
@@ -436,11 +454,19 @@ object Similarity {
     import spark.implicits._
     require(meta.getAs[Int]("version") == indexFormatVersion,
       s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
-    val index = semanticIndexLoad(spark, dir, Some(meta))
-    assignCells(batch.select(col("vec_id"), col("embedding")), index.centroids)
-      .select(col("vec_id"), col("embedding"), col("cluster"))
-      .write.mode("overwrite").parquet(s"$dir/delta_$batchId.parquet")
-    val n = meta.getAs[Long]("n") + batch.count()
+    val cnt = batch.count()
+    // An EMPTY batch must still advance the high-water mark (so its
+    // replay skips) but must NOT write a delta dir: an empty parquet
+    // write is _SUCCESS with zero data files, and a later multi-path
+    // read dies on schema inference — the loader's listing tolerates
+    // a MISSING committed id, not a data-less one.
+    if (cnt > 0) {
+      val index = semanticIndexLoad(spark, dir, Some(meta))
+      assignCells(batch.select(col("vec_id"), col("embedding")), index.centroids)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .write.mode("overwrite").parquet(s"$dir/delta_$batchId.parquet")
+    }
+    val n = meta.getAs[Long]("n") + cnt
     Seq((indexFormatVersion, meta.getAs[String]("params"), n, batchId))
       .toDF("version", "params", "n", "last_batch")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
@@ -2453,11 +2479,18 @@ object Similarity {
       val lastBatch = meta.getAs[Long]("last_batch")
       if (batchId <= lastBatch) meta.getAs[Long]("n") // replay of a committed batch
       else {
-        val index = ivfPqIndexLoad(spark, dir,
-          batch.select(col("vec_id"), col("embedding")), Some(meta))
-        ivfPqEncodeWith(index, batch)
-          .write.mode("overwrite").parquet(s"$dir/delta_$batchId.parquet")
-        val n = meta.getAs[Long]("n") + batch.count()
+        val cnt = batch.count()
+        // empty batch: advance the high-water mark only — a data-less
+        // delta dir would break every later multi-path codes read
+        // (schema inference over zero files); the committed-paths
+        // listing tolerates a missing id (see semanticCommitDelta).
+        if (cnt > 0) {
+          val index = ivfPqIndexLoad(spark, dir,
+            batch.select(col("vec_id"), col("embedding")), Some(meta))
+          ivfPqEncodeWith(index, batch)
+            .write.mode("overwrite").parquet(s"$dir/delta_$batchId.parquet")
+        }
+        val n = meta.getAs[Long]("n") + cnt
         rewriteMeta(spark, dir, meta, n, batchId)
         n
       }

@@ -1063,6 +1063,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("empty stream batches advance the high-water mark without poisoning the delta listing") {
+    // an EMPTY micro-batch (no-data trigger, replayed empty batch)
+    // must commit its batchId (so the replay skips) but write NO
+    // delta dir — a data-less parquet dir breaks every later
+    // multi-path read on schema inference
+    val base = embeddings.filter(col("vec_id") % 10 > 0)
+    val b1 = embeddings.filter(col("vec_id") % 10 === 0)
+    val none = embeddings.filter(col("vec_id") < 0)
+    assert(none.count() === 0L)
+    // semantic index
+    val sDir = java.nio.file.Files.createTempDirectory("graft_sem_empty").toString
+    Similarity.semanticIndexSave(Similarity.semanticIndexBuild(base, k = 4),
+      sDir, "empty-spec", base.count())
+    val n0 = Similarity.semanticIndexStreamAppend(spark, sDir, none, batchId = 0)
+    assert(n0 === base.count(), "empty batch must not change n")
+    assert(deltaDirs(sDir).isEmpty, "empty batch must not write a delta dir")
+    assert(Similarity.semanticIndexStreamAppend(spark, sDir, b1, batchId = 0) === n0,
+      "batch 0 must read as committed after the empty commit")
+    val n1 = Similarity.semanticIndexStreamAppend(spark, sDir, b1, batchId = 1)
+    assert(n1 === base.count() + b1.count())
+    assert(Similarity.semanticIndexLoad(spark, sDir).assigned.count() === n1,
+      "the loader must read base + the real delta cleanly")
+    // IVF-PQ index
+    val pDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_empty").toString
+    Similarity.ivfPqIndexSave(Similarity.ivfPqIndexBuild(base), pDir, "empty-spec", base.count())
+    val m0 = Similarity.ivfPqIndexStreamAppend(spark, pDir, none, batchId = 0)
+    assert(m0 === base.count() && deltaDirs(pDir).isEmpty)
+    val m1 = Similarity.ivfPqIndexStreamAppend(spark, pDir, b1, batchId = 1)
+    assert(m1 === base.count() + b1.count())
+    assert(Similarity.ivfPqIndexLoad(spark, pDir, embeddings).codes.count() === m1,
+      "the codes loader must read base + the real delta cleanly")
+  }
+
   test("semanticIndexCompact folds deltas into the partitioned base, bit-identically") {
     val base = embeddings.filter(col("vec_id") % 10 > 1)
     val b1 = embeddings.filter(col("vec_id") % 10 === 0)

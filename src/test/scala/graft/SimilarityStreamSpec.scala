@@ -261,6 +261,45 @@ class SimilarityStreamSpec extends SparkSpec {
       "a restarted serve loop must LOAD the frozen index, never rebuild it")
   }
 
+  test("frozen WIDE semantic serving matches the static wide probe and never rebuilds") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val newRows = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id") + 1000000L, col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    assert(newRows.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semwide_serve").toString
+
+    // k = 96: past the plan-literal kernel budget — only the wide
+    // build/probe path can serve this index at all
+    def serveOnce(): Seq[String] = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val served = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = graft.streaming.SimilarityStream.semanticNearDupServeWideFrozen(
+        input.toDF().toDF("vec_id", "embedding"), corpus, dir, k = 96) {
+        (df, _) => served.synchronized { served ++= df.collect().map(_.toString) }
+      }
+      try { input.addData(newRows: _*); q.processAllAvailable() } finally q.stop()
+      served.synchronized(served.toSeq)
+    }
+
+    val first = serveOnce()
+    val index = Similarity.semanticIndexBuildWide(corpus, k = 96)
+    val want = Similarity.semanticProbeWide(index, newRows.toDF("vec_id", "embedding"))
+      .collect().map(_.toString).toSeq
+    assert(first === want, "frozen wide serve must equal the static wide probe bit-for-bit")
+    // every re-keyed twin still lands in its trained cell at cosine 1.0
+    newRows.foreach { case (nid, _) =>
+      assert(first.exists(_.startsWith(s"[$nid,${nid - 1000000L},")),
+        s"new vector $nid missing its corpus twin at cosine 1.0")
+    }
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(serveOnce() === want, "a restarted wide serve loop must reproduce the same verdicts")
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
+      "a restarted wide serve loop must LOAD the frozen index, never rebuild it")
+  }
+
   test("frozen TWO-LEVEL semantic serving matches the static hier probe and never rebuilds") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val corpus = Tables(spark, "/root/testdata/sf0.001").embeddings
