@@ -63,6 +63,12 @@ object PartitionSweep {
       // equal the looped trainer's at every setting
       "dedup_sem_hier_grp" -> (() =>
         operators.Similarity.dedupSemanticHierGrouped(embeddings, k1 = 7, k2 = 7).count()),
+      // wide (centroids-as-data) flat trainer at the same 10× cluster
+      // budget: the n×k fan + min(struct) argmin + spreadForFan
+      // repartition are new shuffle users — answers must match the
+      // literal trainer's semantics at every partition count
+      "dedup_semantic_wide" -> (() =>
+        operators.Similarity.dedupSemanticWide(embeddings, k = 40).count()),
       "feature_snapshot" -> (() => operators.FinAnalytics.featureSnapshot(events).count()))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }
