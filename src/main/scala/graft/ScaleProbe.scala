@@ -463,6 +463,27 @@ object ScaleProbe {
         val k2 = math.max(1, math.ceil(4.0 * k / 64).toInt)
         operators.Similarity.dedupSemanticHierGrouped(em, k1 = 64, k2 = k2).count()
       }),
+      // The WIDE serve probe: the frozen single-level index at the
+      // UNCAPPED corpus-contract k (400 at 100×) — build once via
+      // the shared detection (first timed run pays it; min-of-2
+      // reads serve-only), each probe batch assigns through the
+      // broadcast centroid frame (plan O(1) in k) and joins the
+      // cluster-partitioned assignment. With k ∝ n each cell holds a
+      // constant row budget, so the serve should stay ~flat — the
+      // single-level counterpart of sem_probe_hier_served.
+      "sem_probe_wide_served" -> ((_, _, _, em, k) => {
+        val dir = s"/tmp/graft_scale${k}_${recipeVersion}_semwide_index"
+        val kk = 4 * k.toInt
+        val (params, n) = (s"semwide;k=$kk;it=3;src=${operators.Similarity.sourceStamp(em)}", em.count())
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+          operators.Similarity.semanticIndexSave(
+            operators.Similarity.semanticIndexBuildWide(em, kk), staging, params, n)
+        }
+        operators.Similarity.semanticProbeWide(
+          operators.Similarity.semanticIndexLoad(spark, dir, Some(meta)),
+          fixedQ.get.select(col("vec_id") + 1000000000L as "vec_id", col("embedding")),
+          threshold = 0.45).count()
+      }),
       // The TWO-LEVEL serve probe — the one that CAN run at 100×:
       // k₁·k₂ tracks the corpus (side = ⌈√(4·mult)⌉ each) but the
       // probe-side plan stays O(k₁) kernels + one broadcast fine-
