@@ -509,6 +509,12 @@ object ScaleProbe {
       "ann_range" -> ((_, _, _, em, _) =>
         operators.Similarity.annRange(em, fixedQ, threshold = 0.3,
           queriesAreCorpusDerived = Some(true)).count()),
+      // IVF range search: the radius query paying only probed cells —
+      // train dominates at small scale, the verify reads
+      // nprobe/nlist of the corpus at 100×
+      "ann_range_ivf" -> ((_, _, _, em, _) =>
+        operators.Similarity.annRangeIvf(em, fixedQ, threshold = 0.3,
+          queriesAreCorpusDerived = Some(true)).count()),
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_res_index"
         val (params, n) = ("ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())

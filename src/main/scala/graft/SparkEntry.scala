@@ -177,6 +177,9 @@ object SparkEntry {
     // FAISS range_search analog: ALL neighbors above the cosine bar,
     // no top-k window -> one broadcast scan, full oracle
     "ann_range"           -> ((s, d) => Similarity.annRange(Tables(s, d).embeddings, threshold = 0.3)),
+    // IVF range search (FAISS IndexIVF.range_search): radius query
+    // paying only its probed cells — ann_range's scale companion
+    "ann_range_ivf"       -> ((s, d) => Similarity.annRangeIvf(Tables(s, d).embeddings, threshold = 0.3)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "ann_centroids"       -> ((s, d) => Similarity.labelCentroids(Tables(s, d).embeddings)),
@@ -2813,6 +2816,23 @@ FROM e ORDER BY user_id, day"""
     "dedup_semantic_hier_served" -> dedupSemanticHierOracle,
     // Radius search: the ann_bruteforce scan without the top-k window
     // — every corpus vector above the exact-cosine bar.
+    "ann_range_ivf" ->
+      (s"""WITH $normsCte,
+        |${lloydCtes(8, 3)},
+        |${qProbeCte(2)},
+        |pr AS (SELECT qp.vec_id AS query_id, av.vec_id
+        |  FROM a_fin av JOIN q_probe qp ON qp.cluster = av.cluster AND av.vec_id <> qp.vec_id),
+        |dots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+        |  SELECT pr.query_id, pr.vec_id,
+        |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+        |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+        |  FROM pr JOIN embeddings q ON q.vec_id = pr.query_id
+        |          JOIN embeddings e ON e.vec_id = pr.vec_id) GROUP BY 1, 2)
+        |SELECT query_id, dots.vec_id AS neighbor_id,
+        |  round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+        |FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id
+        |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 >= 0.3
+        |ORDER BY query_id, neighbor_id""".stripMargin),
     "ann_range" ->
       (s"""WITH $normsCte,
         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),

@@ -897,6 +897,42 @@ object Similarity {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** IVF range search — the FAISS `IndexIVF.range_search` analog and
+    * [[annRange]]'s SCALE companion: the windowless broadcast scan is
+    * linear in the corpus by definition (7.5× at 100×, §6), so at
+    * scale the radius query should pay only its probed cells. The
+    * trained Lloyd coarse quantizer assigns the corpus once; each
+    * query probes its `nprobe` nearest cells ([[assignTopCells]] —
+    * shuffle-free per-row sort+slice) and the exact-threshold verify
+    * runs over those cells' members only (candidates ≈ nprobe/nlist
+    * of the corpus). A corpus vector lives in exactly ONE cell, so no
+    * result can duplicate across probed cells. RECALL trades at the
+    * cell boundary like every IVF layout — nprobe buys it back, and
+    * nprobe = nlist recovers [[annRange]] bit-for-bit (spec-pinned).
+    * Same exact integer/decimal arithmetic end-to-end → FULL DuckDB
+    * oracle (the Lloyd chain + q_probe gating the range verify).
+    */
+  def annRangeIvf(embeddings: DataFrame, queries: Option[DataFrame] = None,
+                  threshold: Double = 0.4, nlist: Int = 8, ivfIters: Int = 3,
+                  nprobe: Int = 2,
+                  queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val centroids = train(embeddings, nlist, ivfIters)
+    val corpus = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val qs = assignTopCells(
+        queries.getOrElse(defaultQueries(embeddings)).select(col("vec_id"), col("embedding")),
+        centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cluster"))
+    corpus.join(broadcast(qs), Seq("cluster"))
+      .filter(notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
+      .filter(cosineFast(col("qe"), col("embedding")) >= threshold - 1e-3)
+      .withColumn("cosine",
+        cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** Self-match exclusion policy for the ann* family: when the query
     * set defaults to a CORPUS SUBSET, `query_id` and `vec_id` share
     * one id namespace and a query must not return itself — but an

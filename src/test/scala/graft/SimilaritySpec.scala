@@ -282,6 +282,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRangeIvf recovers annRange at nprobe=nlist; probed-cell results are an exact subset") {
+    val full = Similarity.annRange(embeddings, threshold = 0.3)
+      .collect().map(_.toString).toSeq
+    // probing every cell = scanning the whole corpus: bit-for-bit
+    // equal to the windowless broadcast scan
+    val exhaustive = Similarity.annRangeIvf(embeddings, threshold = 0.3,
+      nlist = 8, nprobe = 8).collect().map(_.toString).toSeq
+    assert(exhaustive === full, "nprobe = nlist must recover the exact range search")
+    // at nprobe=2 every returned pair is a true pair (exact verify)
+    // and the set is a subset of the full answer; recall measured
+    val pruned = Similarity.annRangeIvf(embeddings, threshold = 0.3,
+      nlist = 8, nprobe = 2).collect().map(_.toString).toSeq
+    assert(pruned.toSet.subsetOf(full.toSet), "cell pruning may drop pairs, never invent them")
+    assert(pruned.nonEmpty)
+    val recall = pruned.size.toDouble / full.size
+    assert(recall >= 0.3, s"range recall at nprobe=2 = $recall drifted below the measured floor")
+  }
+
   test("annBqResidual is deterministic, exact-reranked, and beats flat BQ's recall@5") {
     val got = Similarity.annBqResidual(embeddings).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
