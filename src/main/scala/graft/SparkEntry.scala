@@ -154,6 +154,12 @@ object SparkEntry {
     // (broadcast centroid-frame join + min(struct) argmin) instead of
     // a k1-iteration driver loop; bit-identical -> shared oracle
     "dedup_semantic_hier_grouped" -> ((s, d) => Similarity.dedupSemanticHierGrouped(Tables(s, d).embeddings, k1 = 2, k2 = 2)),
+    // Hier build with the COARSE level forced through the
+    // centroids-as-data path (the k1 > kernel-budget regime) — bit-
+    // identical to the grouped build at equal k1 (shared oracle);
+    // the registration that keeps the wide-coarse branch gate-checked
+    "dedup_semantic_hier_wide" -> ((s, d) => Similarity.dedupSemanticHierGrouped(Tables(s, d).embeddings,
+      k1 = 2, k2 = 2, wideCoarse = Some(true))),
     // Frozen lifecycle for the TWO-LEVEL semantic index: build-if-
     // absent (grouped trainer) -> load -> same pair verify; bit-
     // identical to dedup_semantic_hier (shared oracle)
@@ -180,6 +186,13 @@ object SparkEntry {
     // IVF range search (FAISS IndexIVF.range_search): radius query
     // paying only its probed cells — ann_range's scale companion
     "ann_range_ivf"       -> ((s, d) => Similarity.annRangeIvf(Tables(s, d).embeddings, threshold = 0.3)),
+    // Frozen-lifecycle IVF range search: build-if-absent -> load the
+    // cluster-partitioned assignment -> probe + radius verify; bit-
+    // identical to ann_range_ivf (shared oracle) — FAISS serves
+    // range_search from a BUILT IndexIVF, skipping the train
+    "ann_range_ivf_served" -> ((s, d) => Similarity.annRangeIvfServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_rangeivf_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}",
+      threshold = 0.3)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(Tables(s, d).embeddings)),
     "ann_lsh"             -> ((s, d) => Similarity.annLsh(Tables(s, d).embeddings)),
     "ann_centroids"       -> ((s, d) => Similarity.labelCentroids(Tables(s, d).embeddings)),
@@ -541,6 +554,30 @@ object SparkEntry {
     s"""norms AS (SELECT vec_id, sum(p) AS nrm FROM (
        |  SELECT vec_id, unnest([${dec8("embedding[i]")} * ${dec8("embedding[i]")}
        |    FOR i IN range(1, len(embedding) + 1)]) AS p FROM embeddings) GROUP BY vec_id)""".stripMargin
+
+  /** IVF range-search replay (ann_range_ivf AND its frozen-lifecycle
+    * serve twin): the Lloyd chain assigns the corpus, q_probe gates
+    * each query to its nprobe nearest cells, and the radius verify
+    * (exact decimal cosine >= the bar) runs over probed-cell members
+    * only.
+    */
+  private def annRangeIvfOracle: String =
+    s"""WITH $normsCte,
+      |${lloydCtes(8, 3)},
+      |${qProbeCte(2)},
+      |pr AS (SELECT qp.vec_id AS query_id, av.vec_id
+      |  FROM a_fin av JOIN q_probe qp ON qp.cluster = av.cluster AND av.vec_id <> qp.vec_id),
+      |dots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+      |  SELECT pr.query_id, pr.vec_id,
+      |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+      |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+      |  FROM pr JOIN embeddings q ON q.vec_id = pr.query_id
+      |          JOIN embeddings e ON e.vec_id = pr.vec_id) GROUP BY 1, 2)
+      |SELECT query_id, dots.vec_id AS neighbor_id,
+      |  round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+      |FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id
+      |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 >= 0.3
+      |ORDER BY query_id, neighbor_id""".stripMargin
 
   /** Unrolled joint-subspace PQ training chain — mirrors
     * Similarity.annPq op-for-op in exact integer units: `nu`
@@ -1649,7 +1686,10 @@ FROM e ORDER BY user_id, day"""
     * (the round-12 driver gate timed out on exactly this and wrote
     * an empty artifact). Materialized, the full 161-oracle replay is
     * ~19 s. Semantics are unchanged (MATERIALIZED is an evaluation
-    * hint). The scan is paren-depth-aware: only depth-0 CTE heads
+    * hint). The scan is paren-depth-aware AND string-literal-aware:
+    * single-quoted literals (with '' escapes) copy through verbatim —
+    * their parens never touch the depth counter and a literal
+    * spelling "x AS (" never rewrites — and only depth-0 CTE heads
     * whose body starts with SELECT/WITH are rewritten, so window
     * clauses (`WINDOW w AS (PARTITION …)`) and nested WITHs are
     * untouched, and queries in `noMaterialize` pass through verbatim
@@ -1665,7 +1705,26 @@ FROM e ORDER BY user_id, day"""
     var depth = 0
     while (i < sql.length) {
       val ch = sql.charAt(i)
-      if (ch == '(') { depth += 1; out.append(ch); i += 1 }
+      if (ch == '\'') {
+        // copy a single-quoted SQL literal verbatim ('' is the escape):
+        // a paren inside a literal must not move the depth counter (a
+        // BALANCED-overall shift — ')' in one literal, '(' in a later
+        // one — would silently mis-classify depth 0 and skip or
+        // mis-materialize heads), and a literal spelling "x AS (" must
+        // not rewrite. An unterminated quote copies to EOF — the
+        // oracle was already broken SQL in that case.
+        val start = i
+        i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+            else { i += 1; closed = true }
+          } else i += 1
+        }
+        out.append(sql.substring(start, i))
+      }
+      else if (ch == '(') { depth += 1; out.append(ch); i += 1 }
       else if (ch == ')') { depth -= 1; out.append(ch); i += 1 }
       else if (depth == 0) {
         val m = head.matcher(sql)
@@ -2811,28 +2870,19 @@ FROM e ORDER BY user_id, day"""
     // operator (same init/argmin/mean algebra, one dataframe program
     // per iteration), same oracle.
     "dedup_semantic_hier_grouped" -> dedupSemanticHierOracle,
+    // Wide-coarse build: bit-identical to the grouped hier build
+    // (trainData/assignCellsData parity is spec-pinned), same oracle.
+    "dedup_semantic_hier_wide" -> dedupSemanticHierOracle,
     // Frozen lifecycle over the grouped build: bit-identical (the
     // assignment survives the parquet round trip), same oracle.
     "dedup_semantic_hier_served" -> dedupSemanticHierOracle,
     // Radius search: the ann_bruteforce scan without the top-k window
     // — every corpus vector above the exact-cosine bar.
-    "ann_range_ivf" ->
-      (s"""WITH $normsCte,
-        |${lloydCtes(8, 3)},
-        |${qProbeCte(2)},
-        |pr AS (SELECT qp.vec_id AS query_id, av.vec_id
-        |  FROM a_fin av JOIN q_probe qp ON qp.cluster = av.cluster AND av.vec_id <> qp.vec_id),
-        |dots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
-        |  SELECT pr.query_id, pr.vec_id,
-        |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
-        |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
-        |  FROM pr JOIN embeddings q ON q.vec_id = pr.query_id
-        |          JOIN embeddings e ON e.vec_id = pr.vec_id) GROUP BY 1, 2)
-        |SELECT query_id, dots.vec_id AS neighbor_id,
-        |  round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
-        |FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id
-        |WHERE round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 >= 0.3
-        |ORDER BY query_id, neighbor_id""".stripMargin),
+    "ann_range_ivf" -> annRangeIvfOracle,
+    // Frozen-lifecycle serve path: bit-identical to ann_range_ivf
+    // (assignment + centroids survive the parquet round trip), same
+    // oracle.
+    "ann_range_ivf_served" -> annRangeIvfOracle,
     "ann_range" ->
       (s"""WITH $normsCte,
         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),

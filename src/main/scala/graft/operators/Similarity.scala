@@ -462,7 +462,13 @@ object Similarity {
     // a MISSING committed id, not a data-less one.
     if (cnt > 0) {
       val index = semanticIndexLoad(spark, dir, Some(meta))
-      assignCells(batch.select(col("vec_id"), col("embedding")), index.centroids)
+      // budget-aware: a delta appended into a WIDE (k > kernel
+      // budget) index must assign through the centroid frame, not k
+      // plan-literal kernels — otherwise append/ingest re-enter the
+      // JIT cap the wide trainer exists to avoid. spread=true: bulk
+      // appends can be corpus-sized single-split frames.
+      assignCellsAuto(batch.select(col("vec_id"), col("embedding")), index.centroids,
+          spread = true)
         .select(col("vec_id"), col("embedding"), col("cluster"))
         .write.mode("overwrite").parquet(s"$dir/delta_$batchId.parquet")
     }
@@ -668,8 +674,10 @@ object Similarity {
     */
   def dedupSemanticHierGrouped(embeddings: DataFrame, k1: Int = 4, k2: Int = 4,
                                iters: Int = 3, threshold: Double = 0.45,
-                               blocks: Int = 0): DataFrame =
-    withinClusterPairs(semanticIndexBuildHier(embeddings, k1, k2, iters).assigned,
+                               blocks: Int = 0,
+                               wideCoarse: Option[Boolean] = None): DataFrame =
+    withinClusterPairs(
+      semanticIndexBuildHier(embeddings, k1, k2, iters, wideCoarse).assigned,
       threshold, blocks)
 
   /** The TWO-LEVEL frozen model of the SemDeDup family — what the
@@ -688,14 +696,22 @@ object Similarity {
       k2: Int, assigned: DataFrame)
 
   def semanticIndexBuildHier(embeddings: DataFrame, k1: Int = 4, k2: Int = 4,
-                             iters: Int = 3): HierSemanticIndex = {
+                             iters: Int = 3,
+                             wideCoarse: Option[Boolean] = None): HierSemanticIndex = {
     import graft.plans.IntegerUnits.l2Units
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val coarseCentroids = train(embeddings, k1, iters)
+    // COARSE level is budget-aware (round-14 closure of the §6
+    // third-decade residual): within the kernel budget it stays the
+    // k₁ plan-literal chain; past it the coarse trainer/assigner run
+    // centroids-as-data, so k₁ can grow past ~64 like the flat wide
+    // index — the fine level was data-keyed all along. Bit-identical
+    // either way (wideCoarse forces a side; spec-pinned parity).
+    val coarseCentroids = trainAuto(embeddings, k1, iters, wideCoarse)
     // Quantize once and materialize: every fine iteration (and the
     // final assignment) re-scans this frame.
-    val vecs = assignCells(embeddings.select(col("vec_id"), col("embedding")), coarseCentroids)
+    val vecs = assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
+        coarseCentroids, wideCoarse, spread = true)
       .select(col("vec_id"), col("embedding"), col("u"), col("cluster").as("coarse"))
       .honestCheckpoint()
     // Per-cell init: first ≤ k₂ vectors of each cell in md5 order —
@@ -753,12 +769,17 @@ object Similarity {
     */
   def semanticProbeHier(index: HierSemanticIndex, batch: DataFrame,
                         threshold: Double = 0.45,
-                        excludeSelf: Boolean = false): DataFrame = {
+                        excludeSelf: Boolean = false,
+                        wideCoarse: Option[Boolean] = None): DataFrame = {
     import graft.plans.IntegerUnits.l2Units
     val spark = index.assigned.sparkSession
     import spark.implicits._
     val centsDf = index.fine.toDF("coarse", "fine", "cu")
-    val nb = assignCells(batch.select(col("vec_id"), col("embedding")), index.coarse)
+    // coarse assign is budget-aware like the build: k₁ past the
+    // kernel budget probes through the centroid frame (batches are
+    // broadcast-bound — no spread)
+    val nb = assignCellsAuto(batch.select(col("vec_id"), col("embedding")), index.coarse,
+        wideCoarse)
       .select(col("vec_id"), col("embedding"), col("u"), col("cluster").as("coarse"))
       .join(broadcast(centsDf), Seq("coarse"))
       .select(col("coarse"), col("vec_id"), col("embedding"),
@@ -924,6 +945,49 @@ object Similarity {
         centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cluster"))
     corpus.join(broadcast(qs), Seq("cluster"))
+      .filter(notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
+      .filter(cosineFast(col("qe"), col("embedding")) >= threshold - 1e-3)
+      .withColumn("cosine",
+        cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Serve-from-frozen-index IVF range search — [[annRangeIvf]]'s
+    * build/serve split, the family-standard move the trained variant
+    * lacked (at gate SF the radius query is TRAIN-dominated: 2.89 s
+    * vs flat ann_range's 0.43 — FAISS serves `range_search` from a
+    * BUILT IndexIVF for exactly this reason). The frozen structure IS
+    * the flat [[SemanticIndex]] — trained coarse centroids + the
+    * cluster-PARTITIONED corpus assignment ([[semanticIndexSave]]'s
+    * layout, so a probe joining on `cluster` prunes the scan to the
+    * probed cells' partitions) — reused verbatim, which buys the
+    * whole lifecycle for free: build-if-absent with the sourceStamp
+    * fingerprint, crash-safe staged publish, delta append/ingest/
+    * compact. Serve = [[assignTopCells]] over the LOADED centroids +
+    * the same exact-threshold verify, so the result is bit-identical
+    * to [[annRangeIvf]] at equal params (integer units survive the
+    * parquet round trip) and it shares ann_range_ivf's FULL oracle.
+    */
+  def annRangeIvfServed(embeddings: DataFrame, indexDir: String,
+                        queries: Option[DataFrame] = None,
+                        threshold: Double = 0.4, nlist: Int = 8, ivfIters: Int = 3,
+                        nprobe: Int = 2,
+                        queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    val params = s"rangeivf;nlist=$nlist;ivfIt=$ivfIters;src=${sourceStamp(embeddings)}"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+      semanticIndexSave(semanticIndexBuild(embeddings, nlist, ivfIters),
+        staging, params, n)
+    }
+    val index = semanticIndexLoad(spark, indexDir, Some(meta))
+    val qs = assignTopCells(
+        queries.getOrElse(defaultQueries(embeddings)).select(col("vec_id"), col("embedding")),
+        index.centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cluster"))
+    index.assigned.join(broadcast(qs), Seq("cluster"))
       .filter(notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty)))
       .filter(cosineFast(col("qe"), col("embedding")) >= threshold - 1e-3)
       .withColumn("cosine",
@@ -1111,6 +1175,42 @@ object Similarity {
     * round-12 partition sweep).
     */
   private val modelAggPartitions = 8
+
+  /** Plan-literal kernel budget: the number of centroid L2 kernels a
+    * single plan may encode before the JIT code cache becomes the
+    * binding constraint (k = 400 measured as code-cache exhaustion,
+    * SURVEY §6; 64 leaves headroom below the first observed cliff).
+    * Past it, centroids travel as DATA ([[assignCellsData]] /
+    * [[trainData]]) — bit-identical, plan size O(1) in k.
+    */
+  private[graft] val assignKernelBudget = 64
+
+  /** Budget-aware assignment: the plan-literal kernels
+    * ([[assignCells]]) within [[assignKernelBudget]], the broadcast
+    * centroid frame ([[assignCellsData]]) past it — so every
+    * lifecycle path (delta append, stream ingest, hier coarse level)
+    * works on the wide (k > budget) indexes the wide trainer builds,
+    * instead of re-entering the JIT cap it exists to avoid.
+    * Bit-identical either way (spec-pinned). `wide` forces a side
+    * (spec parity harness); `spread` pre-spreads a corpus-sized
+    * input over the session's parallelism before the n×k fan
+    * ([[spreadForFan]] — skip for broadcast-bound probe batches).
+    */
+  private[graft] def assignCellsAuto(df: DataFrame, centroids: Seq[Array[Long]],
+                                     wide: Option[Boolean] = None,
+                                     spread: Boolean = false): DataFrame =
+    if (wide.getOrElse(centroids.size > assignKernelBudget))
+      assignCellsData(if (spread) spreadForFan(df) else df, centroids)
+    else assignCells(df, centroids)
+
+  /** Budget-aware Lloyd trainer — [[train]] within the kernel
+    * budget, [[trainData]] (centroids-as-data) past it; same
+    * contract, bit-identical (spec-pinned).
+    */
+  private[graft] def trainAuto(embeddings: DataFrame, k: Int, iters: Int,
+                               wide: Option[Boolean] = None): Seq[Array[Long]] =
+    if (wide.getOrElse(k > assignKernelBudget)) trainData(embeddings, k, iters)
+    else train(embeddings, k, iters)
 
   /** FULL IVF search: the coarse quantizer is the TRAINED k-means
     * model (vs [[annIvf]], which uses the pre-given label column as

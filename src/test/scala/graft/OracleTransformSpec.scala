@@ -35,6 +35,27 @@ class OracleTransformSpec extends AnyFunSuite {
     assert(SparkEntry.materializeCtes(sql) === sql)
   }
 
+  test("parens inside string literals never move the depth counter") {
+    // the latent round-13 hazard: a ')' in one literal and a '(' in a
+    // later one keep the total balanced (the structural spec passes)
+    // while a literal-blind scan would drift to depth -1/+1 at the
+    // NEXT CTE head — missing it (re-introducing the inlined replay)
+    // or materializing a nested one.
+    val sql =
+      """WITH a AS (SELECT ') close' AS x),
+        |b AS (SELECT '( open' AS y, '' AS e, 'it''s ('' quoted' AS q FROM a)
+        |SELECT * FROM b""".stripMargin
+    val got = SparkEntry.materializeCtes(sql)
+    assert(got.contains("a AS MATERIALIZED (SELECT ') close'"))
+    assert(got.contains("b AS MATERIALIZED (SELECT '( open'"),
+      "the head AFTER the paren-bearing literals must still rewrite")
+    assert(got.replace(" AS MATERIALIZED (", " AS (") === sql)
+    // a literal that happens to spell a CTE head must not rewrite
+    val bait = "WITH a AS (SELECT 'x AS (SELECT' AS t) SELECT * FROM a"
+    val got2 = SparkEntry.materializeCtes(bait)
+    assert(got2 === bait.replace("a AS (", "a AS MATERIALIZED ("))
+  }
+
   test("every registered oracle survives the rewrite structurally") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // parentheses stay balanced and nothing beyond the keyword is added

@@ -1148,6 +1148,108 @@ class SimilaritySpec extends SparkSpec {
     assert(java.nio.file.Files.getLastModifiedTime(marker) === t0)
   }
 
+  test("wide (k=128) index append/stream-ingest/compact assign deltas past the kernel budget") {
+    // round-13 gap: semanticCommitDelta assigned deltas through k
+    // plan-literal kernels unconditionally, so appending into the
+    // WIDE index the wide trainer builds re-entered the JIT cap it
+    // exists to avoid. The delta assignment must now run
+    // centroids-as-data at k past the budget AND stay bit-identical
+    // to an independent frozen-model argmin computed here in local
+    // Long arithmetic (quantize -> integer L2 -> lowest-cluster tie).
+    import graft.plans.IntegerUnits.quantizeUnits
+    val base = embeddings.filter(col("vec_id") % 10 =!= 0)
+    val fresh = embeddings.filter(col("vec_id") % 10 === 0)
+    val f1 = fresh.filter(col("vec_id") % 20 === 0)
+    val f2 = fresh.filter(col("vec_id") % 20 =!= 0)
+    val wide = Similarity.semanticIndexBuildWide(base, k = 128)
+    assert(wide.centroids.size === 128)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_wide_app").toString
+    Similarity.semanticIndexSave(wide, dir, "sem-wide-app-spec", base.count())
+    val n1 = Similarity.semanticIndexAppend(spark, dir, f1)
+    assert(n1 === base.count() + f1.count())
+    val n2 = Similarity.semanticIndexStreamAppend(spark, dir, f2, batchId = 1)
+    assert(n2 === embeddings.count())
+    // replayed committed batch: no-op
+    assert(Similarity.semanticIndexStreamAppend(spark, dir, f2, batchId = 1) === n2)
+    // independent frozen-model reference: per-row argmin over the 128
+    // centroids in plain Long math (same 1e-8 quantization kernel,
+    // (a-b)^2 sums stay < 1e18, lowest-cluster tiebreak)
+    val want = fresh.select(col("vec_id"), quantizeUnits(col("embedding")).as("u"))
+      .collect().map { r =>
+        val u = r.getSeq[Long](1).toArray
+        val best = wide.centroids.zipWithIndex.map { case (c, i) =>
+          (u.zip(c).map { case (a, b) => val d = a - b; d * d }.sum, i.toLong)
+        }.min
+        (r.getLong(0), best._2)
+      }.toMap
+    def appendedClusters(): Map[Long, Long] =
+      Similarity.semanticIndexLoad(spark, dir).assigned
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("cluster")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(appendedClusters() === want,
+      "wide-index delta assignment diverged from the frozen-model argmin")
+    // compact folds the deltas into the cluster-partitioned base,
+    // bit-identically, and the high-water mark survives
+    Similarity.semanticIndexCompact(spark, dir)
+    assert(deltaDirs(dir).isEmpty, "compaction must fold every committed delta away")
+    assert(appendedClusters() === want)
+    assert(Similarity.semanticIndexStreamAppend(spark, dir, f2, batchId = 1) === n2,
+      "a replayed committed batch after compaction must still skip")
+  }
+
+  test("hier wide-coarse path is bit-identical to the kernel path and lifts the k1 cap") {
+    // parity at overlapping k1: the forced centroids-as-data coarse
+    // level must reproduce the plan-literal build bit-for-bit (the
+    // registered dedup_semantic_hier_wide shares the hier oracle on
+    // exactly this claim)
+    val a = Similarity.dedupSemanticHierGrouped(embeddings, k1 = 2, k2 = 2)
+      .collect().map(_.toString).toSeq
+    val b = Similarity.dedupSemanticHierGrouped(embeddings, k1 = 2, k2 = 2,
+        wideCoarse = Some(true)).collect().map(_.toString).toSeq
+    assert(b === a, "wide-coarse hier build diverged from the kernel-path build")
+    assert(a.nonEmpty)
+    // probe parity on a re-keyed batch across both coarse paths
+    val builtA = Similarity.semanticIndexBuildHier(embeddings, 4, 2, 3, Some(false))
+    val builtB = Similarity.semanticIndexBuildHier(embeddings, 4, 2, 3, Some(true))
+    assert(builtB.coarse.map(_.toSeq) === builtA.coarse.map(_.toSeq))
+    assert(builtB.fine === builtA.fine)
+    val batch = embeddings.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val pa = Similarity.semanticProbeHier(builtA, batch).collect().map(_.toString).toSeq
+    val pb = Similarity.semanticProbeHier(builtB, batch, wideCoarse = Some(true))
+      .collect().map(_.toString).toSeq
+    assert(pb === pa, "wide-coarse probe diverged from the kernel-path probe")
+    // the point of the branch: k1 PAST the kernel budget (auto-routes
+    // to centroids-as-data) trains, assigns, and probes through
+    // O(1)-size coarse plans
+    val k1 = Similarity.assignKernelBudget + 16
+    val wide = Similarity.semanticIndexBuildHier(embeddings, k1, 2, 3)
+    assert(wide.coarse.size === k1)
+    val usedCoarse = wide.assigned
+      .select((col("cluster") / lit(2L)).cast("long")).distinct().count()
+    assert(usedCoarse > Similarity.assignKernelBudget / 2,
+      s"only $usedCoarse coarse cells used — the wide coarse set isn't doing anything")
+    assert(Similarity.semanticProbeHier(wide, batch).count() > 0)
+  }
+
+  test("served IVF range search is bit-identical to ann_range_ivf and never rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rangeivf_rt").toString
+    val fresh = Similarity.annRangeIvf(embeddings, threshold = 0.3)
+      .collect().map(_.toString).toSeq
+    val served = Similarity.annRangeIvfServed(embeddings, dir, threshold = 0.3)
+      .collect().map(_.toString).toSeq
+    assert(served === fresh,
+      "served IVF range search must equal the in-memory build bit-for-bit")
+    assert(served.nonEmpty)
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    assert(Similarity.annRangeIvfServed(embeddings, dir, threshold = 0.3)
+      .collect().map(_.toString).toSeq === fresh)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === t0,
+      "a complete range-IVF index dir must be loaded, never rebuilt")
+  }
+
   test("served index rebuilds on EQUAL-COUNT content drift (source stamp)") {
     // same row count, different bytes: the count-only fingerprint
     // would serve the stale index; the source stamp (file path+len+
