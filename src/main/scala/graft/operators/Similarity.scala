@@ -473,9 +473,11 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$dir/delta_$batchId.parquet")
     }
     val n = meta.getAs[Long]("n") + cnt
-    Seq((indexFormatVersion, meta.getAs[String]("params"), n, batchId))
-      .toDF("version", "params", "n", "last_batch")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    stagedMetaWrite(spark, dir) { staging =>
+      Seq((indexFormatVersion, meta.getAs[String]("params"), n, batchId))
+        .toDF("version", "params", "n", "last_batch")
+        .repartition(1).write.mode("overwrite").parquet(staging)
+    }
     n
   }
 
@@ -2576,10 +2578,37 @@ object Similarity {
                           meta: org.apache.spark.sql.Row, n: Long,
                           lastBatch: Long): Unit = {
     import spark.implicits._
-    Seq((meta.getAs[Int]("m"), meta.getAs[Boolean]("residual"), indexFormatVersion,
-        meta.getAs[String]("params"), n, lastBatch))
-      .toDF("m", "residual", "version", "params", "n", "last_batch")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    stagedMetaWrite(spark, dir) { staging =>
+      Seq((meta.getAs[Int]("m"), meta.getAs[Boolean]("residual"), indexFormatVersion,
+          meta.getAs[String]("params"), n, lastBatch))
+        .toDF("m", "residual", "version", "params", "n", "last_batch")
+        .repartition(1).write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  /** Replace `<dir>/meta.parquet` — the commit marker every append
+    * advances — via a staged write + rename, so the window in which a
+    * CROSS-PROCESS reader can catch the meta mid-rewrite shrinks from
+    * an entire Spark write job (the old delete-then-write
+    * mode(overwrite)) to two FS metadata operations. Not fully
+    * atomic on a raw filesystem (rename cannot land on an existing
+    * dir): a reader in those two ops sees a MISSING meta dir and
+    * fails loudly — never a partial one — and same-JVM
+    * appender/loader pairs are already serialized by
+    * [[servedBuildLocks]]. A crashed writer leaves only a one-row
+    * `meta_staging-*` orphan dir that no loader or delta listing ever
+    * matches.
+    */
+  private def stagedMetaWrite(spark: org.apache.spark.sql.SparkSession, dir: String)
+                             (write: String => Unit): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$dir/meta_staging-${ProcessHandle.current.pid}-${System.nanoTime}.parquet")
+    write(staging.toString)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(staging, dest))
+      sys.error(s"failed to publish meta to $dir")
   }
 
   /** Streaming `add()` — the exactly-once micro-batch append a

@@ -142,16 +142,22 @@ object SimilarityStream {
     * (new_id, corpus_id, cluster, cosine) near-dup verdicts. No
     * retraining, no state store: the model is frozen like
     * [[annPqServe]]'s, and an index refresh swaps in by restarting
-    * the loop against a rebuilt corpus frame.
+    * the loop against a rebuilt corpus frame. `excludeSelf` (here and
+    * in the frozen/wide/hier variants) drops id-equal pairs — set it
+    * when the batch ids share the corpus's id namespace (a
+    * corpus-derived stream would otherwise report each vector as its
+    * own near-dup at cosine 1.0); leave false for externally-keyed
+    * batches, where an id collision is NOT the same vector.
     */
   def semanticNearDupServe(newVectors: DataFrame, corpus: DataFrame,
-                           k: Int = 8, iters: Int = 3, threshold: Double = 0.45)
+                           k: Int = 8, iters: Int = 3, threshold: Double = 0.45,
+                           excludeSelf: Boolean = false)
                           (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val index = Similarity.semanticIndexBuild(corpus, k, iters)
     newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(Similarity.semanticProbe(index, batch, threshold), id)
+        sink(Similarity.semanticProbe(index, batch, threshold, excludeSelf), id)
         ()
       }
       .start()
@@ -169,7 +175,8 @@ object SimilarityStream {
     */
   def semanticNearDupServeFrozen(newVectors: DataFrame, corpus: DataFrame,
                                  indexDir: String, k: Int = 8, iters: Int = 3,
-                                 threshold: Double = 0.45)
+                                 threshold: Double = 0.45,
+                                 excludeSelf: Boolean = false)
                                 (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = corpus.sparkSession
     val params = s"sem;k=$k;it=$iters;src=${Similarity.sourceStamp(corpus)}"
@@ -182,7 +189,7 @@ object SimilarityStream {
     newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(Similarity.semanticProbe(index, batch, threshold), id)
+        sink(Similarity.semanticProbe(index, batch, threshold, excludeSelf), id)
         ()
       }
       .start()
@@ -199,7 +206,8 @@ object SimilarityStream {
     */
   def semanticNearDupServeWideFrozen(newVectors: DataFrame, corpus: DataFrame,
                                      indexDir: String, k: Int = 8, iters: Int = 3,
-                                     threshold: Double = 0.45)
+                                     threshold: Double = 0.45,
+                                     excludeSelf: Boolean = false)
                                     (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = corpus.sparkSession
     val params = s"semwide;k=$k;it=$iters;src=${Similarity.sourceStamp(corpus)}"
@@ -212,7 +220,7 @@ object SimilarityStream {
     newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(Similarity.semanticProbeWide(index, batch, threshold), id)
+        sink(Similarity.semanticProbeWide(index, batch, threshold, excludeSelf), id)
         ()
       }
       .start()
@@ -229,7 +237,8 @@ object SimilarityStream {
     */
   def semanticNearDupServeHierFrozen(newVectors: DataFrame, corpus: DataFrame,
                                      indexDir: String, k1: Int = 4, k2: Int = 4,
-                                     iters: Int = 3, threshold: Double = 0.45)
+                                     iters: Int = 3, threshold: Double = 0.45,
+                                     excludeSelf: Boolean = false)
                                     (sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = corpus.sparkSession
     val params = s"semhier;k1=$k1;k2=$k2;it=$iters;src=${Similarity.sourceStamp(corpus)}"
@@ -242,7 +251,7 @@ object SimilarityStream {
     newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(Similarity.semanticProbeHier(index, batch, threshold), id)
+        sink(Similarity.semanticProbeHier(index, batch, threshold, excludeSelf), id)
         ()
       }
       .start()
