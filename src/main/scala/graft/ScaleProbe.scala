@@ -258,7 +258,7 @@ object ScaleProbe {
       "ann_pq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_pq_index"
         val (params, n) = ("pq;m=8;cb=8;it=3", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.pqIndexVersion) { staging =>
           operators.Similarity.pqIndexSave(operators.Similarity.pqIndexBuild(em), staging,
             params, n)
         }
@@ -272,7 +272,7 @@ object ScaleProbe {
       "ann_sq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_sq_index"
         val (params, n) = ("sq8", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.sqIndexVersion) { staging =>
           operators.Similarity.sqIndexSave(operators.Similarity.sqIndexBuild(em), staging,
             params, n)
         }
@@ -287,7 +287,7 @@ object ScaleProbe {
       "ann_bq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_bq_index"
         val (params, n) = ("bq;w=32", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.bqIndexVersion) { staging =>
           operators.Similarity.bqIndexSave(operators.Similarity.bqIndexBuild(em), staging,
             params, n)
         }
@@ -301,7 +301,7 @@ object ScaleProbe {
       "ann_ivfsq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfsq_index"
         val (params, n) = ("ivfsq;nlist=8;ivfIt=3", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.ivfSqIndexVersion) { staging =>
           operators.Similarity.ivfSqIndexSave(operators.Similarity.ivfSqIndexBuild(em),
             staging, params, n)
         }
@@ -312,7 +312,7 @@ object ScaleProbe {
       "ann_ivfpq_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_index"
         val (params, n) = ("ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.ivfPqIndexVersion) { staging =>
           operators.Similarity.ivfPqIndexSave(operators.Similarity.ivfPqIndexBuild(em),
             staging, params, n)
         }
@@ -334,7 +334,7 @@ object ScaleProbe {
         val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;probe=append"
         val ok = try {
           val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
-          m.getAs[Int]("version") == operators.Similarity.indexFormatVersion &&
+          m.getAs[Int]("version") == operators.Similarity.ivfPqIndexVersion &&
             m.getAs[String]("params") == params
         } catch { case _: Exception => false }
         if (!ok) operators.Similarity.ivfPqIndexSave(
@@ -355,7 +355,7 @@ object ScaleProbe {
         val params = "ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;probe=remove"
         val ok = try {
           val m = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
-          m.getAs[Int]("version") == operators.Similarity.indexFormatVersion &&
+          m.getAs[Int]("version") == operators.Similarity.ivfPqIndexVersion &&
             m.getAs[String]("params") == params
         } catch { case _: Exception => false }
         if (!ok) operators.Similarity.ivfPqIndexSave(
@@ -410,7 +410,7 @@ object ScaleProbe {
         require(kk <= 64, s"sem_probe_served: flat k=$kk exceeds the plan-literal kernel " +
           "budget (~64) — the hier trainer is the build path past 10×; see the probe comment")
         val (params, n) = (s"sem;k=$kk;it=3;src=${operators.Similarity.sourceStamp(em)}", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.semanticIndexVersion) { staging =>
           operators.Similarity.semanticIndexSave(
             operators.Similarity.semanticIndexBuild(em, kk), staging, params, n)
         }
@@ -432,7 +432,7 @@ object ScaleProbe {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_semcap_index"
         val kk = math.min(4 * k.toInt, 64)
         val (params, n) = (s"semcap;k=$kk;it=3;src=${operators.Similarity.sourceStamp(em)}", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.semanticIndexVersion) { staging =>
           operators.Similarity.semanticIndexSave(
             operators.Similarity.semanticIndexBuild(em, kk), staging, params, n)
         }
@@ -475,7 +475,7 @@ object ScaleProbe {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_semwide_index"
         val kk = 4 * k.toInt
         val (params, n) = (s"semwide;k=$kk;it=3;src=${operators.Similarity.sourceStamp(em)}", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.semanticIndexVersion) { staging =>
           operators.Similarity.semanticIndexSave(
             operators.Similarity.semanticIndexBuildWide(em, kk), staging, params, n)
         }
@@ -495,7 +495,7 @@ object ScaleProbe {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_semhier_index"
         val side = math.ceil(math.sqrt(4.0 * k)).toInt
         val (params, n) = (s"semhier;k1=$side;k2=$side;it=3;src=${operators.Similarity.sourceStamp(em)}", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.hierIndexVersion) { staging =>
           operators.Similarity.semanticIndexSaveHier(
             operators.Similarity.semanticIndexBuildHier(em, side, side), staging, params, n)
         }
@@ -518,7 +518,7 @@ object ScaleProbe {
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_res_index"
         val (params, n) = ("ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())
-        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n) { staging =>
+        val meta = operators.Similarity.buildIfAbsent(spark, dir, params, n, operators.Similarity.ivfPqIndexVersion) { staging =>
           operators.Similarity.ivfPqIndexSave(
             operators.Similarity.ivfPqResidualIndexBuild(em), staging, params, n)
         }

@@ -77,6 +77,11 @@ object SparkEntry {
     "fin_moments"          -> ((s, d) => FinAnalytics.moments(Tables(s, d).events)),
     "fin_autocorr"         -> ((s, d) => FinAnalytics.autocorr(Tables(s, d).events)),
     "curate_filter"        -> ((s, d) => Curation.filterGate(Tables(s, d).documents)),
+    // trained quality classifier: exact-decimal Gram + the fixed-IEEE
+    // pivot-free solve (the fin_ridge argument) -> full oracle
+    "curate_quality_model" -> ((s, d) => QualityModel.score(Tables(s, d).documents)),
+    // model-score-ranked token-budget selection (keep-the-best-docs)
+    "curate_quality_budget" -> ((s, d) => Curation.qualityBudget(Tables(s, d).documents)),
     "maint_schema_union"   -> ((s, d) => Maintenance.schemaUnion(Tables(s, d).events)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
@@ -940,6 +945,64 @@ FROM e ORDER BY user_id, day"""
        |SELECT event_id, value, prediction,
        |  round(value - prediction, 6) + 0.0 AS residual
        |FROM p ORDER BY event_id""".stripMargin
+  }
+
+  /** curate_quality_model oracle — the trained-quality-classifier
+    * loop end to end: the three text-verdict oracles nested verbatim
+    * (the curate_filter composition pattern), the 6-feature + label
+    * z-vector with the IDENTICAL coalesce/quantization as
+    * [[operators.QualityModel.zFrame]] (missing repetition rows read
+    * worst-case 1.0; null ratios 0.0), exact-decimal Gram sums, the
+    * unrolled 7×7 pivot-free solve (bit-identical coefficients — the
+    * fin_ridge argument), and the scoring scan with the same
+    * left-associated IEEE sum order.
+    */
+  private def qualityModelOracle: String =
+    s"""WITH $qualityScoreCtes
+       |SELECT doc_id, label, score, score >= 0.5 AS pred
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** curate_quality_budget oracle — the scoring chain, whitespace
+    * token counts, and ONE global window cumsum in (score DESC,
+    * doc_id) order (equal to the Scala side's bucketed two-pass
+    * prefix sum by associativity — the tokenBudget argument, with
+    * the score bucket as the range key).
+    */
+  private def qualityBudgetOracle: String =
+    s"""WITH $qualityScoreCtes,
+       |tk AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_toks FROM documents),
+       |b AS (SELECT doc_id, score, n_toks FROM p JOIN tk USING (doc_id)),
+       |o AS (SELECT doc_id, score, n_toks,
+       |    CAST(coalesce(sum(n_toks) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM b)
+       |SELECT doc_id, score, n_toks, off, off + n_toks <= 10000 AS complete
+       |FROM o WHERE off < 10000 ORDER BY off, doc_id""".stripMargin
+
+  /** The shared scoring CTE chain of the trained-quality-classifier
+    * oracles, ending at `p` = (doc_id, label, score). */
+  private def qualityScoreCtes: String = {
+    val pairs = for { i <- 0 until 8; j <- i until 8 } yield (i, j)
+    val sums = pairs.map { case (i, j) => s"sum(z$i * z$j) AS s_${i}_$j" }
+    s"""q AS ($qualityOracleSql),
+       |r AS ($repetitionOracleSql),
+       |l AS ($langidOracleSql),
+       |z AS (SELECT d.doc_id,
+       |    CAST(1.0 AS DECIMAL(18,6)) AS z0,
+       |    CAST(round(coalesce(q.avg_word_len, 0.0), 6) AS DECIMAL(18,6)) AS z1,
+       |    CAST(round(coalesce(q.punct_ratio, 0.0), 6) AS DECIMAL(18,6)) AS z2,
+       |    CAST(round(coalesce(q.stop_ratio, 0.0), 6) AS DECIMAL(18,6)) AS z3,
+       |    CAST(round(coalesce(r.top_frac, 1.0), 6) AS DECIMAL(18,6)) AS z4,
+       |    CAST(round(coalesce(r.dup_token_frac, 1.0), 6) AS DECIMAL(18,6)) AS z5,
+       |    CAST(round(CASE WHEN l.pred_lang = d.lang THEN 1.0 ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS z6,
+       |    CAST(round(CASE WHEN q.keep AND coalesce(r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9, false)
+       |                     AND l.pred_lang = d.lang THEN 1.0 ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS z7
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+       |  LEFT JOIN r ON r.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id),
+       |g AS (SELECT ${sums.mkString(", ")} FROM z),
+       |${ridgeSolveCtes("g", "1.0", Nil)},
+       |p AS (SELECT doc_id, CAST(z7 AS DOUBLE) + 0.0 AS label,
+       |  round($ridgeYhat, 6) + 0.0 AS score FROM z CROSS JOIN bx0)""".stripMargin
   }
 
   /** fin_cv_eval oracle — TimeSeriesSplit fold membership, per-fold
@@ -3049,6 +3112,8 @@ FROM e ORDER BY user_id, day"""
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "text_langid" -> langidOracleSql,
     "text_quality" -> qualityOracleSql,
+    "curate_quality_model" -> qualityModelOracle,
+    "curate_quality_budget" -> qualityBudgetOracle,
     "curate_filter" ->
       (s"""WITH q AS ($qualityOracleSql),
          |r AS ($repetitionOracleSql),

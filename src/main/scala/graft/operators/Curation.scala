@@ -130,6 +130,52 @@ object Curation {
       .orderBy(col("off"), col("doc_id"))
   }
 
+  /** QUALITY-RANKED token-budget selection — the FineWeb-style "keep
+    * the best documents until the budget" stage: instead of
+    * [[tokenBudget]]'s pseudo-random md5 order, documents are taken
+    * in DESCENDING trained-quality-score order ([[QualityModel]] fit
+    * on the corpus, coefficients as plan literals), so a fixed token
+    * budget is filled with the highest-quality slice of the corpus.
+    * The crossing doc is kept flagged `complete = false`, as in
+    * [[tokenBudget]].
+    *
+    * The global running offset in score order is the SAME distributed
+    * two-pass prefix sum: the range key is the bucketed score
+    * `part = −⌊score·64⌋` (monotone non-decreasing along descending
+    * score, so per-part (score DESC, doc_id) order ∘ part order = the
+    * global order), pass 1 reduces each bucket to one token subtotal,
+    * pass 2 broadcasts bucket offsets back. One scoring scan + a tiny
+    * broadcast; no global sort. Scores are 6-dp doubles ×64 (a power
+    * of two — the product is exact binary scaling), so the bucketing
+    * replays identically in the oracle.
+    */
+  def qualityBudget(documents: DataFrame, budget: Long = 10000L,
+                    alpha: Double = 1.0): DataFrame = {
+    import graft.operators.{QualityModel, TextOps}
+    val base0 = TextOps.withToks(documents).honestCheckpoint()
+    val beta = QualityModel.fit(base0, alpha)
+    val scored = QualityModel.zFrame(base0)
+      .select(col("doc_id"), QualityModel.scoreCol(beta).as("score"))
+    val base = base0
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(scored, "doc_id")
+      .withColumn("part", -floor(col("score") * 64).cast("long"))
+    val wPart = Window.partitionBy(lit(0)).orderBy(col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("part")).agg(sum(col("n_toks")).as("psum"))
+      .withColumn("part_off", coalesce(sum(col("psum")).over(wPart), lit(0L)))
+      .select(col("part"), col("part_off"))
+    val wIn = Window.partitionBy(col("part"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "part")
+      .withColumn("off", col("part_off") + coalesce(sum(col("n_toks")).over(wIn), lit(0L)))
+      .filter(col("off") < budget)
+      .select(col("doc_id"), col("score"), col("n_toks"), col("off"),
+        (col("off") + col("n_toks") <= budget).as("complete"))
+      .orderBy(col("off"), col("doc_id"))
+  }
+
   /** Expanding-window time-series CV folds — sklearn's
     * `TimeSeriesSplit(n_splits, gap, max_train_size, test_size)`
     * semantics (the reference evaluates every encoding with
@@ -299,6 +345,29 @@ object Curation {
       .withColumn("repetition_ok", coalesce(col("repetition_ok"), lit(false)))
       .select(col("doc_id"), col("lang"), col("quality_ok"), col("repetition_ok"), col("lang_ok"),
         (col("quality_ok") && col("repetition_ok") && col("lang_ok")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[filterGate]] with the TRAINED quality model composed in as an
+    * additional gate: the heuristic verdict columns plus the model's
+    * continuous `model_score` (coefficients enter as plan literals —
+    * one extra per-doc scoring expression, no new shuffle) and
+    * `model_ok` at `minScore`; `keep` requires BOTH the heuristic
+    * gate and the model. This is how a trained classifier
+    * ([[QualityModel]]) deploys in a curation run: fit once, then
+    * gate the corpus with the frozen coefficients.
+    */
+  def filterGateModel(documents: DataFrame, beta: Array[Double], minScore: Double = 0.5,
+                      maxTopFrac: Double = 0.15, maxDupFrac: Double = 0.9): DataFrame = {
+    import graft.operators.{QualityModel, TextOps}
+    val base = TextOps.withToks(documents).honestCheckpoint()
+    val fg = filterGate(base, maxTopFrac, maxDupFrac)
+      .withColumnRenamed("keep", "heuristic_ok")
+    val sc = QualityModel.zFrame(base)
+      .select(col("doc_id"), QualityModel.scoreCol(beta).as("model_score"))
+    fg.join(sc, "doc_id")
+      .withColumn("model_ok", col("model_score") >= minScore)
+      .withColumn("keep", col("heuristic_ok") && col("model_ok"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.functions.Exact._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.HonestCheckpoint._
+
+/** TRAINED document-quality classifier — the learned counterpart to
+  * the heuristic gates ([[TextOps.quality]]/[[TextOps.repetition]]/
+  * [[TextOps.langId]] → [[Curation.filterGate]]). Production
+  * pretraining corpora add a trained quality model on top of the
+  * hand-set thresholds (CCNet's fastText LM filter, GPT-3's WebText
+  * logistic classifier, FineWeb-Edu's regression scorer — public
+  * technique); this is that stage as a Spark-native operator: a
+  * closed-form ridge probe over the engine's own per-document
+  * features, distilled from the deterministic heuristic verdict and
+  * emitting a CONTINUOUS score a curator can threshold anywhere —
+  * the capability the boolean gate lacks (rank docs, keep the top
+  * X% of a token budget, loosen/tighten without recomputing).
+  *
+  * Reference anchor: the same RidgeCV shape as the regressor demo
+  * (finanalyzer/regressors/to_review/plot_cyclical_feature_engineering.py:395-411)
+  * fit on curation features instead of cyclical time encodings.
+  *
+  * Model: ridge with the SAME machinery as [[Ridge]] — the augmented
+  * vector z = [1, f₁..f₆, y] is 6-dp-quantized DECIMAL(18,6), one
+  * partial-aggregated scan accumulates the exact 36-sum Gram upper
+  * triangle, and the 7×7 pivot-free SPD solve runs driver-side on
+  * model parameters only; coefficients re-enter the plan as literals
+  * for the scoring scan. Features (all already oracle-replayable
+  * 6-dp quantities):
+  *
+  *   f₁ avg_word_len   f₂ punct_ratio      f₃ stop_ratio
+  *   f₄ top_frac       f₅ dup_token_frac   f₆ lang_match (0/1)
+  *
+  * Docs with < 2 tokens have no repetition row (no 2-grams): their
+  * f₄/f₅ default to 1.0 — the worst-case repetition reading, the
+  * same "missing metrics read as reject" convention as
+  * [[Curation.filterGate]]. Null ratios (empty docs) read 0.0.
+  *
+  * Label: the deterministic heuristic verdict itself (quality keep ∧
+  * repetition thresholds ∧ language agreement — [[Curation.filterGate]]
+  * with its default thresholds), so the planted signal is exactly
+  * recoverable and the whole train-predict loop replays in the
+  * DuckDB oracle bit-for-bit (Gram sums exact decimal, solve a fixed
+  * IEEE op sequence — the fin_ridge argument).
+  *
+  * Scale shape: the corpus is tokenized ONCE (eager localCheckpoint,
+  * ContextCleaner-freed); everything else is per-doc Column algebra
+  * + doc_id-keyed joins. Nothing corpus-sized crosses the driver:
+  * the fit ships 36 decimals, the model is 7 doubles.
+  */
+object QualityModel {
+
+  /** Repetition-gate thresholds shared with [[Curation.filterGate]]
+    * defaults — the label must be the same verdict the boolean gate
+    * emits. */
+  private val MaxTopFrac = 0.15
+  private val MaxDupFrac = 0.9
+
+  /** (doc_id, z0..z7): intercept + the six 6-dp features + the 0/1
+    * heuristic label, each DECIMAL(18,6) so the Gram sums are exact.
+    * Callers pass a pre-tokenized frame ([[TextOps.withToks]]) to
+    * tokenize the corpus once across the feature sub-operators.
+    */
+  private[operators] def zFrame(documents: DataFrame): DataFrame = {
+    val q = TextOps.quality(documents).select(col("doc_id"),
+      col("avg_word_len"), col("punct_ratio"), col("stop_ratio"),
+      col("keep").as("quality_ok"))
+    val r = TextOps.repetition(documents).select(col("doc_id"),
+      col("top_frac"), col("dup_token_frac"))
+    val l = TextOps.langId(documents).select(col("doc_id"),
+      (col("pred_lang") === col("lang")).as("lang_ok"))
+    val f = Seq(
+      coalesce(col("avg_word_len"), lit(0.0)),
+      coalesce(col("punct_ratio"), lit(0.0)),
+      coalesce(col("stop_ratio"), lit(0.0)),
+      coalesce(col("top_frac"), lit(1.0)),
+      coalesce(col("dup_token_frac"), lit(1.0)),
+      when(col("lang_ok"), 1.0).otherwise(0.0))
+    val label = col("quality_ok") &&
+      coalesce(col("top_frac") <= MaxTopFrac && col("dup_token_frac") <= MaxDupFrac,
+        lit(false)) && col("lang_ok")
+    val zs = lit(1.0).cast(org.apache.spark.sql.types.DecimalType(18, 6)) +:
+      f.map(dec6) :+ dec6(when(label, 1.0).otherwise(0.0))
+    documents.select(col("doc_id"))
+      .join(q, "doc_id").join(r, Seq("doc_id"), "left").join(l, "doc_id")
+      .select(col("doc_id") +: zs.zipWithIndex.map { case (c, i) => c.as(s"z$i") }: _*)
+  }
+
+  /** Fit [β₀(intercept), β₁..β₆] — one exact-decimal Gram scan, then
+    * the driver-side 7×7 solve on model parameters only. Same
+    * intercept-unpenalized convention as [[Ridge.fit]].
+    */
+  def fit(documents: DataFrame, alpha: Double = 1.0): Array[Double] = {
+    val cols = Ridge.gramSumCols
+    val row = zFrame(documents).agg(cols.head, cols.tail: _*).head()
+    def s(i: Int, j: Int): Double = {
+      val v = row.getDecimal(Ridge.upperTriangle.indexOf((i, j)))
+      if (v == null) 0.0 else v.doubleValue()
+    }
+    Ridge.solveFromSums(s, alpha)
+  }
+
+  /** The model score as a Column over a zFrame row: Σ zᵢ·βᵢ in the
+    * fixed left-associated IEEE order ([[Ridge.predictWith]]'s), 6-dp
+    * rounded. Shared by [[score]] and [[Curation.filterGateModel]].
+    */
+  private[operators] def scoreCol(beta: Array[Double]): Column =
+    round((0 until Ridge.D - 1)
+      .map(i => col(s"z$i").cast("double") * lit(beta(i)))
+      .reduce(_ + _), 6) + lit(0.0)
+
+  /** Train-and-score in one operator: fit on the corpus, then one
+    * scoring scan with the coefficients as plan literals. Emits
+    * (doc_id, label, score, pred) — `label` is the 0/1 heuristic
+    * verdict the model was distilled from, `score` the continuous
+    * quality estimate, `pred` the thresholded decision.
+    */
+  def score(documents: DataFrame, alpha: Double = 1.0, threshold: Double = 0.5): DataFrame = {
+    val base = TextOps.withToks(documents).honestCheckpoint()
+    val beta = fit(base, alpha)
+    zFrame(base)
+      .select(col("doc_id"),
+        (col("z7").cast("double") + lit(0.0)).as("label"),
+        scoreCol(beta).as("score"))
+      .withColumn("pred", col("score") >= threshold)
+      .orderBy(col("doc_id"))
+  }
+}

@@ -354,7 +354,7 @@ object Similarity {
     // meta LAST = commit marker; last_batch is the streaming-ingest
     // high-water mark (same contract as the IVF-PQ meta): delta dirs
     // with a higher id are UNCOMMITTED and skipped by the loader.
-    Seq((indexFormatVersion, params, corpusCount, -1L))
+    Seq((semanticIndexVersion, params, corpusCount, -1L))
       .toDF("version", "params", "n", "last_batch")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -363,8 +363,8 @@ object Similarity {
                         preReadMeta: Option[org.apache.spark.sql.Row] = None): SemanticIndex = {
     val meta = preReadMeta.getOrElse(
       spark.read.parquet(s"$dir/meta.parquet").collect()(0))
-    require(meta.getAs[Int]("version") == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    require(meta.getAs[Int]("version") == semanticIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $semanticIndexVersion")
     val cents = spark.read.parquet(s"$dir/centroids.parquet").collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
     val base = spark.read.parquet(s"$dir/assigned.parquet")
@@ -452,8 +452,8 @@ object Similarity {
                                   dir: String, meta: org.apache.spark.sql.Row,
                                   batch: DataFrame, batchId: Long): Long = {
     import spark.implicits._
-    require(meta.getAs[Int]("version") == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    require(meta.getAs[Int]("version") == semanticIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $semanticIndexVersion")
     val cnt = batch.count()
     // An EMPTY batch must still advance the high-water mark (so its
     // replay skips) but must NOT write a delta dir: an empty parquet
@@ -474,7 +474,7 @@ object Similarity {
     }
     val n = meta.getAs[Long]("n") + cnt
     stagedMetaWrite(spark, dir) { staging =>
-      Seq((indexFormatVersion, meta.getAs[String]("params"), n, batchId))
+      Seq((semanticIndexVersion, meta.getAs[String]("params"), n, batchId))
         .toDF("version", "params", "n", "last_batch")
         .repartition(1).write.mode("overwrite").parquet(staging)
     }
@@ -496,8 +496,8 @@ object Similarity {
     val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
-      require(meta.getAs[Int]("version") == indexFormatVersion,
-        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      require(meta.getAs[Int]("version") == semanticIndexVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $semanticIndexVersion")
       if (committedDeltaPaths(spark, dir, meta.getAs[Long]("last_batch")).nonEmpty) {
         val merged = semanticIndexLoad(spark, dir, Some(meta)).assigned.honestCheckpoint()
         stagedReplace(spark, dir) { staging =>
@@ -506,7 +506,7 @@ object Similarity {
           spark.read.parquet(s"$dir/centroids.parquet")
             .repartition(1).write.mode("overwrite").parquet(s"$staging/centroids.parquet")
           import spark.implicits._
-          Seq((indexFormatVersion, meta.getAs[String]("params"),
+          Seq((semanticIndexVersion, meta.getAs[String]("params"),
               meta.getAs[Long]("n"), meta.getAs[Long]("last_batch")))
             .toDF("version", "params", "n", "last_batch")
             .repartition(1).write.mode("overwrite").parquet(s"$staging/meta.parquet")
@@ -533,7 +533,7 @@ object Similarity {
     val fresh = embeddings.filter(col("vec_id") % 10 === 0)
     val params = s"sem;k=$k;it=$iters;base=mod10;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, semanticIndexVersion) { staging =>
       semanticIndexSave(semanticIndexBuild(base, k, iters), staging, params, n - fresh.count())
       semanticIndexAppend(spark, staging, fresh)
     }
@@ -554,7 +554,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = s"sem;k=$k;it=$iters;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, semanticIndexVersion) { staging =>
       semanticIndexSave(semanticIndexBuild(embeddings, k, iters), staging, params, n)
     }
     withinClusterPairs(semanticIndexLoad(spark, indexDir, Some(meta)).assigned,
@@ -819,7 +819,7 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     index.fine.toDF("coarse", "fine", "cu")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/fine_centroids.parquet")
-    Seq((indexFormatVersion, index.k2, params, corpusCount))
+    Seq((hierIndexVersion, index.k2, params, corpusCount))
       .toDF("version", "k2", "params", "n")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -828,8 +828,8 @@ object Similarity {
                             preReadMeta: Option[org.apache.spark.sql.Row] = None): HierSemanticIndex = {
     val meta = preReadMeta.getOrElse(
       spark.read.parquet(s"$dir/meta.parquet").collect()(0))
-    require(meta.getAs[Int]("version") == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    require(meta.getAs[Int]("version") == hierIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $hierIndexVersion")
     val coarse = spark.read.parquet(s"$dir/centroids.parquet").collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
     val fine = spark.read.parquet(s"$dir/fine_centroids.parquet").collect()
@@ -850,7 +850,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = s"semhier;k1=$k1;k2=$k2;it=$iters;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, hierIndexVersion) { staging =>
       semanticIndexSaveHier(semanticIndexBuildHier(embeddings, k1, k2, iters),
         staging, params, n)
     }
@@ -980,7 +980,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = s"rangeivf;nlist=$nlist;ivfIt=$ivfIters;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, semanticIndexVersion) { staging =>
       semanticIndexSave(semanticIndexBuild(embeddings, nlist, ivfIters),
         staging, params, n)
     }
@@ -1430,7 +1430,7 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
     // meta LAST: its _SUCCESS is the whole-index commit marker.
     // params/n are the build fingerprint frozenIndexComplete checks.
-    Seq((index.m, indexFormatVersion, params, corpusCount))
+    Seq((index.m, pqIndexVersion, params, corpusCount))
       .toDF("m", "version", "params", "n")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -1446,8 +1446,8 @@ object Similarity {
                   preReadMeta: Option[org.apache.spark.sql.Row] = None): PqIndex = {
     val meta = preReadMeta.getOrElse(
       spark.read.parquet(s"$dir/meta.parquet").collect()(0))
-    require(meta.getAs[Int]("version") == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    require(meta.getAs[Int]("version") == pqIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $pqIndexVersion")
     val m = meta.getAs[Int]("m")
     val cbs = spark.read.parquet(s"$dir/codebooks.parquet").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
@@ -1479,7 +1479,7 @@ object Similarity {
     // from parquet footers — no data scan)
     val params = s"pq;m=$m;cb=$codebookSize;it=$iters;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, pqIndexVersion) { staging =>
       pqIndexSave(pqIndexBuild(embeddings, m, codebookSize, iters), staging, params, n)
     }
     val index = pqIndexLoad(spark, indexDir, embeddings, Some(meta))
@@ -1568,7 +1568,7 @@ object Similarity {
     index.mins.indices.map(d => (d, index.mins(d), index.spans(d)))
       .toDF("dim", "vmin", "span")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/bounds.parquet")
-    Seq((indexFormatVersion, params, corpusCount))
+    Seq((sqIndexVersion, params, corpusCount))
       .toDF("version", "params", "n")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -1578,8 +1578,8 @@ object Similarity {
                   preReadMeta: Option[org.apache.spark.sql.Row] = None): SqIndex = {
     val meta = preReadMeta.getOrElse(
       spark.read.parquet(s"$dir/meta.parquet").collect()(0))
-    require(meta.getAs[Int]("version") == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    require(meta.getAs[Int]("version") == sqIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $sqIndexVersion")
     val b = spark.read.parquet(s"$dir/bounds.parquet").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     SqIndex(b.map(_._2), b.map(_._3), spark.read.parquet(s"$dir/codes.parquet"),
@@ -1596,7 +1596,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = s"sq8;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, sqIndexVersion) { staging =>
       sqIndexSave(sqIndexBuild(embeddings), staging, params, n)
     }
     sqSearch(sqIndexLoad(spark, indexDir, embeddings, Some(meta)),
@@ -1695,7 +1695,7 @@ object Similarity {
     index.centroids.zipWithIndex.map { case (units, cell) => (cell, units.toSeq) }
       .toDF("cell", "units")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    Seq((indexFormatVersion, params, corpusCount))
+    Seq((ivfSqIndexVersion, params, corpusCount))
       .toDF("version", "params", "n")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -1705,8 +1705,8 @@ object Similarity {
                      preReadMeta: Option[org.apache.spark.sql.Row] = None): IvfSqIndex = {
     val meta = preReadMeta.getOrElse(
       spark.read.parquet(s"$dir/meta.parquet").collect()(0))
-    require(meta.getAs[Int]("version") == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    require(meta.getAs[Int]("version") == ivfSqIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $ivfSqIndexVersion")
     val b = spark.read.parquet(s"$dir/bounds.parquet").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val cents = spark.read.parquet(s"$dir/centroids.parquet").collect()
@@ -1726,7 +1726,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = s"ivfsq;nlist=8;ivfIt=3;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, ivfSqIndexVersion) { staging =>
       ivfSqIndexSave(ivfSqIndexBuild(embeddings), staging, params, n)
     }
     ivfSqSearch(ivfSqIndexLoad(spark, indexDir, embeddings, Some(meta)),
@@ -1800,7 +1800,7 @@ object Similarity {
     val spark = index.sigs.sparkSession
     import spark.implicits._
     index.sigs.write.mode("overwrite").parquet(s"$dir/sigs.parquet")
-    Seq((indexFormatVersion, params, corpusCount))
+    Seq((bqIndexVersion, params, corpusCount))
       .toDF("version", "params", "n")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -1810,8 +1810,8 @@ object Similarity {
                   preReadMeta: Option[org.apache.spark.sql.Row] = None): BqIndex = {
     val meta = preReadMeta.getOrElse(
       spark.read.parquet(s"$dir/meta.parquet").collect()(0))
-    require(meta.getAs[Int]("version") == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    require(meta.getAs[Int]("version") == bqIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $bqIndexVersion")
     BqIndex(spark.read.parquet(s"$dir/sigs.parquet"),
       corpus.select(col("vec_id"), col("embedding")))
   }
@@ -1825,7 +1825,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = s"bq;w=32;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, bqIndexVersion) { staging =>
       bqIndexSave(bqIndexBuild(embeddings), staging, params, n)
     }
     bqSearch(bqIndexLoad(spark, indexDir, embeddings, Some(meta)),
@@ -1989,7 +1989,7 @@ object Similarity {
     index.centroids.zipWithIndex.map { case (units, cell) => (cell, units.toSeq) }
       .toDF("cell", "units")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    Seq((indexFormatVersion, params, corpusCount))
+    Seq((ivfBqIndexVersion, params, corpusCount))
       .toDF("version", "params", "n")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -1999,8 +1999,8 @@ object Similarity {
                      preReadMeta: Option[org.apache.spark.sql.Row] = None): IvfBqIndex = {
     val meta = preReadMeta.getOrElse(
       spark.read.parquet(s"$dir/meta.parquet").collect()(0))
-    require(meta.getAs[Int]("version") == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    require(meta.getAs[Int]("version") == ivfBqIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $ivfBqIndexVersion")
     val cents = spark.read.parquet(s"$dir/centroids.parquet").collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).map(_._2).toSeq
     IvfBqIndex(cents, spark.read.parquet(s"$dir/sigs.parquet"),
@@ -2016,19 +2016,34 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = s"ivfbq;nlist=8;ivfIt=3;w=32;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, ivfBqIndexVersion) { staging =>
       ivfBqIndexSave(ivfBqIndexBuild(embeddings), staging, params, n)
     }
     ivfBqSearch(ivfBqIndexLoad(spark, indexDir, embeddings, Some(meta)),
       defaultQueries(embeddings), k, rerank, nprobe, excludeSelf = true)
   }
 
-  /** Frozen-index layout version, persisted in every index's meta
+  /** Frozen-index layout versions, persisted in every index's meta
     * table and checked at detection/load time: an index written by an
     * incompatible layout (or a pre-version save) reads as ABSENT, so
     * the serve path rebuilds instead of mis-decoding it.
+    *
+    * PER FAMILY, not engine-wide: the round-13 engine-wide 4→5 bump
+    * (the semantic meta gained last_batch) also invalidated every
+    * on-disk PQ/SQ/BQ/IVF index whose bytes had not changed — at
+    * 100 TB a silent full-fleet rebuild, not a hiccup. Each family
+    * now versions independently; all sit at 5 today (the value their
+    * current on-disk metas carry), and the next layout change bumps
+    * only the family whose layout changed.
     */
-  private[graft] val indexFormatVersion = 5
+  private[graft] val semanticIndexVersion = 5 // flat SemanticIndex (+ annRangeIvfServed reuse)
+  private[graft] val hierIndexVersion = 5
+  private[graft] val pqIndexVersion = 5
+  private[graft] val sqIndexVersion = 5
+  private[graft] val bqIndexVersion = 5
+  private[graft] val ivfSqIndexVersion = 5
+  private[graft] val ivfBqIndexVersion = 5
+  private[graft] val ivfPqIndexVersion = 5
 
   /** On-disk completeness check for a frozen index dir. The meta
     * table is written LAST in every save, so its `_SUCCESS` marker
@@ -2048,9 +2063,9 @@ object Similarity {
     * performs.
     */
   private[graft] def frozenIndexComplete(spark: org.apache.spark.sql.SparkSession,
-                                         dir: String, params: String,
-                                         corpusCount: Long): Boolean =
-    frozenIndexMeta(spark, dir, params, corpusCount).isDefined
+                                         dir: String, params: String, corpusCount: Long,
+                                         version: Int): Boolean =
+    frozenIndexMeta(spark, dir, params, corpusCount, version).isDefined
 
   /** Zero-scan content stamp of a frame's file-backed source: an MD5
     * over the sorted (path, byte length, modification time) of its
@@ -2086,8 +2101,8 @@ object Similarity {
     * flag the loaders need).
     */
   private[graft] def frozenIndexMeta(spark: org.apache.spark.sql.SparkSession,
-                                     dir: String, params: String,
-                                     corpusCount: Long): Option[org.apache.spark.sql.Row] = {
+                                     dir: String, params: String, corpusCount: Long,
+                                     version: Int): Option[org.apache.spark.sql.Row] = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/meta.parquet/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) None
@@ -2095,7 +2110,7 @@ object Similarity {
       val meta = spark.read.parquet(s"$dir/meta.parquet")
       if (!Seq("version", "params", "n").forall(meta.columns.contains)) None
       else meta.collect().headOption.filter { r =>
-        r.getAs[Int]("version") == indexFormatVersion &&
+        r.getAs[Int]("version") == version &&
           r.getAs[String]("params") == params && r.getAs[Long]("n") == corpusCount
       }
     }
@@ -2114,11 +2129,11 @@ object Similarity {
     * exactly once.
     */
   private[graft] def buildIfAbsent(spark: org.apache.spark.sql.SparkSession, dir: String,
-                                   params: String, corpusCount: Long)
+                                   params: String, corpusCount: Long, version: Int)
                                   (build: String => Unit): org.apache.spark.sql.Row = {
     val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
-      frozenIndexMeta(spark, dir, params, corpusCount).getOrElse {
+      frozenIndexMeta(spark, dir, params, corpusCount, version).getOrElse {
         val dest = new org.apache.hadoop.fs.Path(dir)
         val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val staging = new org.apache.hadoop.fs.Path(
@@ -2130,11 +2145,11 @@ object Similarity {
         // matching index appeared, serve it and drop our staging.
         if (fs.exists(dest)) fs.delete(dest, true)
         if (!fs.rename(staging, dest)) {
-          val theirs = frozenIndexMeta(spark, dir, params, corpusCount)
+          val theirs = frozenIndexMeta(spark, dir, params, corpusCount, version)
           fs.delete(staging, true)
           theirs.getOrElse(sys.error(
             s"failed to publish index to $dir and no complete index is present"))
-        } else frozenIndexMeta(spark, dir, params, corpusCount).getOrElse(
+        } else frozenIndexMeta(spark, dir, params, corpusCount, version).getOrElse(
           sys.error(s"index published to $dir failed its own completeness check"))
       }
     }
@@ -2348,7 +2363,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = s"ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;src=${sourceStamp(embeddings)}" // ivfPqResidualIndexBuild defaults
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, ivfPqIndexVersion) { staging =>
       ivfPqIndexSave(ivfPqResidualIndexBuild(embeddings), staging, params, n)
     }
     val index = ivfPqIndexLoad(spark, indexDir, embeddings, Some(meta))
@@ -2450,7 +2465,7 @@ object Similarity {
     // streaming-ingest high-water mark ([[ivfPqIndexStreamAppend]]) —
     // delta dirs with a higher id are UNCOMMITTED and ignored by the
     // loader.
-    Seq((index.m, index.residual, indexFormatVersion, params, corpusCount, lastBatch))
+    Seq((index.m, index.residual, ivfPqIndexVersion, params, corpusCount, lastBatch))
       .toDF("m", "residual", "version", "params", "n", "last_batch")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
   }
@@ -2472,8 +2487,8 @@ object Similarity {
                      preReadMeta: Option[org.apache.spark.sql.Row] = None): IvfPqIndex = {
     val meta = preReadMeta.getOrElse(
       spark.read.parquet(s"$dir/meta.parquet").collect()(0))
-    require(meta.getAs[Int]("version") == indexFormatVersion,
-      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+    require(meta.getAs[Int]("version") == ivfPqIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $ivfPqIndexVersion")
     val cbs = spark.read.parquet(s"$dir/codebooks.parquet").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
     val codebooks = cbs.groupBy(_._1).toIndexedSeq.sortBy(_._1)
@@ -2556,8 +2571,8 @@ object Similarity {
     val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
-      require(meta.getAs[Int]("version") == indexFormatVersion,
-        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      require(meta.getAs[Int]("version") == ivfPqIndexVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $ivfPqIndexVersion")
       val index = ivfPqIndexLoad(spark, dir,
         newVectors.select(col("vec_id"), col("embedding")), Some(meta))
       ivfPqEncodeWith(index, newVectors)
@@ -2579,7 +2594,7 @@ object Similarity {
                           lastBatch: Long): Unit = {
     import spark.implicits._
     stagedMetaWrite(spark, dir) { staging =>
-      Seq((meta.getAs[Int]("m"), meta.getAs[Boolean]("residual"), indexFormatVersion,
+      Seq((meta.getAs[Int]("m"), meta.getAs[Boolean]("residual"), ivfPqIndexVersion,
           meta.getAs[String]("params"), n, lastBatch))
         .toDF("m", "residual", "version", "params", "n", "last_batch")
         .repartition(1).write.mode("overwrite").parquet(staging)
@@ -2639,8 +2654,8 @@ object Similarity {
     val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
-      require(meta.getAs[Int]("version") == indexFormatVersion,
-        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      require(meta.getAs[Int]("version") == ivfPqIndexVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $ivfPqIndexVersion")
       val lastBatch = meta.getAs[Long]("last_batch")
       if (batchId <= lastBatch) meta.getAs[Long]("n") // replay of a committed batch
       else {
@@ -2700,8 +2715,8 @@ object Similarity {
     val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
-      require(meta.getAs[Int]("version") == indexFormatVersion,
-        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      require(meta.getAs[Int]("version") == ivfPqIndexVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $ivfPqIndexVersion")
       val paths = committedCodesPaths(spark, dir, meta.getAs[Long]("last_batch"))
       val kept = spark.read.parquet(paths: _*)
         .join(removeIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -2729,8 +2744,8 @@ object Similarity {
     val lock = servedBuildLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
-      require(meta.getAs[Int]("version") == indexFormatVersion,
-        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $indexFormatVersion")
+      require(meta.getAs[Int]("version") == ivfPqIndexVersion,
+        s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $ivfPqIndexVersion")
       val paths = committedCodesPaths(spark, dir, meta.getAs[Long]("last_batch"))
       if (paths.length > 1) {
         val merged = spark.read.parquet(paths: _*).honestCheckpoint()
@@ -2775,7 +2790,7 @@ object Similarity {
     val fresh = embeddings.filter(col("vec_id") % 10 === 0)
     val params = s"ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;base=mod10;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, ivfPqIndexVersion) { staging =>
       ivfPqIndexSave(ivfPqIndexBuild(base), staging, params, n - fresh.count())
       ivfPqIndexAppend(spark, staging, fresh)
     }
@@ -2801,7 +2816,7 @@ object Similarity {
     val tombstones = embeddings.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
     val params = s"ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;rm=mod5eq2;src=${sourceStamp(embeddings)}"
     val nAll = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, nAll - tombstones.count()) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, nAll - tombstones.count(), ivfPqIndexVersion) { staging =>
       ivfPqIndexSave(ivfPqIndexBuild(embeddings), staging, params, nAll)
       ivfPqIndexRemove(spark, staging, tombstones)
     }
@@ -2819,7 +2834,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val params = s"ivfpq;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3;src=${sourceStamp(embeddings)}" // ivfPqIndexBuild defaults
     val n = embeddings.count()
-    val meta = buildIfAbsent(spark, indexDir, params, n) { staging =>
+    val meta = buildIfAbsent(spark, indexDir, params, n, ivfPqIndexVersion) { staging =>
       ivfPqIndexSave(ivfPqIndexBuild(embeddings), staging, params, n)
     }
     val index = ivfPqIndexLoad(spark, indexDir, embeddings, Some(meta))

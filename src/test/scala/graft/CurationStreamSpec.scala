@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{Curation, QualityModel, TextOps}
+import graft.streaming.CurationStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Frozen-model streaming quality gate: every micro-batch's verdicts
+  * must equal the one-shot batch gate on the same rows (per-document
+  * features only — batch boundaries can never change a verdict).
+  */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed quality-gate verdicts equal the batch gate doc-for-doc") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    // coefficients fit OFFLINE on the full corpus, then frozen
+    val beta = QualityModel.fit(TextOps.withToks(docs))
+    val rows = docs.as[(Long, String, String)].collect().toSeq
+    val (batch1, batch2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val q = CurationStream.qualityGateServe(
+      input.toDF().toDF("doc_id", "lang", "text"), beta) {
+      (df, id) => got.synchronized { got(id) = df.collect().map(_.toString).toSeq }
+    }
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val snapshot = got.synchronized(got.toMap)
+    assert(snapshot.keySet === Set(0L, 1L))
+    def want(batch: Seq[(Long, String, String)]): Seq[String] =
+      Curation.filterGateModel(batch.toDF("doc_id", "lang", "text"), beta)
+        .collect().map(_.toString).toSeq
+    assert(snapshot(0L) === want(batch1), "batch 1 verdicts drifted from the batch gate")
+    assert(snapshot(1L) === want(batch2), "batch 2 verdicts drifted from the batch gate")
+    // the gate actually discriminates on real data: both verdicts occur
+    val keeps = snapshot.values.flatten.count(_.endsWith("true]"))
+    assert(keeps > 0 && keeps < rows.length, s"degenerate gate: $keeps/${rows.length} kept")
+  }
+}

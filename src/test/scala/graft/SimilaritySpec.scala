@@ -617,9 +617,9 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfPqIndexSave(built, dir, params, nBase)
       val nAfter = Similarity.ivfPqIndexAppend(spark, dir, fresh)
       assert(nAfter === nBase + fresh.count(), "meta n must grow by exactly |delta|")
-      assert(Similarity.frozenIndexComplete(spark, dir, params, nAfter),
+      assert(Similarity.frozenIndexComplete(spark, dir, params, nAfter, Similarity.ivfPqIndexVersion),
         "an appended index must read as complete at the GROWN corpus count")
-      assert(!Similarity.frozenIndexComplete(spark, dir, params, nBase),
+      assert(!Similarity.frozenIndexComplete(spark, dir, params, nBase, Similarity.ivfPqIndexVersion),
         "an appended index must no longer match the pre-append count")
       val loaded = Similarity.ivfPqIndexLoad(spark, dir, embeddings)
       assert(search(loaded) === want,
