@@ -515,6 +515,34 @@ object ScaleProbe {
       "ann_range_ivf" -> ((_, _, _, em, _) =>
         operators.Similarity.annRangeIvf(em, fixedQ, threshold = 0.3,
           queriesAreCorpusDerived = Some(true)).count()),
+      // Radius search SERVED (round 14): the frozen IndexIVF loaded
+      // from disk — the first timed run pays the one-off build
+      // (min-of-2 discards it), so this row reads the SERVING cost
+      // class the trained row buries under its per-run Lloyd.
+      "ann_range_ivf_served" -> ((_, _, _, em, k) =>
+        operators.Similarity.annRangeIvfServed(em,
+          s"/tmp/graft_scale${k}_${recipeVersion}_rangeivf_index", fixedQ,
+          threshold = 0.3, queriesAreCorpusDerived = Some(true)).count()),
+      // Hier coarse PAST the kernel budget (round 14): k1 = 128
+      // forces the coarse level onto the centroids-as-data path at
+      // every scale (the third-decade residual closed this round —
+      // dedup_sem_hier_grp_wide's k1 = 64 ceiling no longer binds);
+      // k2 sized so k1·k2 tracks the corpus contract.
+      "sem_hier_wide_coarse" -> ((_, _, _, em, k) => {
+        val k2 = math.max(1, math.ceil(4.0 * k / 128).toInt)
+        operators.Similarity.dedupSemanticHierGrouped(em, k1 = 128, k2 = k2).count()
+      }),
+      // Trained quality classifier (round 14): one tokenized corpus
+      // checkpoint, three feature scans + doc_id joins, a 36-decimal
+      // Gram collect, one scoring scan — expect ~linear in corpus
+      // tokens (the curate_filter cost class plus the Gram pass).
+      "quality_model" -> ((_, d, _, _, _) =>
+        operators.QualityModel.score(d).count()),
+      // Score-ranked token budget (round 14): budget tracks the
+      // corpus like token_budget, so the probe measures scoring +
+      // the bucketed prefix sum, not a fixed-size early cut.
+      "quality_budget" -> ((_, d, _, _, k) =>
+        operators.Curation.qualityBudget(d, budget = 10000L * k).count()),
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_res_index"
         val (params, n) = ("ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())

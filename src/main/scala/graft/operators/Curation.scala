@@ -141,13 +141,21 @@ object Curation {
     *
     * The global running offset in score order is the SAME distributed
     * two-pass prefix sum: the range key is the bucketed score
-    * `part = −⌊score·64⌋` (monotone non-decreasing along descending
+    * `part = −⌊score·4096⌋` (monotone non-decreasing along descending
     * score, so per-part (score DESC, doc_id) order ∘ part order = the
     * global order), pass 1 reduces each bucket to one token subtotal,
     * pass 2 broadcasts bucket offsets back. One scoring scan + a tiny
-    * broadcast; no global sort. Scores are 6-dp doubles ×64 (a power
-    * of two — the product is exact binary scaling), so the bucketing
-    * replays identically in the oracle.
+    * broadcast; no global sort. Scores are 6-dp doubles ×4096 (a
+    * power of two — the product is exact binary scaling), so the
+    * bucketing replays identically in the oracle.
+    *
+    * Skew note: unlike [[tokenBudget]]'s 256 even md5 ranges, score
+    * buckets follow the score DISTRIBUTION — ~2.4e-4-wide buckets
+    * keep continuous scores spread, but a mass of EXACTLY equal
+    * scores (identical feature vectors, e.g. a deduplicated-away
+    * boilerplate block) lands in one bucket and its within-part
+    * window serializes; run dedup before budget selection (the
+    * standard pipeline order) and that mass is gone.
     */
   def qualityBudget(documents: DataFrame, budget: Long = 10000L,
                     alpha: Double = 1.0): DataFrame = {
@@ -159,7 +167,7 @@ object Curation {
     val base = base0
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
       .join(scored, "doc_id")
-      .withColumn("part", -floor(col("score") * 64).cast("long"))
+      .withColumn("part", -floor(col("score") * 4096).cast("long"))
     val wPart = Window.partitionBy(lit(0)).orderBy(col("part"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy(col("part")).agg(sum(col("n_toks")).as("psum"))
