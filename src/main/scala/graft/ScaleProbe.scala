@@ -532,6 +532,12 @@ object ScaleProbe {
         val k2 = math.max(1, math.ceil(4.0 * k / 128).toInt)
         operators.Similarity.dedupSemanticHierGrouped(em, k1 = 128, k2 = k2).count()
       }),
+      // Build-only half of the row above: isolates the wide-coarse
+      // trainer + assignment from the within-cluster pair verify.
+      "sem_hier_wide_build" -> ((_, _, _, em, k) => {
+        val k2 = math.max(1, math.ceil(4.0 * k / 128).toInt)
+        operators.Similarity.semanticIndexBuildHier(em, k1 = 128, k2 = k2).assigned.count()
+      }),
       // Trained quality classifier (round 14): one tokenized corpus
       // checkpoint, three feature scans + doc_id joins, a 36-decimal
       // Gram collect, one scoring scan — expect ~linear in corpus

@@ -161,9 +161,11 @@ object Curation {
                     alpha: Double = 1.0): DataFrame = {
     import graft.operators.{QualityModel, TextOps}
     val base0 = TextOps.withToks(documents).honestCheckpoint()
-    val beta = QualityModel.fit(base0, alpha)
-    val scored = QualityModel.zFrame(base0)
-      .select(col("doc_id"), QualityModel.scoreCol(beta).as("score"))
+    // One materialized feature pipeline feeds both the fit's Gram
+    // pass and the scoring join (the QualityModel.score pattern).
+    val zf = QualityModel.zFrame(base0).honestCheckpoint()
+    val beta = QualityModel.fitFromZ(zf, alpha)
+    val scored = zf.select(col("doc_id"), QualityModel.scoreCol(beta).as("score"))
     val base = base0
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
       .join(scored, "doc_id")

@@ -92,9 +92,17 @@ object QualityModel {
     * the driver-side 7×7 solve on model parameters only. Same
     * intercept-unpenalized convention as [[Ridge.fit]].
     */
-  def fit(documents: DataFrame, alpha: Double = 1.0): Array[Double] = {
+  def fit(documents: DataFrame, alpha: Double = 1.0): Array[Double] =
+    fitFromZ(zFrame(documents), alpha)
+
+  /** The fit half over an already-built z frame — so a train-and-
+    * score composition ([[score]], [[Curation.qualityBudget]]) can
+    * materialize the feature pipeline ONCE and feed both the Gram
+    * pass and the scoring scan from it.
+    */
+  private[operators] def fitFromZ(zf: DataFrame, alpha: Double): Array[Double] = {
     val cols = Ridge.gramSumCols
-    val row = zFrame(documents).agg(cols.head, cols.tail: _*).head()
+    val row = zf.agg(cols.head, cols.tail: _*).head()
     def s(i: Int, j: Int): Double = {
       val v = row.getDecimal(Ridge.upperTriangle.indexOf((i, j)))
       if (v == null) 0.0 else v.doubleValue()
@@ -118,9 +126,16 @@ object QualityModel {
     * quality estimate, `pred` the thresholded decision.
     */
   def score(documents: DataFrame, alpha: Double = 1.0, threshold: Double = 0.5): DataFrame = {
+    // Two materialization points: the tokenized corpus (each feature
+    // sub-operator reads it instead of re-splitting the text) and the
+    // z frame itself (9 narrow columns) — the fit's Gram pass and the
+    // scoring scan both read the SAME materialized features instead
+    // of running the quality/repetition/langid join pipeline twice
+    // (measured ~2× on the 100×-corpus probe).
     val base = TextOps.withToks(documents).honestCheckpoint()
-    val beta = fit(base, alpha)
-    zFrame(base)
+    val zf = zFrame(base).honestCheckpoint()
+    val beta = fitFromZ(zf, alpha)
+    zf
       .select(col("doc_id"),
         (col("z7").cast("double") + lit(0.0)).as("label"),
         scoreCol(beta).as("score"))
