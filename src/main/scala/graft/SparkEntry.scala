@@ -82,6 +82,8 @@ object SparkEntry {
     "curate_quality_model" -> ((s, d) => QualityModel.score(Tables(s, d).documents)),
     // model-score-ranked token-budget selection (keep-the-best-docs)
     "curate_quality_budget" -> ((s, d) => Curation.qualityBudget(Tables(s, d).documents)),
+    // CCNet-style per-language surprisal terciles -> head/middle/tail
+    "curate_ppl_buckets"   -> ((s, d) => Curation.pplBuckets(Tables(s, d).documents)),
     "maint_schema_union"   -> ((s, d) => Maintenance.schemaUnion(Tables(s, d).events)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
@@ -3114,6 +3116,39 @@ FROM e ORDER BY user_id, day"""
     "text_quality" -> qualityOracleSql,
     "curate_quality_model" -> qualityModelOracle,
     "curate_quality_budget" -> qualityBudgetOracle,
+    // curate_ppl_buckets: the surprisal chain (text_surprisal's
+    // oracle body), then the per-language tercile thresholds as
+    // DIRECT order statistics (one window — single-node oracle);
+    // the Spark side locates the SAME ranks via the bucketed
+    // two-pass (fin_quantiles machinery), so b1/b2 — and therefore
+    // every bucket verdict — are the identical (mean_bits, doc_id)
+    // order statistics.
+    "curate_ppl_buckets" ->
+      (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq),
+        |s AS (SELECT doc_id, CAST(length(bin(total // f)) - 1 AS BIGINT) AS bits
+        |      FROM tok JOIN freq USING (token) CROSS JOIN tot),
+        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits FROM s GROUP BY doc_id),
+        |sb AS (SELECT doc_id,
+        |  CAST((2 * total_bits * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+        |    / 1000000.0 + 0.0 AS mean_bits FROM g),
+        |b AS (SELECT d.doc_id, d.lang, sb.mean_bits
+        |      FROM documents d JOIN sb ON sb.doc_id = d.doc_id),
+        |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY lang),
+        |r AS (SELECT lang, doc_id, mean_bits,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY mean_bits, doc_id) AS BIGINT) AS rn
+        |  FROM b),
+        |thr AS (SELECT r.lang,
+        |    max(CASE WHEN rn = greatest((n + 1) // 3, 1) THEN mean_bits END) AS b1,
+        |    max(CASE WHEN rn = greatest((2 * n + 2) // 3, 1) THEN mean_bits END) AS b2
+        |  FROM r JOIN st USING (lang) GROUP BY r.lang)
+        |SELECT doc_id, lang, mean_bits,
+        |  CASE WHEN mean_bits <= b1 THEN 'head'
+        |       WHEN mean_bits <= b2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM b JOIN thr USING (lang) ORDER BY doc_id""".stripMargin),
     "curate_filter" ->
       (s"""WITH q AS ($qualityOracleSql),
          |r AS ($repetitionOracleSql),

@@ -186,6 +186,68 @@ object Curation {
       .orderBy(col("off"), col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing — the head/middle/tail
+    * stratification every LM-filtered pretraining corpus runs
+    * (Wenzek et al. 2020: score each doc with a language model, cut
+    * each language at its perplexity terciles, keep/weight buckets
+    * downstream): the engine's bit-exact unigram surprisal
+    * ([[TextOps.surprisal]]) stands in for the LM, and each
+    * language's tercile thresholds are EXACT order statistics of
+    * mean_bits — found with the same bucketed two-pass rank-location
+    * machinery as [[FinAnalytics.valueQuantiles]] (histogram pass →
+    * cumulative bucket counts → rank located inside one bucket), so
+    * no per-language global sort ever runs. Thresholds are
+    * model-parameter sized (2 values per language, broadcast back);
+    * assignment is one scan: head = mean_bits ≤ b1 (most
+    * predictable), tail = mean_bits > b2, middle between — threshold
+    * semantics exactly as CCNet (cut by value, so ties land on the
+    * lower bucket together).
+    *
+    * Docs with no tokens carry no surprisal and are absent, like
+    * [[TextOps.surprisal]] itself. Tercile ranks are
+    * max((n+1) DIV 3, 1) and max((2n+2) DIV 3, 1) over the
+    * (mean_bits, doc_id) order — deterministic for every n ≥ 1.
+    */
+  def pplBuckets(documents: DataFrame, histBuckets: Int = 8192): DataFrame = {
+    import graft.operators.TextOps
+    val base = documents.select(col("doc_id"), col("lang"))
+      .join(TextOps.surprisal(documents).select(col("doc_id"), col("mean_bits")), "doc_id")
+    val stats = base.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+      min(col("mean_bits")).as("vmin"), max(col("mean_bits")).as("vmax"))
+    def bucketCol = when(col("vmax") > col("vmin"),
+      least(floor((col("mean_bits") - col("vmin")) / ((col("vmax") - col("vmin")) / histBuckets)),
+        lit((histBuckets - 1).toLong))).otherwise(lit(0L))
+    val hist = base.join(broadcast(stats), "lang")
+      .withColumn("bucket", bucketCol)
+      .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+    val targets = stats.select(col("lang"), explode(array(
+        struct(lit("b1").as("which"), expr("greatest((n + 1) DIV 3, 1)").as("target")),
+        struct(lit("b2").as("which"), expr("greatest((2 * n + 2) DIV 3, 1)").as("target")))).as("t"))
+      .select(col("lang"), col("t.which").as("which"), col("t.target").as("target"))
+    val located = targets.join(cum, Seq("lang"))
+      .filter(col("target") > col("cum_before") && col("target") <= col("cum_before") + col("cnt"))
+      .select(col("lang"), col("which"), col("target"), col("bucket"), col("cum_before"))
+    val wIn = Window.partitionBy(col("lang"), col("bucket"), col("which"))
+      .orderBy(col("mean_bits"), col("doc_id"))
+    val thr = base.join(broadcast(stats), "lang")
+      .withColumn("bucket", bucketCol)
+      .join(broadcast(located), Seq("lang", "bucket"))
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .filter(col("rn") === col("target") - col("cum_before"))
+      .groupBy(col("lang"))
+      .agg(max(when(col("which") === "b1", col("mean_bits"))).as("b1"),
+        max(when(col("which") === "b2", col("mean_bits"))).as("b2"))
+    base.join(broadcast(thr), "lang")
+      .withColumn("bucket",
+        when(col("mean_bits") <= col("b1"), "head")
+          .when(col("mean_bits") <= col("b2"), "middle").otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("mean_bits"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Expanding-window time-series CV folds — sklearn's
     * `TimeSeriesSplit(n_splits, gap, max_train_size, test_size)`
     * semantics (the reference evaluates every encoding with

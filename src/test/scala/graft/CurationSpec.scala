@@ -29,6 +29,37 @@ class CurationSpec extends SparkSpec {
     assert(s1.groupBy(_._2).forall(_._2.length == 5))
   }
 
+  test("pplBuckets cuts each language at its exact surprisal terciles") {
+    val out = Curation.pplBuckets(docs).cache()
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    // per-language: bucket order is monotone in mean_bits (threshold
+    // cut — ties can never straddle buckets)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      def bits(b: String) = rs.filter(_._4 == b).map(_._3)
+      for {
+        lo <- Seq(("head", "middle"), ("middle", "tail"))
+        (a, b) = lo if bits(a).nonEmpty && bits(b).nonEmpty
+      } assert(bits(a).max < bits(b).min, s"$lang: $a overlaps $b")
+      // the thresholds are the EXACT local order statistics: replay
+      // rank-based terciles over (mean_bits, doc_id) and compare
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      val n = sorted.length.toLong
+      val b1 = sorted(((n + 1) / 3).max(1).toInt - 1)._3
+      val b2 = sorted(((2 * n + 2) / 3).max(1).toInt - 1)._3
+      rs.foreach { case (id, _, mb, bucket) =>
+        val want = if (mb <= b1) "head" else if (mb <= b2) "middle" else "tail"
+        assert(bucket === want, s"$lang doc $id: mean_bits $mb -> $bucket, want $want (b1=$b1 b2=$b2)")
+      }
+    }
+    // re-run identical (deterministic two-pass rank location)
+    val again = Curation.pplBuckets(docs).collect().map(_.toString)
+    assert(again.toSeq === out.collect().map(_.toString).toSeq)
+    out.unpersist()
+  }
+
   test("mixSources keeps whole-rate sources entirely and respects rates") {
     val out = Curation.mixSources(docs).cache()
     val bySource = out.groupBy("source").count().collect()
