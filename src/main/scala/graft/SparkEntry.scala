@@ -84,6 +84,7 @@ object SparkEntry {
     "curate_quality_budget" -> ((s, d) => Curation.qualityBudget(Tables(s, d).documents)),
     // CCNet-style per-language surprisal terciles -> head/middle/tail
     "curate_ppl_buckets"   -> ((s, d) => Curation.pplBuckets(Tables(s, d).documents)),
+    "text_scripts"         -> ((s, d) => TextOps.scripts(Tables(s, d).documents)),
     "maint_schema_union"   -> ((s, d) => Maintenance.schemaUnion(Tables(s, d).events)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
@@ -2879,6 +2880,24 @@ FROM e ORDER BY user_id, day"""
         |  CAST((2 * total_bits * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
         |    / 1000000.0 + 0.0 AS mean_bits
         |FROM g ORDER BY doc_id""".stripMargin),
+    // text_scripts: the identical literal codepoint-range classes
+    // (java.util.regex and RE2 read them the same — the named
+    // \p{...} script properties spell DIFFERENTLY per engine)
+    "text_scripts" -> {
+      val counts = operators.TextOps.scriptClasses.map { case (n, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+      }.mkString(",\n  ")
+      s"""WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  $counts FROM documents),
+         |o AS (SELECT *, n_chars - n_latin - n_digit - n_cjk - n_space AS n_other FROM c)
+         |SELECT doc_id, n_chars, n_latin, n_digit, n_cjk, n_space, n_other,
+         |  CASE WHEN n_chars > 0 THEN CAST((2 * n_latin * 1000000 + n_chars) // (2 * n_chars) AS DOUBLE) / 1000000.0 + 0.0 END AS latin_ratio,
+         |  CASE WHEN n_chars > 0 THEN CAST((2 * n_cjk * 1000000 + n_chars) // (2 * n_chars) AS DOUBLE) / 1000000.0 + 0.0 END AS cjk_ratio,
+         |  CASE WHEN n_cjk >= greatest(n_latin, n_digit, n_other) THEN 'cjk'
+         |       WHEN n_latin >= greatest(n_digit, n_other) THEN 'latin'
+         |       WHEN n_digit >= n_other THEN 'digit' ELSE 'other' END AS main_script
+         |FROM o ORDER BY doc_id""".stripMargin
+    },
     "dedup_ngram_jaccard" -> jaccardOracle(4, "0.5"),
     // overlap-coefficient containment (inter / min set size) — same
     // shingle CTEs, asymmetric score; the oracle enumerates ALL

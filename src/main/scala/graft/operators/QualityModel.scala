@@ -119,6 +119,41 @@ object QualityModel {
       .map(i => col(s"z$i").cast("double") * lit(beta(i)))
       .reduce(_ + _), 6) + lit(0.0)
 
+  /** Model-file layout version — the quality model persists like the
+    * frozen indexes (meta checked at load, mismatch fails loudly)
+    * but versions independently: it is 8 doubles, not an index. */
+  private[graft] val modelFormatVersion = 1
+
+  /** Persist fitted coefficients — the "fit rarely" half of the
+    * fit-rarely/serve-every-batch deployment ([[graft.streaming.CurationStream]]):
+    * a restarted serve loop loads the frozen model instead of
+    * refitting (and two serve fleets score IDENTICALLY — the
+    * coefficients are the model, bit-exact through parquet doubles).
+    * One row: version, a caller fingerprint, and β₀..β₆.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, beta: Array[Double],
+           dir: String, params: String = ""): Unit = {
+    require(beta.length == Ridge.D - 1, s"expected ${Ridge.D - 1} coefficients, got ${beta.length}")
+    import spark.implicits._
+    Seq((modelFormatVersion, params, beta.toSeq))
+      .toDF("version", "params", "beta")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/model.parquet")
+  }
+
+  /** Load persisted coefficients; fails loudly on a layout-version
+    * mismatch, and on a params mismatch when the caller passes one
+    * (same contract as the frozen-index loads).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String,
+           expectParams: Option[String] = None): Array[Double] = {
+    val row = spark.read.parquet(s"$dir/model.parquet").collect()(0)
+    require(row.getAs[Int]("version") == modelFormatVersion,
+      s"quality model at $dir has layout version ${row.getAs[Int]("version")}, expected $modelFormatVersion")
+    expectParams.foreach(p => require(row.getAs[String]("params") == p,
+      s"quality model at $dir was fit as '${row.getAs[String]("params")}', expected '$p'"))
+    row.getAs[Seq[Double]]("beta").toArray
+  }
+
   /** Train-and-score in one operator: fit on the corpus, then one
     * scoring scan with the coefficients as plan literals. Emits
     * (doc_id, label, score, pred) — `label` is the 0/1 heuristic

@@ -116,6 +116,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Script character classes as EXPLICIT codepoint ranges — named
+    * unicode properties spell differently in java.util.regex
+    * (\p{IsHan}) and RE2 (\p{Han}), so the parity-safe form is
+    * literal BMP ranges both engines read identically (the PII/html
+    * pattern-domain lesson).
+    */
+  private[graft] val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-zÀ-ɏ]",
+    "digit" -> "[0-9]",
+    "cjk" -> "[一-鿿]",
+    "space" -> "[ \t\r\n]")
+
+  /** Per-document script profile — the multilingual-curation
+    * companion to [[langId]]'s marker voting: counts and ratios of
+    * Latin / digit / CJK / whitespace / other characters, plus the
+    * dominant script (argmax over non-space classes, fixed
+    * first-wins tiebreak like [[langId]]). A corpus crawler uses
+    * this to route docs to script-appropriate pipelines and to flag
+    * mixed-script spam (e.g. Latin text stuffed with CJK SEO
+    * tokens). Pure per-row Column algebra on the scan — no shuffle,
+    * no UDFs; ratios round half-up in exact integer arithmetic (the
+    * fin_vwap tie lesson).
+    */
+  def scripts(documents: DataFrame): DataFrame = {
+    val counts = scriptClasses.map { case (n, p) =>
+      regexp_count(col("text"), lit(p)).cast("long").as(s"n_$n")
+    }
+    def ratio(n: String): Column = when(col("n_chars") > 0,
+      (expr(s"(2 * $n * 1000000 + n_chars) DIV (2 * n_chars)").cast("double")
+        / lit(1e6)) + lit(0.0))
+    documents
+      .select(col("doc_id") +: length(col("text")).cast("long").as("n_chars") +: counts: _*)
+      .withColumn("n_other",
+        col("n_chars") - col("n_latin") - col("n_digit") - col("n_cjk") - col("n_space"))
+      .withColumn("latin_ratio", ratio("n_latin"))
+      .withColumn("cjk_ratio", ratio("n_cjk"))
+      .withColumn("main_script",
+        when(col("n_cjk") >= greatest(col("n_latin"), col("n_digit"), col("n_other")), "cjk")
+          .when(col("n_latin") >= greatest(col("n_digit"), col("n_other")), "latin")
+          .when(col("n_digit") >= col("n_other"), "digit")
+          .otherwise("other"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token statistics: whitespace tokens vs a BPE-ish pre-tokenizer
     * (letter runs / digit runs / single punctuation marks).
     */

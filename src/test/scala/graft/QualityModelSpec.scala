@@ -84,6 +84,24 @@ class QualityModelSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("save/load round-trips coefficients bit-exactly and guards version/params") {
+    val beta = QualityModel.fit(planted)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qm").toString
+    QualityModel.save(spark, beta, dir, params = "planted;alpha=1.0")
+    assert(QualityModel.load(spark, dir).toSeq === beta.toSeq)
+    assert(QualityModel.load(spark, dir, Some("planted;alpha=1.0")).toSeq === beta.toSeq)
+    // a mismatched fit fingerprint fails loudly, never serves silently
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.load(spark, dir, Some("other-corpus"))
+    }
+    assert(e.getMessage.contains("planted;alpha=1.0"))
+    // scoring through reloaded coefficients is bit-identical
+    val direct = Curation.filterGateModel(planted, beta).collect().map(_.toString)
+    val reloaded = Curation.filterGateModel(planted, QualityModel.load(spark, dir))
+      .collect().map(_.toString)
+    assert(reloaded.toSeq === direct.toSeq)
+  }
+
   test("qualityBudget keeps the highest-scoring docs within the token budget") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val budget = 2000L

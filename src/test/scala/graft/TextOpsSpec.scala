@@ -14,6 +14,41 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(3) === 6L)
   }
 
+  test("scripts profiles character classes and picks the dominant script") {
+    val docs = Seq(
+      (1L, "Hello world 123"),            // 10 latin, 3 digit, 2 space
+      (2L, "的是了在我 的是"),            // 7 cjk, 1 space
+      (3L, "mixed 的是了在我 text here"), // latin-majority with CJK
+      (4L, ""),                           // empty
+      (5L, "!!! ??? ...")                 // punctuation only -> other
+    ).toDF("doc_id", "text")
+    val out = TextOps.scripts(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // exact counts reconcile on the known doc
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_chars") === 15L)
+    assert(r1.getAs[Long]("n_latin") === 10L)
+    assert(r1.getAs[Long]("n_digit") === 3L)
+    assert(r1.getAs[Long]("n_space") === 2L)
+    assert(r1.getAs[Long]("n_cjk") === 0L)
+    assert(r1.getAs[Long]("n_other") === 0L)
+    assert(r1.getAs[String]("main_script") === "latin")
+    assert(out(2L).getAs[Long]("n_cjk") === 7L)
+    assert(out(2L).getAs[String]("main_script") === "cjk")
+    assert(out(3L).getAs[String]("main_script") === "latin")
+    assert(out(3L).getAs[Long]("n_cjk") === 5L)
+    assert(out(4L).getAs[Any]("latin_ratio") === null)
+    assert(out(5L).getAs[String]("main_script") === "other")
+    // counts always reconcile (n_other is the exact remainder)
+    TextOps.scripts(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .collect().foreach { r =>
+        val sum = r.getAs[Long]("n_latin") + r.getAs[Long]("n_digit") +
+          r.getAs[Long]("n_cjk") + r.getAs[Long]("n_space") + r.getAs[Long]("n_other")
+        assert(sum === r.getAs[Long]("n_chars"))
+        assert(r.getAs[Long]("n_other") >= 0L)
+      }
+  }
+
   test("quality flags short or punctuation-heavy docs") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
