@@ -85,6 +85,7 @@ object SparkEntry {
     // CCNet-style per-language surprisal terciles -> head/middle/tail
     "curate_ppl_buckets"   -> ((s, d) => Curation.pplBuckets(Tables(s, d).documents)),
     "text_scripts"         -> ((s, d) => TextOps.scripts(Tables(s, d).documents)),
+    "dedup_substring"      -> ((s, d) => Dedup.substrings(Tables(s, d).documents)),
     "maint_schema_union"   -> ((s, d) => Maintenance.schemaUnion(Tables(s, d).events)),
     "fin_ohlc_unpivot"     -> ((s, d) => FinAnalytics.ohlcUnpivot(Tables(s, d).events)),
     "fin_rolling_median"   -> ((s, d) => FinAnalytics.rollingMedian(Tables(s, d).events)),
@@ -2796,6 +2797,25 @@ FROM e ORDER BY user_id, day"""
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    // dedup_substring: the passages chain with SLIDING windows
+    // (start i*stride, len w; count = (len-w)//stride + 1 ≡ Spark's
+    // inclusive sequence(0, (size-w)/stride))
+    "dedup_substring" ->
+      (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+         |c AS (SELECT doc_id, i AS win_idx,
+         |    array_to_string(w[CAST(i*5+1 AS INT) : CAST(i*5+20 AS INT)], ' ') AS win
+         |  FROM (SELECT doc_id, w, unnest(range(0, (len(w) - 20) // 5 + 1)) AS i
+         |        FROM t WHERE len(w) >= 20)),
+         |g AS (SELECT md5(win) AS h, doc_id, win_idx,
+         |    row_number() OVER (PARTITION BY md5(win) ORDER BY doc_id, win_idx) AS rn
+         |  FROM c),
+         |d AS (SELECT md5(win) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM c GROUP BY 1)
+         |SELECT d.h AS window_hash, d.n_docs, d.n_occurrences,
+         |  g.doc_id AS first_doc, CAST(g.win_idx AS BIGINT) AS first_win
+         |FROM d JOIN g ON g.h = d.h AND g.rn = 1
+         |WHERE d.n_occurrences >= 2 ORDER BY window_hash""".stripMargin),
     "dedup_passages" ->
       (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
          |c AS (SELECT doc_id, i AS chunk_idx,

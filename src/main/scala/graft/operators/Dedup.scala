@@ -83,6 +83,38 @@ object Dedup {
       .orderBy(col("passage_hash"))
   }
 
+  /** OVERLAPPING-window repeated-substring sweep — the alignment-
+    * robust strengthening of [[passages]] (the move of Lee et al.
+    * 2021's exact-substring dedup, windowed): non-overlapping chunks
+    * miss a shared w-token sequence whenever it straddles a chunk
+    * boundary or starts at a different offset in each doc; sliding
+    * windows at `stride` catch it at any alignment within stride−1
+    * tokens (stride = 1 is exact; the default trades 5× fewer rows
+    * for a ≤ 4-token alignment slack). Same scale shape as passages —
+    * one hash-partitioned aggregation over window hashes, explode
+    * fans ~n/stride rows per doc, no sort, no pairs.
+    */
+  def substrings(documents: DataFrame, w: Int = 20, stride: Int = 5): DataFrame = {
+    val parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    val wins = documents.repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) >= w,
+          transform(sequence(lit(0), ((size(col("toks")) - w) / stride).cast("int")),
+            i => concat_ws(" ", slice(col("toks"), i * stride + 1, lit(w)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("win_idx", "win")))
+    wins
+      .groupBy(md5(col("win")).as("window_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col("doc_id"), col("win_idx"))).as("first"))
+      .filter(col("n_occurrences") >= 2)
+      .select(col("window_hash"), col("n_docs"), col("n_occurrences"),
+        col("first.doc_id").as("first_doc"),
+        col("first.win_idx").cast("long").as("first_win"))
+      .orderBy(col("window_hash"))
+  }
+
   /** Exact dedup groups: md5(text) → keeper = min(doc_id), group
     * size. One hash-partitioned aggregation; no sort.
     */

@@ -181,4 +181,36 @@ class DedupSpec extends SparkSpec {
     // uniq: docs 1 and 3, 3 occurrences total, first at (1, 1)
     assert(got === Set((2L, 2L, 1L, 0L), (2L, 3L, 1L, 1L)))
   }
+
+  test("substrings catches misaligned shared sequences that passages misses") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val uniqA = (1 to 5).map(i => s"a$i").mkString(" ")
+    val uniqB = (1 to 30).map(i => s"c$i").mkString(" ")
+    // doc 2 carries the boiler run shifted by 5 tokens: chunk-aligned
+    // passages sees two DIFFERENT chunks, sliding windows at stride 5
+    // align on the identical 20-token run
+    val docs = Seq(
+      (1L, s"$boiler $uniqB"),
+      (2L, s"$uniqA $boiler $uniqB"))
+      .toDF("doc_id", "text")
+    val aligned = Dedup.substrings(docs, w = 20, stride = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // the boiler window repeats across both docs (doc 1 win 0 =
+    // tokens 0-19; doc 2 win 1 = tokens 5-24)
+    assert(aligned.exists { case (nd, no, fd, fw) => nd == 2L && no >= 2L && fd == 1L && fw == 0L },
+      s"misaligned boiler not caught: ${aligned.mkString(", ")}")
+    // chunk-aligned passages cannot see it
+    val chunked = Dedup.passages(docs, w = 20).collect()
+    assert(!chunked.exists(_.getLong(1) == 2L),
+      "passages unexpectedly matched the misaligned run (test corpus broken)")
+    // stride semantics: window count per doc is (n - w) / stride + 1
+    val manyWins = Dedup.substrings(Seq((9L, (1 to 33).map("t" + _).mkString(" "))).toDF("doc_id", "text"),
+      w = 20, stride = 5)
+    assert(manyWins.count() === 0) // no repeats in a single distinct doc
+    // determinism
+    val again = Dedup.substrings(docs, w = 20, stride = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq === aligned.toSeq)
+  }
 }
