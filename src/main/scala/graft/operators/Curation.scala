@@ -210,8 +210,13 @@ object Curation {
     */
   def pplBuckets(documents: DataFrame, histBuckets: Int = 8192): DataFrame = {
     import graft.operators.TextOps
+    // (doc_id, lang, mean_bits) materialized ONCE: the histogram
+    // pass, the rank-location pass, and the final assignment all
+    // re-read this narrow frame instead of re-running the surprisal
+    // aggregation chain per reference (measured ~3× at sf0.1).
     val base = documents.select(col("doc_id"), col("lang"))
       .join(TextOps.surprisal(documents).select(col("doc_id"), col("mean_bits")), "doc_id")
+      .honestCheckpoint()
     val stats = base.groupBy(col("lang")).agg(count(lit(1)).as("n"),
       min(col("mean_bits")).as("vmin"), max(col("mean_bits")).as("vmax"))
     def bucketCol = when(col("vmax") > col("vmin"),
