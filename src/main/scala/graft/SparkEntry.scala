@@ -80,10 +80,24 @@ object SparkEntry {
     // trained quality classifier: exact-decimal Gram + the fixed-IEEE
     // pivot-free solve (the fin_ridge argument) -> full oracle
     "curate_quality_model" -> ((s, d) => QualityModel.score(Tables(s, d).documents)),
+    // The same exact-decimal Gram/solve fit on a CALLER-GRADED label
+    // (FineWeb-Edu shape: an external grader scores docs and the
+    // ridge regresses the engine features onto it) — here a
+    // deterministic per-source grade standing in for the LLM judge,
+    // so the full oracle replays the external-label path end to end
+    "curate_quality_model_labeled" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, substring}
+      QualityModel.score(Tables(s, d).documents,
+        label = Some((substring(col("source"), 4, 10).cast("int") % 6).cast("double") / lit(5.0)))
+    }),
     // model-score-ranked token-budget selection (keep-the-best-docs)
     "curate_quality_budget" -> ((s, d) => Curation.qualityBudget(Tables(s, d).documents)),
     // CCNet-style per-language surprisal terciles -> head/middle/tail
     "curate_ppl_buckets"   -> ((s, d) => Curation.pplBuckets(Tables(s, d).documents)),
+    // the bucket ACTION (CCNet trains on head+middle): per-bucket
+    // per-myriad keep rates via the deterministic doc hash — all of
+    // head, half of middle, none of tail
+    "curate_ppl_filter"    -> ((s, d) => Curation.pplFilter(Tables(s, d).documents)),
     "text_scripts"         -> ((s, d) => TextOps.scripts(Tables(s, d).documents)),
     "dedup_substring"      -> ((s, d) => Dedup.substrings(Tables(s, d).documents)),
     "maint_schema_union"   -> ((s, d) => Maintenance.schemaUnion(Tables(s, d).events)),
@@ -212,6 +226,13 @@ object SparkEntry {
     // ranking SQL -> full oracle too; nprobe=2 exercises the
     // multi-cell recall knob under the gate
     "ann_ivf_trained"     -> ((s, d) => Similarity.annIvfTrained(Tables(s, d).embeddings, nprobe = 2)),
+    // The same trained-quantizer search FORCED through the
+    // centroids-as-data path (the nlist > kernel-budget regime —
+    // production FAISS sizes nlist ~ 4sqrt(n)-16sqrt(n), decades past
+    // the ~64-kernel JIT cap) — bit-identical at equal nlist, shares
+    // ann_ivf_trained's full oracle
+    "ann_ivf_trained_wide" -> ((s, d) => Similarity.annIvfTrained(Tables(s, d).embeddings,
+      nprobe = 2, wide = Some(true))),
     // PQ: exact integer-units training/encode/ADC -> full oracle (pqCtes)
     // + determinism/recall specs (SimilaritySpec)
     "ann_pq"              -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings)),
@@ -966,6 +987,48 @@ FROM e ORDER BY user_id, day"""
        |SELECT doc_id, label, score, score >= 0.5 AS pred
        |FROM p ORDER BY doc_id""".stripMargin
 
+  /** The shared CCNet stratification CTE chain of the curate_ppl_*
+    * oracles, ending at `pb` = (doc_id, lang, mean_bits, bucket):
+    * the surprisal chain, per-language tercile order statistics via
+    * a direct rank window (equal to the Scala side's bucketed
+    * two-pass rank location), and the cut-by-value bucket CASE.
+    */
+  private def pplBucketCtes: String =
+    s"""t AS (SELECT doc_id, $toksExpr AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
+       |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq),
+       |s AS (SELECT doc_id, CAST(length(bin(total // f)) - 1 AS BIGINT) AS bits
+       |      FROM tok JOIN freq USING (token) CROSS JOIN tot),
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(bits) AS BIGINT) AS total_bits FROM s GROUP BY doc_id),
+       |sb AS (SELECT doc_id,
+       |  CAST((2 * total_bits * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+       |    / 1000000.0 + 0.0 AS mean_bits FROM g),
+       |b AS (SELECT d.doc_id, d.lang, sb.mean_bits
+       |      FROM documents d JOIN sb ON sb.doc_id = d.doc_id),
+       |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY lang),
+       |r AS (SELECT lang, doc_id, mean_bits,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY mean_bits, doc_id) AS BIGINT) AS rn
+       |  FROM b),
+       |thr AS (SELECT r.lang,
+       |    max(CASE WHEN rn = greatest((n + 1) // 3, 1) THEN mean_bits END) AS b1,
+       |    max(CASE WHEN rn = greatest((2 * n + 2) // 3, 1) THEN mean_bits END) AS b2
+       |  FROM r JOIN st USING (lang) GROUP BY r.lang),
+       |pb AS (SELECT doc_id, lang, mean_bits,
+       |  CASE WHEN mean_bits <= b1 THEN 'head'
+       |       WHEN mean_bits <= b2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM b JOIN thr USING (lang))""".stripMargin
+
+  /** curate_quality_model_labeled oracle — the identical chain with
+    * the caller-graded label expression in place of the heuristic
+    * verdict (the per-source grade the registration plants).
+    */
+  private def qualityModelLabeledOracle: String =
+    s"""WITH ${qualityScoreCtes(Some("(CAST(substr(d.source, 4) AS INTEGER) % 6) / 5.0"))}
+       |SELECT doc_id, label, score, score >= 0.5 AS pred
+       |FROM p ORDER BY doc_id""".stripMargin
+
   /** curate_quality_budget oracle — the scoring chain, whitespace
     * token counts, and ONE global window cumsum in (score DESC,
     * doc_id) order (equal to the Scala side's bucketed two-pass
@@ -984,8 +1047,16 @@ FROM e ORDER BY user_id, day"""
        |FROM o WHERE off < 10000 ORDER BY off, doc_id""".stripMargin
 
   /** The shared scoring CTE chain of the trained-quality-classifier
-    * oracles, ending at `p` = (doc_id, label, score). */
-  private def qualityScoreCtes: String = {
+    * oracles, ending at `p` = (doc_id, label, score). `labelSql`
+    * replaces the distilled heuristic verdict with a caller-graded
+    * expression over the document row `d` — the FineWeb-Edu shape
+    * ([[operators.QualityModel.zFrame]]'s `label` parameter); the
+    * rest of the chain (features, Gram, solve, scoring) is shared
+    * verbatim.
+    */
+  private def qualityScoreCtes: String = qualityScoreCtes(None)
+
+  private def qualityScoreCtes(labelSql: Option[String]): String = {
     val pairs = for { i <- 0 until 8; j <- i until 8 } yield (i, j)
     val sums = pairs.map { case (i, j) => s"sum(z$i * z$j) AS s_${i}_$j" }
     s"""q AS ($qualityOracleSql),
@@ -999,8 +1070,9 @@ FROM e ORDER BY user_id, day"""
        |    CAST(round(coalesce(r.top_frac, 1.0), 6) AS DECIMAL(18,6)) AS z4,
        |    CAST(round(coalesce(r.dup_token_frac, 1.0), 6) AS DECIMAL(18,6)) AS z5,
        |    CAST(round(CASE WHEN l.pred_lang = d.lang THEN 1.0 ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS z6,
-       |    CAST(round(CASE WHEN q.keep AND coalesce(r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9, false)
-       |                     AND l.pred_lang = d.lang THEN 1.0 ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS z7
+       |    CAST(round(${labelSql.getOrElse(
+      """CASE WHEN q.keep AND coalesce(r.top_frac <= 0.15 AND r.dup_token_frac <= 0.9, false)
+       |                     AND l.pred_lang = d.lang THEN 1.0 ELSE 0.0 END""".stripMargin)}, 6) AS DECIMAL(18,6)) AS z7
        |  FROM documents d JOIN q ON q.doc_id = d.doc_id
        |  LEFT JOIN r ON r.doc_id = d.doc_id JOIN l ON l.doc_id = d.doc_id),
        |g AS (SELECT ${sums.mkString(", ")} FROM z),
@@ -1329,6 +1401,36 @@ FROM e ORDER BY user_id, day"""
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** ann_ivf_trained / ann_ivf_trained_wide oracle: the unrolled
+    * Lloyd chain (nlist=8, iters=3) labels the corpus; each query
+    * probes its top-2 (du, cluster)-ordered cells (q_probe) and the
+    * ann_ivf ranking runs across the probed cells' union. qlabel =
+    * the matched corpus cell, so `label` stays the neighbor's cell.
+    * The wide registration is bit-identical by construction
+    * (centroids-as-data vs plan-literal kernels — spec-pinned), so
+    * one oracle gates both.
+    */
+  private def annIvfTrainedOracle: String =
+    s"""WITH ${lloydCtes(8, 3)},
+       |lab AS (SELECT vec_id, cluster AS label FROM a_fin),
+       |${qProbeCte(2)},
+       |$normsCte,
+       |q AS (SELECT e.vec_id AS query_id, e.embedding AS qe, p.cluster AS qlabel
+       |      FROM embeddings e JOIN q_probe p ON p.vec_id = e.vec_id),
+       |dots AS (SELECT query_id, qlabel, vec_id, sum(p) AS dot FROM (
+       |  SELECT q.query_id, q.qlabel, e.vec_id,
+       |         unnest([${dec8("q.qe[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.qe) + 1)]) AS p
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+       |         JOIN lab le ON le.vec_id = e.vec_id AND le.label = q.qlabel) GROUP BY 1, 2, 3),
+       |scored AS (SELECT query_id, qlabel AS label, dots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id)
+       |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, label, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** ann_pq / ann_pq_served oracle (the served path is bit-identical
     * by construction — see [[operators.Similarity.annPqServed]]).
@@ -3076,26 +3178,14 @@ FROM e ORDER BY user_id, day"""
     // (du, cluster)-ordered cells (q_probe) and the ann_ivf ranking
     // runs across the probed cells' union. qlabel = the matched
     // corpus cell, so `label` stays the neighbor's cell.
-    "ann_ivf_trained" ->
-      (s"""WITH ${lloydCtes(8, 3)},
-        |lab AS (SELECT vec_id, cluster AS label FROM a_fin),
-        |${qProbeCte(2)},
-        |$normsCte,
-        |q AS (SELECT e.vec_id AS query_id, e.embedding AS qe, p.cluster AS qlabel
-        |      FROM embeddings e JOIN q_probe p ON p.vec_id = e.vec_id),
-        |dots AS (SELECT query_id, qlabel, vec_id, sum(p) AS dot FROM (
-        |  SELECT q.query_id, q.qlabel, e.vec_id,
-        |         unnest([${dec8("q.qe[i]")} * ${dec8("e.embedding[i]")}
-        |           FOR i IN range(1, len(q.qe) + 1)]) AS p
-        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
-        |         JOIN lab le ON le.vec_id = e.vec_id AND le.label = q.qlabel) GROUP BY 1, 2, 3),
-        |scored AS (SELECT query_id, qlabel AS label, dots.vec_id AS nvec,
-        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
-        |  FROM dots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = dots.vec_id)
-        |SELECT query_id, label, nvec AS neighbor_id, rank, cosine FROM (
-        |  SELECT query_id, label, nvec, cosine,
-        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
-        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    "ann_ivf_trained" -> annIvfTrainedOracle,
+    // The SAME search with the coarse quantizer forced through the
+    // centroids-as-data path (trainAuto/assignCellsAuto/
+    // assignTopCellsAuto wide) — bit-identical at equal nlist, so it
+    // shares ann_ivf_trained's full oracle; the registration that
+    // keeps the wide-quantizer branch (nlist > kernel budget at
+    // production FAISS sizing) gate-checked every round.
+    "ann_ivf_trained_wide" -> annIvfTrainedOracle,
     // PQ search fully replayed: exact-decimal-norm normalization,
     // integer-units joint codebook training (unrolled), integer ADC
     // candidate order, exact decimal cosine re-rank (see pqCtes).
@@ -3154,6 +3244,7 @@ FROM e ORDER BY user_id, day"""
     "text_langid" -> langidOracleSql,
     "text_quality" -> qualityOracleSql,
     "curate_quality_model" -> qualityModelOracle,
+    "curate_quality_model_labeled" -> qualityModelLabeledOracle,
     "curate_quality_budget" -> qualityBudgetOracle,
     // curate_ppl_buckets: the surprisal chain (text_surprisal's
     // oracle body), then the per-language tercile thresholds as
@@ -3163,31 +3254,20 @@ FROM e ORDER BY user_id, day"""
     // every bucket verdict — are the identical (mean_bits, doc_id)
     // order statistics.
     "curate_ppl_buckets" ->
-      (s"""WITH t AS (SELECT doc_id, $toksExpr AS w FROM documents),
-        |tok AS (SELECT doc_id, unnest(w) AS token FROM t),
-        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY token),
-        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq),
-        |s AS (SELECT doc_id, CAST(length(bin(total // f)) - 1 AS BIGINT) AS bits
-        |      FROM tok JOIN freq USING (token) CROSS JOIN tot),
-        |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(bits) AS BIGINT) AS total_bits FROM s GROUP BY doc_id),
-        |sb AS (SELECT doc_id,
-        |  CAST((2 * total_bits * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
-        |    / 1000000.0 + 0.0 AS mean_bits FROM g),
-        |b AS (SELECT d.doc_id, d.lang, sb.mean_bits
-        |      FROM documents d JOIN sb ON sb.doc_id = d.doc_id),
-        |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY lang),
-        |r AS (SELECT lang, doc_id, mean_bits,
-        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY mean_bits, doc_id) AS BIGINT) AS rn
-        |  FROM b),
-        |thr AS (SELECT r.lang,
-        |    max(CASE WHEN rn = greatest((n + 1) // 3, 1) THEN mean_bits END) AS b1,
-        |    max(CASE WHEN rn = greatest((2 * n + 2) // 3, 1) THEN mean_bits END) AS b2
-        |  FROM r JOIN st USING (lang) GROUP BY r.lang)
-        |SELECT doc_id, lang, mean_bits,
-        |  CASE WHEN mean_bits <= b1 THEN 'head'
-        |       WHEN mean_bits <= b2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM b JOIN thr USING (lang) ORDER BY doc_id""".stripMargin),
+      (s"""WITH $pplBucketCtes
+        |SELECT doc_id, lang, mean_bits, bucket FROM pb ORDER BY doc_id""".stripMargin),
+    // the bucket ACTION: per-bucket per-myriad keep rates realized
+    // by the deterministic hex60 doc hash (curate_mix's replay) over
+    // the same stratification chain
+    "curate_ppl_filter" ->
+      (s"""WITH $pplBucketCtes,
+        |f AS (SELECT doc_id, lang, mean_bits, bucket,
+        |  CAST(CASE WHEN bucket = 'head' THEN 10000
+        |            WHEN bucket = 'middle' THEN 5000 ELSE 0 END AS BIGINT) AS rate,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ppl'), 1, 15))::UBIGINT % 10000 AS BIGINT) AS hash
+        |FROM pb)
+        |SELECT doc_id, lang, mean_bits, bucket, rate, hash
+        |FROM f WHERE hash < rate ORDER BY doc_id""".stripMargin),
     "curate_filter" ->
       (s"""WITH q AS ($qualityOracleSql),
          |r AS ($repetitionOracleSql),

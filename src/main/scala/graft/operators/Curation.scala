@@ -253,6 +253,39 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet bucket ACTION — the consumption half of [[pplBuckets]]:
+    * Wenzek et al. 2020 train on the head (+middle) cut and discard
+    * the tail, and the generalized form keeps each bucket at a
+    * per-bucket RATE. Rates are per-myriad keep probabilities
+    * realized by the deterministic hex60 document hash
+    * ([[mixSources]]' machinery — a re-run keeps exactly the same
+    * docs, membership is a pure function of doc_id, and the realized
+    * per-bucket fraction concentrates on rate/10000 at corpus size);
+    * an unlisted bucket keeps everything (rate 10000). The default
+    * (head 10000, middle 5000, tail 0) is the CCNet-ish "all of
+    * head, half of middle, drop tail" and exercises all three paths:
+    * full keep, rate-sample, drop.
+    *
+    * Scale shape: [[pplBuckets]]' one scoring scan + broadcast
+    * thresholds, then a 3-row broadcast rate join and a per-row hash
+    * filter — nothing new shuffles.
+    */
+  def pplFilter(documents: DataFrame,
+                rates: Map[String, Int] = Map("head" -> 10000, "middle" -> 5000, "tail" -> 0),
+                histBuckets: Int = 8192): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rdf = rates.toSeq.toDF("bucket", "rate")
+    pplBuckets(documents, histBuckets)
+      .join(broadcast(rdf), Seq("bucket"), "left")
+      .withColumn("rate", coalesce(col("rate"), lit(10000)).cast("long"))
+      .withColumn("hash", hex60(concat(col("doc_id").cast("string"), lit(":ppl"))) % 10000)
+      .filter(col("hash") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("mean_bits"), col("bucket"),
+        col("rate"), col("hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Expanding-window time-series CV folds — sklearn's
     * `TimeSeriesSplit(n_splits, gap, max_train_size, test_size)`
     * semantics (the reference evaluates every encoding with

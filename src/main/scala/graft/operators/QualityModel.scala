@@ -58,12 +58,20 @@ object QualityModel {
   private val MaxTopFrac = 0.15
   private val MaxDupFrac = 0.9
 
-  /** (doc_id, z0..z7): intercept + the six 6-dp features + the 0/1
-    * heuristic label, each DECIMAL(18,6) so the Gram sums are exact.
-    * Callers pass a pre-tokenized frame ([[TextOps.withToks]]) to
-    * tokenize the corpus once across the feature sub-operators.
+  /** (doc_id, z0..z7): intercept + the six 6-dp features + the
+    * label, each DECIMAL(18,6) so the Gram sums are exact. The label
+    * defaults to the 0/1 heuristic verdict the model self-distills
+    * from; `label` supplies a CALLER-GRADED column instead (the
+    * FineWeb-Edu deployment: an external grader — an LLM judge, a
+    * human rater file — scores a sample and the same exact-decimal
+    * Gram/solve regresses the engine features onto it; any numeric
+    * expression over the input columns works and is 6-dp-quantized
+    * like every feature). Callers pass a pre-tokenized frame
+    * ([[TextOps.withToks]]) to tokenize the corpus once across the
+    * feature sub-operators.
     */
-  private[operators] def zFrame(documents: DataFrame): DataFrame = {
+  private[operators] def zFrame(documents: DataFrame,
+                                label: Option[Column] = None): DataFrame = {
     val q = TextOps.quality(documents).select(col("doc_id"),
       col("avg_word_len"), col("punct_ratio"), col("stop_ratio"),
       col("keep").as("quality_ok"))
@@ -78,22 +86,31 @@ object QualityModel {
       coalesce(col("top_frac"), lit(1.0)),
       coalesce(col("dup_token_frac"), lit(1.0)),
       when(col("lang_ok"), 1.0).otherwise(0.0))
-    val label = col("quality_ok") &&
+    val heur = col("quality_ok") &&
       coalesce(col("top_frac") <= MaxTopFrac && col("dup_token_frac") <= MaxDupFrac,
         lit(false)) && col("lang_ok")
+    // an external label is computed against the INPUT frame (it may
+    // read any document column) and rides the join as ext_label; the
+    // default heuristic label is built from the joined verdicts
+    val z7 = label.map(_ => col("ext_label"))
+      .getOrElse(dec6(when(heur, 1.0).otherwise(0.0)))
     val zs = lit(1.0).cast(org.apache.spark.sql.types.DecimalType(18, 6)) +:
-      f.map(dec6) :+ dec6(when(label, 1.0).otherwise(0.0))
-    documents.select(col("doc_id"))
+      f.map(dec6) :+ z7
+    documents.select(col("doc_id") +:
+        label.map(c => dec6(c).as("ext_label")).toSeq: _*)
       .join(q, "doc_id").join(r, Seq("doc_id"), "left").join(l, "doc_id")
       .select(col("doc_id") +: zs.zipWithIndex.map { case (c, i) => c.as(s"z$i") }: _*)
   }
 
   /** Fit [β₀(intercept), β₁..β₆] — one exact-decimal Gram scan, then
     * the driver-side 7×7 solve on model parameters only. Same
-    * intercept-unpenalized convention as [[Ridge.fit]].
+    * intercept-unpenalized convention as [[Ridge.fit]]. `label`
+    * regresses onto a caller-graded column instead of the distilled
+    * heuristic verdict (see [[zFrame]]).
     */
-  def fit(documents: DataFrame, alpha: Double = 1.0): Array[Double] =
-    fitFromZ(zFrame(documents), alpha)
+  def fit(documents: DataFrame, alpha: Double = 1.0,
+          label: Option[Column] = None): Array[Double] =
+    fitFromZ(zFrame(documents, label), alpha)
 
   /** The fit half over an already-built z frame — so a train-and-
     * score composition ([[score]], [[Curation.qualityBudget]]) can
@@ -156,19 +173,31 @@ object QualityModel {
 
   /** Train-and-score in one operator: fit on the corpus, then one
     * scoring scan with the coefficients as plan literals. Emits
-    * (doc_id, label, score, pred) — `label` is the 0/1 heuristic
-    * verdict the model was distilled from, `score` the continuous
-    * quality estimate, `pred` the thresholded decision.
+    * (doc_id, label, score, pred) — `label` is the training target
+    * (the 0/1 heuristic verdict the model distills from, or the
+    * caller-graded column when `label` is passed — the FineWeb-Edu
+    * shape), `score` the continuous quality estimate, `pred` the
+    * thresholded decision.
     */
-  def score(documents: DataFrame, alpha: Double = 1.0, threshold: Double = 0.5): DataFrame = {
+  def score(documents: DataFrame, alpha: Double = 1.0, threshold: Double = 0.5,
+            label: Option[Column] = None): DataFrame = {
     // Two materialization points: the tokenized corpus (each feature
     // sub-operator reads it instead of re-splitting the text) and the
     // z frame itself (9 narrow columns) — the fit's Gram pass and the
     // scoring scan both read the SAME materialized features instead
     // of running the quality/repetition/langid join pipeline twice
     // (measured ~2× on the 100×-corpus probe).
-    val base = TextOps.withToks(documents).honestCheckpoint()
-    val zf = zFrame(base).honestCheckpoint()
+    // withToks is a fixed 4-column projection, so an external label
+    // is evaluated against the INPUT frame and joined back by doc_id
+    // (narrow, broadcast-sized relative to the tokenized corpus) —
+    // the grade expression may read any input column withToks drops.
+    val base = label match {
+      case Some(c) => TextOps.withToks(documents)
+        .join(documents.select(col("doc_id"), c.as("ext_grade")), "doc_id")
+        .honestCheckpoint()
+      case None => TextOps.withToks(documents).honestCheckpoint()
+    }
+    val zf = zFrame(base, label.map(_ => col("ext_grade"))).honestCheckpoint()
     val beta = fitFromZ(zf, alpha)
     zf
       .select(col("doc_id"),

@@ -939,10 +939,11 @@ object Similarity {
                   threshold: Double = 0.4, nlist: Int = 8, ivfIters: Int = 3,
                   nprobe: Int = 2,
                   queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
-    val centroids = train(embeddings, nlist, ivfIters)
-    val corpus = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+    val centroids = trainAuto(embeddings, nlist, ivfIters)
+    val corpus = assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
+        centroids, spread = true)
       .select(col("vec_id"), col("embedding"), col("cluster"))
-    val qs = assignTopCells(
+    val qs = assignTopCellsAuto(
         queries.getOrElse(defaultQueries(embeddings)).select(col("vec_id"), col("embedding")),
         centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cluster"))
@@ -981,11 +982,13 @@ object Similarity {
     val params = s"rangeivf;nlist=$nlist;ivfIt=$ivfIters;src=${sourceStamp(embeddings)}"
     val n = embeddings.count()
     val meta = buildIfAbsent(spark, indexDir, params, n, semanticIndexVersion) { staging =>
-      semanticIndexSave(semanticIndexBuild(embeddings, nlist, ivfIters),
+      semanticIndexSave(
+        if (nlist > assignKernelBudget) semanticIndexBuildWide(embeddings, nlist, ivfIters)
+        else semanticIndexBuild(embeddings, nlist, ivfIters),
         staging, params, n)
     }
     val index = semanticIndexLoad(spark, indexDir, Some(meta))
-    val qs = assignTopCells(
+    val qs = assignTopCellsAuto(
         queries.getOrElse(defaultQueries(embeddings)).select(col("vec_id"), col("embedding")),
         index.centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cluster"))
@@ -1214,6 +1217,55 @@ object Similarity {
     if (wide.getOrElse(k > assignKernelBudget)) trainData(embeddings, k, iters)
     else train(embeddings, k, iters)
 
+  /** [[assignTopCells]] with CENTROIDS AS DATA — the top-`nprobe`
+    * probe for nlist past [[assignKernelBudget]] (production FAISS
+    * sizes nlist ≈ 4√n–16√n: 10⁴–10⁵ cells at 10⁹ vectors, three
+    * decades past the ~64-kernel JIT budget). The centroid frame is
+    * ONE broadcast row carrying `array<struct<cluster, cu>>`; each
+    * input row maps that array through a `transform` lambda (a
+    * single [[graft.plans.IntegerUnits.l2Units]] kernel evaluated
+    * per element — plan size O(1) in nlist, vs nlist kernel
+    * instantiations in the literal form), then the same
+    * array_sort + slice as [[assignTopCells]]. No shuffle, no n×k
+    * row fan: the per-row pairs array never leaves the map task, so
+    * this keeps assignTopCells' "probing a billion queries costs one
+    * map pass" property at any nlist. Bit-identical to the literal
+    * form (struct(du, cluster) sorts lexicographically either way;
+    * spec-pinned).
+    */
+  private def assignTopCellsData(df: DataFrame, centroids: Seq[Array[Long]],
+                                 nprobe: Int): DataFrame = {
+    import graft.plans.IntegerUnits.l2Units
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centsDf = centroids.zipWithIndex
+      .map { case (cu, i) => (i.toLong, cu.toSeq) }.toDF("cluster", "cu")
+      .agg(array_sort(collect_list(struct(col("cluster"), col("cu")))).as("cents"))
+    df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
+      .crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), col("embedding"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct(l2Units(col("u"), c.getField("cu")).as("du"),
+            c.getField("cluster").as("cluster")))), 1, nprobe)).as("p"))
+      .select(col("vec_id"), col("embedding"),
+        col("p.cluster").as("cluster"), col("p.du").as("du"))
+  }
+
+  /** Budget-aware top-`nprobe` probe — [[assignTopCells]]' literal
+    * kernels within [[assignKernelBudget]], the broadcast centroid
+    * array ([[assignTopCellsData]]) past it; `wide` forces a side
+    * (spec parity harness). Completes the wide dispatch family
+    * ([[assignCellsAuto]]/[[trainAuto]]) for the IVF probe side.
+    */
+  private[graft] def assignTopCellsAuto(df: DataFrame, centroids: Seq[Array[Long]],
+                                        nprobe: Int,
+                                        wide: Option[Boolean] = None): DataFrame =
+    if (wide.getOrElse(centroids.size > assignKernelBudget))
+      assignTopCellsData(df, centroids, nprobe)
+    else assignTopCells(df, centroids, nprobe)
+
   /** FULL IVF search: the coarse quantizer is the TRAINED k-means
     * model (vs [[annIvf]], which uses the pre-given label column as
     * its cell assignment). The trained centroids are plan literals:
@@ -1233,15 +1285,26 @@ object Similarity {
     * nprobe = nlist recovers the exact brute-force result). Each
     * (query, neighbor) pair still appears once: a corpus vector lives
     * in exactly one cell. Output `label` is the NEIGHBOR's cell.
+    *
+    * The whole quantizer is BUDGET-AWARE ([[trainAuto]] /
+    * [[assignCellsAuto]] / [[assignTopCellsAuto]]): nlist within
+    * [[assignKernelBudget]] runs the plan-literal kernels, nlist past
+    * it routes centroids as data — so FAISS-sized nlist (4√n–16√n:
+    * tens of thousands at 10⁹ vectors) plans at O(1) size instead of
+    * exhausting the JIT code cache. `wide` forces a side (the
+    * `ann_ivf_trained_wide` registration + spec parity harness);
+    * results are bit-identical either way.
     */
   def annIvfTrained(embeddings: DataFrame, queries: Option[DataFrame] = None,
                     k: Int = 5, nlist: Int = 8, iters: Int = 3,
-                    nprobe: Int = 1): DataFrame = {
-    val centroids = train(embeddings, nlist, iters)
-    val corpus = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+                    nprobe: Int = 1, wide: Option[Boolean] = None): DataFrame = {
+    val centroids = trainAuto(embeddings, nlist, iters, wide)
+    val corpus = assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
+        centroids, wide, spread = true)
       .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
     val qsBase = queries.getOrElse(defaultQueries(embeddings))
-    val probed = assignTopCells(qsBase.select(col("vec_id"), col("embedding")), centroids, nprobe)
+    val probed = assignTopCellsAuto(qsBase.select(col("vec_id"), col("embedding")),
+        centroids, nprobe, wide)
       .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
     // self-exclusion follows OUR caller's query provenance, not the
     // always-Some frame handed to annIvf (see notSelf)
@@ -1405,6 +1468,144 @@ object Similarity {
     val cands = pqAdcCandidates(
       index.codes.join(broadcast(qs), notSelf(excludeSelf)), index.m, rerank)
     pqExactRerank(cands, index.corpus, k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** md5-seeded ±1 sign diagonal for the OPQ rotation — deterministic
+    * on any engine (the oracle generator inlines the same values as
+    * literals), no RNG state.
+    */
+  private[graft] def opqSigns(dim: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      val h = md.digest(s"opq:$j".getBytes("UTF-8"))
+      md.reset()
+      if ((h(0) & 1) == 0) 1L else -1L
+    }
+  }
+
+  /** Signed-permutation application `y[r] = s_r · x[π(r)]` — the
+    * orthogonal rotation family the OPQ refinement optimizes over
+    * (64 element_at projections: plan-constant positions, codegen).
+    */
+  private def permuteSigns(un: Column, perm: Array[Int], psign: Array[Long]): Column =
+    array(perm.indices.map(r =>
+      lit(psign(r)) * element_at(un, perm(r) + 1)): _*)
+
+  /** The OPQ rotation-update step restricted to SIGNED PERMUTATIONS —
+    * the exactly-solvable slice of Ge et al. 2013's orthogonal
+    * Procrustes update (their eq. 7: R* = argmax tr(R X Ŷᵀ); over
+    * signed permutations the argmax decomposes into picking one
+    * (row, col, sign) per output dim, solved greedily on |M| with a
+    * deterministic (|m| DESC, r, c) tiebreak — replayable as a
+    * recursive SQL CTE, unlike an SVD).
+    *
+    * M[r][c] = Σ_v ŷ_v[r] · y_v[c] is NEVER materialized per row:
+    * ŷ[r] is a codebook entry determined by the vector's subspace-
+    * j(r) code, so M factors through the per-(subspace, code) GROUP
+    * SUMS of the corpus — S[j,t,c] = Σ_{v: codes_v[j]=t} y_v[c] —
+    * one m-fanned aggregation (n·m·d rows map-side partial-summed to
+    * m·cb·d — model-parameter sized), then the m·cb·d × dsub
+    * contraction runs driver-side in exact BigInteger. Decimal(38,0)
+    * sums: components are ≤ 8e8 units, so Long sums would overflow
+    * near 10¹⁰ rows — the 100 TB regime this targets.
+    */
+  private def opqProcrustes(corpusR: DataFrame,
+                            books: IndexedSeq[IndexedSeq[Array[Long]]],
+                            m: Int, dsub: Int): (Array[Int], Array[Long]) = {
+    val dim = m * dsub
+    val codes = pqEncode(corpusR, books, dsub)
+    val sRows = corpusR.join(codes, "vec_id")
+      .select(col("codes"), posexplode(col("un")).as(Seq("gdim", "u")))
+      .select(explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), element_at(col("codes"), j + 1).as("cl"))): _*)).as("a"),
+        col("gdim"), col("u"))
+      .groupBy(col("a.j").as("j"), col("a.cl").as("cl"), col("gdim"))
+      .agg(sum(col("u").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .collect()
+    val sMap = sRows.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+      r.getDecimal(3).toBigInteger).toMap
+    // M[r][c] = Σ_t cb[j(r)][t][r mod dsub] · S[j(r), t, c]
+    val M = Array.tabulate(dim, dim) { (r, c) =>
+      val j = r / dsub
+      books(j).indices.map { t =>
+        java.math.BigInteger.valueOf(books(j)(t)(r % dsub))
+          .multiply(sMap.getOrElse((j, t, c), java.math.BigInteger.ZERO))
+      }.reduce(_.add(_))
+    }
+    // greedy assignment on |M|: largest magnitude first, each row and
+    // column used once; sign = sign(M) (zero reads +1)
+    val perm = Array.fill(dim)(-1)
+    val psign = Array.fill(dim)(1L)
+    val usedR = Array.fill(dim)(false)
+    val usedC = Array.fill(dim)(false)
+    for (_ <- 0 until dim) {
+      var best: (java.math.BigInteger, Int, Int) = null
+      for (r <- 0 until dim if !usedR(r); c <- 0 until dim if !usedC(c)) {
+        val a = M(r)(c).abs
+        if (best == null || a.compareTo(best._1) > 0) best = (a, r, c)
+      }
+      val (_, r, c) = best
+      usedR(r) = true; usedC(c) = true
+      perm(r) = c
+      psign(r) = if (M(r)(c).signum >= 0) 1L else -1L
+    }
+    (perm, psign)
+  }
+
+  /** OPQ — PQ behind a LEARNED orthogonal rotation (Ge et al. 2013,
+    * "Optimized Product Quantization", public; FAISS's OPQ
+    * pretransform): the rotation decorrelates dimensions and
+    * balances per-subspace energy, which is exactly what caps flat
+    * PQ's recall on anisotropic corpora. Init is the md5-SEEDED
+    * randomized Hadamard transform ([[graft.plans.FwhtSignsI64]] —
+    * H·D with D = seeded ±1 diag; unnormalized, so all distances
+    * scale by exactly d and every argmin/rank is unchanged), then
+    * `refineIters` rounds of the standard alternating optimization:
+    * fit codebooks on the rotated corpus → re-solve the rotation
+    * against the decoded vectors ([[opqProcrustes]] — exact over the
+    * signed-permutation subgroup) → refit codebooks. Everything is
+    * exact integer units end to end, so the WHOLE loop — rotation,
+    * training, refinement, ADC, re-rank — carries a full DuckDB
+    * oracle; the exact re-rank runs on the ORIGINAL embeddings
+    * (cosine is rotation-invariant), so output schema and semantics
+    * match [[annPq]] exactly.
+    *
+    * Scale shape: one kernel call per row for the rotation (FWHT is
+    * d·log d adds), the [[pqTrainCodebooks]] joint trainer per
+    * round, and one model-parameter-sized aggregation per refinement
+    * ([[opqProcrustes]]); the rotation/permutation composition ships
+    * with the closure as O(d) literals.
+    */
+  def annOpq(embeddings: DataFrame, queries: Option[DataFrame] = None,
+             k: Int = 5, m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
+             rerank: Int = 50, refineIters: Int = 1,
+             queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val dim = LshPlanes.dim
+    val dsub = pqDsub(m)
+    val signs = opqSigns(dim)
+    var rot: Column => Column = c => graft.plans.FwhtSignsI64.fwhtSigns(c, signs)
+    var corpusR = embeddings
+      .select(col("vec_id"),
+        rot(graft.plans.IntegerUnits.normalizeUnits(col("embedding"))).as("un"))
+      .honestCheckpoint()
+    var books = pqTrainCodebooks(corpusR, m, codebookSize, iters, dsub)
+    for (_ <- 1 to refineIters) {
+      val (perm, psign) = opqProcrustes(corpusR, books, m, dsub)
+      val prevRot = rot
+      rot = c => permuteSigns(prevRot(c), perm, psign)
+      corpusR = corpusR
+        .select(col("vec_id"), permuteSigns(col("un"), perm, psign).as("un"))
+        .honestCheckpoint()
+      books = pqTrainCodebooks(corpusR, m, codebookSize, iters, dsub)
+    }
+    val codes = pqEncode(corpusR, books, dsub)
+    val qs = pqQueries(queries.getOrElse(defaultQueries(embeddings)), books, dsub, rot)
+    val cands = pqAdcCandidates(
+      codes.join(broadcast(qs),
+        notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty))), m, rerank)
+    pqExactRerank(cands, embeddings, k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -1643,10 +1844,11 @@ object Similarity {
     */
   def ivfSqIndexBuild(embeddings: DataFrame, nlist: Int = 8,
                       ivfIters: Int = 3): IvfSqIndex = {
-    val centroids = train(embeddings, nlist, ivfIters)
+    val centroids = trainAuto(embeddings, nlist, ivfIters)
     val sq = sqIndexBuild(embeddings)
     val codes = sq.codes.join(
-      assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+      assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
+          centroids, spread = true)
         .select(col("vec_id"), col("cluster").as("label")), "vec_id")
     IvfSqIndex(sq.mins, sq.spans, centroids, codes,
       embeddings.select(col("vec_id"), col("embedding")))
@@ -1660,7 +1862,7 @@ object Similarity {
                   excludeSelf: Boolean = false): DataFrame = {
     val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         graft.plans.IntegerUnits.normalizeUnits(col("embedding")).as("qun"))
-      .join(assignTopCells(queries.select(col("vec_id"), col("embedding")),
+      .join(assignTopCellsAuto(queries.select(col("vec_id"), col("embedding")),
           index.centroids, nprobe)
         .select(col("vec_id").as("query_id"), col("cluster").as("qlabel")), "query_id")
     // rerank window cuts across all probed cells at once (a corpus
@@ -1932,8 +2134,9 @@ object Similarity {
   def ivfBqIndexBuild(embeddings: DataFrame, nlist: Int = 8,
                       ivfIters: Int = 3): IvfBqIndex = {
     import graft.plans.BinarySig.signPack
-    val centroids = train(embeddings, nlist, ivfIters)
-    val sigs = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+    val centroids = trainAuto(embeddings, nlist, ivfIters)
+    val sigs = assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
+        centroids, spread = true)
       .select(col("vec_id"), signPack(col("embedding")).as("sig"),
         col("cluster").as("label"))
       .honestCheckpoint()
@@ -1952,7 +2155,7 @@ object Similarity {
     import graft.plans.BinarySig.{hammingPacked, signPack}
     val qs = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         signPack(col("embedding")).as("qsig"))
-      .join(assignTopCells(queries.select(col("vec_id"), col("embedding")),
+      .join(assignTopCellsAuto(queries.select(col("vec_id"), col("embedding")),
           index.centroids, nprobe)
         .select(col("vec_id").as("query_id"), col("cluster").as("qlabel")), "query_id")
     val wH = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("vec_id"))
@@ -2206,11 +2409,12 @@ object Similarity {
   def ivfPqIndexBuild(embeddings: DataFrame, nlist: Int = 8, ivfIters: Int = 3,
                       m: Int = 8, codebookSize: Int = 8, pqIters: Int = 3): IvfPqIndex = {
     val dsub = pqDsub(m)
-    val centroids = train(embeddings, nlist, ivfIters)
+    val centroids = trainAuto(embeddings, nlist, ivfIters)
     val corpusU = pqCorpusUnits(embeddings)
     val codebooks = pqTrainCodebooks(corpusU, m, codebookSize, pqIters, dsub)
     val codes = pqEncode(corpusU, codebooks, dsub)
-      .join(assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+      .join(assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
+          centroids, spread = true)
         .select(col("vec_id"), col("cluster").as("label")), "vec_id")
     IvfPqIndex(codebooks, centroids, codes,
       embeddings.select(col("vec_id"), col("embedding")), m)
@@ -2229,7 +2433,7 @@ object Similarity {
     // codes from the query's nprobe nearest cells; the per-query
     // rerank window then cuts across all probed cells at once.
     val qs = pqQueries(queries, index.codebooks, dsub)
-      .join(assignTopCells(queries.select(col("vec_id"), col("embedding")),
+      .join(assignTopCellsAuto(queries.select(col("vec_id"), col("embedding")),
           index.centroids, nprobe)
         .select(col("vec_id").as("query_id"), col("cluster").as("qlabel")), "query_id")
     val cands = pqAdcCandidates(
@@ -2527,7 +2731,8 @@ object Similarity {
         pqEncode(rx, index.codebooks, dsub).join(labeled, "vec_id")
       } else {
         pqEncode(pqCorpusUnits(newVectors), index.codebooks, dsub)
-          .join(assignCells(newVectors.select(col("vec_id"), col("embedding")), index.centroids)
+          .join(assignCellsAuto(newVectors.select(col("vec_id"), col("embedding")),
+              index.centroids)
             .select(col("vec_id"), col("cluster").as("label")), "vec_id")
       }
     delta.select(col("vec_id"), col("codes"), col("label"))
@@ -2946,16 +3151,20 @@ object Similarity {
         array(books.indices.map(j => pqArgmin(j, books(j).size)): _*).as("codes"))
 
   /** Query frame with its ADC table (m×cb longs) and the ORIGINAL
-    * embedding `qe` for the exact re-rank.
+    * embedding `qe` for the exact re-rank. `rot` maps the normalized
+    * units into the codebooks' working space (identity for flat PQ;
+    * the learned rotation for [[annOpq]] — queries must enter the
+    * SAME space the codebooks were trained in).
     */
   private def pqQueries(qs: DataFrame, books: IndexedSeq[IndexedSeq[Array[Long]]],
-                        dsub: Int): DataFrame = {
+                        dsub: Int,
+                        rot: Column => Column = identity): DataFrame = {
     import graft.plans.IntegerUnits.l2Units
     val qtable = array(books.indices.map(j =>
       array(books(j).indices.map(c =>
         l2Units(slice(col("qun"), j * dsub + 1, dsub), lit(books(j)(c)))): _*)): _*)
     qs.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        graft.plans.IntegerUnits.normalizeUnits(col("embedding")).as("qun"))
+        rot(graft.plans.IntegerUnits.normalizeUnits(col("embedding"))).as("qun"))
       .withColumn("qtable", qtable)
       .drop("qun")
   }

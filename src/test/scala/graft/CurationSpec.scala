@@ -60,6 +60,41 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pplFilter keeps buckets at their per-myriad rates deterministically") {
+    val buckets = Curation.pplBuckets(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val out = Curation.pplFilter(docs).cache()
+    val kept = out.collect().map(r =>
+      (r.getLong(0), r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(kept.nonEmpty)
+    // rate semantics: every head doc kept, NO tail doc kept, middle
+    // kept iff its hash falls under the rate — and the emitted
+    // bucket matches the stratification
+    kept.foreach { case (id, bucket, rate, hash) =>
+      assert(bucket === buckets(id), s"doc $id bucket drifted from pplBuckets")
+      assert(hash < rate, s"doc $id kept with hash $hash >= rate $rate")
+    }
+    val keptIds = kept.map(_._1).toSet
+    val heads = buckets.filter(_._2 == "head").keySet
+    val tails = buckets.filter(_._2 == "tail").keySet
+    assert(heads.subsetOf(keptIds), "a head doc was dropped at rate 10000")
+    assert(tails.intersect(keptIds).isEmpty, "a tail doc survived rate 0")
+    // the middle keep fraction concentrates near 1/2 (deterministic
+    // hash, per-myriad rate 5000)
+    val mids = buckets.count(_._2 == "middle").toDouble
+    val midKept = kept.count(_._2 == "middle").toDouble
+    assert(midKept / mids > 0.3 && midKept / mids < 0.7,
+      s"middle keep fraction ${midKept / mids} far from 0.5")
+    // re-run identical (pure function of doc_id)
+    val again = Curation.pplFilter(docs).collect().map(_.toString)
+    assert(again.toSeq === out.collect().map(_.toString).toSeq)
+    // unlisted buckets keep everything
+    val allKept = Curation.pplFilter(docs, rates = Map("tail" -> 0))
+      .collect().map(_.getLong(0)).toSet
+    assert(allKept === buckets.keySet -- tails)
+    out.unpersist()
+  }
+
   test("mixSources keeps whole-rate sources entirely and respects rates") {
     val out = Curation.mixSources(docs).cache()
     val bySource = out.groupBy("source").count().collect()

@@ -84,6 +84,40 @@ class QualityModelSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("fit on a caller-supplied label recovers a planted external grade") {
+    // FineWeb-Edu shape: an EXTERNAL grader (not the heuristic gate)
+    // scores the docs and the ridge regresses features onto it. The
+    // planted grade is 1.0 for clean docs, 0.0 for junk — the same
+    // separation as the heuristic, so the labeled fit must recover
+    // the same ordering — but delivered via an input column the
+    // heuristic never sees.
+    val graded = planted.withColumn("grade",
+      when(col("doc_id") < 1000L, 1.0).otherwise(0.0))
+    val out = QualityModel.score(graded, label = Some(col("grade"))).cache()
+    assert(out.count() === 120)
+    // the emitted label IS the external grade, not the heuristic verdict
+    val labels = out.select("doc_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((0 until 60).forall(i => labels(i.toLong) == 1.0))
+    assert((0 until 60).forall(i => labels((1000 + i).toLong) == 0.0))
+    val acc = out.filter(col("pred") === (col("label") === 1.0)).count().toDouble / 120
+    assert(acc >= 0.95, s"external-label accuracy $acc")
+    out.unpersist()
+    // an ANTI-correlated external grade flips the learned direction:
+    // the same features, graded 1.0 for junk, must score junk HIGHER
+    val flipped = planted.withColumn("grade",
+      when(col("doc_id") >= 1000L, 1.0).otherwise(0.0))
+    val betaFlip = QualityModel.fit(flipped, label = Some(col("grade")))
+    val betaPlain = QualityModel.fit(planted)
+    val repShiftFlip = betaFlip(4) * (0.8 - 0.1) + betaFlip(5) * (0.9 - 0.15)
+    val repShiftPlain = betaPlain(4) * (0.8 - 0.1) + betaPlain(5) * (0.9 - 0.15)
+    assert(repShiftFlip > 0.0 && repShiftPlain < 0.0,
+      s"anti-correlated grade must flip the repetition direction ($repShiftFlip vs $repShiftPlain)")
+    // default label unchanged: omitting the parameter is the
+    // distilled-heuristic fit, bit-for-bit
+    assert(QualityModel.fit(planted, label = None).toSeq === betaPlain.toSeq)
+  }
+
   test("save/load round-trips coefficients bit-exactly and guards version/params") {
     val beta = QualityModel.fit(planted)
     val dir = java.nio.file.Files.createTempDirectory("graft_qm").toString

@@ -1233,6 +1233,31 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.semanticProbeHier(wide, batch).count() > 0)
   }
 
+  test("ann_ivf_trained wide quantizer is bit-identical to the literal kernels and lifts the nlist cap") {
+    // the wide dispatch (trainAuto + assignCellsAuto + the NEW
+    // assignTopCellsData probe) must reproduce the plan-literal
+    // search exactly — this is what lets ann_ivf_trained_wide share
+    // ann_ivf_trained's full oracle
+    val lit8 = Similarity.annIvfTrained(embeddings, nprobe = 2, wide = Some(false))
+      .collect().map(_.toString).toSeq
+    val wide8 = Similarity.annIvfTrained(embeddings, nprobe = 2, wide = Some(true))
+      .collect().map(_.toString).toSeq
+    assert(wide8 === lit8, "wide IVF quantizer diverged from the literal kernels at nlist=8")
+    assert(wide8.nonEmpty)
+    // past the kernel budget (FAISS-sized nlist) the auto dispatch
+    // must pick the wide side on its own and still match a forced
+    // literal run (80 kernels is safe in a single spec; the cap
+    // cliff is ~400)
+    val nlist = Similarity.assignKernelBudget + 16
+    val auto = Similarity.annIvfTrained(embeddings, nlist = nlist, iters = 1, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    val lit80 = Similarity.annIvfTrained(embeddings, nlist = nlist, iters = 1, nprobe = 2,
+        wide = Some(false))
+      .collect().map(_.toString).toSeq
+    assert(auto === lit80, s"auto(wide) IVF search diverged from forced-literal at nlist=$nlist")
+    assert(auto.nonEmpty)
+  }
+
   test("served IVF range search is bit-identical to ann_range_ivf and never rebuilds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rangeivf_rt").toString
     val fresh = Similarity.annRangeIvf(embeddings, threshold = 0.3)
