@@ -1,8 +1,9 @@
 package graft
 
-/** Dev probe: recall@5 of flat PQ vs OPQ (seeded-Hadamard init, then
-  * alternating signed-permutation refinement) vs the exact scan.
-  * Not driver contract — run by hand when recording §2 numbers.
+/** Dev probe: recall@5 of flat PQ vs wide-codebook PQ (cb=64) vs OPQ
+  * (seeded-Hadamard init + signed-permutation refinement) vs the
+  * exact scan. Not driver contract — run by hand when recording §2
+  * numbers.
   */
 object OpqProbe {
   def main(args: Array[String]): Unit = {
@@ -14,10 +15,9 @@ object OpqProbe {
       def rec(rows: Array[org.apache.spark.sql.Row]): Double =
         rows.count(g => exact.contains((g.getLong(0), g.getLong(1)))).toDouble / exact.size
       val pq = rec(operators.Similarity.annPq(emb).collect())
-      val hd = rec(operators.Similarity.annOpq(emb, refineIters = 0).collect())
-      val r1 = rec(operators.Similarity.annOpq(emb, refineIters = 1).collect())
-      val r2 = rec(operators.Similarity.annOpq(emb, refineIters = 2).collect())
-      println(f"OPQ RECALL $sf: flat_pq=$pq%.3f hd_init=$hd%.3f refine1=$r1%.3f refine2=$r2%.3f")
+      val wide = rec(operators.Similarity.annPq(emb, codebookSize = 64).collect())
+      val opq = rec(operators.Similarity.annOpq(emb).collect())
+      println(f"OPQ RECALL $sf: flat_pq=$pq%.3f pq_wide64=$wide%.3f opq=$opq%.3f")
     }
     spark.stop()
   }

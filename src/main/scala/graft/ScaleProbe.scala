@@ -549,6 +549,33 @@ object ScaleProbe {
       // the bucketed prefix sum, not a fixed-size early cut.
       "quality_budget" -> ((_, d, _, _, k) =>
         operators.Curation.qualityBudget(d, budget = 10000L * k).count()),
+      // Trained IVF with the coarse quantizer FORCED wide at a
+      // FAISS-ish nlist (round 15): nlist = 128 sits past the
+      // ~64-kernel budget at every scale, so this row reads the
+      // centroids-as-data train + assign + top-nprobe probe slope —
+      // the branch that is the ONLY one that runs at production
+      // nlist ≈ 4√n.
+      "ann_ivf_trained_wide" -> ((_, _, _, em, _) =>
+        operators.Similarity.annIvfTrained(em, fixedQ, nlist = 128, iters = 1,
+          nprobe = 2).count()),
+      // FAISS-sized PQ codebooks (round 15): cb = 64 through the
+      // codebooks-as-data path — train is iters scans with m
+      // transform folds, encode one scan, ADC unchanged; expect the
+      // ann_pq slope with a constant-factor bump from the 8x code
+      // fan inside the transform.
+      "ann_pq_wide" -> ((_, _, _, em, _) =>
+        operators.Similarity.annPq(em, fixedQ, codebookSize = 64,
+          queriesAreCorpusDerived = Some(true)).count()),
+      // OPQ (round 15): the rotated-PQ loop — two trainings + the
+      // model-parameter-sized Procrustes aggregation per run.
+      "ann_opq" -> ((_, _, _, em, _) =>
+        operators.Similarity.annOpq(em, fixedQ,
+          queriesAreCorpusDerived = Some(true)).count()),
+      // CCNet stratification + action (round 15): surprisal scan +
+      // per-language rank location + the hash-rate filter — expect
+      // the surprisal cost class (linear in corpus tokens).
+      "ppl_filter" -> ((_, d, _, _, _) =>
+        operators.Curation.pplFilter(d).count()),
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
         val dir = s"/tmp/graft_scale${k}_${recipeVersion}_ivfpq_res_index"
         val (params, n) = ("ivfpqres;nlist=8;ivfIt=3;m=8;cb=8;pqIt=3", em.count())

@@ -236,6 +236,18 @@ object SparkEntry {
     // PQ: exact integer-units training/encode/ADC -> full oracle (pqCtes)
     // + determinism/recall specs (SimilaritySpec)
     "ann_pq"              -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings)),
+    // FAISS-sized codebooks (cb=64: 6 bits/subspace) through the
+    // codebooks-as-data path — the real recall lever on this
+    // isotropic corpus (measured recall@5 0.96 vs flat cb=8's 0.56;
+    // rotation can't help when per-dim variance is already uniform).
+    // The m*cb kernel fan that forced cb=8 is plan DATA here.
+    "ann_pq_wide"         -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings,
+      codebookSize = 64)),
+    // OPQ (Ge et al. 2013): PQ behind the learned orthogonal
+    // rotation — seeded randomized-Hadamard init + one alternating
+    // signed-permutation Procrustes refinement, exact integer units
+    // end to end -> full oracle (the FWHT/refinement CTE chain)
+    "ann_opq"             -> ((s, d) => Similarity.annOpq(Tables(s, d).embeddings)),
     // SQ8 scalar quantizer: per-dim 8-bit codes against trained
     // min/max bounds (the non-PQ production compression layout);
     // integer encode/decode/ADC -> full oracle
@@ -648,33 +660,38 @@ object SparkEntry {
     */
   private def pqChain(cb: Int, iters: Int, sxDef: String, qdDef: String,
                       trainSx: String = "sx",
-                      pinitFrom: String = "embeddings"): String = {
+                      pinitFrom: String = "embeddings",
+                      px: String = ""): String = {
     // trainSx/pinitFrom restrict TRAINING to a subset while
     // pdf/pcode still encode the FULL `sx` under the final codebooks
     // (see lloydCtes — same frozen-model-encode parameterization).
+    // `px` prefixes every internal CTE name so two chains can live in
+    // one WITH clause (the OPQ oracle trains before AND after its
+    // learned-rotation update); "" keeps every existing oracle
+    // byte-identical.
     val header =
       s"""$sxDef,
-         |pinit AS (SELECT vec_id, rn - 1 AS cl FROM (
+         |${px}pinit AS (SELECT vec_id, rn - 1 AS cl FROM (
          |  SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn
          |  FROM $pinitFrom) WHERE rn <= $cb),
-         |b0 AS (SELECT p.cl, s.j, s.sdim, s.u AS cu FROM pinit p JOIN sx s ON s.vec_id = p.vec_id)""".stripMargin
+         |${px}b0 AS (SELECT p.cl, s.j, s.sdim, s.u AS cu FROM ${px}pinit p JOIN ${px}sx s ON s.vec_id = p.vec_id)""".stripMargin
     val rounds = (1 to iters).map { t =>
-      s"""pd$t AS (SELECT s.vec_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
-         |  FROM $trainSx s JOIN b${t - 1} b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3),
-         |pa$t AS (SELECT vec_id, j, cl FROM (
-         |  SELECT vec_id, j, cl, row_number() OVER (PARTITION BY vec_id, j ORDER BY du, cl) AS rn FROM pd$t) WHERE rn = 1),
-         |b$t AS (SELECT p.cl, p.j, p.sdim, coalesce(m.cu, p.cu) AS cu FROM b${t - 1} p LEFT JOIN (
+      s"""${px}pd$t AS (SELECT s.vec_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
+         |  FROM $trainSx s JOIN ${px}b${t - 1} b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3),
+         |${px}pa$t AS (SELECT vec_id, j, cl FROM (
+         |  SELECT vec_id, j, cl, row_number() OVER (PARTITION BY vec_id, j ORDER BY du, cl) AS rn FROM ${px}pd$t) WHERE rn = 1),
+         |${px}b$t AS (SELECT p.cl, p.j, p.sdim, coalesce(m.cu, p.cu) AS cu FROM ${px}b${t - 1} p LEFT JOIN (
          |  SELECT a.cl, s.j, s.sdim, CAST(CASE WHEN sum(s.u) < 0
          |      THEN -((2 * (-sum(s.u)) + count(*)) // (2 * count(*)))
          |      ELSE (2 * sum(s.u) + count(*)) // (2 * count(*)) END AS BIGINT) AS cu
-         |  FROM pa$t a JOIN $trainSx s ON s.vec_id = a.vec_id AND s.j = a.j GROUP BY 1, 2, 3) m
+         |  FROM ${px}pa$t a JOIN $trainSx s ON s.vec_id = a.vec_id AND s.j = a.j GROUP BY 1, 2, 3) m
          |  ON m.cl = p.cl AND m.j = p.j AND m.sdim = p.sdim)""".stripMargin
     }
     val fin =
-      s"""pdf AS (SELECT s.vec_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
-         |  FROM sx s JOIN b$iters b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3),
-         |pcode AS (SELECT vec_id, j, cl FROM (
-         |  SELECT vec_id, j, cl, row_number() OVER (PARTITION BY vec_id, j ORDER BY du, cl) AS rn FROM pdf) WHERE rn = 1),
+      s"""${px}pdf AS (SELECT s.vec_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
+         |  FROM ${px}sx s JOIN ${px}b$iters b ON b.j = s.j AND b.sdim = s.sdim GROUP BY 1, 2, 3),
+         |${px}pcode AS (SELECT vec_id, j, cl FROM (
+         |  SELECT vec_id, j, cl, row_number() OVER (PARTITION BY vec_id, j ORDER BY du, cl) AS rn FROM ${px}pdf) WHERE rn = 1),
          |$qdDef""".stripMargin
     (Seq(header) ++ rounds ++ Seq(fin)).mkString(",\n")
   }
@@ -1435,9 +1452,16 @@ FROM e ORDER BY user_id, day"""
   /** ann_pq / ann_pq_served oracle (the served path is bit-identical
     * by construction — see [[operators.Similarity.annPqServed]]).
     */
-  private def annPqOracle: String =
+  private def annPqOracle: String = annPqOracleCb(8)
+
+  /** The PQ search replay at a parameterized codebook size — the
+    * training chain ([[pqCtes]]) treats cb as DATA (the pinit rank
+    * cut), so ann_pq_wide's FAISS-sized codebooks reuse the whole
+    * chain with one constant changed.
+    */
+  private def annPqOracleCb(cb: Int): String =
     s"""WITH $normsCte,
-       |${pqCtes(8, 3, 8)},
+       |${pqCtes(cb, 3, 8)},
        |adist AS (SELECT qd.query_id, c.vec_id, sum(qd.du) AS adist
        |  FROM pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
        |  WHERE c.vec_id <> qd.query_id GROUP BY 1, 2),
@@ -1457,6 +1481,82 @@ FROM e ORDER BY user_id, day"""
        |  SELECT query_id, nvec, cosine,
        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ann_opq oracle — the FULL OPQ loop replayed (m=8, cb=8, 3 Lloyd
+    * iters per fit, ONE refinement round — the registered defaults):
+    *  - `y0`: the seeded randomized-Hadamard rotation as pure SQL —
+    *    `Σ_j (−1)^bit_count(i & j) · s_j · u_j` (the FWHT identity;
+    *    signs inlined from [[operators.Similarity.opqSigns]]).
+    *  - first training chain ([[pqChain]], prefix `o1`) on y0.
+    *  - the signed-permutation Procrustes update: per-(subspace,
+    *    code) HUGEINT group sums (`ssum`), the cross-covariance
+    *    contraction (`mm` — M[r][c] = Σ_t cb[j(r)][t][r%8]·S[j(r),t,c]),
+    *    and the greedy argmax as a RECURSIVE CTE with the identical
+    *    (|m| DESC, r, c) tiebreak and m≥0→+1 sign rule. The
+    *    recursion carries the REMAINING matrix in its own state (the
+    *    anchor packs mm into a sorted-struct list; each step takes
+    *    list_sort(rest)[1] and filters the picked row/col) — the
+    *    recursive member references NO outer CTE, because DuckDB
+    *    v1.0 evaluates MATERIALIZED CTE scans as EMPTY inside a
+    *    recursive member (measured: every correlated pick returned
+    *    NULL), and un-materializing the whole chain re-inlines the
+    *    training CTEs into a >5-minute oracle.
+    *  - `y1` = the signed permutation applied; second chain (`o2`);
+    *    ADC + exact decimal re-rank — ann_pq's tail verbatim.
+    */
+  private def annOpqOracle: String = {
+    val signs = operators.Similarity.opqSigns(64).mkString(", ")
+    s"""WITH RECURSIVE $normsCte,
+       |$nuCte,
+       |sgn AS (SELECT unnest(range(0, 64)) AS j, unnest([$signs]) AS sg),
+       |odims AS (SELECT unnest(range(0, 64)) AS i),
+       |y0 AS (SELECT n.vec_id, d.i AS gdim,
+       |    sum((CASE WHEN bit_count(d.i & n.gdim) % 2 = 0 THEN 1 ELSE -1 END) * s.sg * n.u) AS u
+       |  FROM nu n JOIN sgn s ON s.j = n.gdim CROSS JOIN odims d GROUP BY 1, 2),
+       |${pqChain(8, 3,
+           "o1sx AS (SELECT vec_id, gdim // 8 AS j, gdim % 8 AS sdim, u FROM y0)",
+           """ssum AS (SELECT pc.j, pc.cl, y.gdim, sum(CAST(y.u AS HUGEINT)) AS s
+             |  FROM o1pcode pc JOIN y0 y ON y.vec_id = pc.vec_id GROUP BY 1, 2, 3)""".stripMargin,
+           trainSx = "o1sx", px = "o1")},
+       |mm AS (SELECT b.j * 8 + b.sdim AS r, ss.gdim AS c, sum(CAST(b.cu AS HUGEINT) * ss.s) AS m
+       |  FROM o1b3 b JOIN ssum ss ON ss.j = b.j AND ss.cl = b.cl GROUP BY 1, 2),
+       |greedy AS (
+       |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS rs, CAST([] AS BIGINT[]) AS cs, CAST([] AS BIGINT[]) AS sgs,
+       |         (SELECT list(struct_pack(negabs := -abs(m), r := r, c := c, m := m)) FROM mm) AS rest
+       |  UNION ALL
+       |  SELECT step + 1,
+       |    list_append(rs, pick.r), list_append(cs, pick.c),
+       |    list_append(sgs, CASE WHEN pick.m >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+       |    list_filter(rest, x -> x.r <> pick.r AND x.c <> pick.c)
+       |  FROM (SELECT step, rs, cs, sgs, rest, list_sort(rest)[1] AS pick FROM greedy WHERE step < 64)),
+       |permt AS (SELECT unnest(rs) AS r, unnest(cs) AS c, unnest(sgs) AS sg FROM greedy WHERE step = 64),
+       |y1 AS (SELECT y0.vec_id, p.r AS gdim, p.sg * y0.u AS u FROM y0 JOIN permt p ON p.c = y0.gdim),
+       |${pqChain(8, 3,
+           "o2sx AS (SELECT vec_id, gdim // 8 AS j, gdim % 8 AS sdim, u FROM y1)",
+           """qd AS (SELECT s.vec_id AS query_id, s.j, b.cl, sum((s.u - b.cu) * (s.u - b.cu)) AS du
+             |  FROM o2sx s JOIN o2b3 b ON b.j = s.j AND b.sdim = s.sdim
+             |  WHERE s.vec_id % 100 = 0 GROUP BY 1, 2, 3)""".stripMargin,
+           trainSx = "o2sx", px = "o2")},
+       |adist AS (SELECT qd.query_id, c.vec_id, sum(qd.du) AS adist
+       |  FROM o2pcode c JOIN qd ON qd.j = c.j AND qd.cl = c.cl
+       |  WHERE c.vec_id <> qd.query_id GROUP BY 1, 2),
+       |cand AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS ra
+       |  FROM adist) WHERE ra <= 50),
+       |cdots AS (SELECT query_id, vec_id, sum(p) AS dot FROM (
+       |  SELECT c.query_id, c.vec_id,
+       |         unnest([${dec8("q.embedding[i]")} * ${dec8("e.embedding[i]")}
+       |           FOR i IN range(1, len(q.embedding) + 1)]) AS p
+       |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+       |              JOIN embeddings e ON e.vec_id = c.vec_id) GROUP BY 1, 2),
+       |scored AS (SELECT query_id, cdots.vec_id AS nvec,
+       |    round(CAST(dot AS DOUBLE) / sqrt(CAST(nq.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)), 6) + 0.0 AS cosine
+       |  FROM cdots JOIN norms nq ON nq.vec_id = query_id JOIN norms ne ON ne.vec_id = cdots.vec_id)
+       |SELECT query_id, nvec AS neighbor_id, rank, cosine FROM (
+       |  SELECT query_id, nvec, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nvec) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** ann_sq / ann_sq_served oracle — the SQ8 replay: per-dimension
     * min/max bounds over the normalized units (nu), 8-bit encode and
@@ -1901,7 +2001,8 @@ FROM e ORDER BY user_id, day"""
           var j = m.end()
           while (j < sql.length && (sql.charAt(j) == ' ' || sql.charAt(j) == '\n' || sql.charAt(j) == '\t')) j += 1
           val body = sql.substring(j, math.min(j + 6, sql.length)).toUpperCase
-          if (body.startsWith("SELECT") || body.startsWith("WITH"))
+          if ((body.startsWith("SELECT") || body.startsWith("WITH"))
+              && !materializeCtesSelfRef(sql, i, m.end()))
             out.append(sql.substring(i, m.end() - 1)).append("MATERIALIZED (")
           else
             out.append(sql.substring(i, m.end()))
@@ -1911,6 +2012,41 @@ FROM e ORDER BY user_id, day"""
       } else { out.append(ch); i += 1 }
     }
     out.toString
+  }
+
+  /** True when the CTE whose head starts at `start` (name up to the
+    * " AS (") references its own name inside its body — a RECURSIVE
+    * CTE. DuckDB silently mis-evaluates `x AS MATERIALIZED (...)`
+    * when x is recursive (the ann_opq greedy loop came back with 17
+    * of 64 steps), so the materialization hint must skip it. Body
+    * extent is found by paren balancing with the same quoted-literal
+    * skip rule as the main scanner.
+    */
+  private def materializeCtesSelfRef(sql: String, start: Int, bodyOpen: Int): Boolean = {
+    val name = sql.substring(start, sql.indexOf(" AS", start))
+    var i = bodyOpen // just past the '('
+    var depth = 1
+    val body = new StringBuilder
+    while (i < sql.length && depth > 0) {
+      val ch = sql.charAt(i)
+      if (ch == '\'') {
+        i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+            else { i += 1; closed = true }
+          } else i += 1
+        }
+      } else {
+        if (ch == '(') depth += 1
+        else if (ch == ')') depth -= 1
+        if (depth > 0) body.append(ch)
+        i += 1
+      }
+    }
+    java.util.regex.Pattern.compile("\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+      .matcher(body).find()
   }
 
   private val noMaterialize = Set("curate_pipeline")
@@ -3190,6 +3326,12 @@ FROM e ORDER BY user_id, day"""
     // integer-units joint codebook training (unrolled), integer ADC
     // candidate order, exact decimal cosine re-rank (see pqCtes).
     "ann_pq" -> annPqOracle,
+    // same chain, FAISS-sized codebooks: cb is data in pqCtes
+    "ann_pq_wide" -> annPqOracleCb(64),
+    // the full OPQ loop: seeded-Hadamard rotation, PQ training on the
+    // rotated corpus, the signed-permutation Procrustes update, the
+    // refit, ADC and exact re-rank — all replayed
+    "ann_opq" -> annOpqOracle,
     // Serve-from-frozen-index path: bit-identical results to ann_pq
     // (integer units end-to-end survive the parquet round trip), so
     // the same oracle gates the whole save/load/serve lifecycle.

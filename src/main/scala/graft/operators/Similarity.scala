@@ -1489,7 +1489,7 @@ object Similarity {
     * orthogonal rotation family the OPQ refinement optimizes over
     * (64 element_at projections: plan-constant positions, codegen).
     */
-  private def permuteSigns(un: Column, perm: Array[Int], psign: Array[Long]): Column =
+  private[graft] def permuteSigns(un: Column, perm: Array[Int], psign: Array[Long]): Column =
     array(perm.indices.map(r =>
       lit(psign(r)) * element_at(un, perm(r) + 1)): _*)
 
@@ -1511,7 +1511,7 @@ object Similarity {
     * sums: components are ≤ 8e8 units, so Long sums would overflow
     * near 10¹⁰ rows — the 100 TB regime this targets.
     */
-  private def opqProcrustes(corpusR: DataFrame,
+  private[graft] def opqProcrustes(corpusR: DataFrame,
                             books: IndexedSeq[IndexedSeq[Array[Long]]],
                             m: Int, dsub: Int): (Array[Int], Array[Long]) = {
     val dim = m * dsub
@@ -3098,6 +3098,37 @@ object Similarity {
         .otherwise(rest)
     }
 
+  /** The PQ family's kernel budget: [[pqDistCols]] instantiates
+    * m×codebookSize l2 kernels per scan, so FAISS-standard codebooks
+    * (cb = 256: 8 bits/subspace — the layout production corpora
+    * actually serve) blow the same ~64-kernel JIT ceiling the coarse
+    * quantizers hit. Past it, codebooks travel as DATA.
+    */
+  private def pqWide(m: Int, codebookSize: Int): Boolean =
+    m * codebookSize > assignKernelBudget
+
+  /** Codebook j AS DATA: one array<struct<cl, cu>> literal in code
+    * order (zipWithIndex) — plan DATA (a single Literal in the
+    * references array), not code, so cb never touches the JIT
+    * budget. m·cb·dsub longs ≤ ~128 KB at (16, 256, 8) — far below
+    * where a broadcast frame would win over a plan literal.
+    */
+  private def pqCbData(books: IndexedSeq[IndexedSeq[Array[Long]]], j: Int): Column =
+    typedlit(books(j).zipWithIndex.map { case (cu, c) => (c.toLong, cu.toSeq) })
+
+  /** argmin code of subspace j against a codebook-as-data array —
+    * ONE l2 kernel evaluated per element inside `transform`, then
+    * the lexicographic (du, cl) sort-head: the same lowest-code
+    * tiebreak as [[pqArgmin]], bit-identical (spec-pinned).
+    */
+  private def pqCodeData(un: Column, books: IndexedSeq[IndexedSeq[Array[Long]]],
+                         j: Int, dsub: Int): Column = {
+    import graft.plans.IntegerUnits.l2Units
+    element_at(array_sort(transform(pqCbData(books, j), e =>
+      struct(l2Units(slice(un, j * dsub + 1, dsub), e.getField("_2")).as("du"),
+        e.getField("_1").as("cl")))), 1).getField("cl").cast("int")
+  }
+
   /** JOINT per-subspace k-means: all m codebooks advance in ONE scan
     * + one (m×k×dsub)-row shuffle per iteration. Training each
     * subspace through [[train]] would cost m×iters full scans and m
@@ -3105,9 +3136,11 @@ object Similarity {
     * same argmin tie rule, same mean update) — measured 35.9 s vs
     * ~4 s at bench SF for no result difference.
     */
-  private def pqTrainCodebooks(corpusU: DataFrame, m: Int, codebookSize: Int,
-                               iters: Int, dsub: Int): IndexedSeq[IndexedSeq[Array[Long]]] = {
+  private[graft] def pqTrainCodebooks(corpusU: DataFrame, m: Int, codebookSize: Int,
+                               iters: Int, dsub: Int,
+                               wide: Option[Boolean] = None): IndexedSeq[IndexedSeq[Array[Long]]] = {
     def sub(u: Column, j: Int): Column = slice(u, j * dsub + 1, dsub)
+    val useWide = wide.getOrElse(pqWide(m, codebookSize))
     val initRows = corpusU.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(codebookSize).collect()
       .map(_.getSeq[Long](1).toArray)
@@ -3118,10 +3151,18 @@ object Similarity {
     var books = IndexedSeq.tabulate(m, codebookSize)((j, c) =>
       initRows(c % initRows.length).slice(j * dsub, (j + 1) * dsub))
     for (_ <- 1 to iters) {
-      val assigned = corpusU
-        .select(col("un") +: pqDistCols(books, "un", dsub): _*)
-        .select((0 until m).map(j =>
-          struct(pqArgmin(j, codebookSize).as("cl"), sub(col("un"), j).as("sv")).as(s"a$j")): _*)
+      // the kernels/data regimes differ ONLY in how the per-subspace
+      // argmin is computed (m×cb codegen kernels vs m transform
+      // folds over codebook-as-data) — init, tiebreak, and the mean
+      // step are shared, so the two are bit-identical (spec-pinned)
+      val assigned =
+        if (useWide) corpusU.select((0 until m).map(j =>
+          struct(pqCodeData(col("un"), books, j, dsub).as("cl"),
+            sub(col("un"), j).as("sv")).as(s"a$j")): _*)
+        else corpusU
+          .select(col("un") +: pqDistCols(books, "un", dsub): _*)
+          .select((0 until m).map(j =>
+            struct(pqArgmin(j, codebookSize).as("cl"), sub(col("un"), j).as("sv")).as(s"a$j")): _*)
       val means = assigned
         .select(posexplode(array((0 until m).map(j => col(s"a$j")): _*)).as(Seq("j", "a")))
         .select(col("j"), col("a.cl").as("cl"), posexplode(col("a.sv")).as(Seq("dim", "u")))
@@ -3142,10 +3183,16 @@ object Similarity {
     books
   }
 
-  /** One corpus scan → (vec_id, codes): per-subspace argmin code. */
-  private def pqEncode(corpusU: DataFrame, books: IndexedSeq[IndexedSeq[Array[Long]]],
-                       dsub: Int): DataFrame =
-    corpusU
+  /** One corpus scan → (vec_id, codes): per-subspace argmin code.
+    * Auto-dispatches on the codebook shape: kernels within the JIT
+    * budget, codebook-as-data past it — bit-identical either way.
+    */
+  private[graft] def pqEncode(corpusU: DataFrame, books: IndexedSeq[IndexedSeq[Array[Long]]],
+                       dsub: Int, wide: Option[Boolean] = None): DataFrame =
+    if (wide.getOrElse(pqWide(books.size, books.headOption.map(_.size).getOrElse(0))))
+      corpusU.select(col("vec_id"),
+        array(books.indices.map(j => pqCodeData(col("un"), books, j, dsub)): _*).as("codes"))
+    else corpusU
       .select(col("vec_id") +: col("un") +: pqDistCols(books, "un", dsub): _*)
       .select(col("vec_id"),
         array(books.indices.map(j => pqArgmin(j, books(j).size)): _*).as("codes"))
@@ -3156,13 +3203,21 @@ object Similarity {
     * the learned rotation for [[annOpq]] — queries must enter the
     * SAME space the codebooks were trained in).
     */
-  private def pqQueries(qs: DataFrame, books: IndexedSeq[IndexedSeq[Array[Long]]],
+  private[graft] def pqQueries(qs: DataFrame, books: IndexedSeq[IndexedSeq[Array[Long]]],
                         dsub: Int,
                         rot: Column => Column = identity): DataFrame = {
     import graft.plans.IntegerUnits.l2Units
-    val qtable = array(books.indices.map(j =>
-      array(books(j).indices.map(c =>
-        l2Units(slice(col("qun"), j * dsub + 1, dsub), lit(books(j)(c)))): _*)): _*)
+    // codebook-as-data past the kernel budget: pqCbData is in code
+    // order, so the transform yields the SAME code-indexed ADC table
+    // the literal kernels build
+    val qtable =
+      if (pqWide(books.size, books.headOption.map(_.size).getOrElse(0)))
+        array(books.indices.map(j =>
+          transform(pqCbData(books, j), e =>
+            l2Units(slice(col("qun"), j * dsub + 1, dsub), e.getField("_2")))): _*)
+      else array(books.indices.map(j =>
+        array(books(j).indices.map(c =>
+          l2Units(slice(col("qun"), j * dsub + 1, dsub), lit(books(j)(c)))): _*)): _*)
     qs.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         rot(graft.plans.IntegerUnits.normalizeUnits(col("embedding"))).as("qun"))
       .withColumn("qtable", qtable)

@@ -69,4 +69,40 @@ class IntegerUnitsSpec extends SparkSpec {
     val got = z.select(normalizeUnits(col("embedding"))).collect()(0).getSeq[Long](0)
     assert(got === Seq(0L, 0L, 0L, 0L))
   }
+
+  test("fwhtSigns equals the Sylvester bit-count sum the OPQ oracle replays") {
+    // y[i] = Σ_j (−1)^popcount(i & j) · s_j · x_j over the real
+    // corpus (the butterfly vs the direct O(d²) formula — the SQL
+    // side computes the direct form)
+    val signs = graft.operators.Similarity.opqSigns(64)
+    val rows = emb.select(col("vec_id"),
+        normalizeUnits(col("embedding")).as("un"),
+        graft.plans.FwhtSignsI64.fwhtSigns(normalizeUnits(col("embedding")), signs).as("y"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val x = r.getSeq[Long](1)
+      val y = r.getSeq[Long](2)
+      val want = (0 until 64).map { i =>
+        (0 until 64).map { j =>
+          val h = if (java.lang.Long.bitCount((i & j).toLong) % 2 == 0) 1L else -1L
+          h * signs(j) * x(j)
+        }.sum
+      }
+      assert(y === want, s"fwht diverged from the direct form for vec ${r.getLong(0)}")
+    }
+    // orthogonality at the unnormalized scale: ‖y‖² = 64·‖x‖²
+    rows.take(20).foreach { r =>
+      val x = r.getSeq[Long](1); val y = r.getSeq[Long](2)
+      assert(y.map(v => v * v).sum === 64L * x.map(v => v * v).sum)
+    }
+    // dimension mismatch fails loudly, never silently truncates
+    import spark.implicits._
+    val bad = Seq(Tuple1(Array.fill(8)(0.1f))).toDF("embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.select(graft.plans.FwhtSignsI64.fwhtSigns(
+        normalizeUnits(col("embedding")), signs)).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }

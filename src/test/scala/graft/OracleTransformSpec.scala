@@ -56,6 +56,33 @@ class OracleTransformSpec extends AnyFunSuite {
     assert(got2 === bait.replace("a AS (", "a AS MATERIALIZED ("))
   }
 
+  test("a self-referencing (recursive) CTE is never materialized") {
+    // DuckDB v1.0 mis-evaluates `x AS MATERIALIZED (...)` when x is
+    // recursive — the ann_opq greedy loop came back with NULL picks
+    // from step 1. The scanner must detect the self-reference and
+    // skip the hint for THAT CTE only.
+    val sql =
+      """WITH RECURSIVE base AS (SELECT 1 AS x),
+        |g AS (SELECT 0 AS step, x FROM base
+        |  UNION ALL SELECT step + 1, x FROM g WHERE step < 3),
+        |tail AS (SELECT max(step) AS s FROM g)
+        |SELECT * FROM tail""".stripMargin
+    val got = SparkEntry.materializeCtes(sql)
+    assert(got.contains("base AS MATERIALIZED (SELECT 1"))
+    assert(got.contains("g AS (SELECT 0 AS step"),
+      "the recursive CTE must stay un-materialized")
+    assert(got.contains("tail AS MATERIALIZED (SELECT max(step)"))
+    // a self-reference inside a string literal is NOT recursion
+    val bait = "WITH z AS (SELECT 'z refers to z' AS t) SELECT * FROM z"
+    assert(SparkEntry.materializeCtes(bait) ===
+      bait.replace("z AS (", "z AS MATERIALIZED ("))
+    // the registered ann_opq oracle: greedy stays plain, its
+    // neighbors are materialized
+    val opq = SparkEntry.oracleSql("ann_opq")
+    assert(opq.contains("greedy AS (") && !opq.contains("greedy AS MATERIALIZED"))
+    assert(opq.contains("mm AS MATERIALIZED ("))
+  }
+
   test("every registered oracle survives the rewrite structurally") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // parentheses stay balanced and nothing beyond the keyword is added

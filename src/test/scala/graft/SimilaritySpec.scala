@@ -1258,6 +1258,82 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("wide PQ codebooks are bit-identical to the literal kernels and lift recall at FAISS sizes") {
+    import graft.plans.IntegerUnits.normalizeUnits
+    val corpusU = embeddings
+      .select(col("vec_id"), normalizeUnits(col("embedding")).as("un"))
+      .localCheckpoint(true)
+    // bit parity of the whole train/encode path at a size both run
+    val bK = Similarity.pqTrainCodebooks(corpusU, 8, 8, 3, 8, wide = Some(false))
+    val bD = Similarity.pqTrainCodebooks(corpusU, 8, 8, 3, 8, wide = Some(true))
+    assert(bD.map(_.map(_.toSeq)) === bK.map(_.map(_.toSeq)),
+      "codebooks-as-data trainer diverged from the literal kernels")
+    val cK = Similarity.pqEncode(corpusU, bK, 8, wide = Some(false))
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    val cD = Similarity.pqEncode(corpusU, bK, 8, wide = Some(true))
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    assert(cD === cK, "codebooks-as-data encode diverged from the literal kernels")
+    // FAISS-sized codebooks (auto-wide at m*cb = 512) beat the
+    // kernel-budget-capped cb=8 on recall, decisively — this is the
+    // real recall lever on the isotropic gate corpus (rotation
+    // can't help when per-dim variance is already uniform)
+    val exact = exactTopK(5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().count(r => exact.contains((r.getLong(0), r.getLong(1)))).toDouble / exact.size
+    val flat = recall(Similarity.annPq(embeddings))
+    val wide = recall(Similarity.annPq(embeddings, codebookSize = 64))
+    assert(wide >= 0.8, s"ann_pq_wide recall@5 $wide below 0.8")
+    assert(wide >= flat + 0.2, s"wide codebooks must lift recall decisively ($flat -> $wide)")
+  }
+
+  test("OPQ beats flat PQ on an anisotropic corpus and matches it within noise on the isotropic one") {
+    // Flat PQ splits dims into contiguous subspaces; when one
+    // subspace carries ~all the energy, the other m-1 codebooks
+    // quantize noise and recall collapses. The seeded-Hadamard
+    // rotation spreads energy evenly across subspaces — exactly the
+    // anisotropy OPQ exists for (Ge et al. 2013). The planted corpus
+    // concentrates cluster structure in dims 0..7.
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(8, 8)((rng.nextDouble() * 2 - 1).toFloat)
+    val rows = (0 until 500).map { i =>
+      val c = centers(i % 8)
+      val sig = c.map(v => v + (rng.nextDouble() * 0.2 - 0.1).toFloat)
+      val noise = Array.fill(56)((rng.nextDouble() * 0.02 - 0.01).toFloat)
+      (i.toLong, sig ++ noise)
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val aniso = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val queries = aniso.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = aniso.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineExact(decDot(col("qe"), col("embedding")), decNorm2(col("qe")), decNorm2(col("embedding"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().count(r => exact.contains((r.getLong(0), r.getLong(1)))).toDouble / exact.size
+    val flat = recall(Similarity.annPq(aniso))
+    val opq = recall(Similarity.annOpq(aniso))
+    assert(opq >= flat + 0.1,
+      s"OPQ must beat flat PQ decisively on the anisotropic corpus ($flat -> $opq)")
+    // on the ISOTROPIC gate corpus the rotation is a no-op by
+    // design (uniform per-dim variance — nothing to rebalance):
+    // OPQ must not COST recall beyond noise
+    val exactIso = exactTopK(5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recIso(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().count(r => exactIso.contains((r.getLong(0), r.getLong(1)))).toDouble / exactIso.size
+    val flatIso = recIso(Similarity.annPq(embeddings))
+    val opqIso = recIso(Similarity.annOpq(embeddings))
+    assert(opqIso >= flatIso - 0.15,
+      s"OPQ must not collapse on the isotropic corpus ($flatIso -> $opqIso)")
+  }
+
   test("served IVF range search is bit-identical to ann_range_ivf and never rebuilds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rangeivf_rt").toString
     val fresh = Similarity.annRangeIvf(embeddings, threshold = 0.3)
