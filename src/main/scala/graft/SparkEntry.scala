@@ -248,6 +248,11 @@ object SparkEntry {
     // signed-permutation Procrustes refinement, exact integer units
     // end to end -> full oracle (the FWHT/refinement CTE chain)
     "ann_opq"             -> ((s, d) => Similarity.annOpq(Tables(s, d).embeddings)),
+    // Frozen lifecycle for the rotated layout: build-if-absent ->
+    // load rotation model + codebooks + codes -> rotated-query ADC;
+    // bit-identical to ann_opq (shared oracle)
+    "ann_opq_served"      -> ((s, d) => Similarity.annOpqServed(Tables(s, d).embeddings,
+      s"${System.getProperty("java.io.tmpdir")}/graft_opq_index_${d.replaceAll("[^A-Za-z0-9.]", "_")}")),
     // SQ8 scalar quantizer: per-dim 8-bit codes against trained
     // min/max bounds (the non-PQ production compression layout);
     // integer encode/decode/ADC -> full oracle
@@ -3332,6 +3337,9 @@ FROM e ORDER BY user_id, day"""
     // rotated corpus, the signed-permutation Procrustes update, the
     // refit, ADC and exact re-rank — all replayed
     "ann_opq" -> annOpqOracle,
+    // served path is bit-identical (integer rotation model +
+    // codebooks survive parquet), one oracle gates both
+    "ann_opq_served" -> annOpqOracle,
     // Serve-from-frozen-index path: bit-identical results to ann_pq
     // (integer units end-to-end survive the parquet round trip), so
     // the same oracle gates the whole save/load/serve lifecycle.

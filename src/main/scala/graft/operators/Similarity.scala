@@ -1582,32 +1582,154 @@ object Similarity {
              k: Int = 5, m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
              rerank: Int = 50, refineIters: Int = 1,
              queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
+    val index = opqIndexBuild(embeddings, m, codebookSize, iters, refineIters)
+    opqSearch(index, queries.getOrElse(defaultQueries(embeddings)), k, rerank,
+      excludeSelf = queriesAreCorpusDerived.getOrElse(queries.isEmpty))
+  }
+
+  /** A trained, materialized OPQ index: the learned rotation (the
+    * seeded Hadamard pre-signs + one signed permutation per
+    * refinement round — O(d) model parameters), the rotated-space
+    * codebooks, and the encoded corpus. The transform applied to a
+    * query is the SAME composition the build applied to the corpus.
+    */
+  final case class OpqIndex private[Similarity] (
+      signs: Seq[Long],
+      perms: Seq[(Array[Int], Array[Long])],
+      codebooks: IndexedSeq[IndexedSeq[Array[Long]]],
+      codes: DataFrame, corpus: DataFrame, m: Int) {
+    /** normalized units → the index's rotated working space. */
+    private[Similarity] def rot(c: Column): Column =
+      perms.foldLeft(graft.plans.FwhtSignsI64.fwhtSigns(c, signs)) {
+        case (acc, (perm, psign)) => permuteSigns(acc, perm, psign)
+      }
+  }
+
+  /** Train the OPQ model and encode the corpus ONCE — the index-build
+    * half of [[annOpq]] (identical math; annOpq composes this with
+    * [[opqSearch]]).
+    */
+  def opqIndexBuild(embeddings: DataFrame, m: Int = 8, codebookSize: Int = 8,
+                    iters: Int = 3, refineIters: Int = 1): OpqIndex = {
     val dim = LshPlanes.dim
     val dsub = pqDsub(m)
     val signs = opqSigns(dim)
-    var rot: Column => Column = c => graft.plans.FwhtSignsI64.fwhtSigns(c, signs)
     var corpusR = embeddings
       .select(col("vec_id"),
-        rot(graft.plans.IntegerUnits.normalizeUnits(col("embedding"))).as("un"))
+        graft.plans.FwhtSignsI64.fwhtSigns(
+          graft.plans.IntegerUnits.normalizeUnits(col("embedding")), signs).as("un"))
       .honestCheckpoint()
     var books = pqTrainCodebooks(corpusR, m, codebookSize, iters, dsub)
+    var perms = Seq.empty[(Array[Int], Array[Long])]
     for (_ <- 1 to refineIters) {
       val (perm, psign) = opqProcrustes(corpusR, books, m, dsub)
-      val prevRot = rot
-      rot = c => permuteSigns(prevRot(c), perm, psign)
+      perms = perms :+ (perm, psign)
       corpusR = corpusR
         .select(col("vec_id"), permuteSigns(col("un"), perm, psign).as("un"))
         .honestCheckpoint()
       books = pqTrainCodebooks(corpusR, m, codebookSize, iters, dsub)
     }
-    val codes = pqEncode(corpusR, books, dsub)
-    val qs = pqQueries(queries.getOrElse(defaultQueries(embeddings)), books, dsub, rot)
+    OpqIndex(signs, perms, books,
+      pqEncode(corpusR, books, dsub).honestCheckpoint(),
+      embeddings.select(col("vec_id"), col("embedding")), m)
+  }
+
+  /** Search a trained [[OpqIndex]]: rotate the queries into the
+    * index's working space, then the shared ADC cut + exact decimal
+    * re-rank — [[pqSearch]]'s contract.
+    */
+  def opqSearch(index: OpqIndex, queries: DataFrame, k: Int = 5, rerank: Int = 50,
+                excludeSelf: Boolean = false): DataFrame = {
+    val qs = pqQueries(queries, index.codebooks, pqDsub(index.m), index.rot)
     val cands = pqAdcCandidates(
-      codes.join(broadcast(qs),
-        notSelf(queriesAreCorpusDerived.getOrElse(queries.isEmpty))), m, rerank)
-    pqExactRerank(cands, embeddings, k)
+      index.codes.join(broadcast(qs), notSelf(excludeSelf)), index.m, rerank)
+    pqExactRerank(cands, index.corpus, k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** OPQ index layout version ([[opqIndexSave]]). */
+  private[graft] val opqIndexVersion = 1
+
+  /** Persist a trained [[OpqIndex]]: codes + codebooks like
+    * [[pqIndexSave]], plus the rotation model as one small table —
+    * step 0 rows carry the Hadamard pre-signs (idx = j, a = s_j),
+    * step t ≥ 1 rows a refinement's signed permutation (idx = r,
+    * a = π(r), b = sign_r). Meta (with refine_iters) LAST — its
+    * _SUCCESS is the commit marker, like every frozen index here.
+    */
+  def opqIndexSave(index: OpqIndex, dir: String, params: String = "",
+                   corpusCount: Long = -1L): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    val cbRows = for {
+      (subCbs, sub) <- index.codebooks.zipWithIndex
+      (units, code) <- subCbs.zipWithIndex
+    } yield (sub, code, units.toSeq)
+    cbRows.toDF("subspace", "code", "units")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks.parquet")
+    val rotRows =
+      index.signs.zipWithIndex.map { case (s, j) => (0L, j.toLong, s, 0L) } ++
+        index.perms.zipWithIndex.flatMap { case ((perm, psign), t) =>
+          perm.indices.map(r => ((t + 1).toLong, r.toLong, perm(r).toLong, psign(r)))
+        }
+    rotRows.toDF("step", "idx", "a", "b")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/rotation.parquet")
+    Seq((index.m, index.perms.size, opqIndexVersion, params, corpusCount))
+      .toDF("m", "refine_iters", "version", "params", "n")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta.parquet")
+  }
+
+  /** Load a persisted OPQ index and re-bind it to its corpus. The
+    * rotation model is O(d·(1+refine_iters)) rows — model parameters,
+    * same collect class as the codebooks. Loaded results are
+    * bit-exact equal to the fresh build (integer model through
+    * parquet) — spec-gated.
+    */
+  def opqIndexLoad(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   corpus: DataFrame,
+                   preReadMeta: Option[org.apache.spark.sql.Row] = None): OpqIndex = {
+    val meta = preReadMeta.getOrElse(
+      spark.read.parquet(s"$dir/meta.parquet").collect()(0))
+    require(meta.getAs[Int]("version") == opqIndexVersion,
+      s"index at $dir has layout version ${meta.getAs[Int]("version")}, expected $opqIndexVersion")
+    val m = meta.getAs[Int]("m")
+    val refineIters = meta.getAs[Int]("refine_iters")
+    val rot = spark.read.parquet(s"$dir/rotation.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val signs = rot.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    val perms = (1 to refineIters).map { t =>
+      val rows = rot.filter(_._1 == t.toLong).sortBy(_._2)
+      (rows.map(_._3.toInt).toArray, rows.map(_._4).toArray)
+    }
+    val cbs = spark.read.parquet(s"$dir/codebooks.parquet").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val codebooks = cbs.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq }
+    OpqIndex(signs, perms, codebooks, spark.read.parquet(s"$dir/codes.parquet"),
+      corpus.select(col("vec_id"), col("embedding")), m)
+  }
+
+  /** Serve-from-frozen-index OPQ — the [[annPqServed]] lifecycle for
+    * the rotated layout: build-if-absent decided on disk, then the
+    * steady-state serving cost (codes scan + rotated-query ADC +
+    * exact re-rank, no training). Bit-identical to [[annOpq]] at
+    * equal params (the integer rotation model and codebooks survive
+    * parquet), so it shares ann_opq's FULL oracle.
+    */
+  def annOpqServed(embeddings: DataFrame, indexDir: String, k: Int = 5,
+                   m: Int = 8, codebookSize: Int = 8, iters: Int = 3,
+                   rerank: Int = 50, refineIters: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    val params = s"opq;m=$m;cb=$codebookSize;it=$iters;ref=$refineIters;src=${sourceStamp(embeddings)}"
+    val n = embeddings.count()
+    val meta = buildIfAbsent(spark, indexDir, params, n, opqIndexVersion) { staging =>
+      opqIndexSave(opqIndexBuild(embeddings, m, codebookSize, iters, refineIters),
+        staging, params, n)
+    }
+    val index = opqIndexLoad(spark, indexDir, embeddings, Some(meta))
+    opqSearch(index, defaultQueries(embeddings), k, rerank, excludeSelf = true)
   }
 
   /** Persist a trained [[PqIndex]] — the frozen-index lifecycle's

@@ -460,6 +460,29 @@ class SimilaritySpec extends SparkSpec {
     assert(again === direct)
   }
 
+  test("annOpqServed (train → save → load → serve) equals annOpq bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_served").toString
+    val served = Similarity.annOpqServed(embeddings, dir).collect().map(_.toString).toSeq
+    val direct = Similarity.annOpq(embeddings).collect().map(_.toString).toSeq
+    assert(served === direct,
+      "the rotation model + codebooks must survive the parquet round trip bit-exactly")
+    assert(served.nonEmpty)
+    // second call serves without rebuilding and returns identical rows
+    val marker = java.nio.file.Paths.get(dir, "meta.parquet", "_SUCCESS")
+    val mtime = java.nio.file.Files.getLastModifiedTime(marker)
+    val again = Similarity.annOpqServed(embeddings, dir).collect().map(_.toString).toSeq
+    assert(again === direct)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) === mtime,
+      "a complete frozen OPQ index must never be silently rebuilt")
+    // the persisted rotation model round-trips exactly
+    val built = Similarity.opqIndexBuild(embeddings)
+    val loaded = Similarity.opqIndexLoad(spark, dir, embeddings)
+    assert(loaded.signs === built.signs)
+    assert(loaded.perms.map(p => (p._1.toSeq, p._2.toSeq)) ===
+      built.perms.map(p => (p._1.toSeq, p._2.toSeq)))
+    assert(loaded.codebooks.map(_.map(_.toSeq)) === built.codebooks.map(_.map(_.toSeq)))
+  }
+
   test("residual IVF-PQ is deterministic and its ADC fidelity matches-or-beats raw-vector PQ") {
     val r1 = Similarity.annIvfPqResidual(embeddings, nlist = 2, nprobe = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
