@@ -3156,7 +3156,8 @@ FROM e ORDER BY user_id, day"""
          |SELECT doc_id, n_chars, n_latin, n_digit, n_cjk, n_space, n_other,
          |  CASE WHEN n_chars > 0 THEN CAST((2 * n_latin * 1000000 + n_chars) // (2 * n_chars) AS DOUBLE) / 1000000.0 + 0.0 END AS latin_ratio,
          |  CASE WHEN n_chars > 0 THEN CAST((2 * n_cjk * 1000000 + n_chars) // (2 * n_chars) AS DOUBLE) / 1000000.0 + 0.0 END AS cjk_ratio,
-         |  CASE WHEN n_cjk >= greatest(n_latin, n_digit, n_other) THEN 'cjk'
+         |  CASE WHEN n_latin + n_digit + n_cjk + n_other = 0 THEN 'other'
+         |       WHEN n_cjk >= greatest(n_latin, n_digit, n_other) THEN 'cjk'
          |       WHEN n_latin >= greatest(n_digit, n_other) THEN 'latin'
          |       WHEN n_digit >= n_other THEN 'digit' ELSE 'other' END AS main_script
          |FROM o ORDER BY doc_id""".stripMargin

@@ -93,8 +93,20 @@ object Dedup {
     * for a ≤ 4-token alignment slack). Same scale shape as passages —
     * one hash-partitioned aggregation over window hashes, explode
     * fans ~n/stride rows per doc, no sort, no pairs.
+    *
+    * INTRA-DOC self-matches: unlike chunk-aligned [[passages]],
+    * overlapping windows of ONE periodic document (a token run of
+    * length ≥ w + stride, e.g. "x x x …") are textually identical at
+    * consecutive strides, so a hit can read n_occurrences ≥ 2 with
+    * n_docs = 1 — repetition INSIDE a doc, not duplication across
+    * docs. That is a real signal (it is exactly what
+    * [[graft.operators.TextOps.repetition]] flags), but a
+    * CROSS-DOCUMENT dedup consumer must gate on `minDocs = 2`
+    * (advisor round 14); the default keeps both classes visible like
+    * passages' n_occurrences contract.
     */
-  def substrings(documents: DataFrame, w: Int = 20, stride: Int = 5): DataFrame = {
+  def substrings(documents: DataFrame, w: Int = 20, stride: Int = 5,
+                 minDocs: Int = 1): DataFrame = {
     val parallelism = documents.sparkSession.sparkContext.defaultParallelism
     val wins = documents.repartition(parallelism, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -108,7 +120,7 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min(struct(col("doc_id"), col("win_idx"))).as("first"))
-      .filter(col("n_occurrences") >= 2)
+      .filter(col("n_occurrences") >= 2 && col("n_docs") >= minDocs)
       .select(col("window_hash"), col("n_docs"), col("n_occurrences"),
         col("first.doc_id").as("first_doc"),
         col("first.win_idx").cast("long").as("first_win"))

@@ -147,22 +147,42 @@ object QualityModel {
     * refitting (and two serve fleets score IDENTICALLY — the
     * coefficients are the model, bit-exact through parquet doubles).
     * One row: version, a caller fingerprint, and β₀..β₆.
+    *
+    * STAGED write (the frozen-index publish discipline): the row
+    * lands in `model.parquet.staging`, then replaces `model.parquet`
+    * by rename. A crash mid-write leaves the PREVIOUS model intact
+    * (staging is invisible to [[load]]); a crash inside the
+    * delete-rename window leaves no `model.parquet`, which load
+    * rejects LOUDLY via the `_SUCCESS` marker check — never a torn
+    * or half-old model served silently.
     */
   def save(spark: org.apache.spark.sql.SparkSession, beta: Array[Double],
            dir: String, params: String = ""): Unit = {
     require(beta.length == Ridge.D - 1, s"expected ${Ridge.D - 1} coefficients, got ${beta.length}")
     import spark.implicits._
+    val staging = java.nio.file.Paths.get(dir, "model.parquet.staging")
+    val target = java.nio.file.Paths.get(dir, "model.parquet")
     Seq((modelFormatVersion, params, beta.toSeq))
       .toDF("version", "params", "beta")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/model.parquet")
+      .repartition(1).write.mode("overwrite").parquet(staging.toString)
+    if (java.nio.file.Files.exists(target)) {
+      java.nio.file.Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    java.nio.file.Files.move(staging, target)
   }
 
-  /** Load persisted coefficients; fails loudly on a layout-version
-    * mismatch, and on a params mismatch when the caller passes one
-    * (same contract as the frozen-index loads).
+  /** Load persisted coefficients; fails loudly on a missing/partial
+    * model dir (the `_SUCCESS` commit marker must exist — see
+    * [[save]]'s staged publish), on a layout-version mismatch, and
+    * on a params mismatch when the caller passes one (same contract
+    * as the frozen-index loads).
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String,
            expectParams: Option[String] = None): Array[Double] = {
+    val marker = java.nio.file.Paths.get(dir, "model.parquet", "_SUCCESS")
+    require(java.nio.file.Files.exists(marker),
+      s"quality model at $dir is missing or incomplete (no _SUCCESS commit marker)")
     val row = spark.read.parquet(s"$dir/model.parquet").collect()(0)
     require(row.getAs[Int]("version") == modelFormatVersion,
       s"quality model at $dir has layout version ${row.getAs[Int]("version")}, expected $modelFormatVersion")

@@ -153,7 +153,12 @@ object TextOps {
       .withColumn("latin_ratio", ratio("n_latin"))
       .withColumn("cjk_ratio", ratio("n_cjk"))
       .withColumn("main_script",
-        when(col("n_cjk") >= greatest(col("n_latin"), col("n_digit"), col("n_other")), "cjk")
+        // degenerate guard: a whitespace-only (or empty) document has
+        // every non-space count at 0, where the argmax chain's first
+        // branch (0 >= 0) would mislabel it "cjk" — route it to
+        // "other" instead of a script pipeline (advisor round 14)
+        when(col("n_latin") + col("n_digit") + col("n_cjk") + col("n_other") === 0, "other")
+          .when(col("n_cjk") >= greatest(col("n_latin"), col("n_digit"), col("n_other")), "cjk")
           .when(col("n_latin") >= greatest(col("n_digit"), col("n_other")), "latin")
           .when(col("n_digit") >= col("n_other"), "digit")
           .otherwise("other"))

@@ -213,4 +213,24 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.toSeq === aligned.toSeq)
   }
+
+  test("substrings: intra-doc periodic self-overlap is visible by default and gated by minDocs") {
+    import spark.implicits._
+    // a single periodic doc: a token run of length >= w + stride
+    // yields textually identical windows at consecutive strides —
+    // n_occurrences >= 2 with n_docs = 1 (repetition, not
+    // cross-document duplication)
+    val periodic = Seq((1L, Array.fill(30)("x").mkString(" "))).toDF("doc_id", "text")
+    val hits = Dedup.substrings(periodic, w = 20, stride = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(hits.exists { case (nd, no) => nd == 1L && no >= 2L },
+      "periodic single-doc self-overlap should surface at the default")
+    // a cross-document dedup consumer gates it out with minDocs = 2
+    assert(Dedup.substrings(periodic, w = 20, stride = 5, minDocs = 2).count() === 0L)
+    // and minDocs = 2 keeps genuine cross-doc hits
+    val boiler = (1 to 25).map(i => s"b$i").mkString(" ")
+    val two = Seq((1L, boiler), (2L, s"pad1 pad2 pad3 pad4 pad5 $boiler"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substrings(two, w = 20, stride = 5, minDocs = 2).count() > 0L)
+  }
 }

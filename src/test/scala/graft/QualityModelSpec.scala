@@ -134,6 +134,18 @@ class QualityModelSpec extends SparkSpec {
     val reloaded = Curation.filterGateModel(planted, QualityModel.load(spark, dir))
       .collect().map(_.toString)
     assert(reloaded.toSeq === direct.toSeq)
+    // staged publish: no staging residue after save, re-save over an
+    // existing model works, and a missing/incomplete model dir fails
+    // LOUDLY on the _SUCCESS commit-marker check (advisor round 14)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "model.parquet.staging")))
+    QualityModel.save(spark, beta, dir, params = "planted;alpha=1.0")
+    assert(QualityModel.load(spark, dir).toSeq === beta.toSeq)
+    val marker = java.nio.file.Paths.get(dir, "model.parquet", "_SUCCESS")
+    java.nio.file.Files.delete(marker)
+    val torn = intercept[IllegalArgumentException] { QualityModel.load(spark, dir) }
+    assert(torn.getMessage.contains("_SUCCESS"),
+      s"torn model must fail on the commit marker, got: ${torn.getMessage}")
   }
 
   test("qualityBudget keeps the highest-scoring docs within the token budget") {

@@ -39,6 +39,12 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_cjk") === 5L)
     assert(out(4L).getAs[Any]("latin_ratio") === null)
     assert(out(5L).getAs[String]("main_script") === "other")
+    // degenerate docs (empty / whitespace-only: every non-space count
+    // is 0) must read "other", not win the cjk branch on 0 >= 0
+    assert(out(4L).getAs[String]("main_script") === "other")
+    val ws = TextOps.scripts(Seq((6L, "   \t  ")).toDF("doc_id", "text")).collect()(0)
+    assert(ws.getAs[String]("main_script") === "other",
+      "whitespace-only doc must not be routed to a script pipeline")
     // counts always reconcile (n_other is the exact remainder)
     TextOps.scripts(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
       .collect().foreach { r =>
