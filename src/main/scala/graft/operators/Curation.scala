@@ -217,6 +217,17 @@ object Curation {
     val base = documents.select(col("doc_id"), col("lang"))
       .join(TextOps.surprisal(documents).select(col("doc_id"), col("mean_bits")), "doc_id")
       .honestCheckpoint()
+    pplAssign(base, pplThresholds(base, histBuckets))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language tercile thresholds (lang, b1, b2) of a scored
+    * (doc_id, lang, mean_bits) frame — [[pplBuckets]]' model half,
+    * factored out so the frozen-model serve path ([[pplModel]] /
+    * [[graft.streaming.CurationStream.pplGateServe]]) fits the SAME
+    * exact order statistics the batch operator cuts at.
+    */
+  private def pplThresholds(base: DataFrame, histBuckets: Int): DataFrame = {
     val stats = base.groupBy(col("lang")).agg(count(lit(1)).as("n"),
       min(col("mean_bits")).as("vmin"), max(col("mean_bits")).as("vmax"))
     def bucketCol = when(col("vmax") > col("vmin"),
@@ -237,7 +248,7 @@ object Curation {
       .select(col("lang"), col("which"), col("target"), col("bucket"), col("cum_before"))
     val wIn = Window.partitionBy(col("lang"), col("bucket"), col("which"))
       .orderBy(col("mean_bits"), col("doc_id"))
-    val thr = base.join(broadcast(stats), "lang")
+    base.join(broadcast(stats), "lang")
       .withColumn("bucket", bucketCol)
       .join(broadcast(located), Seq("lang", "bucket"))
       .withColumn("rn", row_number().over(wIn).cast("long"))
@@ -245,13 +256,19 @@ object Curation {
       .groupBy(col("lang"))
       .agg(max(when(col("which") === "b1", col("mean_bits"))).as("b1"),
         max(when(col("which") === "b2", col("mean_bits"))).as("b2"))
-    base.join(broadcast(thr), "lang")
+  }
+
+  /** Cut-by-value bucket assignment of a scored frame against a
+    * (lang, b1, b2) threshold frame — CCNet tie semantics (ties land
+    * on the lower bucket together). Shared by the batch operator and
+    * the frozen-model serve.
+    */
+  private def pplAssign(scored: DataFrame, thr: DataFrame): DataFrame =
+    scored.join(broadcast(thr), "lang")
       .withColumn("bucket",
         when(col("mean_bits") <= col("b1"), "head")
           .when(col("mean_bits") <= col("b2"), "middle").otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("mean_bits"), col("bucket"))
-      .orderBy(col("doc_id"))
-  }
 
   /** CCNet bucket ACTION — the consumption half of [[pplBuckets]]:
     * Wenzek et al. 2020 train on the head (+middle) cut and discard
@@ -272,17 +289,67 @@ object Curation {
     */
   def pplFilter(documents: DataFrame,
                 rates: Map[String, Int] = Map("head" -> 10000, "middle" -> 5000, "tail" -> 0),
-                histBuckets: Int = 8192): DataFrame = {
-    val spark = documents.sparkSession
+                histBuckets: Int = 8192): DataFrame =
+    pplRateFilter(pplBuckets(documents, histBuckets), rates)
+      .orderBy(col("doc_id"))
+
+  /** The per-myriad bucket-rate keep of a bucketed frame — the
+    * action tail shared by [[pplFilter]] and the frozen-model serve
+    * ([[pplGate]]).
+    */
+  private def pplRateFilter(bucketed: DataFrame, rates: Map[String, Int]): DataFrame = {
+    val spark = bucketed.sparkSession
     import spark.implicits._
     val rdf = rates.toSeq.toDF("bucket", "rate")
-    pplBuckets(documents, histBuckets)
+    bucketed
       .join(broadcast(rdf), Seq("bucket"), "left")
       .withColumn("rate", coalesce(col("rate"), lit(10000)).cast("long"))
       .withColumn("hash", hex60(concat(col("doc_id").cast("string"), lit(":ppl"))) % 10000)
       .filter(col("hash") < col("rate"))
       .select(col("doc_id"), col("lang"), col("mean_bits"), col("bucket"),
         col("rate"), col("hash"))
+  }
+
+  /** The frozen CCNet model: the unigram LM ([[TextOps.surprisalModel]])
+    * plus the per-language tercile thresholds — everything [[pplGate]]
+    * needs to stratify a NEW batch without touching the reference
+    * corpus again. Fit rarely, serve every batch — the same
+    * deployment split as [[QualityModel]]/[[graft.streaming.CurationStream]];
+    * Wenzek et al. 2020 ship exactly these two artifacts (the LM and
+    * the per-language cutoffs).
+    */
+  final case class PplModel private[Curation] (
+      freq: DataFrame, total: Long, thresholds: DataFrame)
+
+  /** Fit the frozen CCNet model on a reference corpus. */
+  def pplModel(documents: DataFrame, histBuckets: Int = 8192): PplModel = {
+    import graft.operators.TextOps
+    val (freq, total) = TextOps.surprisalModel(documents)
+    val base = documents.select(col("doc_id"), col("lang"))
+      .join(TextOps.surprisalServe(freq, total, documents)
+        .select(col("doc_id"), col("mean_bits")), "doc_id")
+      .honestCheckpoint()
+    PplModel(freq, total, pplThresholds(base, histBuckets).honestCheckpoint())
+  }
+
+  /** Gate a batch against a FROZEN [[PplModel]]: score each doc's
+    * mean_bits under the frozen LM (unknown tokens read maximum
+    * surprisal — heavy-OOV docs route toward the tail, CCNet's OOV
+    * behavior), cut at the frozen thresholds, keep at the per-bucket
+    * rates. Per-document algebra + model-sized broadcasts only, so a
+    * doc's verdict never depends on which batch carried it
+    * (spec-pinned: streamed ≡ the one-shot [[pplFilter]] when the
+    * model was fit on the full corpus). Docs in languages outside
+    * the model's threshold table are DROPPED loudly-by-absence, like
+    * surprisal drops token-less docs.
+    */
+  def pplGate(model: PplModel, batch: DataFrame,
+              rates: Map[String, Int] = Map("head" -> 10000, "middle" -> 5000, "tail" -> 0)): DataFrame = {
+    import graft.operators.TextOps
+    val scored = batch.select(col("doc_id"), col("lang"))
+      .join(TextOps.surprisalServe(model.freq, model.total, batch)
+        .select(col("doc_id"), col("mean_bits")), "doc_id")
+    pplRateFilter(pplAssign(scored, model.thresholds), rates)
       .orderBy(col("doc_id"))
   }
 

@@ -319,6 +319,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The FROZEN unigram LM behind [[surprisal]]: the vocabulary
+    * frequency table plus the corpus total — fit ONCE on a reference
+    * corpus and served against any later batch ([[surprisalServe]]).
+    * This is the CCNet deployment shape (Wenzek et al. 2020 ship the
+    * LM with the pipeline; incoming shards never refit it): the
+    * model is vocabulary-bounded data, not corpus-sized.
+    */
+  def surprisalModel(documents: DataFrame): (DataFrame, Long) = {
+    val parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    val freq = documents.repartition(parallelism, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("f"))
+      .honestCheckpoint()
+    val total = freq.agg(sum(col("f"))).head().getLong(0)
+    (freq, total)
+  }
+
+  /** Per-doc mean_bits of a BATCH against a frozen LM — the serve
+    * half of [[surprisalModel]], bit-identical to [[surprisal]] when
+    * the model was fit on a corpus containing the batch's vocabulary
+    * (same bits formula, same exact half-up mean). Unknown tokens
+    * read the rarest-class convention f = 1 — the MAXIMUM surprisal
+    * the model can assign (floor(log₂ total) bits), which routes
+    * heavy-OOV docs toward the tail bucket exactly as CCNet's LM
+    * treats text its vocabulary has never seen.
+    */
+  def surprisalServe(freq: DataFrame, total: Long, batch: DataFrame): DataFrame = {
+    require(total > 0, "surprisalServe needs a non-empty frozen model")
+    val tf = batch
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+    tf.join(freq, Seq("token"), "left")
+      .withColumn("f", coalesce(col("f"), lit(1L)))
+      .withColumn("bits",
+        (length(conv(expr(s"${total}L DIV f"), 10, 2)) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("bits")).as("total_bits"))
+      .withColumn("mean_bits",
+        (expr("(2 * total_bits * 1000000 + n_tokens) DIV (2 * n_tokens)").cast("double")
+          / lit(1e6)) + lit(0.0))
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): hash every w-token
     * shingle, slide a window of `window` hashes, keep each window's
     * minimum, dedup. Guarantees any sufficiently long shared

@@ -36,4 +36,26 @@ object CurationStream {
         ()
       }
       .start()
+
+  /** Streaming CCNet gate — the ingest-time deployment of the frozen
+    * perplexity model ([[Curation.pplModel]]): each micro-batch is
+    * scored under the FROZEN unigram LM (vocabulary-bounded state,
+    * broadcast-joined — no state store), cut at the frozen
+    * per-language terciles, and kept at the per-bucket rates. A
+    * doc's verdict is a pure function of (doc, model), so batching
+    * never changes it (spec-pinned: the streamed union equals the
+    * one-shot [[Curation.pplFilter]] doc-for-doc when the model was
+    * fit on the full corpus) — exactly how CCNet runs its shipped LM
+    * over incoming CommonCrawl shards.
+    */
+  def pplGateServe(documents: DataFrame, model: Curation.PplModel,
+                   rates: Map[String, Int] = Map("head" -> 10000, "middle" -> 5000, "tail" -> 0))
+                  (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    documents.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(Curation.pplGate(model, batch, rates), id)
+        ()
+      }
+      .start()
 }

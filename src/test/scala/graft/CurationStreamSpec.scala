@@ -40,4 +40,42 @@ class CurationStreamSpec extends SparkSpec {
     val keeps = snapshot.values.flatten.count(_.endsWith("true]"))
     assert(keeps > 0 && keeps < rows.length, s"degenerate gate: $keeps/${rows.length} kept")
   }
+
+  test("streamed CCNet gate under the frozen LM equals the one-shot pplFilter doc-for-doc") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    // the LM + per-language terciles fit OFFLINE on the full corpus,
+    // then frozen — the two artifacts CCNet ships
+    val model = Curation.pplModel(docs)
+    val rows = docs.as[(Long, String, String)].collect().toSeq
+    val (batch1, batch2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Set[String]]
+    val q = CurationStream.pplGateServe(
+      input.toDF().toDF("doc_id", "lang", "text"), model) {
+      (df, id) => got.synchronized { got(id) = df.collect().map(_.toString).toSet }
+    }
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val snapshot = got.synchronized(got.toMap)
+    assert(snapshot.keySet === Set(0L, 1L))
+    // the model was fit on the full corpus, so every batch token is
+    // in-vocabulary and the streamed union must equal the one-shot
+    // batch operator exactly — batch boundaries never move a verdict
+    val want = Curation.pplFilter(docs).collect().map(_.toString).toSet
+    assert((snapshot(0L) ++ snapshot(1L)) === want,
+      "streamed CCNet verdicts drifted from the one-shot pplFilter")
+    assert(snapshot(0L).nonEmpty && snapshot(1L).nonEmpty)
+    // OOV behavior: a doc whose tokens the frozen LM has never seen
+    // reads maximum surprisal per token and must land in the TAIL
+    // (dropped at the default rates)
+    val oov = Curation.pplGate(model,
+      Seq((999999L, "en", "zzqx9 wvvk7 qqpl3 zzqx9 wvvk7 mmnb2 zzqx9"))
+        .toDF("doc_id", "lang", "text"))
+    assert(oov.filter($"doc_id" === 999999L).count() === 0L,
+      "an all-OOV doc must route to the tail bucket and be dropped")
+  }
 }

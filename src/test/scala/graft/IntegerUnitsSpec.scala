@@ -97,12 +97,15 @@ class IntegerUnitsSpec extends SparkSpec {
       assert(y.map(v => v * v).sum === 64L * x.map(v => v * v).sum)
     }
     // dimension mismatch fails loudly, never silently truncates
+    // (surfaces as IllegalArgumentException directly under local
+    // codegen, or wrapped in SparkException from an executor)
     import spark.implicits._
     val bad = Seq(Tuple1(Array.fill(8)(0.1f))).toDF("embedding")
-    val e = intercept[org.apache.spark.SparkException] {
+    val e = intercept[Exception] {
       bad.select(graft.plans.FwhtSignsI64.fwhtSigns(
         normalizeUnits(col("embedding")), signs)).collect()
     }
-    assert(e.getMessage != null)
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("fwht_signs"), s"unexpected failure: $e")
   }
 }
