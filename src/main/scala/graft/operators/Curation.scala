@@ -262,11 +262,24 @@ object Curation {
     * (lang, b1, b2) threshold frame — CCNet tie semantics (ties land
     * on the lower bucket together). Shared by the batch operator and
     * the frozen-model serve.
+    *
+    * LEFT join: a doc whose language has no threshold row (a new
+    * language arriving at a frozen-model serve — impossible on the
+    * batch path, where thresholds are fit from the same frame) is
+    * EMITTED with bucket `unmodeled` rather than silently dropped by
+    * an inner join. The previous inner join was a silent data-loss
+    * mode: a whole new-language micro-batch vanished from
+    * [[graft.streaming.CurationStream.pplGateServe]] with no signal.
+    * Downstream, [[pplRateFilter]]'s unlisted-bucket default (rate
+    * 10000) KEEPS unmodeled docs visibly; an ingest that wants to
+    * drop or alarm on them lists `unmodeled` in its rates map or
+    * filters/counts the bucket column.
     */
   private def pplAssign(scored: DataFrame, thr: DataFrame): DataFrame =
-    scored.join(broadcast(thr), "lang")
+    scored.join(broadcast(thr), Seq("lang"), "left")
       .withColumn("bucket",
-        when(col("mean_bits") <= col("b1"), "head")
+        when(col("b1").isNull && col("b2").isNull, "unmodeled")
+          .when(col("mean_bits") <= col("b1"), "head")
           .when(col("mean_bits") <= col("b2"), "middle").otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("mean_bits"), col("bucket"))
 
@@ -340,8 +353,10 @@ object Curation {
     * doc's verdict never depends on which batch carried it
     * (spec-pinned: streamed ≡ the one-shot [[pplFilter]] when the
     * model was fit on the full corpus). Docs in languages outside
-    * the model's threshold table are DROPPED loudly-by-absence, like
-    * surprisal drops token-less docs.
+    * the model's threshold table surface with bucket `unmodeled`
+    * and are KEPT by the default rates (see [[pplAssign]]) — never
+    * silently dropped; list `unmodeled -> 0` in `rates` to drop
+    * them explicitly, or alarm on the bucket column downstream.
     */
   def pplGate(model: PplModel, batch: DataFrame,
               rates: Map[String, Int] = Map("head" -> 10000, "middle" -> 5000, "tail" -> 0)): DataFrame = {

@@ -116,10 +116,21 @@ object QualityModel {
     * score composition ([[score]], [[Curation.qualityBudget]]) can
     * materialize the feature pipeline ONCE and feed both the Gram
     * pass and the scoring scan from it.
+    *
+    * The Gram pass fits on the GRADED SUBSET: rows whose label (z7)
+    * is null are filtered out BEFORE the sums. Without the filter, a
+    * partially-graded corpus — exactly the advertised "grader scores
+    * a sample" FineWeb-Edu deployment — poisons the normal equations
+    * silently: a null z7 nulls every Gram product involving it
+    * (which sum then DROPS) while the feature-only sums keep those
+    * rows, so X'X and X'y are computed over DIFFERENT row sets and
+    * the solve returns consistent-looking but wrong coefficients.
+    * The default self-distilled label is never null, so this is a
+    * no-op on the unlabeled path.
     */
   private[operators] def fitFromZ(zf: DataFrame, alpha: Double): Array[Double] = {
     val cols = Ridge.gramSumCols
-    val row = zf.agg(cols.head, cols.tail: _*).head()
+    val row = zf.filter(col("z7").isNotNull).agg(cols.head, cols.tail: _*).head()
     def s(i: Int, j: Int): Double = {
       val v = row.getDecimal(Ridge.upperTriangle.indexOf((i, j)))
       if (v == null) 0.0 else v.doubleValue()
@@ -148,9 +159,12 @@ object QualityModel {
     * coefficients are the model, bit-exact through parquet doubles).
     * One row: version, a caller fingerprint, and β₀..β₆.
     *
-    * STAGED write (the frozen-index publish discipline): the row
-    * lands in `model.parquet.staging`, then replaces `model.parquet`
-    * by rename. A crash mid-write leaves the PREVIOUS model intact
+    * STAGED write (the frozen-index publish discipline, same Hadoop
+    * FileSystem machinery as [[Similarity.buildIfAbsent]] — so the
+    * model dir may live on ANY hadoop scheme the index dirs do:
+    * hdfs://, s3a://, file://): the row lands in a pid-unique
+    * `model.parquet.staging-…`, then replaces `model.parquet` by
+    * `fs.rename`. A crash mid-write leaves the PREVIOUS model intact
     * (staging is invisible to [[load]]); a crash inside the
     * delete-rename window leaves no `model.parquet`, which load
     * rejects LOUDLY via the `_SUCCESS` marker check — never a torn
@@ -160,16 +174,18 @@ object QualityModel {
            dir: String, params: String = ""): Unit = {
     require(beta.length == Ridge.D - 1, s"expected ${Ridge.D - 1} coefficients, got ${beta.length}")
     import spark.implicits._
-    val staging = java.nio.file.Paths.get(dir, "model.parquet.staging")
-    val target = java.nio.file.Paths.get(dir, "model.parquet")
+    val target = new org.apache.hadoop.fs.Path(s"$dir/model.parquet")
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$dir/model.parquet.staging-${ProcessHandle.current.pid}-${System.nanoTime}")
     Seq((modelFormatVersion, params, beta.toSeq))
       .toDF("version", "params", "beta")
       .repartition(1).write.mode("overwrite").parquet(staging.toString)
-    if (java.nio.file.Files.exists(target)) {
-      java.nio.file.Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(staging, target)) {
+      fs.delete(staging, true)
+      sys.error(s"failed to publish quality model to $target")
     }
-    java.nio.file.Files.move(staging, target)
   }
 
   /** Load persisted coefficients; fails loudly on a missing/partial
@@ -180,8 +196,8 @@ object QualityModel {
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String,
            expectParams: Option[String] = None): Array[Double] = {
-    val marker = java.nio.file.Paths.get(dir, "model.parquet", "_SUCCESS")
-    require(java.nio.file.Files.exists(marker),
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/model.parquet/_SUCCESS")
+    require(marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker),
       s"quality model at $dir is missing or incomplete (no _SUCCESS commit marker)")
     val row = spark.read.parquet(s"$dir/model.parquet").collect()(0)
     require(row.getAs[Int]("version") == modelFormatVersion,

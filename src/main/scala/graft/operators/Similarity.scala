@@ -1494,12 +1494,17 @@ object Similarity {
       lit(psign(r)) * element_at(un, perm(r) + 1)): _*)
 
   /** The OPQ rotation-update step restricted to SIGNED PERMUTATIONS —
-    * the exactly-solvable slice of Ge et al. 2013's orthogonal
-    * Procrustes update (their eq. 7: R* = argmax tr(R X Ŷᵀ); over
-    * signed permutations the argmax decomposes into picking one
-    * (row, col, sign) per output dim, solved greedily on |M| with a
-    * deterministic (|m| DESC, r, c) tiebreak — replayable as a
-    * recursive SQL CTE, unlike an SVD).
+    * Ge et al. 2013's orthogonal Procrustes update (their eq. 7:
+    * R* = argmax tr(R X Ŷᵀ)) searched over the signed-permutation
+    * subgroup. Within that subgroup the SIGN is exact given the
+    * permutation (s_r = sign(M[r][π(r)])), but choosing π itself —
+    * maximizing Σ_r |M[r][π(r)]| — is a linear assignment problem;
+    * we pick π with a deterministic GREEDY HEURISTIC (largest |M|
+    * first, each row/col used once, (|m| DESC, r, c) tiebreak), not
+    * the exact Hungarian argmax. The greedy is what's replayable as
+    * a recursive SQL CTE (unlike an SVD or Hungarian), and the
+    * oracle replays the same greedy, so parity is exact even where
+    * the assignment is approximate.
     *
     * M[r][c] = Σ_v ŷ_v[r] · y_v[c] is NEVER materialized per row:
     * ŷ[r] is a codebook entry determined by the vector's subspace-

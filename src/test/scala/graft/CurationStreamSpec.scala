@@ -77,5 +77,24 @@ class CurationStreamSpec extends SparkSpec {
         .toDF("doc_id", "lang", "text"))
     assert(oov.filter($"doc_id" === 999999L).count() === 0L,
       "an all-OOV doc must route to the tail bucket and be dropped")
+    // UNMODELED LANGUAGE (advisor r15): a doc whose language has no
+    // frozen threshold row must SURFACE (bucket `unmodeled`, kept at
+    // the default rates) instead of vanishing through an inner join —
+    // the silent-loss mode where a whole new-language micro-batch
+    // disappeared from the serve with no signal.
+    val newLang = Curation.pplGate(model,
+      Seq((888888L, "xx", "the quick brown fox jumps over the lazy dog again"))
+        .toDF("doc_id", "lang", "text")).cache()
+    assert(newLang.filter($"doc_id" === 888888L).count() === 1L,
+      "a new-language doc must not be silently dropped by the frozen-model gate")
+    assert(newLang.filter($"doc_id" === 888888L)
+      .select("bucket").head().getString(0) === "unmodeled")
+    newLang.unpersist()
+    // and an ingest that WANTS to drop them does so explicitly
+    val dropped = Curation.pplGate(model,
+      Seq((888888L, "xx", "the quick brown fox jumps over the lazy dog again"))
+        .toDF("doc_id", "lang", "text"),
+      rates = Map("head" -> 10000, "middle" -> 5000, "tail" -> 0, "unmodeled" -> 0))
+    assert(dropped.filter($"doc_id" === 888888L).count() === 0L)
   }
 }

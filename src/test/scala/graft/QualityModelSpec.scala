@@ -118,6 +118,33 @@ class QualityModelSpec extends SparkSpec {
     assert(QualityModel.fit(planted, label = None).toSeq === betaPlain.toSeq)
   }
 
+  test("partially-graded fit trains on the graded subset only (advisor r15)") {
+    // the advertised FineWeb-Edu deployment: the grader scores a
+    // SAMPLE, the rest of the corpus carries a null grade. The fit
+    // must equal the fit on the graded subset — NOT a silent blend
+    // where X'X keeps ungraded rows (their feature products are
+    // label-free) while X'y drops them, which yields inconsistent
+    // normal equations and plausible-looking wrong coefficients.
+    val graded = planted.withColumn("grade",
+      when(col("doc_id") % 2 === 0,
+        when(col("doc_id") < 1000L, 1.0).otherwise(0.0)))  // odd ids: null grade
+    val betaPartial = QualityModel.fit(graded, label = Some(col("grade")))
+    val gradedOnly = graded.filter(col("grade").isNotNull)
+    val betaSubset = QualityModel.fit(gradedOnly, label = Some(col("grade")))
+    assert(betaPartial.toSeq === betaSubset.toSeq,
+      "fit on a partially-graded corpus must be bit-identical to the fit on its graded subset")
+    // and the subset fit still recovers the planted direction
+    val repShift = betaPartial(4) * (0.8 - 0.1) + betaPartial(5) * (0.9 - 0.15)
+    assert(repShift < 0.0, s"graded-subset fit lost the repetition direction ($repShift)")
+    // scoring still covers the WHOLE corpus (ungraded docs get a
+    // score and a pred; their emitted label is honestly null)
+    val out = QualityModel.score(graded, label = Some(col("grade"))).cache()
+    assert(out.count() === 120)
+    assert(out.filter(col("score").isNull).count() === 0)
+    assert(out.filter(col("label").isNull).count() === 60)
+    out.unpersist()
+  }
+
   test("save/load round-trips coefficients bit-exactly and guards version/params") {
     val beta = QualityModel.fit(planted)
     val dir = java.nio.file.Files.createTempDirectory("graft_qm").toString
@@ -137,8 +164,10 @@ class QualityModelSpec extends SparkSpec {
     // staged publish: no staging residue after save, re-save over an
     // existing model works, and a missing/incomplete model dir fails
     // LOUDLY on the _SUCCESS commit-marker check (advisor round 14)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "model.parquet.staging")))
+    val residue = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith("model.parquet.staging"))
+      .count()
+    assert(residue === 0L, "staging dirs must not survive a publish")
     QualityModel.save(spark, beta, dir, params = "planted;alpha=1.0")
     assert(QualityModel.load(spark, dir).toSeq === beta.toSeq)
     val marker = java.nio.file.Paths.get(dir, "model.parquet", "_SUCCESS")
