@@ -3247,8 +3247,16 @@ object Similarity {
     * ONE l2 kernel evaluated per element inside `transform`, then
     * the lexicographic (du, cl) sort-head: the same lowest-code
     * tiebreak as [[pqArgmin]], bit-identical (spec-pinned).
+    *
+    * RETAINED AS THE REFERENCE SEMANTICS ONLY: the corpus-sized wide
+    * paths ([[pqEncode]]/[[pqTrainCodebooks]]) now run the fused
+    * [[graft.plans.PqEncodeI64]] codegen kernel — the per-element
+    * `transform` lambda here is interpreted (m·cb dispatches per
+    * row), which priced the 100 TB encode pass; the spec pins the
+    * kernel bit-identical to this path. Still serves the query-side
+    * ADC table ([[pqQueries]]), where rows are query-count sized.
     */
-  private def pqCodeData(un: Column, books: IndexedSeq[IndexedSeq[Array[Long]]],
+  private[graft] def pqCodeData(un: Column, books: IndexedSeq[IndexedSeq[Array[Long]]],
                          j: Int, dsub: Int): Column = {
     import graft.plans.IntegerUnits.l2Units
     element_at(array_sort(transform(pqCbData(books, j), e =>
@@ -3283,9 +3291,12 @@ object Similarity {
       // folds over codebook-as-data) — init, tiebreak, and the mean
       // step are shared, so the two are bit-identical (spec-pinned)
       val assigned =
-        if (useWide) corpusU.select((0 until m).map(j =>
-          struct(pqCodeData(col("un"), books, j, dsub).as("cl"),
-            sub(col("un"), j).as("sv")).as(s"a$j")): _*)
+        if (useWide) corpusU
+          .select(col("un"),
+            graft.plans.PqQuant.pqEncodeCodes(col("un"), books, dsub).as("codes"))
+          .select((0 until m).map(j =>
+            struct(element_at(col("codes"), j + 1).as("cl"),
+              sub(col("un"), j).as("sv")).as(s"a$j")): _*)
         else corpusU
           .select(col("un") +: pqDistCols(books, "un", dsub): _*)
           .select((0 until m).map(j =>
@@ -3311,14 +3322,17 @@ object Similarity {
   }
 
   /** One corpus scan → (vec_id, codes): per-subspace argmin code.
-    * Auto-dispatches on the codebook shape: kernels within the JIT
-    * budget, codebook-as-data past it — bit-identical either way.
+    * Auto-dispatches on the codebook shape: plan-literal l2 kernels
+    * within the JIT budget, the fused codebooks-as-data kernel
+    * ([[graft.plans.PqEncodeI64]] — one compiled m×cb×dsub loop,
+    * plan size O(1) in cb) past it — bit-identical either way
+    * (spec-pinned).
     */
   private[graft] def pqEncode(corpusU: DataFrame, books: IndexedSeq[IndexedSeq[Array[Long]]],
                        dsub: Int, wide: Option[Boolean] = None): DataFrame =
     if (wide.getOrElse(pqWide(books.size, books.headOption.map(_.size).getOrElse(0))))
       corpusU.select(col("vec_id"),
-        array(books.indices.map(j => pqCodeData(col("un"), books, j, dsub)): _*).as("codes"))
+        graft.plans.PqQuant.pqEncodeCodes(col("un"), books, dsub).as("codes"))
     else corpusU
       .select(col("vec_id") +: col("un") +: pqDistCols(books, "un", dsub): _*)
       .select(col("vec_id"),

@@ -1309,6 +1309,34 @@ class SimilaritySpec extends SparkSpec {
     assert(wide >= flat + 0.2, s"wide codebooks must lift recall decisively ($flat -> $wide)")
   }
 
+  test("fused PQ encode kernel is bit-identical to the interpreted HOF reference at wide shapes") {
+    import graft.plans.IntegerUnits.normalizeUnits
+    // the round-15 wide encode (per-subspace transform + array_sort
+    // over codebooks-as-data) is retained as the REFERENCE semantics;
+    // the fused PqEncodeI64 kernel that replaced it on the corpus
+    // path must agree code-for-code at a genuinely wide shape
+    // (m·cb = 512, past the kernel budget — the ann_pq_wide gate
+    // shape, where only the data paths can run)
+    val corpusU = embeddings
+      .select(col("vec_id"), normalizeUnits(col("embedding")).as("un"))
+      .localCheckpoint(true)
+    val books = Similarity.pqTrainCodebooks(corpusU, 8, 64, 1, 8)
+    val ref = corpusU.select(col("vec_id"),
+        array((0 until 8).map(j => Similarity.pqCodeData(col("un"), books, j, 8)): _*).as("codes"))
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    val fused = Similarity.pqEncode(corpusU, books, 8)
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    assert(fused === ref, "fused PQ encode kernel diverged from the HOF reference")
+    assert(fused.nonEmpty)
+    // and the kernel's interpreted eval (non-codegen fallback) agrees
+    // with its own codegen on a malformed-width probe: both throw
+    val bad = intercept[Exception] {
+      corpusU.select(graft.plans.PqQuant.pqEncodeCodes(
+        org.apache.spark.sql.functions.slice(col("un"), 1, 63), books, 8)).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("OPQ beats flat PQ on an anisotropic corpus and matches it within noise on the isotropic one") {
     // Flat PQ splits dims into contiguous subspaces; when one
     // subspace carries ~all the energy, the other m-1 codebooks
