@@ -69,6 +69,21 @@ object PartitionSweep {
       // literal trainer's semantics at every partition count
       "dedup_semantic_wide" -> (() =>
         operators.Similarity.dedupSemanticWide(embeddings, k = 40).count()),
+      // trained IVF with the coarse quantizer FORCED wide (round 15's
+      // assignTopCellsData): the probe maps a broadcast centroid row
+      // through a transform lambda and the trainer shuffles the
+      // (cluster, dim) partial sums — nlist = 128 is past the kernel
+      // budget at every setting, so only the data branch runs
+      "ann_ivf_trained_wide" -> (() =>
+        operators.Similarity.annIvfTrained(embeddings, fixedQ, nlist = 128, iters = 1,
+          nprobe = 2).count()),
+      // FAISS-sized PQ codebooks (round 15) through the fused
+      // codebooks-as-data encode kernel (round 16): the joint-Lloyd
+      // means shuffle on (j, cl, dim) and the ADC candidate window on
+      // query_id — the wide trainer/encode's only shuffle users
+      "ann_pq_wide" -> (() =>
+        operators.Similarity.annPq(embeddings, fixedQ, codebookSize = 64,
+          queriesAreCorpusDerived = Some(true)).count()),
       "feature_snapshot" -> (() => operators.FinAnalytics.featureSnapshot(events).count()))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }

@@ -223,14 +223,17 @@ object QualityModel {
     // scoring scan both read the SAME materialized features instead
     // of running the quality/repetition/langid join pipeline twice
     // (measured ~2× on the 100×-corpus probe).
-    // withToks is a fixed 4-column projection, so an external label
-    // is evaluated against the INPUT frame and joined back by doc_id
-    // (narrow, broadcast-sized relative to the tokenized corpus) —
-    // the grade expression may read any input column withToks drops.
+    // An external label is evaluated against the INPUT frame INSIDE
+    // the withToks projection (the grade expression may read any
+    // input column the fixed projection drops) and rides the
+    // checkpoint as ext_grade. It must NOT be re-attached by a
+    // doc_id join afterwards: the optimizer plans that join
+    // sort-merge (the parquet size estimate keeps the narrow grade
+    // projection over the broadcast threshold at scale), shuffling
+    // the corpus WITH its token arrays — measured 6× the unlabeled
+    // path at the 100× probe (251 s vs 42.8 s) before this.
     val base = label match {
-      case Some(c) => TextOps.withToks(documents)
-        .join(documents.select(col("doc_id"), c.as("ext_grade")), "doc_id")
-        .honestCheckpoint()
+      case Some(c) => TextOps.withToks(documents, Seq(c -> "ext_grade")).honestCheckpoint()
       case None => TextOps.withToks(documents).honestCheckpoint()
     }
     val zf = zFrame(base, label.map(_ => col("ext_grade"))).honestCheckpoint()

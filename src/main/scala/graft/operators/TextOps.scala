@@ -34,9 +34,16 @@ object TextOps {
     * the corpus ONCE instead of once per sub-operator (the regex
     * split is the CPU-dominant step at scale).
     */
-  def withToks(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"), col("lang"), col("text"),
-      tokens(col("text")).as("toks"))
+  /** `extra` carries caller columns (computed against the INPUT
+    * frame — they may read any column the fixed projection drops)
+    * through in the SAME select: a join-free alternative to
+    * re-attaching them afterwards, which at corpus scale shuffles
+    * the token arrays on doc_id (the quality_model_labeled 100×
+    * probe read 6× the unlabeled path before this).
+    */
+  def withToks(documents: DataFrame, extra: Seq[(Column, String)] = Nil): DataFrame =
+    documents.select(Seq(col("doc_id"), col("lang"), col("text"),
+      tokens(col("text")).as("toks")) ++ extra.map { case (c, n) => c.as(n) }: _*)
 
   /** The token array: the precomputed `toks` column when the caller
     * supplied one, else tokenized from `text` in place.
