@@ -72,13 +72,22 @@ object QualityModel {
     */
   private[operators] def zFrame(documents: DataFrame,
                                 label: Option[Column] = None): DataFrame = {
-    val q = TextOps.quality(documents).select(col("doc_id"),
-      col("avg_word_len"), col("punct_ratio"), col("stop_ratio"),
-      col("keep").as("quality_ok"))
+    // quality + lang-id are PURE PER-ROW PROJECTIONS: fused into one
+    // scan over the (tokenized) input instead of computed as separate
+    // frames re-attached by doc_id joins — at corpus scale each of
+    // those joins shuffled the whole corpus for values the scan
+    // already had in hand (round 16; two full-corpus shuffles
+    // removed). Only repetition AGGREGATES (2-gram explode →
+    // per-doc counts), so only it still joins — left, because docs
+    // with < 2 tokens have no repetition row.
+    val ql = TextOps.withLangCols(TextOps.withQualityCols(documents))
+      .select(col("doc_id") +:
+        label.map(c => dec6(c).as("ext_label")).toSeq ++: Seq(
+          col("avg_word_len"), col("punct_ratio"), col("stop_ratio"),
+          col("keep").as("quality_ok"),
+          (col("pred_lang") === col("lang")).as("lang_ok")): _*)
     val r = TextOps.repetition(documents).select(col("doc_id"),
       col("top_frac"), col("dup_token_frac"))
-    val l = TextOps.langId(documents).select(col("doc_id"),
-      (col("pred_lang") === col("lang")).as("lang_ok"))
     val f = Seq(
       coalesce(col("avg_word_len"), lit(0.0)),
       coalesce(col("punct_ratio"), lit(0.0)),
@@ -90,15 +99,14 @@ object QualityModel {
       coalesce(col("top_frac") <= MaxTopFrac && col("dup_token_frac") <= MaxDupFrac,
         lit(false)) && col("lang_ok")
     // an external label is computed against the INPUT frame (it may
-    // read any document column) and rides the join as ext_label; the
-    // default heuristic label is built from the joined verdicts
+    // read any document column — the fused scan still carries them
+    // all) and rides as ext_label; the default heuristic label is
+    // built from the fused verdicts
     val z7 = label.map(_ => col("ext_label"))
       .getOrElse(dec6(when(heur, 1.0).otherwise(0.0)))
     val zs = lit(1.0).cast(org.apache.spark.sql.types.DecimalType(18, 6)) +:
       f.map(dec6) :+ z7
-    documents.select(col("doc_id") +:
-        label.map(c => dec6(c).as("ext_label")).toSeq: _*)
-      .join(q, "doc_id").join(r, Seq("doc_id"), "left").join(l, "doc_id")
+    ql.join(r, Seq("doc_id"), "left")
       .select(col("doc_id") +: zs.zipWithIndex.map { case (c, i) => c.as(s"z$i") }: _*)
   }
 

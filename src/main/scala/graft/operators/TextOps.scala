@@ -74,12 +74,14 @@ object TextOps {
     * argmax with lexicographic tiebreak — deterministic n-gram
     * profile scoring in miniature.
     */
-  def langId(documents: DataFrame): DataFrame = {
-    val toks = toksOf(documents)
+  /** Append the language marker scores + argmax `pred_lang` to `df`
+    * in place — the projection half of [[langId]], factored out like
+    * [[withQualityCols]] for join-free fused consumers.
+    */
+  private[operators] def withLangCols(df: DataFrame): DataFrame = {
+    val toks = toksOf(df)
     def score(l: String): Column =
       size(filter(toks, t => t.isInCollection(markers(l)))).cast("long")
-    val scored = documents.select(
-      col("doc_id") +: col("lang") +: langs.map(l => score(l).as(s"s_$l")): _*)
     // argmax, first-in-lexicographic-order wins ties
     val pred =
       when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_zh")), "de")
@@ -87,22 +89,35 @@ object TextOps {
         .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
         .when(col("s_fr") >= col("s_zh"), "fr")
         .otherwise("zh")
-    scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+    langs.foldLeft(df)((d, l) => d.withColumn(s"s_$l", score(l)))
+      .withColumn("pred_lang", pred)
   }
+
+  def langId(documents: DataFrame): DataFrame =
+    withLangCols(documents)
+      .select(col("doc_id") +: col("lang") +: langs.map(l => col(s"s_$l")) :+ col("pred_lang"): _*)
+      .orderBy(col("doc_id"))
 
   /** Quality features: counts, ratios, and a keep flag — the
     * classic length/punctuation/stopword heuristics.
     */
-  def quality(documents: DataFrame): DataFrame = {
-    val toks = toksOf(documents)
+  /** Append the quality count/ratio/keep columns to `df` IN PLACE
+    * (all other columns ride along) — the per-row projection half of
+    * [[quality]], factored out so a composite consumer
+    * ([[QualityModel.zFrame]]) can fuse it with other projection
+    * features in ONE scan instead of re-attaching them by a
+    * corpus-sized doc_id join.
+    */
+  private[operators] def withQualityCols(df: DataFrame): DataFrame = {
+    val toks = toksOf(df)
     val en = markers("en")
-    documents.select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(toks).cast("long").as("n_words"),
-        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v).as("sum_word_len"),
-        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
-        size(filter(toks, t => t.isInCollection(en))).cast("long").as("n_stop"))
+    df
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("sum_word_len",
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, v) => a + v))
+      .withColumn("n_punct", regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long"))
+      .withColumn("n_stop", size(filter(toks, t => t.isInCollection(en))).cast("long"))
       // Guards: empty docs make these ANSI division errors, not NaNs.
       // Ratios round half-up in EXACT integer arithmetic: count/count
       // quotients with power-of-two denominators (n_words = 128 ...)
@@ -120,8 +135,14 @@ object TextOps {
       .withColumn("keep",
         col("n_words") >= 5 && col("punct_ratio") <= 0.1 &&
           col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0)
-      .orderBy(col("doc_id"))
   }
+
+  def quality(documents: DataFrame): DataFrame =
+    withQualityCols(documents)
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("sum_word_len"),
+        col("n_punct"), col("n_stop"), col("avg_word_len"), col("punct_ratio"),
+        col("stop_ratio"), col("keep"))
+      .orderBy(col("doc_id"))
 
   /** Script character classes as EXPLICIT codepoint ranges — named
     * unicode properties spell differently in java.util.regex
