@@ -11,6 +11,27 @@ for i in range(1, 9):
     with open(f"/tmp/bench_sample_{i}.json") as f:
         samples.append(json.load(f))
 
+# A budget-truncated sample must never flow into the record silently:
+# a query present in sample 1 but missing from a truncated later
+# sample crashes below with KeyError, and a truncated sample 1 would
+# silently shrink the query set and deflate p50_sum. Same for the
+# degraded single-run mode — those times include codegen compile and
+# are not p50-comparable.
+bad = [i + 1 for i, s in enumerate(samples)
+       if s.get("timed_out") or s.get("skipped", 0) > 0 or s.get("partial")]
+if bad:
+    sys.exit(f"!! samples {bad} are truncated (timed_out/skipped/partial) — "
+             "re-record them on a quiet box; refusing to aggregate")
+degraded = [i + 1 for i, s in enumerate(samples) if s.get("single_run")]
+if degraded:
+    sys.exit(f"!! samples {degraded} degraded to single-run under load "
+             "(times include codegen compile) — re-record; refusing to aggregate")
+keysets = [frozenset(s["queries"].keys()) for s in samples]
+if len(set(keysets)) != 1:
+    diff = set().union(*keysets) - set.intersection(*map(set, keysets))
+    sys.exit(f"!! samples disagree on the query set (e.g. {sorted(diff)[:5]}) — "
+             "mixed-HEAD samples; refusing to aggregate")
+
 queries = sorted(samples[0]["queries"].keys())
 totals = [sum(v for v in s["queries"].values() if v >= 0) for s in samples]
 fails = [sum(1 for v in s["queries"].values() if v < 0) for s in samples]
