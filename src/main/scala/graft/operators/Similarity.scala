@@ -1406,7 +1406,8 @@ object Similarity {
     * argmin into a code array. Search (ADC): each query precomputes
     * its m×k partial-distance table (tiny frame, broadcast); the
     * approximate distance of a corpus vector is m TABLE LOOKUPS —
-    * `aggregate(zip_with(codes, qtable, (c, t) → t[c]))` — instead
+    * the fused [[graft.plans.PqAdcSumI64]] codegen kernel, one
+    * compiled loop over Σ_j qtable[j][codes[j]] — instead
     * of a dim-wide dot product. Top `rerank` candidates by ADC
     * distance then re-rank with the exact decimal cosine, so the
     * emitted scores are oracle-grade even though candidate selection
@@ -3368,17 +3369,19 @@ object Similarity {
   /** ADC candidate cut: rank the joined (codes × queries) frame by
     * the asymmetric distance and keep the top `rerank` per query.
     *
-    * The ADC distance is a STATIC m-term element_at chain: m is a
-    * plan constant, so the two-level table lookup codegens to plain
-    * array reads — no zip_with materialization, no fold lambda
-    * dispatch on the corpus×queries hot path (measured ~2× on the
-    * whole query). All-Long sums — exact in any order.
+    * The ADC distance Σ_j qtable[j][codes[j]] is ONE fused codegen
+    * kernel ([[graft.plans.PqAdcSumI64]] — a compiled m-iteration
+    * loop reading both arrays once), replacing the static m-term
+    * `element_at(element_at(...))` chain (m separate two-level
+    * ArrayData walks per scanned code row; bit-identical, spec-
+    * pinned). This is the corpus-sized scan of the SERVING path —
+    * at 100 TB the codes table is all the scan touches, so its
+    * per-row constant is the family's deployment cost. All-Long
+    * sums — exact in any order.
     */
   private def pqAdcCandidates(joined: DataFrame, m: Int, rerank: Int,
                               carry: Seq[String] = Nil): DataFrame = {
-    val adist = (0 until m).map(j =>
-      element_at(element_at(col("qtable"), j + 1), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
+    val adist = graft.plans.PqQuant.pqAdcSum(col("codes"), col("qtable"), m)
     val wA = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
     joined
       .withColumn("adist", adist)

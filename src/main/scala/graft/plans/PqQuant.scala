@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
@@ -113,7 +113,96 @@ case class PqEncodeI64(child: Expression, books: Array[Long],
     copy(child = newChild)
 }
 
+/** Fused ADC distance kernel — the corpus-sized pass of the PQ
+  * SERVING path. The joined (codes × queries) scan previously
+  * summed the per-subspace table lookups as a static m-term
+  * `element_at(element_at(qtable, j+1), codes[j]+1)` expression
+  * chain: codegen'd, but m separate two-level ArrayData walks per
+  * row, each with its own null/bounds machinery, and the plan grows
+  * m nodes (16 at the FAISS m=16 shape). Here the whole
+  * Σ_j qtable[j][codes[j]] folds into ONE compiled counted loop
+  * reading both arrays once — the serve-scan constant that prices a
+  * 100 TB codes-table scan.
+  *
+  * Unlike [[PqEncodeI64]] the table is NOT a plan literal: each
+  * query row carries its own m×cb table (built by `pqQueries`
+  * against the broadcast query frame), so this is a binary
+  * expression over (codes, qtable) columns.
+  *
+  * Bit parity with the chain it replaces is exact: identical
+  * lookups, long addition in the same j = 0..m−1 order (associative
+  * and exact on longs regardless). Overflow: every per-subspace du
+  * is an exact Σ(Δ²) over its own dims, so the m-term total is
+  * bounded by the full-dim distance ≤ 64·(2e8)² ≈ 2.6e18 < 2⁶³;
+  * addExact fails loudly beyond (the [[L2UnitsI64]] guard family).
+  */
+case class PqAdcSumI64(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(ArrayType(LongType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_sum expects (array<int>, array<array<long>>), got ($l, $r)")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_sum"
+
+  override def nullSafeEval(codesAny: Any, tableAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val table = tableAny.asInstanceOf[ArrayData]
+    IntegerUnits.requireSameLength(codes.numElements(), m, "pq_adc_sum codes")
+    IntegerUnits.requireSameLength(table.numElements(), m, "pq_adc_sum qtable")
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      val row = table.getArray(j)
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"pq_adc_sum: code $c out of range for a ${row.numElements()}-entry table (subspace $j)")
+      acc = Math.addExact(acc, row.getLong(c))
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (codes, table) => {
+      val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val row = ctx.freshName("row")
+      s"""
+         |if ($codes.numElements() != $m) throw new IllegalArgumentException(
+         |  "pq_adc_sum codes: length " + $codes.numElements() + " != $m");
+         |if ($table.numElements() != $m) throw new IllegalArgumentException(
+         |  "pq_adc_sum qtable: length " + $table.numElements() + " != $m");
+         |long $acc = 0L;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $c = $codes.getInt($j);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $table.getArray($j);
+         |  if ($c < 0 || $c >= $row.numElements()) throw new IllegalArgumentException(
+         |    "pq_adc_sum: code " + $c + " out of range for a " + $row.numElements()
+         |      + "-entry table (subspace " + $j + ")");
+         |  $acc = java.lang.Math.addExact($acc, $row.getLong($c));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqQuant {
+
+  /** Column API: the asymmetric distance Σ_j qtable[j][codes[j]] in
+    * one fused kernel (exact long).
+    */
+  def pqAdcSum(codes: Column, qtable: Column, m: Int): Column =
+    ColumnBridge.column(PqAdcSumI64(ColumnBridge.expression(codes),
+      ColumnBridge.expression(qtable), m))
 
   /** Flatten nested codebooks into the kernel's `[(j·cb + c)·dsub + d]`
     * layout, validating the shape loudly (a ragged codebook would

@@ -1337,6 +1337,48 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.getMessage != null)
   }
 
+  test("fused ADC kernel is bit-identical to the element_at chain it replaced") {
+    import graft.plans.IntegerUnits.normalizeUnits
+    // the serve-scan distance Σ_j qtable[j][codes[j]] previously
+    // codegen'd as m separate element_at(element_at(...)) walks; the
+    // fused PqAdcSumI64 loop must agree value-for-value over the
+    // real joined (codes × queries) frame at both the narrow (8,8)
+    // and wide (8,64) shapes
+    for (cb <- Seq(8, 64)) {
+      val index = Similarity.pqIndexBuild(embeddings, codebookSize = cb)
+      val qs = Similarity.pqQueries(
+        embeddings.limit(7), index.codebooks, 8)
+      val joined = index.codes.crossJoin(broadcast(qs))
+      val chain = (0 until 8).map(j =>
+        element_at(element_at(col("qtable"), j + 1), element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _)
+      val rows = joined
+        .select(col("query_id"), col("vec_id"),
+          graft.plans.PqQuant.pqAdcSum(col("codes"), col("qtable"), 8).as("fused"),
+          chain.as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getLong(2) == r.getLong(3)),
+        s"fused ADC kernel diverged from the element_at chain at cb=$cb")
+    }
+    // loud guards: an out-of-range code and a wrong-length codes
+    // array must throw, not read a plausible wrong entry
+    val index = Similarity.pqIndexBuild(embeddings)
+    val qs = Similarity.pqQueries(embeddings.limit(1), index.codebooks, 8)
+    val badCode = intercept[Exception] {
+      index.codes.crossJoin(broadcast(qs))
+        .select(graft.plans.PqQuant.pqAdcSum(
+          array((0 until 8).map(_ => lit(99)): _*), col("qtable"), 8)).collect()
+    }
+    assert(badCode.getMessage != null)
+    val badLen = intercept[Exception] {
+      index.codes.crossJoin(broadcast(qs))
+        .select(graft.plans.PqQuant.pqAdcSum(
+          slice(col("codes"), 1, 7), col("qtable"), 8)).collect()
+    }
+    assert(badLen.getMessage != null)
+  }
+
   test("OPQ beats flat PQ on an anisotropic corpus and matches it within noise on the isotropic one") {
     // Flat PQ splits dims into contiguous subspaces; when one
     // subspace carries ~all the energy, the other m-1 codebooks
