@@ -143,6 +143,9 @@ object ScaleProbe {
     // timed run fits, min-of-2 reads serve-only (the in-memory
     // analog of the on-disk index-detection pattern below).
     val pplModels = scala.collection.mutable.Map.empty[Long, operators.Curation.PplModel]
+    // ann_opq_aniso's per-scale prepared corpus/queries (the recall
+    // comparison runs once, inside the memo — see the probe).
+    val anisoData = scala.collection.mutable.Map.empty[Long, (DataFrame, DataFrame)]
 
     // name -> (events, docs, lineitem, embeddings, scaleMult) => row
     // count; scaleMult is 1 on the baseline pass and `replicas` on
@@ -611,39 +614,49 @@ object ScaleProbe {
       // whole point; prints recall@5 flat-PQ vs OPQ at each scale so
       // the ≥ +0.1 spec win is a measured scale fact, and times the
       // OPQ train+search. Ground truth is the exact broadcast scan.
+      // Corpus build + ground truth + the recall COMPARISON (the
+      // flat-PQ build and an O(n·q·d) exact scan collected to the
+      // driver) run once per scale and are memoized, so min-of-2's
+      // second run — the recorded time — covers ONLY the OPQ
+      // train+search the row claims to price (round-16 advisor: the
+      // old body overstated it several-fold, with the exact-scan
+      // share growing with scale).
       "ann_opq_aniso" -> ((_, _, _, _, k) => {
-        import spark.implicits._
-        val n = 500 * k.toInt
-        val rng = new scala.util.Random(7)
-        val centers = Array.fill(8, 8)((rng.nextDouble() * 2 - 1).toFloat)
-        val rows = (0 until n).map { i =>
-          val c = centers(i % 8)
-          val sig = c.map(v => v + (rng.nextDouble() * 0.2 - 0.1).toFloat)
-          val noise = Array.fill(56)((rng.nextDouble() * 0.02 - 0.01).toFloat)
-          (i.toLong, sig ++ noise)
-        }
-        val aniso = rows.toDF("vec_id", "embedding")
-          .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
-          .localCheckpoint(true)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-        val qs = aniso.filter(col("vec_id") % 100 === 0)
-        val exact = aniso.join(broadcast(qs.select(col("vec_id").as("query_id"),
-            col("embedding").as("qe"))), col("vec_id") =!= col("query_id"))
-          .withColumn("cosine", functions.VectorFunctions.cosineExact(
-            functions.VectorFunctions.decDot(col("qe"), col("embedding")),
-            functions.VectorFunctions.decNorm2(col("qe")),
-            functions.VectorFunctions.decNorm2(col("embedding"))))
-          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-          .select(col("query_id"), col("vec_id"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        def recall(df: DataFrame): Double =
-          df.collect().count(r => exact.contains((r.getLong(0), r.getLong(1)))).toDouble / exact.size
-        val flat = recall(operators.Similarity.annPq(aniso, Some(qs),
-          queriesAreCorpusDerived = Some(true)))
-        val opq = recall(operators.Similarity.annOpq(aniso, Some(qs),
-          queriesAreCorpusDerived = Some(true)))
-        println(f"    [aniso n=$n] recall@5 flat=$flat%.3f opq=$opq%.3f (win ${opq - flat}%+.3f)")
+        val (aniso, qs) = anisoData.getOrElseUpdate(k, {
+          import spark.implicits._
+          val n = 500 * k.toInt
+          val rng = new scala.util.Random(7)
+          val centers = Array.fill(8, 8)((rng.nextDouble() * 2 - 1).toFloat)
+          val rows = (0 until n).map { i =>
+            val c = centers(i % 8)
+            val sig = c.map(v => v + (rng.nextDouble() * 0.2 - 0.1).toFloat)
+            val noise = Array.fill(56)((rng.nextDouble() * 0.02 - 0.01).toFloat)
+            (i.toLong, sig ++ noise)
+          }
+          val corpus = rows.toDF("vec_id", "embedding")
+            .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+            .localCheckpoint(true)
+          val queries = corpus.filter(col("vec_id") % 100 === 0).localCheckpoint(true)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+          val exact = corpus.join(broadcast(queries.select(col("vec_id").as("query_id"),
+              col("embedding").as("qe"))), col("vec_id") =!= col("query_id"))
+            .withColumn("cosine", functions.VectorFunctions.cosineExact(
+              functions.VectorFunctions.decDot(col("qe"), col("embedding")),
+              functions.VectorFunctions.decNorm2(col("qe")),
+              functions.VectorFunctions.decNorm2(col("embedding"))))
+            .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+            .select(col("query_id"), col("vec_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          def recall(df: DataFrame): Double =
+            df.collect().count(r => exact.contains((r.getLong(0), r.getLong(1)))).toDouble / exact.size
+          val flat = recall(operators.Similarity.annPq(corpus, Some(queries),
+            queriesAreCorpusDerived = Some(true)))
+          val opq = recall(operators.Similarity.annOpq(corpus, Some(queries),
+            queriesAreCorpusDerived = Some(true)))
+          println(f"    [aniso n=$n] recall@5 flat=$flat%.3f opq=$opq%.3f (win ${opq - flat}%+.3f)")
+          (corpus, queries)
+        })
         operators.Similarity.annOpq(aniso, Some(qs),
           queriesAreCorpusDerived = Some(true)).count()
       }),

@@ -194,6 +194,20 @@ object QualityModel {
       fs.delete(staging, true)
       sys.error(s"failed to publish quality model to $target")
     }
+    // Post-publish shape check: with pid-unique staging names
+    // inviting concurrent savers, a racing saver can recreate
+    // `model.parquet` between this writer's delete and rename — and
+    // HDFS rename onto an EXISTING directory moves the staging dir
+    // INSIDE it (silent "success", nested dir) where the local-FS
+    // Files.move threw loudly. The publish is single-writer by
+    // intent; a violated race must fail here, not serve a torn model.
+    val marker = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
+    val nested = fs.listStatus(target).map(_.getPath.getName)
+      .filter(_.startsWith("model.parquet.staging-"))
+    if (!fs.exists(marker) || nested.nonEmpty)
+      sys.error(s"quality model publish to $target raced a concurrent saver " +
+        s"(marker=${fs.exists(marker)}, nested staging dirs=${nested.mkString(",")}) — " +
+        "the publish is single-writer; retry the save")
   }
 
   /** Load persisted coefficients; fails loudly on a missing/partial
