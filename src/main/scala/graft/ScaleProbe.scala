@@ -574,6 +574,19 @@ object ScaleProbe {
       "ann_pq_wide" -> ((_, _, _, em, _) =>
         operators.Similarity.annPq(em, fixedQ, codebookSize = 64,
           queriesAreCorpusDerived = Some(true)).count()),
+      // FAISS-DEFAULT shapes (round 17): cb = 256 (the nbits=8 every
+      // FAISS IndexPQ ships with — the shape PqEncodeI64 was built
+      // for) at m=8, and the (16, 256) doubled-subspace variant
+      // (dsub=4; 16 codes/vector — FAISS's 64-dim default split).
+      // Expect ann_pq_wide's slope with a ~4x kernel-constant bump
+      // (m·cb·dsub doubles 4096 -> 16384/16384): the codebooks stay
+      // ONE plan reference object (128 KB) either way.
+      "ann_pq_faiss" -> ((_, _, _, em, _) =>
+        operators.Similarity.annPq(em, fixedQ, codebookSize = 256,
+          queriesAreCorpusDerived = Some(true)).count()),
+      "ann_pq_faiss16" -> ((_, _, _, em, _) =>
+        operators.Similarity.annPq(em, fixedQ, m = 16, codebookSize = 256,
+          queriesAreCorpusDerived = Some(true)).count()),
       // OPQ (round 15): the rotated-PQ loop — two trainings + the
       // model-parameter-sized Procrustes aggregation per run.
       "ann_opq" -> ((_, _, _, em, _) =>

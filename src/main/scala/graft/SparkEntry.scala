@@ -243,6 +243,13 @@ object SparkEntry {
     // The m*cb kernel fan that forced cb=8 is plan DATA here.
     "ann_pq_wide"         -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings,
       codebookSize = 64)),
+    // The FAISS-DEFAULT codebook width (cb=256: 8 bits/subspace, the
+    // nbits=8 every FAISS IndexPQ ships with) — the shape the fused
+    // PqEncodeI64 kernel exists for (m·cb = 2048 kernels would blow
+    // the JIT budget 32x; as plan DATA it is one 128 KB reference
+    // object and the same three-loop kernel).
+    "ann_pq_faiss"        -> ((s, d) => Similarity.annPq(Tables(s, d).embeddings,
+      codebookSize = 256)),
     // OPQ (Ge et al. 2013): PQ behind the learned orthogonal
     // rotation — seeded randomized-Hadamard init + one alternating
     // signed-permutation Procrustes refinement, exact integer units
@@ -3334,6 +3341,8 @@ FROM e ORDER BY user_id, day"""
     "ann_pq" -> annPqOracle,
     // same chain, FAISS-sized codebooks: cb is data in pqCtes
     "ann_pq_wide" -> annPqOracleCb(64),
+    // the FAISS-default 8-bit codebooks (cb=256) — same chain again
+    "ann_pq_faiss" -> annPqOracleCb(256),
     // the full OPQ loop: seeded-Hadamard rotation, PQ training on the
     // rotated corpus, the signed-permutation Procrustes update, the
     // refit, ADC and exact re-rank — all replayed

@@ -1307,6 +1307,18 @@ class SimilaritySpec extends SparkSpec {
     val wide = recall(Similarity.annPq(embeddings, codebookSize = 64))
     assert(wide >= 0.8, s"ann_pq_wide recall@5 $wide below 0.8")
     assert(wide >= flat + 0.2, s"wide codebooks must lift recall decisively ($flat -> $wide)")
+    // the FAISS-default 8-bit codebooks (cb=256 — ann_pq_faiss's
+    // registered shape, through the same fused kernel) must hold the
+    // cb=64 recall: more codes can only tighten the quantization
+    // cells (up to train noise on a small corpus)
+    val faiss = recall(Similarity.annPq(embeddings, codebookSize = 256))
+    assert(faiss >= wide - 0.05,
+      s"FAISS-default cb=256 must hold the cb=64 recall ($wide -> $faiss)")
+    // and the (16, 256) doubled-subspace split (dsub=4) stays in the
+    // same class — the production FAISS 64-dim default
+    val faiss16 = recall(Similarity.annPq(embeddings, m = 16, codebookSize = 256))
+    assert(faiss16 >= wide - 0.05,
+      s"(m=16, cb=256) must hold the cb=64 recall ($wide -> $faiss16)")
   }
 
   test("fused PQ encode kernel is bit-identical to the interpreted HOF reference at wide shapes") {
