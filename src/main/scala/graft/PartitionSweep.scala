@@ -84,7 +84,17 @@ object PartitionSweep {
       "ann_pq_wide" -> (() =>
         operators.Similarity.annPq(embeddings, fixedQ, codebookSize = 64,
           queriesAreCorpusDerived = Some(true)).count()),
-      "feature_snapshot" -> (() => operators.FinAnalytics.featureSnapshot(events).count()))
+      "feature_snapshot" -> (() => operators.FinAnalytics.featureSnapshot(events).count()),
+      // quality-model fit+score through the round-16 FUSED z-frame
+      // (quality/lang-id projections folded into the tokenized scan,
+      // two corpus doc_id shuffles removed): the fusion moved work
+      // between scan and shuffle, so prove the Gram fit's partial
+      // aggregation and the scoring scan partition-invariant like
+      // the rest. The invariant is the count of POSITIVE decisions,
+      // not plain rows (a coefficient drift would keep the row count
+      // while flipping predictions).
+      "quality_model" -> (() =>
+        operators.QualityModel.score(docs).filter(col("pred")).count()))
 
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }
     require(selected.nonEmpty, s"no probe matches $only")

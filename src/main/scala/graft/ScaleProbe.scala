@@ -146,6 +146,50 @@ object ScaleProbe {
     // ann_opq_aniso's per-scale prepared corpus/queries (the recall
     // comparison runs once, inside the memo — see the probe).
     val anisoData = scala.collection.mutable.Map.empty[Long, (DataFrame, DataFrame)]
+    def anisoPrep(k: Long): (DataFrame, DataFrame) = anisoData.getOrElseUpdate(k, {
+      import spark.implicits._
+      val n = 500 * k.toInt
+      val rng = new scala.util.Random(7)
+      val centers = Array.fill(8, 8)((rng.nextDouble() * 2 - 1).toFloat)
+      val rows = (0 until n).map { i =>
+        val c = centers(i % 8)
+        val sig = c.map(v => v + (rng.nextDouble() * 0.2 - 0.1).toFloat)
+        val noise = Array.fill(56)((rng.nextDouble() * 0.02 - 0.01).toFloat)
+        (i.toLong, sig ++ noise)
+      }
+      val corpus = rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+        .localCheckpoint(true)
+      val queries = corpus.filter(col("vec_id") % 100 === 0).localCheckpoint(true)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val exact = corpus.join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe"))), col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", functions.VectorFunctions.cosineExact(
+          functions.VectorFunctions.decDot(col("qe"), col("embedding")),
+          functions.VectorFunctions.decNorm2(col("qe")),
+          functions.VectorFunctions.decNorm2(col("embedding"))))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(df: DataFrame): Double =
+        df.collect().count(r => exact.contains((r.getLong(0), r.getLong(1)))).toDouble / exact.size
+      val flat = recall(operators.Similarity.annPq(corpus, Some(queries),
+        queriesAreCorpusDerived = Some(true)))
+      val opq = recall(operators.Similarity.annOpq(corpus, Some(queries),
+        queriesAreCorpusDerived = Some(true)))
+      // do the two recall levers COMPOSE? round 16 measured the
+      // rotation's win persisting at 10x but absolute recall
+      // collapsing under the fixed cb=8 budget; the production
+      // combination is rotation + wide codebooks
+      val flatW = recall(operators.Similarity.annPq(corpus, Some(queries),
+        codebookSize = 64, queriesAreCorpusDerived = Some(true)))
+      val opqW = recall(operators.Similarity.annOpq(corpus, Some(queries),
+        codebookSize = 64, queriesAreCorpusDerived = Some(true)))
+      println(f"    [aniso n=$n] recall@5 flat=$flat%.3f opq=$opq%.3f (win ${opq - flat}%+.3f)"
+        + f" | cb=64: flat=$flatW%.3f opq=$opqW%.3f (win ${opqW - flatW}%+.3f)")
+      (corpus, queries)
+    })
 
     // name -> (events, docs, lineitem, embeddings, scaleMult) => row
     // count; scaleMult is 1 on the baseline pass and `replicas` on
@@ -635,42 +679,16 @@ object ScaleProbe {
       // old body overstated it several-fold, with the exact-scan
       // share growing with scale).
       "ann_opq_aniso" -> ((_, _, _, _, k) => {
-        val (aniso, qs) = anisoData.getOrElseUpdate(k, {
-          import spark.implicits._
-          val n = 500 * k.toInt
-          val rng = new scala.util.Random(7)
-          val centers = Array.fill(8, 8)((rng.nextDouble() * 2 - 1).toFloat)
-          val rows = (0 until n).map { i =>
-            val c = centers(i % 8)
-            val sig = c.map(v => v + (rng.nextDouble() * 0.2 - 0.1).toFloat)
-            val noise = Array.fill(56)((rng.nextDouble() * 0.02 - 0.01).toFloat)
-            (i.toLong, sig ++ noise)
-          }
-          val corpus = rows.toDF("vec_id", "embedding")
-            .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
-            .localCheckpoint(true)
-          val queries = corpus.filter(col("vec_id") % 100 === 0).localCheckpoint(true)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-          val exact = corpus.join(broadcast(queries.select(col("vec_id").as("query_id"),
-              col("embedding").as("qe"))), col("vec_id") =!= col("query_id"))
-            .withColumn("cosine", functions.VectorFunctions.cosineExact(
-              functions.VectorFunctions.decDot(col("qe"), col("embedding")),
-              functions.VectorFunctions.decNorm2(col("qe")),
-              functions.VectorFunctions.decNorm2(col("embedding"))))
-            .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-            .select(col("query_id"), col("vec_id"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-          def recall(df: DataFrame): Double =
-            df.collect().count(r => exact.contains((r.getLong(0), r.getLong(1)))).toDouble / exact.size
-          val flat = recall(operators.Similarity.annPq(corpus, Some(queries),
-            queriesAreCorpusDerived = Some(true)))
-          val opq = recall(operators.Similarity.annOpq(corpus, Some(queries),
-            queriesAreCorpusDerived = Some(true)))
-          println(f"    [aniso n=$n] recall@5 flat=$flat%.3f opq=$opq%.3f (win ${opq - flat}%+.3f)")
-          (corpus, queries)
-        })
+        val (aniso, qs) = anisoPrep(k)
         operators.Similarity.annOpq(aniso, Some(qs),
+          queriesAreCorpusDerived = Some(true)).count()
+      }),
+      // the lever COMPOSITION itself, timed: rotation + FAISS-sized
+      // codebooks on the anisotropic corpus (shared memoized prep —
+      // the recall printout above carries its cb=64 column)
+      "ann_opq_aniso_wide" -> ((_, _, _, _, k) => {
+        val (aniso, qs) = anisoPrep(k)
+        operators.Similarity.annOpq(aniso, Some(qs), codebookSize = 64,
           queriesAreCorpusDerived = Some(true)).count()
       }),
       "ann_ivfpq_residual_served" -> ((_, _, _, em, k) => {
@@ -688,19 +706,48 @@ object ScaleProbe {
     val selected = probes.filter { case (n, _) => only.isEmpty || only.contains(n) }
     require(selected.nonEmpty, s"no probe matches $only")
 
+    // min-of-N (default 2; SPARK_GRAFT_PROBE_RUNS=3 for the pinned
+    // 100x protocol — the quality-family rows swung 77-234 s with
+    // session memory/disk state under min-of-2, so the re-measured
+    // §6 rows use min-of-3 over a pre-touched corpus).
+    val probeRuns = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
     def time(name: String)(f: => Long): Double = {
       def once(): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
-      val t = math.min(once(), once())
+      val t = Seq.fill(probeRuns)(once()).min
       println(f"$name%-22s $t%7.2f s")
       t
     }
 
+    // Pre-touch: stream every replica parquet byte through the OS
+    // page cache BEFORE the timed pass, so the first timed run is
+    // not charged for the session's first disk read of a multi-GB
+    // corpus (at 100x the 3 GB first-touch was a dominant,
+    // state-dependent term in the observed 77-234 s swings).
+    def preTouch(dir: String): Unit = {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val buf = new Array[Byte](1 << 20)
+        var bytes = 0L
+        java.nio.file.Files.walk(root).filter(java.nio.file.Files.isRegularFile(_))
+          .forEach { p =>
+            val in = java.nio.file.Files.newInputStream(p)
+            try {
+              var n = in.read(buf)
+              while (n >= 0) { bytes += n; n = in.read(buf) }
+            } finally in.close()
+          }
+        println(f"  [pre-touch] $dir: ${bytes / 1e9}%.2f GB")
+      }
+    }
+
     // 1× baselines on the same session for a fair ratio
     println("== 1x (sf0.1) ==")
+    preTouch("/root/testdata/sf0.1")
     val b = selected.map { case (n, f) =>
       n -> time(n)(f(src.events, src.documents, src.lineitem, src.embeddings, 1L))
     }.toMap
     println(s"== ${replicas}x ==")
+    preTouch(base)
     val s = selected.map { case (n, f) =>
       n -> time(n)(f(eventsN, docsN, liN, embN, replicas.toLong))
     }.toMap

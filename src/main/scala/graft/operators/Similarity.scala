@@ -3349,14 +3349,18 @@ object Similarity {
                         dsub: Int,
                         rot: Column => Column = identity): DataFrame = {
     import graft.plans.IntegerUnits.l2Units
-    // codebook-as-data past the kernel budget: pqCbData is in code
-    // order, so the transform yields the SAME code-indexed ADC table
-    // the literal kernels build
+    // past the kernel budget the whole m×cb table is ONE fused
+    // kernel with the codebooks as a reference object
+    // (plans/PqQuant.PqQTableI64): the previous per-subspace
+    // `transform` over a typedlit codebook literal embedded m·cb
+    // struct literals in the plan — 2048 at FAISS cb=256, ~2 s of
+    // analysis/serialization per execution before any row moved.
+    // Work is query-count sized either way; the kernel is
+    // bit-identical to both table builds (same exact long Σ(Δ²),
+    // same (j, c) order — spec-pinned).
     val qtable =
       if (pqWide(books.size, books.headOption.map(_.size).getOrElse(0)))
-        array(books.indices.map(j =>
-          transform(pqCbData(books, j), e =>
-            l2Units(slice(col("qun"), j * dsub + 1, dsub), e.getField("_2")))): _*)
+        graft.plans.PqQuant.pqQTable(col("qun"), books, dsub)
       else array(books.indices.map(j =>
         array(books(j).indices.map(c =>
           l2Units(slice(col("qun"), j * dsub + 1, dsub), lit(books(j)(c)))): _*)): _*)

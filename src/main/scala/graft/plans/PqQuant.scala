@@ -113,6 +113,96 @@ case class PqEncodeI64(child: Expression, books: Array[Long],
     copy(child = newChild)
 }
 
+/** Fused query ADC-TABLE kernel: all m×cb per-subspace partial
+  * distances of one query vector — `array<array<long>>`, the qtable
+  * the [[PqAdcSumI64]] scan indexes. The work is query-count sized
+  * (never the corpus), but the PLAN cost of the HOF construction it
+  * replaces grew with cb: per subspace a `transform` over a
+  * `typedlit` codebook-as-data literal — m·cb struct literals
+  * embedded in the plan (2048 at the FAISS cb=256 shape), which
+  * priced analysis/serialization at ~2 s per execution before a
+  * single row moved (measured: ann_pq_faiss 4.6 s vs ann_pq_wide's
+  * 2.3 s steady-state on a 500-row corpus — pure plan constant).
+  * Here the codebooks ride as ONE long[] reference object
+  * ([[PqEncodeI64]]'s layout, identical flattening) and the
+  * m×cb×dsub loop compiles inside whole-stage codegen.
+  *
+  * Bit parity with the HOF/literal table builds is exact: the same
+  * overflow-checked long Σ(Δ²) per (subspace, code), emitted in the
+  * same (j, c) order ([[graft.plans.IntegerUnits]] l2Units math).
+  */
+case class PqQTableI64(child: Expression, books: Array[Long],
+                       m: Int, cb: Int, dsub: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_qtable expects array<long>, got $t")
+  }
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_qtable"
+
+  override def nullSafeEval(a: Any): Any = {
+    val u = a.asInstanceOf[ArrayData]
+    IntegerUnits.requireSameLength(u.numElements(), m * dsub, "pq_qtable")
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val row = new Array[Long](cb)
+      var c = 0
+      while (c < cb) {
+        var acc = 0L
+        val base = (j * cb + c) * dsub
+        var d = 0
+        while (d < dsub) {
+          val diff = u.getLong(j * dsub + d) - books(base + d)
+          acc = Math.addExact(acc, Math.multiplyExact(diff, diff))
+          d += 1
+        }
+        row(c) = acc
+        c += 1
+      }
+      out(j) = new GenericArrayData(row)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "long[]")
+    nullSafeCodeGen(ctx, ev, u => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val row = ctx.freshName("row")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc"); val base = ctx.freshName("base")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $n = $u.numElements();
+         |if ($n != ${m * dsub}) throw new IllegalArgumentException(
+         |  "pq_qtable: vector dim " + $n + " != m*dsub = ${m * dsub}");
+         |Object[] $out = new Object[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long[] $row = new long[$cb];
+         |  for (int $c = 0; $c < $cb; $c++) {
+         |    long $acc = 0L;
+         |    int $base = ($j * $cb + $c) * $dsub;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      long $diff = $u.getLong($j * $dsub + $d) - $booksRef[$base + $d];
+         |      $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($diff, $diff));
+         |    }
+         |    $row[$c] = $acc;
+         |  }
+         |  $out[$j] = new org.apache.spark.sql.catalyst.util.GenericArrayData($row);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Fused ADC distance kernel — the corpus-sized pass of the PQ
   * SERVING path. The joined (codes × queries) scan previously
   * summed the per-subspace table lookups as a static m-term
@@ -203,6 +293,14 @@ object PqQuant {
   def pqAdcSum(codes: Column, qtable: Column, m: Int): Column =
     ColumnBridge.column(PqAdcSumI64(ColumnBridge.expression(codes),
       ColumnBridge.expression(qtable), m))
+
+  /** Column API: the full m×cb query ADC table in one fused kernel
+    * (exact long Σ(Δ²) per (subspace, code)).
+    */
+  def pqQTable(un: Column, books: IndexedSeq[IndexedSeq[Array[Long]]],
+               dsub: Int): Column =
+    ColumnBridge.column(PqQTableI64(ColumnBridge.expression(un),
+      flatten(books, dsub), books.size, books.head.size, dsub))
 
   /** Flatten nested codebooks into the kernel's `[(j·cb + c)·dsub + d]`
     * layout, validating the shape loudly (a ragged codebook would

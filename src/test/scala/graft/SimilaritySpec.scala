@@ -1373,6 +1373,25 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.forall(r => r.getLong(2) == r.getLong(3)),
         s"fused ADC kernel diverged from the element_at chain at cb=$cb")
     }
+    // the fused qtable kernel must agree entry-for-entry with the
+    // literal-kernel table build on the same codebooks (the narrow
+    // branch) — same exact long sums, same (j, c) order
+    {
+      import graft.plans.IntegerUnits.{l2Units, normalizeUnits}
+      val idx = Similarity.pqIndexBuild(embeddings)
+      val qs = embeddings.limit(9)
+        .select(col("vec_id"), normalizeUnits(col("embedding")).as("qun"))
+      val litTable = array(idx.codebooks.indices.map(j =>
+        array(idx.codebooks(j).indices.map(c =>
+          l2Units(slice(col("qun"), j * 8 + 1, 8), lit(idx.codebooks(j)(c)))): _*)): _*)
+      val rows = qs.select(col("vec_id"),
+          graft.plans.PqQuant.pqQTable(col("qun"), idx.codebooks, 8).as("fused"),
+          litTable.as("ref"))
+        .collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getSeq[Seq[Long]](1) == r.getSeq[Seq[Long]](2)),
+        "fused qtable kernel diverged from the literal-kernel table build")
+    }
     // loud guards: an out-of-range code and a wrong-length codes
     // array must throw, not read a plausible wrong entry
     val index = Similarity.pqIndexBuild(embeddings)
