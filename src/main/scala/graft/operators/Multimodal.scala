@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.plans.HonestCheckpoint._
 
 /** Multimodal-column plumbing (SURVEY §2 #32): treat media as opaque
   * `binary` columns + typed metadata, with decode/feature-extract as
@@ -211,8 +212,21 @@ object Multimodal {
         val n = documents.select(col("doc_id")).count()
         math.max(16L, (n + 199999L) / 200000L).toInt
       }
+    // Materialize the (len, hist) frame ONCE: both join sides read it,
+    // and the synthesize+histogram subtree would otherwise be evaluated
+    // once per side (it is the only payload decode in the operator).
     val e = hists.withColumn("blk", pmod(xxhash64(col("doc_id")), lit(b)).cast("int"))
-    val sideA = e.select(col("doc_id").as("ia"), col("len").as("la"),
+      .honestCheckpoint()
+    // Spread the triangle fan-out: the pair-eval work below is Θ(n²/2)
+    // while the histogram frame is metadata-sized, so its scan
+    // parallelism (1 task on a single-row-group parquet; the broadcast
+    // join keeps the stream side's partitioning) would serialize the
+    // whole quadratic evaluation on one core — measured 6.4 s of a
+    // 7.0 s bench wall in ONE task at sf0.1. Round-robin over the
+    // default parallelism BEFORE the explode shuffles only n metadata
+    // rows, never the exploded fan or the pair space (guide §2.4/§2.6).
+    val sideA = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("ia"), col("len").as("la"),
         col("hist").as("ha"), col("blk").as("bi"))
       .withColumn("bj", explode(sequence(col("bi"), lit(b - 1))))
     val sideB = e.select(col("doc_id").as("ib"), col("len").as("lb"),
