@@ -254,12 +254,21 @@ object Similarity {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
-  /** One element of a broadcast centroid ARRAY — the whole model as
-    * one `array<struct<cluster, cu>>` row, so a data-path argmin is a
-    * per-row `transform` + [[org.apache.spark.sql.functions.array_min]]
-    * over it (plan O(1) in k) instead of an n×k row fan.
+  /** One element of the centroid-ARRAY model literal: the whole model
+    * travels as ONE `array<struct<cluster, cu>>` typedlit — plan DATA
+    * in the references array (the [[pqCbData]] class: shipped once
+    * per stage inside the task binary's own broadcast, deserialized
+    * once per executor), so a data-path argmin is a per-row
+    * `transform` + `array_min` over it with NO crossJoin and NO
+    * BroadcastExchange sub-job. The previous one-row broadcast frame
+    * cost a separate ~50-100 ms broadcast job per Lloyd iteration —
+    * pure driver latency for a kilobyte-sized model.
     */
   private final case class CentEntry(cluster: Long, cu: Seq[Long])
+
+  /** The centroid model as a typedlit array column (see [[CentEntry]]). */
+  private def centsLit(centroids: Seq[Array[Long]]): Column =
+    typedlit(centroids.zipWithIndex.map { case (cu, i) => CentEntry(i.toLong, cu.toSeq) })
 
   /** Per-coarse-cell slice of the hier fine-centroid model — the
     * broadcast side of the fine argmin: k₁ rows, each carrying that
@@ -285,26 +294,22 @@ object Similarity {
         c.getField(idField).as(idField))))
 
   /** Nearest-centroid assignment against CENTROIDS AS DATA: the model
-    * rides as ONE broadcast `array<struct<cluster, cu>>` row and each
-    * input row computes its own argmin ([[argminOver]]) — no row fan,
-    * no aggregation, no shuffle; plan size O(1) in k. Same output
-    * shape and bit-identical results as [[assignCells]]
-    * (lowest-cluster tiebreak; spec-pinned).
+    * rides as one typedlit array ([[centsLit]]) and each input row
+    * computes its own argmin ([[argminOver]]) — no row fan, no
+    * aggregation, no shuffle, no broadcast sub-job; one map-stage
+    * projection. Same output shape and bit-identical results as
+    * [[assignCells]] (lowest-cluster tiebreak; spec-pinned).
     */
   private def assignCellsData(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val withU = df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
     if (centroids.isEmpty)
       return withU
         .withColumn("cluster", lit(null).cast("long"))
         .withColumn("du", lit(null).cast("long"))
         .limit(0)
-    val centsDf = Seq(Tuple1(centroids.zipWithIndex
-      .map { case (cu, i) => CentEntry(i.toLong, cu.toSeq) })).toDF("cents")
-    withU.crossJoin(broadcast(centsDf))
+    withU
       .select(col("vec_id"), col("embedding"), col("u"),
-        argminOver(col("cents"), col("u"), "cluster").as("p"))
+        argminOver(centsLit(centroids), col("u"), "cluster").as("p"))
       .select(col("vec_id"), col("embedding"), col("u"),
         col("p.cluster").as("cluster"), col("p.du").as("du"))
   }
@@ -334,12 +339,10 @@ object Similarity {
       .select(units(col("embedding")).as("u"))
       .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }.toSeq
     for (_ <- 1 to iters) {
-      val centsDf = Seq(Tuple1(cents.sortBy(_._1)
-        .map { case (c, cu) => CentEntry(c, cu) })).toDF("cents")
+      val cl = typedlit(cents.sortBy(_._1).map { case (c, cu) => CentEntry(c, cu) })
       val means = vecs
         .select(units(col("embedding")).as("u"))
-        .crossJoin(broadcast(centsDf))
-        .select(argminOver(col("cents"), col("u"), "cluster")
+        .select(argminOver(cl, col("u"), "cluster")
           .getField("cluster").as("cluster"), col("u"))
         .select(col("cluster"), posexplode(col("u")).as(Seq("dim", "uu")))
         .groupBy(col("cluster"), col("dim"))
@@ -747,17 +750,17 @@ object Similarity {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k2)
       .select(col("coarse"), (col("rn") - 1).cast("long").as("fine"), col("u"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq
-    // fine centroids grouped per coarse cell: k₁ broadcast rows, each
-    // carrying its cell's ≤ k₂ centroids as array<struct<fine, cu>>,
-    // so the fine argmin is per-row ([[argminOver]]) — no n×k₂ row
-    // fan, no min(struct) SortAggregate chain (see argminOver).
-    def centsDf = cents.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (c, fs) =>
-        (c, fs.sortBy(_._2).map { case (_, f, cu) => FineEntry(f, cu) })
-      }.toDF("coarse", "fcents")
-    def assign = vecs.join(broadcast(centsDf), Seq("coarse"))
+    // fine centroids grouped per coarse cell as ONE map literal
+    // (coarse → array<struct<fine, cu>> — model parameters, the
+    // typedlit class of [[centsLit]]), so the fine argmin is a pure
+    // per-row projection ([[argminOver]] over element_at) — no join,
+    // no n×k₂ row fan, no min(struct) SortAggregate chain, no
+    // broadcast sub-job per iteration.
+    def fmap = typedlit(cents.groupBy(_._1).view.mapValues(fs =>
+      fs.sortBy(_._2).map { case (_, f, cu) => FineEntry(f, cu) }).toMap)
+    def assign = vecs
       .select(col("coarse"), col("vec_id"), col("embedding"), col("u"),
-        argminOver(col("fcents"), col("u"), "fine").as("p"))
+        argminOver(element_at(fmap, col("coarse")), col("u"), "fine").as("p"))
     for (_ <- 1 to iters) {
       val means = assign
         .select(col("coarse"), col("p.fine").as("fine"),
@@ -800,24 +803,20 @@ object Similarity {
                         threshold: Double = 0.45,
                         excludeSelf: Boolean = false,
                         wideCoarse: Option[Boolean] = None): DataFrame = {
-    val spark = index.assigned.sparkSession
-    import spark.implicits._
-    // per-cell fine centroid arrays, the build's argmin shape
+    // per-cell fine centroid map literal, the build's argmin shape
     // (see semanticIndexBuildHier / argminOver)
-    val centsDf = index.fine.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (c, fs) =>
-        (c, fs.sortBy(_._2).map { case (_, f, cu) => FineEntry(f, cu) })
-      }.toDF("coarse", "fcents")
+    val fmap = typedlit(index.fine.groupBy(_._1).view.mapValues(fs =>
+      fs.sortBy(_._2).map { case (_, f, cu) => FineEntry(f, cu) }).toMap)
     // coarse assign is budget-aware like the build: k₁ past the
     // kernel budget probes through the centroid frame (batches are
     // broadcast-bound — no spread)
     val nb = assignCellsAuto(batch.select(col("vec_id"), col("embedding")), index.coarse,
         wideCoarse)
       .select(col("vec_id"), col("embedding"), col("u"), col("cluster").as("coarse"))
-      .join(broadcast(centsDf), Seq("coarse"))
       .select(col("vec_id").as("new_id"), col("embedding").as("eb"),
         (col("coarse") * index.k2 +
-          argminOver(col("fcents"), col("u"), "fine").getField("fine")).as("cluster"))
+          argminOver(element_at(fmap, col("coarse")), col("u"), "fine")
+            .getField("fine")).as("cluster"))
     index.assigned
       .select(col("vec_id").as("corpus_id"), col("embedding").as("ea"), col("cluster"))
       .join(broadcast(nb), Seq("cluster"))
@@ -1266,15 +1265,9 @@ object Similarity {
     import graft.plans.IntegerUnits.l2Units
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe must be in [1, ${centroids.size}], got $nprobe")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val centsDf = centroids.zipWithIndex
-      .map { case (cu, i) => (i.toLong, cu.toSeq) }.toDF("cluster", "cu")
-      .agg(array_sort(collect_list(struct(col("cluster"), col("cu")))).as("cents"))
     df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
-      .crossJoin(broadcast(centsDf))
       .select(col("vec_id"), col("embedding"),
-        explode(slice(array_sort(transform(col("cents"), c =>
+        explode(slice(array_sort(transform(centsLit(centroids), c =>
           struct(l2Units(col("u"), c.getField("cu")).as("du"),
             c.getField("cluster").as("cluster")))), 1, nprobe)).as("p"))
       .select(col("vec_id"), col("embedding"),
@@ -3254,14 +3247,21 @@ object Similarity {
         .otherwise(rest)
     }
 
-  /** The PQ family's kernel budget: [[pqDistCols]] instantiates
-    * m×codebookSize l2 kernels per scan, so FAISS-standard codebooks
-    * (cb = 256: 8 bits/subspace — the layout production corpora
-    * actually serve) blow the same ~64-kernel JIT ceiling the coarse
-    * quantizers hit. Past it, codebooks travel as DATA.
+  /** PQ dispatch: the fused codebooks-as-data kernels
+    * ([[graft.plans.PqQuant]]) now run at EVERY shape. The literal
+    * path ([[pqDistCols]]/[[pqArgmin]]) plans m·cb l2 kernels plus m
+    * O(cb²) when/least argmin folds even at the SMALLEST registered
+    * codebook (m=8, cb=8 → 64 kernels, ~512-ref folds), and since
+    * the trainer re-plans that tree every Lloyd iteration, its
+    * analyzer + codegen cost measured 24-26% of whole-query wall
+    * (sf0.1 min-of-2 A/B: ann_pq 2.53 → 1.93 s, ann_ivfpq
+    * 3.25 → 2.44 s, ann_ivfpq_residual 2.74 → 2.04 s, ann_opq
+    * 3.71 → 2.80 s) — on top of the JIT-ceiling argument that
+    * forced FAISS-standard cb = 256 to the fused side all along.
+    * The literal path remains as the independent parity reference,
+    * spec-pinned bit-identical via wide = Some(false).
     */
-  private def pqWide(m: Int, codebookSize: Int): Boolean =
-    m * codebookSize > assignKernelBudget
+  private def pqWide(m: Int, codebookSize: Int): Boolean = true
 
   /** Codebook j AS DATA: one array<struct<cl, cu>> literal in code
     * order (zipWithIndex) — plan DATA (a single Literal in the
