@@ -69,9 +69,32 @@ object ProfileOne {
       val fn = SparkEntry.queries(name)
       fn(spark, sfDir).count() // untimed warm run: codegen, broadcast, footer caches
       jobs.synchronized { jobs.clear(); stages.clear(); stageToJob.clear() }
+      // In-process MAIN-THREAD sampler (jstack attach is unreliable
+      // on this box): every 10 ms record the driver thread's deepest
+      // org.apache.spark frame, so the "gaps" line below can be
+      // attributed (analysis vs optimization vs codegen vs await).
+      val mainThread = Thread.currentThread()
+      val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          val st = mainThread.getStackTrace
+          val frame = st.find { e =>
+            val c = e.getClassName
+            c.startsWith("org.apache.spark") &&
+              !c.contains("ProfileOne") && !c.startsWith("org.apache.spark.sql.classic.Dataset")
+          }.map(e => e.getClassName.split('.').takeRight(2).mkString(".") + "." + e.getMethodName)
+            .getOrElse(st.headOption.map(e => e.getClassName + "." + e.getMethodName).getOrElse("?"))
+          samples.merge(frame, 1, (a, b) => a + b)
+          Thread.sleep(10)
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wallS = (System.nanoTime() - t0) / 1e9
+      sampling = false
       Thread.sleep(200) // let listener events drain
       jobs.synchronized {
         println(f"\n===== $name%s  wall ${wallS}%.3f s  jobs ${jobs.size}%d =====")
@@ -85,6 +108,11 @@ object ProfileOne {
         println("  -- stages (taskSum ms: run/cpu/gc/deser/fetchWait) --")
         stages.values.filter(s => s.tasks > 0 && s.runMs + s.deserMs > 50).foreach { s =>
           println(f"  stage ${s.id}%4d  tasks ${s.tasks}%4d  run ${s.runMs}%6d  cpu ${s.cpuMs}%6d  gc ${s.gcMs}%5d  deser ${s.deserMs}%5d  fetch ${s.srFetchMs}%5d  rows ${s.rows}%9d  ${s.name.take(70)}%s")
+        }
+        println("  -- driver main-thread samples (10 ms) --")
+        import scala.jdk.CollectionConverters._
+        samples.asScala.toSeq.sortBy(-_._2).take(14).foreach { case (f, n) =>
+          println(f"  ${n.toInt * 10}%6d ms  $f%s")
         }
       }
     }

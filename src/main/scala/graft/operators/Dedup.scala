@@ -73,13 +73,22 @@ object Dedup {
           .otherwise(array().cast("array<string>"))).as(Seq("chunk_idx", "passage")))
     chunks
       .groupBy(md5(col("passage")).as("passage_hash"))
+      // lexicographic (doc_id, chunk_idx) min PACKED as one decimal:
+      // min over a struct is not a mutable agg-buffer type, so the
+      // struct form planned a SortAggregate — a full sort of the
+      // exploded per-window frame (n·tokens/w rows) where everything
+      // else here is hash-based. doc_id is a nonnegative long (≤ 19
+      // digits) and chunk_idx a posexplode int (< 2³¹ < 10¹⁰), so
+      // doc_id·10¹⁰ + chunk_idx fits decimal(29,0), orders exactly
+      // like the struct, and decimal min IS hash-aggregable.
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
-        min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+        min(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * lit(10000000000L) + col("chunk_idx")).as("firstp"))
       .filter(col("n_occurrences") >= 2)
       .select(col("passage_hash"), col("n_docs"), col("n_occurrences"),
-        col("first.doc_id").as("first_doc"),
-        col("first.chunk_idx").cast("long").as("first_chunk"))
+        expr("CAST(firstp DIV 10000000000 AS BIGINT)").as("first_doc"),
+        expr("CAST(firstp % 10000000000 AS BIGINT)").as("first_chunk"))
       .orderBy(col("passage_hash"))
   }
 
@@ -117,13 +126,17 @@ object Dedup {
           .otherwise(array().cast("array<string>"))).as(Seq("win_idx", "win")))
     wins
       .groupBy(md5(col("win")).as("window_hash"))
+      // packed lexicographic min — the [[passages]] decimal trick
+      // (hash-aggregable; the struct form sort-aggregated the
+      // n/stride-per-doc exploded window frame)
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
-        min(struct(col("doc_id"), col("win_idx"))).as("first"))
+        min(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * lit(10000000000L) + col("win_idx")).as("firstp"))
       .filter(col("n_occurrences") >= 2 && col("n_docs") >= minDocs)
       .select(col("window_hash"), col("n_docs"), col("n_occurrences"),
-        col("first.doc_id").as("first_doc"),
-        col("first.win_idx").cast("long").as("first_win"))
+        expr("CAST(firstp DIV 10000000000 AS BIGINT)").as("first_doc"),
+        expr("CAST(firstp % 10000000000 AS BIGINT)").as("first_win"))
       .orderBy(col("window_hash"))
   }
 

@@ -124,10 +124,18 @@ object Events {
       .withColumn("burst_id", sum(col("new_burst")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("event_type"), col("burst_id"))
-      .agg(min(struct(col("tsec"), col("event_id"))).as("first"),
+      // The burst's first row IS the one flagged new_burst = 1 (the
+      // window order is (tsec, event_id), so the flagged row carries
+      // the burst's lexicographic-min pair by construction — exactly
+      // one per burst). Conditional mins over its primitives keep the
+      // aggregate a HashAggregate; the previous min(struct) form is
+      // not a mutable buffer type and planned a SortAggregate with an
+      // extra full re-sort of the windowed frame by burst key.
+      .agg(min(when(col("new_burst") === 1, col("event_id"))).as("keeper_id"),
+        min(when(col("new_burst") === 1, col("tsec"))).as("start_ts"),
         count(lit(1)).as("n_burst"))
       .select(col("user_id"), col("event_type"), col("burst_id"),
-        col("first.event_id").as("keeper_id"), col("first.tsec").as("start_ts"),
+        col("keeper_id"), col("start_ts"),
         (col("n_burst") - 1).as("n_suppressed"))
       .orderBy(col("user_id"), col("event_type"), col("burst_id"))
   }
