@@ -86,9 +86,15 @@ object Dedup {
         min(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))
           * lit(10000000000L) + col("chunk_idx")).as("firstp"))
       .filter(col("n_occurrences") >= 2)
+      // pmod-based unpack: DIV/% truncate toward zero, which
+      // mis-decodes a NEGATIVE doc_id (-1 packs order-correctly but
+      // would unpack as (0, -9999999995)); floor-division via pmod is
+      // total — identical to DIV/% for the nonnegative ids the gate
+      // corpus carries, correct for any future hashed/negative source
+      // (pinned by DedupSpec's negative-id decode test).
       .select(col("passage_hash"), col("n_docs"), col("n_occurrences"),
-        expr("CAST(firstp DIV 10000000000 AS BIGINT)").as("first_doc"),
-        expr("CAST(firstp % 10000000000 AS BIGINT)").as("first_chunk"))
+        expr("CAST((firstp - pmod(firstp, 10000000000)) DIV 10000000000 AS BIGINT)").as("first_doc"),
+        expr("CAST(pmod(firstp, 10000000000) AS BIGINT)").as("first_chunk"))
       .orderBy(col("passage_hash"))
   }
 
@@ -134,9 +140,10 @@ object Dedup {
         min(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0))
           * lit(10000000000L) + col("win_idx")).as("firstp"))
       .filter(col("n_occurrences") >= 2 && col("n_docs") >= minDocs)
+      // pmod unpack — negative-doc_id-safe, see [[passages]]
       .select(col("window_hash"), col("n_docs"), col("n_occurrences"),
-        expr("CAST(firstp DIV 10000000000 AS BIGINT)").as("first_doc"),
-        expr("CAST(firstp % 10000000000 AS BIGINT)").as("first_win"))
+        expr("CAST((firstp - pmod(firstp, 10000000000)) DIV 10000000000 AS BIGINT)").as("first_doc"),
+        expr("CAST(pmod(firstp, 10000000000) AS BIGINT)").as("first_win"))
       .orderBy(col("window_hash"))
   }
 

@@ -813,9 +813,20 @@ object Similarity {
     val nb = assignCellsAuto(batch.select(col("vec_id"), col("embedding")), index.coarse,
         wideCoarse)
       .select(col("vec_id"), col("embedding"), col("u"), col("cluster").as("coarse"))
+      // try_element_at, not element_at: a batch vector can assign to a
+      // DEAD coarse cell (a centroid that ended training with zero
+      // corpus members, so index.fine carries no entries for it).
+      // Under Spark 4's default ANSI mode element_at on the map
+      // literal would throw MAP_KEY_DOES_NOT_EXIST; try_element_at
+      // yields null → null cluster → the inner equi-join below drops
+      // the row — exactly the old broadcast-join drop semantics (a
+      // dead cell has no candidates anyway). Build-side argmins keep
+      // plain element_at: every coarse value there comes from the
+      // checkpointed corpus assignment, whose cells all seeded ≥ 1
+      // fine centroid.
       .select(col("vec_id").as("new_id"), col("embedding").as("eb"),
         (col("coarse") * index.k2 +
-          argminOver(element_at(fmap, col("coarse")), col("u"), "fine")
+          argminOver(try_element_at(fmap, col("coarse")), col("u"), "fine")
             .getField("fine")).as("cluster"))
     index.assigned
       .select(col("vec_id").as("corpus_id"), col("embedding").as("ea"), col("cluster"))
@@ -3261,7 +3272,7 @@ object Similarity {
     * The literal path remains as the independent parity reference,
     * spec-pinned bit-identical via wide = Some(false).
     */
-  private def pqWide(m: Int, codebookSize: Int): Boolean = true
+  private val pqWide: Boolean = true
 
   /** Codebook j AS DATA: one array<struct<cl, cu>> literal in code
     * order (zipWithIndex) — plan DATA (a single Literal in the
@@ -3304,7 +3315,7 @@ object Similarity {
                                iters: Int, dsub: Int,
                                wide: Option[Boolean] = None): IndexedSeq[IndexedSeq[Array[Long]]] = {
     def sub(u: Column, j: Int): Column = slice(u, j * dsub + 1, dsub)
-    val useWide = wide.getOrElse(pqWide(m, codebookSize))
+    val useWide = wide.getOrElse(pqWide)
     val initRows = corpusU.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(codebookSize).collect()
       .map(_.getSeq[Long](1).toArray)
@@ -3359,7 +3370,7 @@ object Similarity {
     */
   private[graft] def pqEncode(corpusU: DataFrame, books: IndexedSeq[IndexedSeq[Array[Long]]],
                        dsub: Int, wide: Option[Boolean] = None): DataFrame =
-    if (wide.getOrElse(pqWide(books.size, books.headOption.map(_.size).getOrElse(0))))
+    if (wide.getOrElse(pqWide))
       corpusU.select(col("vec_id"),
         graft.plans.PqQuant.pqEncodeCodes(col("un"), books, dsub).as("codes"))
     else corpusU
@@ -3387,7 +3398,7 @@ object Similarity {
     // bit-identical to both table builds (same exact long Σ(Δ²),
     // same (j, c) order — spec-pinned).
     val qtable =
-      if (pqWide(books.size, books.headOption.map(_.size).getOrElse(0)))
+      if (pqWide)
         graft.plans.PqQuant.pqQTable(col("qun"), books, dsub)
       else array(books.indices.map(j =>
         array(books(j).indices.map(c =>

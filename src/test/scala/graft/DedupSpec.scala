@@ -182,6 +182,24 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((2L, 2L, 1L, 0L), (2L, 3L, 1L, 1L)))
   }
 
+  test("passages/substrings decode negative doc_ids exactly (packed-decimal unpack is floor-based)") {
+    import spark.implicits._
+    // a hashed/negative-id source: the decimal packing doc_id·10¹⁰ +
+    // idx stays order-correct for negatives, and the pmod unpack must
+    // restore (doc_id, idx) exactly — truncating DIV/% would read
+    // (-1, 0) as (0, -9999999995)
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = Seq((-7L, s"$boiler"), (3L, s"$boiler")).toDF("doc_id", "text")
+    val p = Dedup.passages(docs, w = 20).collect()
+    assert(p.length === 1)
+    assert((p(0).getLong(3), p(0).getLong(4)) === ((-7L, 0L)),
+      s"negative first_doc mis-decoded: ${p(0)}")
+    val s = Dedup.substrings(docs, w = 20, stride = 5).collect()
+    assert(s.length === 1)
+    assert((s(0).getLong(3), s(0).getLong(4)) === ((-7L, 0L)),
+      s"negative first_doc mis-decoded: ${s(0)}")
+  }
+
   test("substrings catches misaligned shared sequences that passages misses") {
     import spark.implicits._
     val boiler = (1 to 20).map(i => s"b$i").mkString(" ")

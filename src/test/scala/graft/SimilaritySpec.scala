@@ -976,6 +976,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hier probe drops (not crashes) a batch vector assigned to a DEAD coarse cell") {
+    import spark.implicits._
+    // A coarse centroid can end training with ZERO corpus members, so
+    // the fine-centroid map carries no entry for it. Under Spark 4's
+    // default ANSI mode a plain element_at on the map literal throws
+    // MAP_KEY_DOES_NOT_EXIST for a batch vector landing in that cell;
+    // the probe must instead DROP the row (the old broadcast-join
+    // semantics — a dead cell has no candidates anyway). Craft such an
+    // index through the save layout + loader.
+    val dir = java.nio.file.Files.createTempDirectory("graft_semhier_dead").toString
+    val u = 100000000L // 1e8: quantized units of a unit basis vector
+    Seq((1L, Seq(1.0f, 0f, 0f, 0f), 0L)).toDF("vec_id", "embedding", "cluster")
+      .write.partitionBy("cluster").parquet(s"$dir/assigned.parquet")
+    Seq((0, Seq(u, 0L, 0L, 0L)), (1, Seq(0L, u, 0L, 0L))).toDF("cell", "units")
+      .write.parquet(s"$dir/centroids.parquet")
+    // fine centroids ONLY for coarse cell 0 — cell 1 is dead
+    Seq((0L, 0L, Seq(u, 0L, 0L, 0L))).toDF("coarse", "fine", "cu")
+      .write.parquet(s"$dir/fine_centroids.parquet")
+    Seq((Similarity.hierIndexVersion, 2, "", 1L)).toDF("version", "k2", "params", "n")
+      .write.parquet(s"$dir/meta.parquet")
+    val index = Similarity.semanticIndexLoadHier(spark, dir)
+    val batch = Seq(
+      (100L, Seq(0f, 1f, 0f, 0f)),  // nearest coarse cell 1: DEAD
+      (101L, Seq(1f, 0f, 0f, 0f)))  // cell 0: matches corpus vec 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticProbeHier(index, batch).collect()
+    assert(got.map(_.getLong(0)).toSet === Set(101L),
+      "dead-cell batch vector must drop; live-cell vector must still match")
+    assert(got.head.getLong(1) === 1L && got.head.getDouble(3) === 1.0)
+  }
+
   test("semantic add() appends delta-only under the frozen model and never rebuilds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sem_app").toString
     val base = embeddings.filter(col("vec_id") % 10 =!= 0)
