@@ -176,8 +176,8 @@ object Similarity {
 
   def semanticIndexBuild(embeddings: DataFrame, k: Int = 8,
                          iters: Int = 3): SemanticIndex = {
-    val centroids = train(embeddings, k, iters)
-    val assigned = assignCells(embeddings.select(col("vec_id"), col("embedding")), centroids)
+    val (centroids, a) = trainAssignAuto(embeddings, k, iters, wide = Some(false))
+    val assigned = a
       .select(col("vec_id"), col("embedding"), col("cluster"))
       .honestCheckpoint()
     SemanticIndex(centroids, assigned)
@@ -206,10 +206,10 @@ object Similarity {
     */
   def semanticIndexBuildWide(embeddings: DataFrame, k: Int = 8,
                              iters: Int = 3): SemanticIndex = {
-    val centroids = trainData(embeddings, k, iters)
-    // spread the corpus-side fan like the trainer (see spreadForFan)
-    val assigned = assignCellsData(
-        spreadForFan(embeddings.select(col("vec_id"), col("embedding"))), centroids)
+    // train + final assign share ONE spread, quantized checkpoint
+    // (see corpusFrame) — the assign is a map pass over it.
+    val (centroids, a) = trainAssignAuto(embeddings, k, iters, wide = Some(true))
+    val assigned = a
       .select(col("vec_id"), col("embedding"), col("cluster"))
       .honestCheckpoint()
     SemanticIndex(centroids, assigned)
@@ -300,8 +300,16 @@ object Similarity {
     * projection. Same output shape and bit-identical results as
     * [[assignCells]] (lowest-cluster tiebreak; spec-pinned).
     */
-  private def assignCellsData(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
-    val withU = df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
+  private def assignCellsData(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame =
+    assignCellsDataPre(
+      df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u")),
+      centroids)
+
+  /** [[assignCellsData]] over a frame that ALREADY carries the
+    * quantized `u` column (a [[corpusFrame]] checkpoint) — skips the
+    * re-quantize so shared-frame callers don't pay it per pass.
+    */
+  private def assignCellsDataPre(withU: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
     if (centroids.isEmpty)
       return withU
         .withColumn("cluster", lit(null).cast("long"))
@@ -314,6 +322,46 @@ object Similarity {
         col("p.cluster").as("cluster"), col("p.du").as("du"))
   }
 
+  /** The TRAINING CORPUS as ONE materialized frame:
+    * (vec_id, embedding, u), quantized once, spread once (the fan
+    * paths), then localCheckpointed — so the Lloyd init, every
+    * iteration's mean pass, and the final corpus assignment read the
+    * materialized blocks instead of each re-running the source scan
+    * (plus, on the spread path, the repartition exchange). Before
+    * this, `trainData`'s lazily-recomputed `spreadForFan(...)` cost
+    * iters× full corpus scans + spread exchanges per train — the
+    * guide §2.4/§5 recompute-vs-materialize trade at its most
+    * lopsided (the frame is reused iters+2 times per build). Eager
+    * checkpoint cost: one corpus pass + (vec_id, embedding, u)
+    * blocks; blocks are ContextCleaner-freed when the frame goes out
+    * of scope.
+    */
+  private def corpusFrame(embeddings: DataFrame, spread: Boolean): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    (if (spread) spreadForFan(base) else base)
+      .select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
+      .honestCheckpoint()
+  }
+
+  /** Train + corpus assignment sharing ONE [[corpusFrame]]
+    * checkpoint: the budget-aware pairing of [[trainAuto]] +
+    * [[assignCellsAuto]](spread = true) that every IVF-family build
+    * previously spelled as two independent plans — each re-scanning
+    * (and re-spreading) the source. Returns (centroids, assigned)
+    * where `assigned` is [[assignCells]]' output shape
+    * (vec_id, embedding, u, cluster, du), a pure per-row map over the
+    * shared checkpoint. Bit-identical to the unshared pairing
+    * (spec-pinned by the existing wide/literal parity harness).
+    */
+  private[graft] def trainAssignAuto(embeddings: DataFrame, k: Int, iters: Int,
+                                     wide: Option[Boolean] = None): (Seq[Array[Long]], DataFrame) = {
+    val w = wide.getOrElse(k > assignKernelBudget)
+    val vecs = corpusFrame(embeddings, spread = w)
+    val cents = if (w) trainDataOn(vecs, k, iters) else trainOn(vecs, k, iters)
+    val assigned = if (w) assignCellsDataPre(vecs, cents) else assignCellsPre(vecs, cents)
+    (cents, assigned)
+  }
+
   /** Lloyd's loop over [[assignCellsData]] — [[train]]'s contract
     * (md5-seeded init, argmin with lowest-cluster tiebreak, sign-
     * split half-up integer means, empty clusters keep their previous
@@ -323,25 +371,30 @@ object Similarity {
     * by the JIT code cache. Bit-identical to [[train]] at any k both
     * can run (spec-pinned).
     */
-  private def trainData(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
+  private def trainData(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Long]] =
     // spread BEFORE the per-row k-fold argmin: it runs inside the
     // scan task, so a compact parquet table (one 128 MB split holds
     // ~500k vectors) would put the whole k-times-amplified workload
     // on ONE core — measured as a single-threaded crawl at
-    // 100×/k=400. One corpus-sized shuffle per iteration is the
-    // price of k-fold work amplification being spread, the same
-    // class as the mean step's own shuffle.
-    val vecs = spreadForFan(embeddings.select(col("vec_id"), col("embedding")))
+    // 100×/k=400. The spread (and the quantize) now happen ONCE per
+    // train ([[corpusFrame]]); iterations read the checkpoint.
+    trainDataOn(corpusFrame(embeddings, spread = true), k, iters)
+
+  /** [[trainData]]'s Lloyd loop over a pre-materialized
+    * [[corpusFrame]] — every iteration reads the checkpointed
+    * (vec_id, u) blocks instead of re-running the scan + spread
+    * exchange (previously iters× corpus scans + exchanges per train).
+    */
+  private def trainDataOn(vecs: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     var cents: Seq[(Long, Seq[Long])] = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-      .select(units(col("embedding")).as("u"))
+      .select(col("u"))
       .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }.toSeq
     for (_ <- 1 to iters) {
       val cl = typedlit(cents.sortBy(_._1).map { case (c, cu) => CentEntry(c, cu) })
       val means = vecs
-        .select(units(col("embedding")).as("u"))
         .select(argminOver(cl, col("u"), "cluster")
           .getField("cluster").as("cluster"), col("u"))
         .select(col("cluster"), posexplode(col("u")).as(Seq("dim", "uu")))
@@ -559,9 +612,14 @@ object Similarity {
     val base = embeddings.filter(col("vec_id") % 10 =!= 0)
     val fresh = embeddings.filter(col("vec_id") % 10 === 0)
     val params = s"sem;k=$k;it=$iters;base=mod10;src=${sourceStamp(embeddings)}"
-    val n = embeddings.count()
+    // ONE corpus scan for both counts (total + fresh split) — the
+    // previous embeddings.count() + fresh.count() pair cost two.
+    val cnts = embeddings
+      .agg(count(lit(1)), count(when(col("vec_id") % 10 === 0, 1))).collect()(0)
+    val n = cnts.getLong(0)
+    val nFresh = cnts.getLong(1)
     val meta = buildIfAbsent(spark, indexDir, params, n, semanticIndexVersion) { staging =>
-      semanticIndexSave(semanticIndexBuild(base, k, iters), staging, params, n - fresh.count())
+      semanticIndexSave(semanticIndexBuild(base, k, iters), staging, params, n - nFresh)
       semanticIndexAppend(spark, staging, fresh)
     }
     withinClusterPairs(semanticIndexLoad(spark, indexDir, Some(meta)).assigned,
@@ -657,16 +715,24 @@ object Similarity {
   def dedupSemanticHier(embeddings: DataFrame, k1: Int = 4, k2: Int = 4,
                         iters: Int = 3, threshold: Double = 0.45,
                         blocks: Int = 0): DataFrame = {
-    val coarseCentroids = train(embeddings, k1, iters)
-    val coarse = assignCells(embeddings.select(col("vec_id"), col("embedding")), coarseCentroids)
-      .select(col("vec_id"), col("embedding"), col("cluster").as("coarse"))
+    // coarse train + assignment share one corpus checkpoint; the
+    // coarse frame KEEPS `u` so the per-cell fine trains reuse the
+    // quantization instead of re-deriving it per Lloyd pass.
+    val (coarseCentroids, coarseA) = trainAssignAuto(embeddings, k1, iters, wide = Some(false))
+    val coarse = coarseA
+      .select(col("vec_id"), col("embedding"), col("u"), col("cluster").as("coarse"))
       .honestCheckpoint()
     val occupied = coarse.groupBy(col("coarse")).count()
       .collect().map(_.getLong(0)).sorted
     val fine = occupied.toSeq.map { c =>
-      val cell = coarse.filter(col("coarse") === c).select(col("vec_id"), col("embedding"))
-      val fc = train(cell, k2, iters)
-      assignCells(cell, fc)
+      // materialize the CELL once: the per-cell Lloyd loop otherwise
+      // re-filters the full coarse frame every iteration — k₁·(iters+1)
+      // full-frame passes across the loop vs k₁ filter passes now.
+      val cell = coarse.filter(col("coarse") === c)
+        .select(col("vec_id"), col("embedding"), col("u"))
+        .honestCheckpoint()
+      val fc = trainOn(cell, k2, iters)
+      assignCellsPre(cell, fc)
         .select(col("vec_id"), col("embedding"),
           (lit(c * k2) + col("cluster")).as("cluster"))
     }
@@ -735,11 +801,12 @@ object Similarity {
     // centroids-as-data, so k₁ can grow past ~64 like the flat wide
     // index — the fine level was data-keyed all along. Bit-identical
     // either way (wideCoarse forces a side; spec-pinned parity).
-    val coarseCentroids = trainAuto(embeddings, k1, iters, wideCoarse)
-    // Quantize once and materialize: every fine iteration (and the
-    // final assignment) re-scans this frame.
-    val vecs = assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
-        coarseCentroids, wideCoarse, spread = true)
+    // Coarse train + coarse assignment share ONE corpus checkpoint
+    // (trainAssignAuto); the assigned frame materializes again here
+    // because every fine iteration (and the final assignment)
+    // re-scans it WITH the coarse label.
+    val (coarseCentroids, coarseA) = trainAssignAuto(embeddings, k1, iters, wideCoarse)
+    val vecs = coarseA
       .select(col("vec_id"), col("embedding"), col("u"), col("cluster").as("coarse"))
       .honestCheckpoint()
     // Per-cell init: first ≤ k₂ vectors of each cell in md5 order —
@@ -977,9 +1044,9 @@ object Similarity {
                   threshold: Double = 0.4, nlist: Int = 8, ivfIters: Int = 3,
                   nprobe: Int = 2,
                   queriesAreCorpusDerived: Option[Boolean] = None): DataFrame = {
-    val centroids = trainAuto(embeddings, nlist, ivfIters)
-    val corpus = assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
-        centroids, spread = true)
+    // train + corpus assignment share one materialized corpus frame
+    val (centroids, corpusA) = trainAssignAuto(embeddings, nlist, ivfIters)
+    val corpus = corpusA
       .select(col("vec_id"), col("embedding"), col("cluster"))
     val qs = assignTopCellsAuto(
         queries.getOrElse(defaultQueries(embeddings)).select(col("vec_id"), col("embedding")),
@@ -1097,7 +1164,7 @@ object Similarity {
     * CTE chain, the fin_ridge technique).
     */
   def kmeans(embeddings: DataFrame, k: Int = 8, iters: Int = 5): DataFrame =
-    assignCells(embeddings, train(embeddings, k, iters))
+    trainAssignAuto(embeddings, k, iters, wide = Some(false))._2
       .select(col("vec_id"), col("cluster"),
         (expr("(2 * du + 10000000000) DIV 20000000000").cast("double") / lit(1e6)
           + lit(0.0)).as("dist"))
@@ -1128,9 +1195,17 @@ object Similarity {
     * units; `u` (the quantized vector) rides along for the trainer's
     * mean step.
     */
-  private def assignCells(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
+  private def assignCells(df: DataFrame, centroids: Seq[Array[Long]]): DataFrame =
+    assignCellsPre(
+      df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u")),
+      centroids)
+
+  /** [[assignCells]] over a frame that ALREADY carries the quantized
+    * `u` column (a [[corpusFrame]] checkpoint) — skips the
+    * re-quantize so shared-frame callers don't pay it per pass.
+    */
+  private def assignCellsPre(withU: DataFrame, centroids: Seq[Array[Long]]): DataFrame = {
     import graft.plans.IntegerUnits.l2Units
-    val withU = df.select(col("vec_id"), col("embedding"), units(col("embedding")).as("u"))
     if (centroids.isEmpty)
       // no centroids ⇒ the training corpus was empty; degrade to an
       // empty assignment of the right shape instead of least() of
@@ -1181,14 +1256,21 @@ object Similarity {
     * ever sees nonnegative operands); an empty cluster keeps its
     * previous centroid.
     */
-  private def train(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
-    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+  private def train(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Long]] =
+    trainOn(corpusFrame(embeddings, spread = false), k, iters)
+
+  /** [[train]]'s Lloyd loop over a pre-materialized [[corpusFrame]] —
+    * every iteration reads the checkpointed (vec_id, u) blocks
+    * instead of re-running the source scan (previously iters+1
+    * corpus scans per train: init + one per iteration).
+    */
+  private def trainOn(vecs: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
     var centroids: Seq[Array[Long]] = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-      .select(units(col("embedding")).as("u"))
+      .select(col("u"))
       .collect().map(_.getSeq[Long](0).toArray).toSeq
     for (_ <- 1 to iters) {
-      val means = assignCells(vecs, centroids)
+      val means = assignCellsPre(vecs, centroids)
         .select(col("cluster"), posexplode(col("u")).as(Seq("dim", "u")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
@@ -1330,9 +1412,9 @@ object Similarity {
   def annIvfTrained(embeddings: DataFrame, queries: Option[DataFrame] = None,
                     k: Int = 5, nlist: Int = 8, iters: Int = 3,
                     nprobe: Int = 1, wide: Option[Boolean] = None): DataFrame = {
-    val centroids = trainAuto(embeddings, nlist, iters, wide)
-    val corpus = assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
-        centroids, wide, spread = true)
+    // train + corpus assignment share one materialized corpus frame
+    val (centroids, corpusA) = trainAssignAuto(embeddings, nlist, iters, wide)
+    val corpus = corpusA
       .select(col("vec_id"), col("embedding"), col("cluster").as("label"))
     val qsBase = queries.getOrElse(defaultQueries(embeddings))
     val probed = assignTopCellsAuto(qsBase.select(col("vec_id"), col("embedding")),
@@ -2004,12 +2086,10 @@ object Similarity {
     */
   def ivfSqIndexBuild(embeddings: DataFrame, nlist: Int = 8,
                       ivfIters: Int = 3): IvfSqIndex = {
-    val centroids = trainAuto(embeddings, nlist, ivfIters)
+    val (centroids, corpusA) = trainAssignAuto(embeddings, nlist, ivfIters)
     val sq = sqIndexBuild(embeddings)
     val codes = sq.codes.join(
-      assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
-          centroids, spread = true)
-        .select(col("vec_id"), col("cluster").as("label")), "vec_id")
+      corpusA.select(col("vec_id"), col("cluster").as("label")), "vec_id")
     IvfSqIndex(sq.mins, sq.spans, centroids, codes,
       embeddings.select(col("vec_id"), col("embedding")))
   }
@@ -2294,9 +2374,8 @@ object Similarity {
   def ivfBqIndexBuild(embeddings: DataFrame, nlist: Int = 8,
                       ivfIters: Int = 3): IvfBqIndex = {
     import graft.plans.BinarySig.signPack
-    val centroids = trainAuto(embeddings, nlist, ivfIters)
-    val sigs = assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
-        centroids, spread = true)
+    val (centroids, corpusA) = trainAssignAuto(embeddings, nlist, ivfIters)
+    val sigs = corpusA
       .select(col("vec_id"), signPack(col("embedding")).as("sig"),
         col("cluster").as("label"))
       .honestCheckpoint()
@@ -2569,13 +2648,11 @@ object Similarity {
   def ivfPqIndexBuild(embeddings: DataFrame, nlist: Int = 8, ivfIters: Int = 3,
                       m: Int = 8, codebookSize: Int = 8, pqIters: Int = 3): IvfPqIndex = {
     val dsub = pqDsub(m)
-    val centroids = trainAuto(embeddings, nlist, ivfIters)
+    val (centroids, corpusA) = trainAssignAuto(embeddings, nlist, ivfIters)
     val corpusU = pqCorpusUnits(embeddings)
     val codebooks = pqTrainCodebooks(corpusU, m, codebookSize, pqIters, dsub)
     val codes = pqEncode(corpusU, codebooks, dsub)
-      .join(assignCellsAuto(embeddings.select(col("vec_id"), col("embedding")),
-          centroids, spread = true)
-        .select(col("vec_id"), col("cluster").as("label")), "vec_id")
+      .join(corpusA.select(col("vec_id"), col("cluster").as("label")), "vec_id")
     IvfPqIndex(codebooks, centroids, codes,
       embeddings.select(col("vec_id"), col("embedding")), m)
   }

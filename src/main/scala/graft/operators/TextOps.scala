@@ -239,14 +239,29 @@ object TextOps {
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("n"))
       .withColumn("tid", hex60(col("token")))
+    // materialized: ≤ k rows per lang, reused twice below (winner-key
+    // broadcast filter + the final join's left side) — without the
+    // barrier both uses re-run the corpus-sized count aggregation.
     val top = counts
       .groupBy(col("lang"))
       .agg(TopKLongPairs(col("n"), col("tid"), k).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("lang"), col("t.id").as("tid"), col("t.score").as("n"),
         (col("pos") + 1).cast("long").as("rank"))
-    val mapping = counts.groupBy(col("lang"), col("tid")).agg(min(col("token")).as("token"))
-    top.join(mapping, Seq("lang", "tid"))
+      .honestCheckpoint()
+    // Restore token strings for the k·langs WINNERS only: broadcast
+    // the winner keys into a hash-join filter over the counts stream,
+    // then take the min-token collision tiebreak. The mapping
+    // aggregate previously exchanged + SORT-aggregated the whole
+    // corpus vocabulary (min over a string has no mutable buffer);
+    // restricted first, its exchange and sort carry ≤ k rows per lang
+    // (guide §2.3 — shuffle fewer bytes). Bit-identical: the
+    // restriction drops whole (lang, tid) groups, never rows within a
+    // surviving group, so min(token) per kept key is unchanged.
+    val mapping = counts
+      .join(broadcast(top.select(col("lang"), col("tid"))), Seq("lang", "tid"))
+      .groupBy(col("lang"), col("tid")).agg(min(col("token")).as("token"))
+    top.join(broadcast(mapping), Seq("lang", "tid"))
       .select(col("lang"), col("token"), col("n"), col("rank"))
       .orderBy(col("lang"), col("rank"))
   }
@@ -438,15 +453,65 @@ object TextOps {
     * aggregate, no second window pass.
     */
   def repetition(documents: DataFrame): DataFrame = {
-    val base = documents.repartition(col("doc_id"))
+    // Tokenize ONCE (the tfidf/tokenRank lesson): the token-count,
+    // 2-gram, and run-length branches each re-ran the regex
+    // tokenizer from the shared exchange output — materializing the
+    // (doc_id, toks) frame makes the corpus-sized tokenize a single
+    // pass. The checkpoint re-declares the explicit repartition's
+    // hash(doc_id) partitioning (AQE checkpoints lose it), so every
+    // downstream grouping/join still plans exchange-free on it.
+    val par = documents.sparkSession.sparkContext.defaultParallelism
+    val base = documents.repartition(par, col("doc_id"))
       .select(col("doc_id"), toksOf(documents).as("toks"))
+      .honestCheckpointHashPartitioned(par, "doc_id")
     val tok = base.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+    // The top token is min(struct(-cnt, token)) — a struct min has no
+    // mutable aggregation buffer, so Spark planned it as a
+    // SortAggregate over the whole per-doc vocabulary (an in-partition
+    // sort of the corpus-sized distinct-token frame). Replace it with
+    // a HASH-aggregable packed-decimal argmin plus a winner-retrieval
+    // join, bit-identical by construction:
+    //   p8     = first 8 UTF-8 bytes of the token, big-endian,
+    //            zero-padded, read as an unsigned 64-bit value —
+    //            ORDER-PRESERVING: a <= b implies p8(a) <= p8(b),
+    //            equality only when the first 8 bytes agree;
+    //   packed = (2^62 - cnt)·2^64 + p8 as decimal(38,0) —
+    //            max at cnt=1: (2^62-1)·2^64 + (2^64-1) < 8.52e37,
+    //            inside decimal(38,0); min(packed) therefore picks
+    //            max cnt first, then min first-8-bytes.
+    // The rows tying on packed (same count AND same 8-byte prefix)
+    // resolve by the final min(token) — a sort of ~one row per doc,
+    // strictly smaller than the declared output's own orderBy(doc_id).
     val tokCounts = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-    val perTok = tokCounts.groupBy(col("doc_id"))
+      .withColumn("p8",
+        conv(rpad(hex(substring(encode(col("token"), "UTF-8"), 1, 8)), 16, "0"), 16, 10)
+          .cast("decimal(20,0)"))
+      .withColumn("packed",
+        (lit(4611686018427387904L) - col("cnt")) *
+          lit(new java.math.BigDecimal("18446744073709551616")) + col("p8"))
+    val perDoc = tokCounts.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_tok"),
-        // argmax with min-token tiebreak: min over (−cnt, token)
-        min(struct((-col("cnt")).as("nc"), col("token").as("t"))).as("top"))
+        min(col("packed")).as("wp"))
+    // winner retrieval: both sides ride the same hash(doc_id)
+    // partitioning (no exchange); SHUFFLE_HASH keeps it sort-free
+    // (a sort-merge join would re-introduce the corpus-scale sort
+    // the packed min just removed). The winner filter is written
+    // `packed <= wp` — equivalent to equality since wp is the
+    // per-doc MIN of packed — because an equality would be extracted
+    // into the hash-join KEYS, and requireAllClusterKeysForCoPartition
+    // would then re-shuffle both sides on (packed, doc_id); as an
+    // inequality it stays a post-probe join condition and the join
+    // keeps keying (and co-partitioning) on doc_id alone.
+    val winner = tokCounts
+      .join(perDoc.select(col("doc_id").as("did"), col("wp")).hint("SHUFFLE_HASH"),
+        col("doc_id") === col("did") && col("packed") <= col("wp"))
+      .groupBy(col("doc_id"))
+      // all survivors share the winning cnt (it is determined by
+      // packed), so max(cnt) is exact; min(token) is the declared
+      // lexicographic tiebreak over the ~1-row tie set.
+      .agg(min(col("token")).as("top_t"), max(col("cnt")).as("top_n"))
+    val perTok = perDoc.join(winner.hint("SHUFFLE_HASH"), "doc_id")
     val gram = base.select(col("doc_id"), explode(shinglesOf(col("toks"), 2)).as("s"))
       .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -461,11 +526,10 @@ object TextOps {
       .groupBy(col("doc_id"), col("run_id")).agg(count(lit(1)).as("run_len"))
       .groupBy(col("doc_id")).agg(max(col("run_len")).as("max_run"))
     perTok.join(gram, "doc_id").join(runs, "doc_id")
-      .withColumn("top_n", -col("top.nc"))
       // fracs round half-up in exact integer arithmetic — count/count
       // ties split between engines under double round (fin_vwap lesson)
       .select(col("doc_id"), col("n_tokens"),
-        col("top.t").as("top_token"), col("top_n"),
+        col("top_t").as("top_token"), col("top_n"),
         ((expr("(2 * top_n * 1000000 + n_tokens) DIV (2 * n_tokens)").cast("double")
           / lit(1e6)) + lit(0.0)).as("top_frac"),
         ((expr("(2 * dup_tok * 1000000 + n_tokens) DIV (2 * n_tokens)").cast("double")

@@ -14,5 +14,14 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 object HonestCheckpoint {
   implicit class HonestCheckpointOps(private val df: DataFrame) extends AnyVal {
     def honestCheckpoint(): DataFrame = ColumnBridge.honestCheckpoint(df)
+
+    /** [[honestCheckpoint]] that re-declares the hash partitioning an
+      * explicit `repartition(n, cols)` physically gave the frame (AQE
+      * checkpoints otherwise surface as Unknown partitioning and
+      * force downstream re-shuffles). ONLY call directly above that
+      * repartition — see ColumnBridge.honestCheckpointHashPartitioned.
+      */
+    def honestCheckpointHashPartitioned(n: Int, cols: String*): DataFrame =
+      ColumnBridge.honestCheckpointHashPartitioned(df, cols, n)
   }
 }

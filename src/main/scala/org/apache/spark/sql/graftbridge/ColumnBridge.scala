@@ -64,4 +64,50 @@ object ColumnBridge {
       case _ => out
     }
   }
+
+  /** [[honestCheckpoint]] that additionally RESTORES a hash
+    * partitioning the checkpoint physically has but can no longer
+    * prove.
+    *
+    * Under AQE, `localCheckpoint` captures the adaptive plan's
+    * partitioning as Unknown, so a frame that was explicitly
+    * `repartition(n, cols)`-ed loses that fact across the
+    * materialization — and every downstream aggregation/join keyed on
+    * `cols` re-shuffles the materialized blocks for nothing (measured
+    * on text_repetition: 4 → 12 Exchanges when its tokenize frame was
+    * first checkpointed naively). The blocks' placement is untouched
+    * by the checkpoint (partition-per-partition), so when the caller
+    * GUARANTEES the frame sits directly on an explicit
+    * `repartition(n, cols)` (which AQE never coalesces — only
+    * advisory repartitions are), re-declaring
+    * HashPartitioning(cols, n) is exact, not a hint.
+    *
+    * ONLY sound immediately above an explicit-N
+    * `repartition(n, cols)` (plus partitioning-preserving projections)
+    * with exactly those columns in that order: the declared
+    * partitioning is what EnsureRequirements will TRUST — a wrong
+    * declaration silently mis-joins. The partition count is read back
+    * from the materialized RDD and must match the caller's `n`.
+    */
+  def honestCheckpointHashPartitioned(df: org.apache.spark.sql.DataFrame,
+                                      cols: Seq[String],
+                                      n: Int): org.apache.spark.sql.DataFrame = {
+    val out = honestCheckpoint(df)
+    out.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        require(l.rdd.getNumPartitions == n,
+          s"checkpointed RDD has ${l.rdd.getNumPartitions} partitions, caller declared $n — " +
+            "the frame is not the explicit repartition output the declaration requires")
+        val attrs = cols.map(c => l.output.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"no column $c in checkpointed output")))
+        val hp = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, n)
+        val stats = l.computeStats()
+        val pinned = new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, hp, l.outputOrdering, l.isStreaming, l.stream)(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          Some(stats), None)
+        ofRows(df.sparkSession, pinned)
+      case _ => out
+    }
+  }
 }

@@ -126,6 +126,61 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === ((4L, "x", 2L, 0.5, 1.0, 0.666667, 1L)))
   }
 
+  test("repetition top-token packed argmin: ties resolve by full string order, " +
+       "including past the 8-byte prefix") {
+    // The hash-aggregable rewrite packs (cnt, first-8-UTF-8-bytes)
+    // into one decimal and resolves residual ties (same count AND
+    // same 8-byte prefix) with the final min(token). Pin every case:
+    //  doc 1: count dominance — 'zebra' (3×) beats lexicographically
+    //         smaller 1× tokens;
+    //  doc 2: tie on count, winner decided INSIDE the 8-byte prefix;
+    //  doc 3: tie on count AND on the full 8-byte prefix — the
+    //         min(token) pass must look past byte 8 ('aaaaaaaaX' vs
+    //         'aaaaaaaaY' differ only at byte 9);
+    //  doc 4: prefix-of-each-other ties — 'aaaaaaaa' (8 bytes) vs
+    //         'aaaaaaaaa' (9 bytes): shorter sorts first.
+    val docs = Seq(
+      (1L, "zebra zebra zebra apple banana"),
+      (2L, "carrot carrot cabbage cabbage"),
+      (3L, "aaaaaaaaY aaaaaaaaX aaaaaaaaY aaaaaaaaX"),
+      (4L, "aaaaaaaaa aaaaaaaa aaaaaaaaa aaaaaaaa")).toDF("doc_id", "text")
+    val got = TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("zebra", 3L)))
+    assert(got(2L) === (("cabbage", 2L)))
+    assert(got(3L) === (("aaaaaaaaX", 2L)))
+    assert(got(4L) === (("aaaaaaaa", 2L)))
+  }
+
+  test("repetition plan: no corpus-scale sort aggregate and one tokenize pass") {
+    val docs = Seq((1L, "a a b"), (2L, "c d")).toDF("doc_id", "text")
+    val df = TextOps.repetition(docs)
+    val plan = df.queryExecution.executedPlan.toString
+    // the token/2-gram/run branches read the checkpointed tokenize
+    // frame — the declared plan must not re-tokenize
+    assert(!plan.contains("split("), s"tokenization leaked into the declared plan:\n$plan")
+    // the only shuffle left is the presentation orderBy; the
+    // tokenize checkpoint's re-declared hash(doc_id) partitioning
+    // must satisfy every grouping and the two winner-retrieval joins
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected only the orderBy range/hash exchange, got $exchanges:\n$plan")
+  }
+
+  test("vocabByLangHeap winner-restricted mapping equals the declared top-k") {
+    // winners restricted before the min(token) mapping: results must
+    // be identical to a brute-force per-lang top-k with hex60-order
+    // tiebreak semantics (the declared contract)
+    val docs = Seq(
+      (1L, "en", "the the the cat sat"),
+      (2L, "en", "the dog sat sat"),
+      (3L, "de", "der der die das")).toDF("doc_id", "lang", "text")
+    val got = TextOps.vocabByLangHeap(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.filter(_._1 == "en").map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq(("the", 4L, 1L), ("sat", 3L, 2L)))
+    assert(got.filter(_._1 == "de").head._2 === "der")
+  }
+
   test("tokenRank concentrates rank on tokens with incoming edges, hand-checked") {
     // graph: a->b (w2), c->b (w1); b dangling; N=3
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c b")).toDF("doc_id", "text")
