@@ -243,6 +243,32 @@ object ScaleProbe {
       "gap_quantiles" -> ((e, _, _, _, _) => operators.Events.gapQuantiles(e).count()),
       "session_quantiles" -> ((e, _, _, _, _) => operators.Events.sessionQuantiles(e).count()),
       "repetition" -> ((_, d, _, _, _) => operators.TextOps.repetition(d).count()),
+      // first-occurrence passage/substring dedup (round-17 packed-
+      // decimal hash aggregates + round-18 winner retrieval): the
+      // exploded window frame is n·tokens/w resp. n/stride rows, so
+      // these rows pin that the first-occurrence aggregation stays
+      // ~linear (no corpus-scale sort re-entering through a refactor)
+      "dedup_passages" -> ((_, d, _, _, _) => operators.Dedup.passages(d).count()),
+      "dedup_substring" -> ((_, d, _, _, _) => operators.Dedup.substrings(d).count()),
+      "vocab_by_lang" -> ((_, d, _, _, _) => operators.TextOps.vocabByLangHeap(d).count()),
+      // ArgminL2 kernel gate (round-18, VERDICT #6): the wide
+      // (centroids-as-data) assignment at a FIXED FAISS-range k=400
+      // — NOT the 4·mult corpus contract — so the row isolates the
+      // per-row k·d argmin constant (iters=1 → two corpus argmin
+      // passes: the Lloyd mean pass + the final assign). This is the
+      // measurement that decides whether the interpreted
+      // transform+array_min HOF binds at production nlist, or stays
+      // inside scan noise.
+      "argmin_wide_k400" -> ((_, _, _, em, _) =>
+        operators.Similarity.semanticIndexBuildWide(em, k = 400, iters = 1)
+          .assigned.count()),
+      // same gate one shape up (IndexIVFFlat-range nlist): if the
+      // k=400 row is flat and this one scales ∝k, the HOF constant
+      // is visible — the kernel decision reads the k-slope between
+      // the two rows, not either row alone.
+      "argmin_wide_k2048" -> ((_, _, _, em, _) =>
+        operators.Similarity.semanticIndexBuildWide(em, k = 2048, iters = 1)
+          .assigned.count()),
       "token_budget" -> ((_, d, _, _, k) =>
         operators.Curation.tokenBudget(d, budget = 10000L * k).count()),
       "ann_pq" -> ((_, _, _, em, _) => operators.Similarity.annPq(em, fixedQ,

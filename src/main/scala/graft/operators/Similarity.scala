@@ -315,11 +315,16 @@ object Similarity {
         .withColumn("cluster", lit(null).cast("long"))
         .withColumn("du", lit(null).cast("long"))
         .limit(0)
+    // fused kernel, not the transform+array_min HOF: the HOF's
+    // per-centroid lambda dispatch + struct boxing is ~230 ns/centroid
+    // and linear in k (ScaleProbe argmin_wide_k400/k2048) — at
+    // production nlist it IS the assignment cost. centsLit ids are
+    // zipWithIndex, so index order == cluster id (the kernel contract).
     withU
       .select(col("vec_id"), col("embedding"), col("u"),
-        argminOver(centsLit(centroids), col("u"), "cluster").as("p"))
+        graft.plans.ArgminL2.argminUnits(col("u"), centroids).as("p"))
       .select(col("vec_id"), col("embedding"), col("u"),
-        col("p.cluster").as("cluster"), col("p.du").as("du"))
+        col("p").getItem(1).as("cluster"), col("p").getItem(0).as("du"))
   }
 
   /** The TRAINING CORPUS as ONE materialized frame:
@@ -393,10 +398,13 @@ object Similarity {
       .select(col("u"))
       .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](0)) }.toSeq
     for (_ <- 1 to iters) {
-      val cl = typedlit(cents.sortBy(_._1).map { case (c, cu) => CentEntry(c, cu) })
+      // ids are 0..k-1 from the init's zipWithIndex (means only ever
+      // update existing keys), so the id-sorted model is index-ordered
+      // — the fused kernel's contract (see assignCellsDataPre).
+      val model = cents.sortBy(_._1).map(_._2.toArray)
       val means = vecs
-        .select(argminOver(cl, col("u"), "cluster")
-          .getField("cluster").as("cluster"), col("u"))
+        .select(graft.plans.ArgminL2.argminUnits(col("u"), model)
+          .getItem(1).as("cluster"), col("u"))
         .select(col("cluster"), posexplode(col("u")).as(Seq("dim", "uu")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("uu")).as("s"), count(lit(1)).as("n"))

@@ -108,4 +108,45 @@ class IntegerUnitsSpec extends SparkSpec {
     assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
       .contains("fwht_signs"), s"unexpected failure: $e")
   }
+
+  test("argminUnits equals the transform+array_min HOF, lowest-cluster tiebreak included") {
+    import graft.plans.ArgminL2
+    // model: 7 real quantized vectors + a DUPLICATE of centroid 2 at
+    // index 5 (forced tie — the kernel must keep the FIRST minimal,
+    // i.e. lowest cluster id, exactly array_min over struct(du, id))
+    val base = emb.orderBy(col("vec_id")).limit(7)
+      .select(quantizeUnits(col("embedding")))
+      .collect().map(_.getSeq[Long](0).toArray).toSeq
+    val model = base.updated(5, base(2).clone())
+    // the HOF reference — the exact expression argminOver built
+    val cl = typedlit(model.zipWithIndex.map { case (cu, i) => (i.toLong, cu.toSeq) }
+      .map { case (c, cu) => ArgminRef(c, cu) })
+    val reference = array_min(transform(cl, c =>
+      struct(l2Units(quantizeUnits(col("embedding")), c.getField("cu")).as("du"),
+        c.getField("cluster").as("cluster"))))
+    val got = emb.select(col("vec_id"),
+        ArgminL2.argminUnits(quantizeUnits(col("embedding")), model).as("k"),
+        reference.as("r"))
+      .select(col("vec_id"), col("k").getItem(0).as("kdu"), col("k").getItem(1).as("kcl"),
+        col("r.du").as("rdu"), col("r.cluster").as("rcl"))
+    assert(got.filter(col("kdu") =!= col("rdu") || col("kcl") =!= col("rcl")).count() === 0L)
+    // the tie is actually exercised: vectors nearest centroid 2 must
+    // report cluster 2, never the duplicate at 5
+    assert(got.filter(col("kcl") === 5).count() === 0L)
+    assert(got.filter(col("kcl") === 2).count() > 0L,
+      "tie case never exercised — no vector argmins to the duplicated centroid")
+    // dimension mismatch fails loudly
+    import spark.implicits._
+    val bad = Seq(Tuple1(Array.fill(8)(1L))).toDF("u")
+    val e = intercept[Exception] {
+      bad.select(ArgminL2.argminUnits(col("u"), model)).collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("argmin_l2"), s"unexpected failure: $e")
+  }
 }
+
+/** typedlit row shape for the argmin HOF reference (a case class is
+  * required for typedlit's encoder derivation).
+  */
+final case class ArgminRef(cluster: Long, cu: Seq[Long])
