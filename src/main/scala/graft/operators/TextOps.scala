@@ -469,47 +469,35 @@ object TextOps {
     // mutable aggregation buffer, so Spark planned it as a
     // SortAggregate over the whole per-doc vocabulary (an in-partition
     // sort of the corpus-sized distinct-token frame). Replace it with
-    // a HASH-aggregable packed-decimal argmin plus a winner-retrieval
-    // join, bit-identical by construction:
-    //   p8     = first 8 UTF-8 bytes of the token, big-endian,
-    //            zero-padded, read as an unsigned 64-bit value —
-    //            ORDER-PRESERVING: a <= b implies p8(a) <= p8(b),
-    //            equality only when the first 8 bytes agree;
-    //   packed = (2^62 - cnt)·2^64 + p8 as decimal(38,0) —
-    //            max at cnt=1: (2^62-1)·2^64 + (2^64-1) < 8.52e37,
-    //            inside decimal(38,0); min(packed) therefore picks
-    //            max cnt first, then min first-8-bytes.
-    // The rows tying on packed (same count AND same 8-byte prefix)
-    // resolve by the final min(token) — a sort of ~one row per doc,
-    // strictly smaller than the declared output's own orderBy(doc_id).
+    // plain HASH aggregates plus a winner-retrieval join, bit-identical
+    // by construction: max(cnt) per doc names the winning count, the
+    // join keeps exactly the tokens carrying it, and min(token) over
+    // that (naturally tiny) tie set is the declared lexicographic
+    // tiebreak. No packed ordering column is needed — the join already
+    // restricts to the max-count ties, so the only residual sort is
+    // ~one row per doc inside the hash aggregate's min(token).
     val tokCounts = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
-      .withColumn("p8",
-        conv(rpad(hex(substring(encode(col("token"), "UTF-8"), 1, 8)), 16, "0"), 16, 10)
-          .cast("decimal(20,0)"))
-      .withColumn("packed",
-        (lit(4611686018427387904L) - col("cnt")) *
-          lit(new java.math.BigDecimal("18446744073709551616")) + col("p8"))
     val perDoc = tokCounts.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_tok"),
-        min(col("packed")).as("wp"))
+        max(col("cnt")).as("wc"))
     // winner retrieval: both sides ride the same hash(doc_id)
     // partitioning (no exchange); SHUFFLE_HASH keeps it sort-free
     // (a sort-merge join would re-introduce the corpus-scale sort
-    // the packed min just removed). The winner filter is written
-    // `packed <= wp` — equivalent to equality since wp is the
-    // per-doc MIN of packed — because an equality would be extracted
+    // the hash-aggregable max just removed). The winner filter is
+    // written `cnt >= wc` — equivalent to equality since wc is the
+    // per-doc MAX of cnt — because an equality would be extracted
     // into the hash-join KEYS, and requireAllClusterKeysForCoPartition
-    // would then re-shuffle both sides on (packed, doc_id); as an
+    // would then re-shuffle both sides on (cnt, doc_id); as an
     // inequality it stays a post-probe join condition and the join
     // keeps keying (and co-partitioning) on doc_id alone.
     val winner = tokCounts
-      .join(perDoc.select(col("doc_id").as("did"), col("wp")).hint("SHUFFLE_HASH"),
-        col("doc_id") === col("did") && col("packed") <= col("wp"))
+      .join(perDoc.select(col("doc_id").as("did"), col("wc")).hint("SHUFFLE_HASH"),
+        col("doc_id") === col("did") && col("cnt") >= col("wc"))
       .groupBy(col("doc_id"))
-      // all survivors share the winning cnt (it is determined by
-      // packed), so max(cnt) is exact; min(token) is the declared
-      // lexicographic tiebreak over the ~1-row tie set.
+      // all survivors share the winning cnt (= wc), so max(cnt) is
+      // exact; min(token) is the declared lexicographic tiebreak over
+      // the tie set.
       .agg(min(col("token")).as("top_t"), max(col("cnt")).as("top_n"))
     val perTok = perDoc.join(winner.hint("SHUFFLE_HASH"), "doc_id")
     val gram = base.select(col("doc_id"), explode(shinglesOf(col("toks"), 2)).as("s"))
